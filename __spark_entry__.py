@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query (the full scanner pipeline,
+  reference eval_change scanner.py:120-175 re-expressed as one
+  Catalyst plan) on sf0.001.
+- ``queries()``: every implemented operator from SURVEY.md §2 as a
+  named (spark, sf_dir) -> DataFrame builder.
+- ``oracle_sql()``: the DuckDB twin for each SQL-expressible query;
+  hash-function-dependent ops (MinHash/SimHash/hyperplane LSH) are
+  omitted -> rows-only check (their ground-truth tests live in
+  tests/test_dedup.py and tests/test_similarity.py).
 """
 
 from __future__ import annotations
@@ -13,26 +17,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rc_scanner_spark.queries import build_registry
+
+_REGISTRY = build_registry()
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _REGISTRY["scan_pipeline_full"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.fn for name, spec in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each SQL-expressible query."""
+    return {name: spec.sql for name, spec in _REGISTRY.items() if spec.sql is not None}

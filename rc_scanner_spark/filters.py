@@ -1,0 +1,123 @@
+"""Declarative filter specs compiled to Catalyst predicates.
+
+``FilterSpec`` is the Spark-first form of the reference's ``Filter``
+class (filter_.py:17-112).  Where the reference delegates predicate
+evaluation to a row-at-a-time iterator (filter_.py:107), a FilterSpec
+compiles to a single ``pyspark.sql.Column`` tree, so Catalyst gets to
+push it into the parquet scan / stream source.
+
+Semantics pinned to the reference:
+
+- ``streamfilter``: attribute -> scalar (equality) or iterable
+  (membership), exactly like EventStreams.register_filter kwargs
+  (filter_.py:32,43-47).
+- ``sites``: injected ``server_name IN sites`` predicate
+  (filter_.py:58).
+- ``max_edits``: NULL disables the predicate, and the comparison is
+  **inclusive** (``editcount <= max_edits``) — filter_.py:88 uses
+  ``<=`` even though the skip message at scanner.py:133-134 prints
+  ``>``.
+- ``skip_repeats`` defaults from the log level (filter_.py:36) and the
+  invalid combination skip_repeats=True with log_level < 2 raises
+  ConfigError (filter_.py:53-55, utils.py:46-47).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .functions.regex import regex_hits, translate_pattern
+
+
+class ConfigError(ValueError):
+    """Invalid filter/config combination (utils.py:46-47)."""
+
+
+def _membership(col: Column, value: Any) -> Column:
+    if isinstance(value, str) or not isinstance(value, Iterable):
+        return col == F.lit(value)
+    vals = list(value)
+    if not vals:
+        return F.lit(False)
+    return col.isin(*vals)
+
+
+@dataclass
+class FilterSpec:
+    """Mirror of reference ``Filter.__init__`` (filter_.py:28-63)."""
+
+    name: str
+    streamfilter: dict[str, Any] = field(default_factory=dict)
+    streams: tuple[str, ...] = ("recentchange",)
+    sites: tuple[str, ...] = ()
+    max_edits: int | None = None
+    regexes: tuple[str | re.Pattern[str], ...] = ()
+    skip_repeats: bool | None = None
+    log_level: int = 2
+
+    def __post_init__(self) -> None:
+        if not 0 <= self.log_level <= 3:
+            # scanner.py:70-71 validates LOG_LEVEL in 0..3
+            raise ConfigError(f"log_level {self.log_level} not in 0..3")
+        if self.skip_repeats is None:
+            # default: dedup active iff the flag log exists
+            # (filter_.py:36)
+            self.skip_repeats = self.log_level >= 2
+        if self.skip_repeats and self.log_level < 2:
+            # filter_.py:53-55
+            raise ConfigError(
+                "skip_repeats requires log_level >= 2 (no flag log to "
+                "dedup against below that)"
+            )
+        # Compile-time regex validation, like the eager re.compile at
+        # import time in examples/filterlist.py:31-32.
+        for p in self.regexes:
+            translate_pattern(p)
+
+    # --- predicate builders -------------------------------------------------
+
+    def attribute_predicate(self) -> Column:
+        """F1: conjunction of membership/equality predicates plus the
+        injected sites predicate (filter_.py:58,107)."""
+        pred = F.lit(True)
+        for key, value in self.streamfilter.items():
+            pred = pred & _membership(F.col(key), value)
+        if self.sites:
+            pred = pred & F.col("server_name").isin(*self.sites)
+        return pred
+
+    def editcount_predicate(self, editcount: Column) -> Column:
+        """F2: NULL-disables threshold, inclusive (filter_.py:88)."""
+        mx = F.lit(self.max_edits)
+        return mx.isNull() | (editcount <= mx)
+
+    def hits(self, text: Column) -> Column:
+        """F4: array of matching pattern strings (filter_.py:110-112)."""
+        return regex_hits(text, list(self.regexes))
+
+    # --- application helpers ------------------------------------------------
+
+    def apply_attribute_filter(self, df: DataFrame) -> DataFrame:
+        return df.filter(self.attribute_predicate())
+
+    def apply_dedup(self, df: DataFrame, flagged_titles: DataFrame | None) -> DataFrame:
+        """F3: drop rows whose title was already flagged.
+
+        Reference scans the entire JSON flag log per event
+        (filter_.py:90-102) — O(n) per row.  Spark-first form: one
+        left_anti join (hash, broadcast when the flagged set is small),
+        O(1) amortized per row and shuffle-free when broadcast.
+        """
+        if not self.skip_repeats or flagged_titles is None:
+            return df
+        return df.join(
+            F.broadcast(flagged_titles.select("title").distinct()),
+            on="title",
+            how="left_anti",
+        )

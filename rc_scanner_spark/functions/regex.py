@@ -1,0 +1,109 @@
+"""Multi-regex search as Catalyst expressions.
+
+Reference semantics (filter_.py:110-112): apply each compiled Python
+regex with ``re.search`` (unanchored) to the fetched text and return
+the *sub-list of patterns that matched* — not a boolean.  The match
+message needs to know which patterns hit (scanner.py:148-151).
+
+Spark mapping: one ``rlike`` per pattern (each regex compiled once,
+JVM-side, inside whole-stage codegen), concatenated into an array of
+the pattern strings that hit.  The reference documents linear cost in
+the number of patterns (examples/filterlist.py:27-29) — the same holds
+here, but vectorized and parallel across partitions.
+
+Python ``re`` flags are translated to Java-regex inline flags
+(e.g. ``re.I`` -> ``(?i)``); Python-only constructs are rejected so a
+bad pattern fails at query-build time, not per-row at run time.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Python re flag -> Java inline-flag letter.
+_FLAG_LETTERS = (
+    (re.IGNORECASE, "i"),
+    (re.MULTILINE, "m"),
+    (re.DOTALL, "s"),
+    (re.UNICODE, "u"),
+    (re.VERBOSE, "x"),
+)
+
+# Constructs valid in Python re but not in java.util.regex.
+_UNSUPPORTED = (
+    r"(?P<",  # named group, Python syntax (Java uses (?<name>))
+    r"(?P=",  # named back-reference
+    r"(?#",   # comment group
+)
+
+
+class RegexDialectError(ValueError):
+    """Pattern uses Python-only syntax that java.util.regex lacks."""
+
+
+def translate_pattern(pattern: str | re.Pattern[str]) -> str:
+    """Translate a Python regex (optionally pre-compiled with flags)
+    into an equivalent java.util.regex pattern string.
+
+    Mirrors how the reference compiles patterns eagerly at filter
+    definition time (examples/filterlist.py:31-32) so errors surface
+    before any data flows.
+    """
+    flags = 0
+    if isinstance(pattern, re.Pattern):
+        flags = pattern.flags
+        pattern = pattern.pattern
+    for bad in _UNSUPPORTED:
+        if bad in pattern:
+            raise RegexDialectError(
+                f"pattern {pattern!r} uses Python-only construct {bad!r}"
+            )
+    prefix = "".join(
+        letter for flag, letter in _FLAG_LETTERS if flags & flag
+    )
+    # re.compile() sets UNICODE implicitly on str patterns; Java regex is
+    # unicode-aware for literals already, so only emit it when explicit
+    # semantics matter (character classes).  Harmless either way; drop it
+    # to keep patterns clean unless the caller asked for more than U.
+    prefix = prefix.replace("u", "")
+    return f"(?{prefix}){pattern}" if prefix else pattern
+
+
+def regex_hits(text: Column, patterns: list[str | re.Pattern[str]]) -> Column:
+    """Array of the (translated) pattern strings that match ``text``.
+
+    Spark-first form of Filter.search_regexes (filter_.py:110-112):
+    each pattern is a literal, so the JVM compiles it once per query,
+    and the whole expression stays inside whole-stage codegen — no
+    Python in the hot path.
+    """
+    if not patterns:
+        return F.array().cast("array<string>")
+    translated = [translate_pattern(p) for p in patterns]
+    pieces = [
+        F.when(text.rlike(p), F.array(F.lit(p))).otherwise(
+            F.array().cast("array<string>")
+        )
+        for p in translated
+    ]
+    out = pieces[0]
+    for piece in pieces[1:]:
+        out = F.concat(out, piece)
+    return out
+
+
+def any_match(text: Column, patterns: list[str | re.Pattern[str]]) -> Column:
+    """Boolean: does any pattern match?  Short-circuiting OR of rlike,
+    cheaper than materializing the hits array when only existence is
+    needed (the reference always materializes; we keep both forms).
+    """
+    if not patterns:
+        return F.lit(False)
+    out = None
+    for p in patterns:
+        c = text.rlike(translate_pattern(p))
+        out = c if out is None else (out | c)
+    return out

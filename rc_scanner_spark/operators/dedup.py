@@ -1,0 +1,288 @@
+"""Deduplication operators for document corpora.
+
+Exact dedup is a hash-groupBy; near-dup is MinHash+LSH (banding) or
+SimHash — both implemented as pure Catalyst expression pipelines
+(xxhash64 + array higher-order functions), no Python UDFs, so every
+stage is whole-stage-codegen'd and shuffles only on the band buckets.
+
+Scale notes (the design target is ~100 TB of documents):
+- shingling + signatures are map-side only (no shuffle);
+- LSH banding shuffles once on (band, band_hash) — the candidate join
+  is an equi-join on that key, never an all-pairs cross join;
+- verification re-joins the two candidate doc sides by id; at scale
+  you carry the shingle arrays through the band join only for
+  candidates (a semi-join first keeps the wide arrays off the big
+  shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize, words
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized-text hash: one hash-shuffle, keeps the
+    smallest id per group (deterministic survivor)."""
+    return (
+        df.withColumn("fp", F.md5(normalize(F.col(text_col))))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles (arrays stay JVM-side)."""
+    ws = words(text)
+    n = F.size(ws)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(ws, i, k), " "),
+            ),
+        ).otherwise(F.when(n > 0, F.array(F.array_join(ws, " "))).otherwise(F.array().cast("array<string>")))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0))
+
+
+def _min_hash_fold(seed: int):
+    """Merge function for one MinHash permutation (captures the seed as
+    a Python int so the lambda arity stays (acc, element))."""
+
+    def fold(acc: Column, sh: Column) -> Column:
+        return F.least(
+            F.coalesce(acc, F.lit(9223372036854775807)),
+            F.xxhash64(F.lit(seed), sh),
+        )
+
+    return fold
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: for seed s, min over shingles of
+    xxhash64(s, shingle).  xxhash64 is a JVM built-in; the per-seed min
+    is an ``aggregate`` fold — no shuffle, no UDF."""
+    return F.array(
+        *[
+            F.aggregate(shingles, F.lit(None).cast("long"), _min_hash_fold(seed))
+            for seed in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    rows/band = num_hashes/bands; two docs collide in a band iff that
+    slice of their signatures is identical.  Candidates are verified
+    with exact Jaccard over the shingle sets (skip with
+    ``verify_threshold=None`` to get raw candidates).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, deduplicated
+    across bands.
+    """
+    rows_per_band = num_hashes // bands
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_k).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    )
+    banded = base.select(
+        "id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(F.col("sig"), b * rows_per_band + i + 1)
+                                for i in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "shingles", "bb.band", "bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = cand.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+    if verify_threshold is not None:
+        out = out.filter(F.col("jaccard") >= verify_threshold)
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked exact-Jaccard near-dup: all pairs *within a blocking
+    group* (e.g. same lang+source).  SQL-expressible (oracle twin
+    exists); at scale the block keys bound the quadratic term."""
+    base = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    l, r = base.alias("l"), base.alias("r")
+    on = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in group_cols]
+    on.append(F.col("l.id") < F.col("r.id"))
+    return (
+        l.join(r, on=on)
+        .withColumn("jaccard", F.round(jaccard(F.col("l.sh"), F.col("r.sh")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("jaccard"),
+        )
+    )
+
+
+def simhash_votes(text: Column) -> Column:
+    """64-slot bit-vote array: for each distinct word, xxhash64(word)
+    contributes +1/-1 per bit position.  One ``aggregate`` fold, no
+    shuffle, no UDF."""
+    toks = F.array_distinct(words(text))
+    return F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, w: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(w), i).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for i in range(64)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+
+
+def simhash_chunks(votes: Column) -> Column:
+    """Assemble the vote array into 4 x 16-bit SimHash chunks
+    (array<int>; kept chunked so the top bit never overflows a signed
+    type and the LSH join key is already materialized)."""
+    chunks = []
+    for c in range(4):
+        val: Column = F.lit(0)
+        for i in range(16):
+            val = val + F.when(
+                F.element_at(votes, c * 16 + i + 1) > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        chunks.append(val.cast("int"))
+    return F.array(*chunks)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidate generation: the 4 16-bit chunks are the LSH tables; by
+    pigeonhole any pair with hamming <= 3 shares a chunk — for larger
+    budgets this is a recall-bounded heuristic (documented).  The
+    chunk equi-join avoids the all-pairs cross join at scale.
+    """
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .withColumn("votes", simhash_votes(F.col("t")))
+        .withColumn("sh", simhash_chunks(F.col("votes")))
+        .select("id", "sh")
+    )
+    chunked = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.element_at(F.col("sh"), c + 1).alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sh", "c.chunk", "c.val")
+    l, r = chunked.alias("l"), chunked.alias("r")
+    hamming: Column = F.lit(0)
+    for c in range(4):
+        hamming = hamming + F.bit_count(
+            F.element_at(F.col("l.sh"), c + 1).bitwiseXOR(
+                F.element_at(F.col("r.sh"), c + 1)
+            )
+        )
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.val") == F.col("r.val"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked stub (deterministic fake features / NotImplementedError
+for real codecs).  Everything Spark-side is real and tested: schema,
+Arrow batch shape, ``mapInPandas`` signatures, partition-size control.
+
+At 100 TB the binary payloads dominate: keep them in their own column
+(parquet stores them contiguously), never groupBy/shuffle the payload
+column, derive + persist compact feature columns instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media binary, media_type string, width int, height int, "
+    "duration_ms long"
+)
+
+FEATURE_SCHEMA = "doc_id long, n_bytes long, checksum string, feature array<float>"
+
+
+def attach_fake_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build a deterministic binary media column from text (stand-in
+    for real payloads; the Spark plumbing is identical)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("media"),
+        F.lit("image/fake").alias("media_type"),
+        (F.length(F.col(text_col)) % 640).cast("int").alias("width"),
+        (F.length(F.col(text_col)) % 480).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real codec decode — STUB.  The image/audio libraries are not in
+    this container; wire Pillow/torchaudio here in production."""
+    raise NotImplementedError(
+        "media decode requires codec libraries not present in this environment"
+    )
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake feature vector (rolling byte sums), so the
+    pipeline is testable end-to-end without codecs."""
+    if payload is None:
+        return [0.0] * dim
+    acc = [0] * dim
+    for i, b in enumerate(payload):
+        acc[i % dim] = (acc[i % dim] + b) % 1000
+    return [float(x) / 1000.0 for x in acc]
+
+
+def extract_features(media_df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Feature extraction over binary payloads via ``mapInPandas``.
+
+    Arrow-batched: each pandas batch holds ``spark.sql.execution.arrow.
+    maxRecordsPerBatch`` rows — size it so (rows x payload) fits in
+    executor memory at the real payload size.
+    """
+    import hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["media"].map(lambda b: 0 if b is None else len(b)),
+                    "checksum": pdf["media"].map(
+                        lambda b: hashlib.md5(b or b"").hexdigest()
+                    ),
+                    "feature": pdf["media"].map(_fake_feature),
+                }
+            )
+
+    return media_df.select("doc_id", "media").mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: expand (doc_id, duration) into one
+    row per sampled frame timestamp — pure Catalyst (sequence+explode);
+    the actual frame decode is the stubbed codec step."""
+    return media_df.filter(F.col("duration_ms").isNotNull()).select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

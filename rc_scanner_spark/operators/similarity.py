@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: broadcast the query
+set, evaluate cosine as a codegen'd array fold, rank with a window.
+Cost is |Q| x |N| — fine when the query side is small/broadcastable.
+
+The scale path is hyperplane-LSH bucketing: a deterministic Rademacher
+projection (sign bits from xxhash64(plane, dim)) maps each vector to a
+small bit signature; candidates are vectors sharing a signature
+(optionally across several independent signature tables).  Only the
+bucket equi-join shuffles; no cross join ever materializes.  This is
+the classic SimHash/ANN recipe (Charikar '02) — approximate, recall
+measured against the brute-force baseline in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Deterministic: similarity rounded, ties broken by vector id.
+    Returns (query_id, vec_id, sim, rank).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv"))
+    scored = q.crossJoin(v).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qv"), F.col("vv")), round_digits).alias("sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
+def hyperplane_signature(vec: Column, num_planes: int = 16, table: int = 0) -> Column:
+    """Deterministic random-hyperplane signature (int bitmask).
+
+    Plane p, dimension d gets a pseudo-random +-1 weight from
+    xxhash64(table, p, d) — reproducible across runs and engines with
+    no stored model.  sign(dot(vec, plane)) per plane -> one bit.
+    """
+    dims = F.size(vec)
+
+    def plane_dot(p: int) -> Column:
+        prods = F.zip_with(
+            vec.cast("array<double>"),
+            F.sequence(F.lit(0), dims - 1),
+            lambda x, d: F.when(
+                F.xxhash64(F.lit(table), F.lit(p), d).bitwiseAND(F.lit(1)) == 1, x
+            ).otherwise(-x),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    sig: Column = F.lit(0)
+    for p in range(num_planes):
+        sig = sig + F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_ann_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 12,
+    num_tables: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Approximate near-neighbor pairs: bucket by hyperplane signature
+    in each of ``num_tables`` independent tables, verify candidates
+    with exact cosine.  Returns (id_a, id_b, sim), id_a < id_b.
+    """
+    base = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sigs = base.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        hyperplane_signature(F.col("v"), num_planes, t).alias("sig"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "v", "s.tbl", "s.sig")
+    l, r = sigs.alias("l"), sigs.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.tbl") == F.col("r.tbl"),
+                F.col("l.sig") == F.col("r.sig"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

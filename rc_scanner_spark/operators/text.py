@@ -1,0 +1,112 @@
+"""Text-analysis columns for a training-data pipeline — all pure
+Catalyst expressions (regexp/array built-ins), no Python in the hot
+path, so they scale to 100 TB of documents unchanged.
+
+The seed for this family is the reference's regex text scan
+(filter_.py:110-112); everything else is the standard LLM-pipeline
+extension set (token counts, quality ratios, language ID,
+fingerprinting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WORD_RE = "[a-z]+"
+# BPE-ish tokenizer: letter runs, digit runs, or single non-space symbol.
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+PUNCT_RE = "[.,;:!?]"
+
+# Marker stopwords per language for the n-gram/stopword heuristic
+# language ID.  Deterministic argmax with fixed priority order.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|a|of|and|to)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|y|es)\b",
+}
+
+
+def words(text: Column) -> Column:
+    """Lower-cased word tokens via regex extraction (robust to repeated
+    whitespace, unlike split)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), 0)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-word count."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\S+"), 0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count (letter runs / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0))
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Quality-scoring signals: length, word stats, punctuation and
+    stopword ratios.  All ratios NULL-safe on empty documents."""
+    n_chars = F.length(text)
+    ws = words(text)
+    n_words = F.size(ws)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), 0))
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(LANG_MARKERS["en"]), 0)
+    )
+    nz = F.when(n_words > 0, n_words.cast("double"))
+    avg_word_len = F.length(F.regexp_replace(text, r"\s", "")) / nz
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "punct_ratio": F.round(n_punct / nz, 4),
+        "stopword_ratio": F.round(n_stop / nz, 4),
+        "avg_word_len": F.round(avg_word_len, 4),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish quality score; weights are heuristic and
+    documented, determinism is what matters."""
+    q = quality_columns(text)
+    score = (
+        F.least(q["n_words"] / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.coalesce(q["stopword_ratio"], F.lit(0.0)) * 0.4
+        + F.least(F.coalesce(q["punct_ratio"], F.lit(0.0)) * 5, F.lit(1.0)) * 0.2
+    )
+    return F.round(score, 4)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+        for lang, pat in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-marker argmax language ID with a CJK fast path.
+
+    Deterministic tie-break: priority order en > de > fr > es; 'und'
+    (undetermined) when nothing scores.
+    """
+    scores = lang_scores(text)
+    has_cjk = F.size(F.regexp_extract_all(text, F.lit(r"[一-鿿]"), 0)) > 0
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return F.when(has_cjk, F.lit("zh")).otherwise(out)
+
+
+def normalize(text: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (first 16 hex
+    chars — 64 bits, plenty below ~10^9 docs per birthday bound;
+    use the full 128 bits at 100 TB scale)."""
+    return F.substring(F.md5(normalize(text)), 1, 16)

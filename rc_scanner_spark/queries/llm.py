@@ -1,0 +1,387 @@
+"""LLM-training-data pipeline queries (the north star beyond the
+reference's own surface, BASELINE.json): deduplication, similarity
+search, text analysis, multimodal plumbing — each designed for 100 TB
+(bounded candidate generation, no unbounded cross joins, no Python in
+the hot path except the explicitly-Arrow-batched multimodal step).
+
+Hash-function-dependent internals (xxhash64 MinHash/SimHash/LSH) have
+no DuckDB twin -> ``sql=None`` (rows-only driver check); their
+correctness is covered by pytest against brute-force ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.similarity import cosine_topk, lsh_ann_pairs
+from ..operators.text import (
+    BPE_RE,
+    LANG_MARKERS,
+    bpe_token_count,
+    fingerprint,
+    lang_id,
+    quality_columns,
+    quality_score,
+    token_count,
+)
+from ..session import tune
+from ..tables import load_table
+from . import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --- deduplication ----------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text hash groupBy (one shuffle on the
+    128-bit fingerprint; survivors deterministic = min id)."""
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard near-dup: pairs within (lang,
+    source) blocks with word-3-gram Jaccard >= 0.5.  Block keys bound
+    the quadratic term at scale."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        group_cols=["lang", "source"],
+        shingle_k=3,
+        threshold=0.5,
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = """
+WITH w AS (
+  SELECT doc_id, lang, source,
+         regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN len(words) >= 3
+              THEN list_distinct([array_to_string(words[i:i+2], ' ')
+                                  FOR i IN range(1, len(words) - 1)])
+              WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+              ELSE [] END AS sh
+  FROM w
+),
+nz AS (SELECT * FROM s WHERE len(sh) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM nz a JOIN nz b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (32 perms) + LSH banding (8 bands x 4 rows) near-dup —
+    the scale path: one shuffle on band buckets, candidates verified
+    with exact Jaccard >= 0.5.  xxhash64-based -> no SQL oracle;
+    recall vs brute force covered in tests/test_dedup.py."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=32,
+        bands=8,
+        shingle_k=3,
+        verify_threshold=0.5,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup (hamming <= 8 within 16-bit chunk buckets).
+    xxhash64 bit votes -> no SQL oracle."""
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairs with cosine >= 0.4 among a keyed
+    subset (vec_id % 5 = 0).  The subset keeps the demo cross join
+    bounded; the production path is lsh_ann_pairs."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("sim") >= 0.4)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+SQL_DEDUP_EMBEDDING_COSINE = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+           AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+      >= 0.4
+"""
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (queries = vec_id %
+    25 = 0, broadcast).  Exact baseline for the ANN variants."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(e, queries, k=5)
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 25 = 0)
+SELECT query_id, vec_id, sim, rank FROM (
+  SELECT q.query_id, v.vec_id,
+         round(list_cosine_similarity(q.qv::DOUBLE[], v.embedding::DOUBLE[]), 4) AS sim,
+         CAST(row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv::DOUBLE[], v.embedding::DOUBLE[]), 4) DESC,
+                      v.vec_id) AS INTEGER) AS rank
+  FROM q CROSS JOIN embeddings v
+) WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed near-neighbor pairs (cosine >= 0.35,
+    12 planes x 4 tables).  Deterministic Rademacher planes from
+    xxhash64 -> no SQL oracle; recall vs brute force in tests."""
+    return lsh_ann_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        num_planes=12,
+        num_tables=4,
+        threshold=0.35,
+    )
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (operators/text.py lang_id):
+    deterministic argmax with en>de>fr>es priority, CJK fast path."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+_M = LANG_MARKERS
+SQL_TEXT_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{_M["en"]}')) AS s_en,
+         len(regexp_extract_all(lower(text), '{_M["de"]}')) AS s_de,
+         len(regexp_extract_all(lower(text), '{_M["fr"]}')) AS s_fr,
+         len(regexp_extract_all(lower(text), '{_M["es"]}')) AS s_es,
+         len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN s_zh > 0 THEN 'zh'
+            WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+            ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals + composite score (operators/text.py):
+    length, word count, punctuation/stopword ratios, avg word length."""
+    d = _t(spark, sf_dir, "documents")
+    q = quality_columns(F.col("text"))
+    return d.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars_calc"),
+        q["n_words"].alias("n_words"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["avg_word_len"].alias("avg_word_len"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '{_M["en"]}')) AS n_stop,
+         length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars_calc, n_words,
+         round(n_punct / CASE WHEN n_words > 0 THEN CAST(n_words AS DOUBLE) END, 4)
+             AS punct_ratio,
+         round(n_stop / CASE WHEN n_words > 0 THEN CAST(n_words AS DOUBLE) END, 4)
+             AS stopword_ratio,
+         round(n_nonspace / CASE WHEN n_words > 0 THEN CAST(n_words AS DOUBLE) END, 4)
+             AS avg_word_len
+  FROM m
+)
+SELECT doc_id, n_chars_calc, n_words, punct_ratio, stopword_ratio, avg_word_len,
+       round(least(n_words / 50.0, 1.0) * 0.4
+             + coalesce(stopword_ratio, 0.0) * 0.4
+             + least(coalesce(punct_ratio, 0.0) * 5, 1.0) * 0.2, 4) AS quality
+FROM r
+"""
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("int").alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"),
+    )
+
+
+SQL_TEXT_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INTEGER) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5-of-normalized-text (first 64 bits)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_TEXT_FINGERPRINT = """
+SELECT doc_id,
+       substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
+FROM documents
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — tokenize (explode), tf
+    groupBy, df groupBy, broadcast the doc count, window top-k."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)).alias(
+            "term"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1), 4
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n.n_docs + 1) / (df.df + 1)) + 1), 4) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checkable slice: binary payload
+    column (utf-8 of text as a deterministic stand-in) with byte
+    length, checksum and head-bytes hex.  The mapInPandas feature
+    extraction over the same column is exercised in tests
+    (operators/multimodal.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        F.md5(F.col("text")).alias("checksum"),
+        F.hex(F.encode(F.substring(F.col("text"), 1, 8), "utf-8")).alias("head_hex"),
+    )
+
+
+SQL_MULTIMODAL_BINARY_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum,
+       hex(encode(substring(text, 1, 8))) AS head_hex
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, None),
+    "dedup_simhash": QuerySpec(q_dedup_simhash, None),
+    "dedup_embedding_cosine": QuerySpec(
+        q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE
+    ),
+    "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_lsh_bucketed": QuerySpec(q_ann_lsh_bucketed, None),
+    "text_lang_id": QuerySpec(q_text_lang_id, SQL_TEXT_LANG_ID),
+    "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY),
+    "text_token_count": QuerySpec(q_text_token_count, SQL_TEXT_TOKEN_COUNT),
+    "text_fingerprint": QuerySpec(q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "multimodal_binary_meta": QuerySpec(
+        q_multimodal_binary_meta, SQL_MULTIMODAL_BINARY_META
+    ),
+}

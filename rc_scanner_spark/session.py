@@ -1,0 +1,67 @@
+"""SparkSession factory and runtime tuning.
+
+Local testing runs ``local[N]`` (one JVM); production target is a
+multi-executor cluster reading ~100 TB, so every knob set here is the
+cluster-sane default, not a local hack:
+
+- AQE on (runtime coalesce / skew-join mitigation);
+- shuffle partitions sized to the environment (32 locally; on a real
+  cluster you want 2-3x total cores — override via conf);
+- UTC session timezone so timestamp semantics match the oracle and are
+  stable across executor hosts;
+- Arrow transfer on for the (rare) Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied even to externally provided sessions
+# (the correctness driver passes us its own SparkSession).
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # The events table stores TIMESTAMP(NANOS) which Spark cannot
+    # represent natively; read as long and convert (tables.load_table)
+    # with the same floor-to-microsecond truncation DuckDB applies.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session.
+
+    Safe to call on the driver-supplied session: every key in
+    RUNTIME_CONF is a runtime conf, not a static one.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked down
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "rc_scanner_spark") -> SparkSession:
+    """Build (or fetch) a tuned local session.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default all cores).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)

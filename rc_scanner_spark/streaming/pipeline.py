@@ -1,0 +1,147 @@
+"""Streaming scanner pipeline.
+
+The reference's pull loop (scanner.py:75-81) becomes a Structured
+Streaming query: file-replay (CI-safe) or the custom SSE source feeds
+``CHANGE_SCHEMA`` rows; the same ``FilterSpec`` compiles the
+predicates; dedup is ``dropDuplicates`` backed by the state store
+(unbounded, matching the reference's never-expiring flag-log dedup,
+filter_.py:90-102 — add a watermark to bound state when the product
+semantics allow); sinks attach per LOG_LEVEL via ``foreachBatch``.
+
+Delivery: the reference is at-most-once with no offset tracking
+(SSE offsets present but unused, utils.py:10).  Checkpointing upgrades
+this to exactly-once-per-sink with restart recovery — the C2 restart
+prompt (scanner.py:82-88) disappears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..filters import FilterSpec
+from ..scanner import (
+    date_partition,
+    event_message,
+    match_message,
+    sanitize_filename,
+    verb_column,
+)
+from ..schemas import CHANGE_SCHEMA
+
+
+def read_change_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-replay source of Change JSON-lines (CI-safe stand-in for
+    the SSE stream; same schema, same downstream plan)."""
+    return (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def build_pipeline(
+    changes: DataFrame,
+    spec: FilterSpec,
+    users: DataFrame | None = None,
+    revisions: DataFrame | None = None,
+) -> DataFrame:
+    """The streaming plan: F1 -> (S3+F2 stream-static join) -> F3
+    stateful dedup -> (S2 stream-static join) -> F4 -> P1-P5.
+
+    ``users``/``revisions`` are static dimension frames -> these joins
+    are stream-static (no state, re-planned per micro-batch; broadcast
+    when small).
+    """
+    df = changes.filter(spec.attribute_predicate())
+    if users is not None:
+        df = df.join(F.broadcast(users), on="user", how="left")
+        if spec.max_edits is not None:
+            df = df.filter(
+                F.col("editcount").isNotNull()
+                & spec.editcount_predicate(F.col("editcount"))
+            )
+    if spec.skip_repeats:
+        # State-store-backed dedup; unbounded like the reference's
+        # flag-log membership scan (filter_.py:102), but O(1) per row.
+        df = df.dropDuplicates(["title"])
+    if revisions is not None:
+        df = df.join(
+            revisions.withColumnRenamed("revid", "__revid"),
+            on=df["revision.new"] == F.col("__revid"),
+            how="left",
+        ).drop("__revid")
+        df = df.filter(F.col("text").isNotNull())
+    df = df.withColumn("hits", spec.hits(F.col("text")))
+    df = df.filter(F.size("hits") > 0)
+    verb = verb_column(F.col("type"))
+    return (
+        df.withColumn("verb", verb)
+        .withColumn(
+            "message",
+            event_message(F.col("user"), verb, F.col("title"), F.col("meta.dt")),
+        )
+        .withColumn("match_message", match_message(F.col("hits"), F.col("meta.uri")))
+        .withColumn("date", date_partition(F.col("meta.dt")))
+        .withColumn("filename", sanitize_filename(F.col("user"), F.col("revision.new")))
+        .withColumn("filter", F.lit(spec.name))
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    window_len: str = "5 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling/sliding event-time aggregation — the
+    late-data policy the reference lacks (events processed on arrival,
+    SURVEY.md §2.B streaming row)."""
+    win = (
+        F.window(F.col(ts_col), window_len, slide)
+        if slide
+        else F.window(F.col(ts_col), window_len)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def start_flaglog_sink(
+    flagged: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "flaglog",
+) -> StreamingQuery:
+    """K3 streaming sink: exactly-once JSON-lines append via
+    foreachBatch + checkpointing."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(
+                "filter", "title", "user", "date", "filename", "match_message"
+            )
+            .write.mode("append")
+            .json(out_dir)
+        )
+
+    return (
+        flagged.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )
