@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": ...}
+
+Each query is executed via a count()-style action that forces the full
+plan without collecting rows to the driver (df.count() after the final
+projection — Catalyst cannot prune the computed columns away because
+the counts are taken on the materialized plan's row set; for the
+filter-bearing queries the count depends on every operator upstream).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from rc_scanner_spark.queries import build_registry
+from rc_scanner_spark.session import get_spark
+
+HEADLINE = [
+    "agg_tpch_q1",
+    "join_inner_agg",
+    "join_broadcast_dims",
+    "join_asof",
+    "window_running_sum",
+    "session_windows",
+    "scan_pipeline_full",
+    "scan_regex_hits",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "text_quality",
+    "tfidf_top_terms",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("rc-scanner-bench")
+    registry = build_registry()
+
+    # Warm the JVM + parquet footers with one tiny action so the first
+    # measured query doesn't pay session start-up.
+    registry["scan_verb"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = registry[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -111,9 +111,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup (hamming <= 8 within 16-bit chunk buckets).
-    xxhash64 bit votes -> no SQL oracle."""
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    """SimHash-64 near-dup (hamming <= 3, where the 4x16-bit chunk
+    LSH is recall-complete by pigeonhole).  xxhash64 bit votes -> no
+    SQL oracle."""
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,112 @@
+"""Ground-truth tests for the hash-based dedup operators (no SQL
+oracle possible — xxhash64 internals): MinHash recall against exact
+brute-force Jaccard, SimHash behavior on identical/perturbed docs.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from rc_scanner_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    word_shingles,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def _brute_force_pairs(spark, df, threshold):
+    """Exact Jaccard over word-3-gram shingles, computed driver-side."""
+    rows = df.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+    ).collect()
+    sets = {r["doc_id"]: set(r["sh"]) for r in rows if r["sh"]}
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        j = inter / len(sets[a] | sets[b])
+        if j >= threshold:
+            out.add((a, b))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_minhash_recall_and_precision(spark, docs):
+    truth = _brute_force_pairs(spark, docs, 0.5)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, verify_threshold=0.5).collect()
+    }
+    # Verification is exact Jaccard -> precision is 1.0 by construction.
+    assert got <= truth or got == truth
+    # LSH with 8 bands x 4 rows: P(candidate) at j=0.5 is
+    # 1-(1-0.5^4)^8 ~ 0.40 per-pair... but the planted near-dups are
+    # j~0.97 where P ~ 1-(1-0.89)^8 ~ 1.0.  Require full recall at 0.9.
+    strong = _brute_force_pairs(spark, docs, 0.9)
+    assert strong <= got
+    assert truth, "test data should contain at least one >=0.5 pair"
+
+
+def test_ngram_jaccard_matches_brute_force(spark, docs):
+    # Blocked variant restricted to (lang, source): brute force within
+    # the same blocks.
+    rows = docs.select("doc_id", "lang", "source").collect()
+    block = {r["doc_id"]: (r["lang"], r["source"]) for r in rows}
+    truth = {
+        (a, b)
+        for a, b in _brute_force_pairs(spark, docs, 0.5)
+        if block[a] == block[b]
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, group_cols=["lang", "source"], threshold=0.5
+        ).collect()
+    }
+    assert got == truth
+
+
+def test_exact_dedup_identifies_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    # normalization: lowercase + whitespace collapse -> 1 and 2 merge
+    assert out == {1: 2, 3: 1}
+
+
+def test_simhash_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # identical
+            (3, "qqq www eee rrr ttt yyy uuu iii ooo ppp"),        # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df, max_hamming=64).collect()}
+    assert pairs.get((1, 2)) == 0
+    # disjoint vocab: far apart (well above any near-dup threshold)
+    assert all(h > 10 for (a, b), h in pairs.items() if (a, b) != (1, 2))
+
+
+def test_minhash_empty_and_tiny_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one two"), (3, "one two")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df, verify_threshold=0.5).collect()}
+    assert got == {(2, 3)}  # empty doc dropped, sub-k docs still shingled

@@ -1,0 +1,89 @@
+"""Similarity-search ground truth: brute-force cosine vs numpy, LSH
+recall vs brute force, HLL error bound (the approx_count_distinct
+rows-only query)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rc_scanner_spark.operators.similarity import cosine_topk, lsh_ann_pairs
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["sim"]))
+    for qid, hits in by_q.items():
+        q = vecs[qid]
+        sims = {
+            vid: round(float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v))), 4)
+            for vid, v in vecs.items()
+        }
+        expected = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got_sorted = [(vid, s) for _, vid, s in sorted(hits)]
+        assert [v for v, _ in got_sorted] == [v for v, _ in expected]
+        for (gv, gs), (ev, es) in zip(got_sorted, expected):
+            assert abs(gs - es) <= 1e-3  # rounding-at-4 tolerance
+
+
+def test_lsh_finds_planted_near_duplicates(spark):
+    # Hyperplane LSH collision probability per plane is 1 - theta/pi:
+    # at cosine ~0.98 (planted dups) p^8 ~ 0.43/table -> 8 tables give
+    # ~99% pair recall; at cosine ~0 (random 64-dim) candidates stay
+    # rare.  So plant perturbed copies and require they come back.
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 64))
+    planted = []
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    for j in range(20):  # ids 100.. are small perturbations of 0..19
+        twin = base[j] + 0.05 * rng.normal(size=64)
+        rows.append((100 + j, [float(x) for x in twin]))
+        planted.append((j, 100 + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_ann_pairs(df, num_planes=8, num_tables=8, threshold=0.9).collect()
+    }
+    found = sum(1 for p in planted if p in got)
+    assert found / len(planted) >= 0.8
+    # threshold verification is exact cosine -> nothing below 0.9 sneaks in
+    vecs = {vid: np.array(v, dtype=np.float64) for vid, v in rows}
+    for a, b in got:
+        va, vb = vecs[a], vecs[b]
+        sim = float(np.dot(va, vb) / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert sim >= 0.9 - 1e-3
+
+
+def test_approx_distinct_error_bound(spark):
+    l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in l.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in l.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.1

@@ -1,0 +1,154 @@
+"""Streaming-path tests: file replay through the scanner pipeline,
+the custom rcstream DataSource (offset tracking), watermarked windows,
+stateful dedup across micro-batches, foreachBatch flaglog sink.
+All offline (file sources + memory sinks)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rc_scanner_spark.filters import FilterSpec
+from rc_scanner_spark.schemas import CHANGE_SCHEMA
+from rc_scanner_spark.sources.sse import RcChangeDataSource
+from rc_scanner_spark.streaming.pipeline import (
+    build_pipeline,
+    read_change_stream,
+    start_flaglog_sink,
+    windowed_counts,
+)
+
+from tests.conftest import make_change, write_changes_jsonl
+
+
+@pytest.fixture()
+def users(spark):
+    return spark.createDataFrame([("Alice", 5)], "user string, editcount long")
+
+
+@pytest.fixture()
+def revisions(spark):
+    rows = [(1000 + i, "spark text" if i % 2 == 0 else "nothing") for i in range(40)]
+    return spark.createDataFrame(rows, "revid long, text string")
+
+
+def _spec():
+    return FilterSpec(
+        name="stream-test",
+        streamfilter={"type": ("edit",)},
+        max_edits=10,
+        regexes=("(?i)spark",),
+        log_level=2,
+    )
+
+
+def test_rcstream_source_replay_and_dedup(spark, users, revisions, tmp_path):
+    jsonl = str(tmp_path / "changes.jsonl")
+    write_changes_jsonl(jsonl, [make_change(i, f"Page{i % 5}") for i in range(20)])
+    spark.dataSource.register(RcChangeDataSource)
+    changes = (
+        spark.readStream.format("rcstream")
+        .option("path", jsonl)
+        .option("batchlines", "7")  # forces multiple micro-batches
+        .load()
+    )
+    out = build_pipeline(changes, _spec(), users=users, revisions=revisions)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rcstream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT title, hits FROM rcstream_out").collect()
+    # titles cycle Page0..Page4; dedup state holds ACROSS micro-batches
+    # -> one row per title; only even ids have matching text.
+    titles = [r["title"] for r in rows]
+    assert len(titles) == len(set(titles))
+    assert set(titles) <= {"Page0", "Page1", "Page2", "Page3", "Page4"}
+    assert all(r["hits"] == ["(?i)spark"] for r in rows)
+
+
+def test_file_replay_source(spark, users, revisions, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    write_changes_jsonl(
+        str(src / "batch1.json"), [make_change(i, f"T{i}") for i in range(10)]
+    )
+    changes = read_change_stream(spark, str(src), max_files_per_trigger=1)
+    out = build_pipeline(changes, _spec(), users=users, revisions=revisions)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("replay_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    n = spark.sql("SELECT count(*) AS n FROM replay_out").first()["n"]
+    assert n == 5  # even ids 0,2,4,6,8 have 'spark text'
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    # Replay the real events table as a stream; compare against the
+    # batch computation of the same windows.
+    sf = "/root/testdata/sf0.001"
+    from rc_scanner_spark.tables import load_table
+
+    ev_batch = load_table(spark, sf, "events")
+    expected = (
+        ev_batch.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .count()
+    )
+    schema = ev_batch.schema
+    ev_batch.write.mode("overwrite").parquet(str(tmp_path / "evstream"))
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(tmp_path / "evstream"))
+    )
+    agg = windowed_counts(stream, watermark="10 minutes", window_len="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) AS n FROM win_out").first()["n"]
+    assert got == expected
+
+
+def test_flaglog_sink_exactly_once_shape(spark, users, revisions, tmp_path):
+    src = tmp_path / "in2"
+    src.mkdir()
+    write_changes_jsonl(
+        str(src / "b.json"), [make_change(i, f"U{i}") for i in range(6)]
+    )
+    changes = read_change_stream(spark, str(src))
+    out = build_pipeline(changes, _spec(), users=users, revisions=revisions)
+    q = start_flaglog_sink(
+        out, str(tmp_path / "flaglog"), str(tmp_path / "ckpt4"), "flsink"
+    )
+    q.processAllAvailable()
+    q.stop()
+    logged = spark.read.json(str(tmp_path / "flaglog"))
+    assert logged.count() == 3  # even ids 0,2,4
+    assert {"filter", "title", "user", "date", "filename", "match_message"} <= set(
+        logged.columns
+    )
+
+
+def test_rcstream_live_mode_gated():
+    from rc_scanner_spark.sources.sse import ChangeStreamReader
+
+    with pytest.raises(NotImplementedError):
+        ChangeStreamReader(CHANGE_SCHEMA, {"url": "https://example.org/sse"})
+    with pytest.raises(ValueError):
+        ChangeStreamReader(CHANGE_SCHEMA, {})
