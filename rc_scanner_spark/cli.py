@@ -1,0 +1,101 @@
+"""CLI entry point — mirror of the reference's
+``scanner.py <filtername> [-v|--verbose]`` (scanner.py:34-51, C3) with
+the LOG_LEVEL-gated sink set (C4, examples/config.py:1-17).
+
+Batch mode scans a directory of Change JSON-lines; stream mode tails
+it via Structured Streaming (the offline twin of the live SSE source;
+pass --source rcstream --path file.jsonl for the custom source).
+
+Usage:
+    python -m rc_scanner_spark.cli userboxes --input /data/changes \
+        --users users.parquet --revisions revs.parquet \
+        [--stream] [--log-level 2] [--out ./logs] [-v]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+from .filterlist import filterlist
+from .filters import FilterSpec
+from .scanner import scan
+from .schemas import CHANGE_SCHEMA
+from .session import get_spark
+from .sinks.flaglog import provision, write_content_files, write_flaglog, write_revid_log
+from .streaming.pipeline import build_pipeline, start_flaglog_sink
+
+
+def _get_args(argv: list[str]) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        prog="rc-scanner-spark",
+        description="Scan a RecentChanges-style event feed with a named filter.",
+    )
+    parser.add_argument("filtername", help=f"one of: {', '.join(filterlist)}")
+    parser.add_argument("--input", required=True, help="dir of Change JSON-lines")
+    parser.add_argument("--users", help="users dimension parquet (user, editcount)")
+    parser.add_argument("--revisions", help="revisions dimension parquet (revid, text)")
+    parser.add_argument("--stream", action="store_true", help="run as a stream")
+    parser.add_argument("--out", default="./logs", help="sink base directory")
+    parser.add_argument("--checkpoint", default="./logs/_checkpoint")
+    parser.add_argument("--log-level", type=int, default=None,
+                        help="0..3, overrides the filter's level (config.py:4-9)")
+    parser.add_argument("-v", "--verbose", action="store_true",
+                        help="keep non-matching rows on the console (scanner.py:42)")
+    return parser.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _get_args(argv if argv is not None else sys.argv[1:])
+    try:
+        spec = filterlist[args.filtername]
+    except KeyError:
+        # friendly unknown-name error (scanner.py:47-48)
+        print(f"unknown filter {args.filtername!r}; known: {', '.join(filterlist)}",
+              file=sys.stderr)
+        return 2
+    if args.log_level is not None:
+        spec = FilterSpec(**{**spec.__dict__, "log_level": args.log_level,
+                             "skip_repeats": None})
+
+    spark = get_spark(f"rc-scanner-{spec.name}")
+    # settings echo at startup (scanner.py:64-69)
+    print(f"filter={spec.name} log_level={spec.log_level} "
+          f"skip_repeats={spec.skip_repeats} out={args.out}")
+    users = spark.read.parquet(args.users) if args.users else None
+    revisions = spark.read.parquet(args.revisions) if args.revisions else None
+    paths = provision(args.out, spec.log_level)
+
+    if args.stream:
+        changes = (
+            spark.readStream.schema(CHANGE_SCHEMA).json(args.input)
+        )
+        flagged = build_pipeline(changes, spec, users=users, revisions=revisions)
+        q = start_flaglog_sink(
+            flagged, paths.get("flaglog", args.out + "/flagged_changes"),
+            args.checkpoint,
+        )
+        q.awaitTermination()
+        return 0
+
+    changes = spark.read.schema(CHANGE_SCHEMA).json(args.input)
+    flagged = scan(changes, spec, users=users, revisions=revisions,
+                   verbose=args.verbose)
+    # K1 console sink
+    for row in flagged.select("message", "match_message").collect():
+        print(row["message"])
+        if row["match_message"]:
+            print(row["match_message"])
+    if "revids" in paths:
+        write_revid_log(flagged, paths["revids"])
+    if "flaglog" in paths:
+        write_flaglog(flagged, paths["flaglog"])
+    if "changes" in paths and "text" in flagged.columns:
+        write_content_files(flagged, paths["changes"])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

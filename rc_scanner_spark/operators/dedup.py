@@ -121,7 +121,11 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sh = _exploded_shingles(df, id_col, text_col, shingle_k)
+    # The exploded shingle frame feeds three consumers (signatures and
+    # both sides of the verification join); persist it so the HOF
+    # shingling runs once.  At 100 TB the same role is played by a
+    # checkpointed/parquet-materialized shingle table.
+    sh = _exploded_shingles(df, id_col, text_col, shingle_k).persist()
 
     sig = sh.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_sh"),
@@ -220,7 +224,7 @@ def ngram_jaccard_pairs(
         *[F.col(c) for c in group_cols],
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
-    )
+    ).persist()  # three consumers: counts + both join sides
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     l, r = sh.alias("l"), sh.alias("r")
     on = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in group_cols]

@@ -35,16 +35,28 @@ def cosine_topk(
     Deterministic: similarity rounded, ties broken by vector id.
     Returns (query_id, vec_id, sim, rank).
     """
+    from ..functions.vectors import dot, norm
+
+    # Precompute each side's norm once per row instead of once per
+    # pair (the formula dot/(|q||v|) is unchanged — bit-identical to
+    # the naive form — but the |Q| x |N| stage only evaluates the dot).
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
-        )
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ).withColumn("qn", norm(F.col("qv")))
     )
-    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv"))
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vv"),
+    ).withColumn("vn", norm(F.col("vv")))
+    denom = F.col("qn") * F.col("vn")
     scored = q.crossJoin(v).select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("qv"), F.col("vv")), round_digits).alias("sim"),
+        F.round(
+            F.when(denom != 0, dot(F.col("qv"), F.col("vv")) / denom), round_digits
+        ).alias("sim"),
     )
     from pyspark.sql import Window
 

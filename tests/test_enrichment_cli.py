@@ -1,0 +1,115 @@
+"""Enrichment lookup operator (S2/S3 UDF form), CLI entry point (C3),
+flaglog array export (K3 compat), CSV/JSON source round-trips."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from rc_scanner_spark.operators.enrichment import lookup_enrich
+from rc_scanner_spark.sinks.flaglog import export_array
+
+from tests.conftest import make_change, write_changes_jsonl
+
+
+def test_lookup_enrich_batch_dedup_and_null(spark):
+    def fake_fetch(keys):
+        # runs on executors: encode the batch's distinct-key count in
+        # the value so the dedup behavior is observable from the data
+        n = len(keys)
+        return {k: n * 100 + k * 10 for k in keys if k != 3}  # key 3 "fails"
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (2,), (3,), (1,)], "user_key int"
+    ).coalesce(1)
+    out = lookup_enrich(df, "user_key", "editcount", "long", fake_fetch).collect()
+    got = {(r["user_key"], r["editcount"]) for r in out}
+    # n=3 distinct keys in the single batch (5 rows deduped to 3)
+    assert got == {(1, 310), (2, 320), (3, None)}
+
+
+def test_lookup_enrich_fetch_exception_is_null(spark):
+    def broken(keys):
+        raise RuntimeError("connection lost")
+
+    df = spark.createDataFrame([(1,), (2,)], "k int")
+    out = lookup_enrich(df, "k", "v", "string", broken).collect()
+    assert all(r["v"] is None for r in out)
+
+
+def test_cli_batch_mode(spark, tmp_path, capsys):
+    from rc_scanner_spark.cli import main
+
+    indir = tmp_path / "changes"
+    indir.mkdir()
+    write_changes_jsonl(
+        str(indir / "a.json"),
+        [make_change(i, f"Page{i}") for i in range(4)],
+    )
+    users = tmp_path / "users.parquet"
+    spark.createDataFrame([("Alice", 5)], "user string, editcount long").write.parquet(
+        str(users)
+    )
+    revs = tmp_path / "revs.parquet"
+    spark.createDataFrame(
+        [(1000 + i, "an edit about userboxes") for i in range(4)],
+        "revid long, text string",
+    ).write.parquet(str(revs))
+
+    rc = main(
+        [
+            "userboxes",
+            "--input", str(indir),
+            "--users", str(users),
+            "--revisions", str(revs),
+            "--out", str(tmp_path / "logs"),
+            "--log-level", "2",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "***MATCH***" in out and "`(?i)userbox`" in out
+    logged = spark.read.json(str(tmp_path / "logs/flagged_changes"))
+    assert logged.count() == 4
+
+
+def test_cli_unknown_filter():
+    from rc_scanner_spark.cli import main
+
+    assert main(["nope", "--input", "/dev/null"]) == 2
+
+
+def test_flaglog_array_export(spark, tmp_path):
+    path = tmp_path / "jl"
+    spark.createDataFrame(
+        [("f1", "T1"), ("f1", "T2")], "filter string, title string"
+    ).write.json(str(path))
+    out_file = tmp_path / "flagged_changes.json"
+    export_array(str(path), str(out_file), spark)
+    data = json.loads(out_file.read_text())
+    # the reference's format: one pretty-printed JSON array document
+    # (flaglog.py:48)
+    assert isinstance(data, list) and len(data) == 2
+    assert {d["filter"] for d in data} == {"f1"}
+
+
+def test_csv_json_source_roundtrip(spark, tmp_path):
+    from rc_scanner_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.write.mode("overwrite").json(str(tmp_path / "ev_json"))
+    ev.drop("props").write.mode("overwrite").option("header", True).csv(
+        str(tmp_path / "ev_csv")
+    )
+    back_json = spark.read.schema(ev.schema).json(str(tmp_path / "ev_json"))
+    assert back_json.count() == ev.count()
+    back_csv = spark.read.schema(ev.drop("props").schema).option("header", True).csv(
+        str(tmp_path / "ev_csv")
+    )
+    assert back_csv.count() == ev.count()
+    # values survive the round trip
+    a = back_json.agg(F.round(F.sum("value"), 2).alias("s")).first()["s"]
+    b = ev.agg(F.round(F.sum("value"), 2).alias("s")).first()["s"]
+    assert a == b

@@ -152,3 +152,42 @@ def test_rcstream_live_mode_gated():
         ChangeStreamReader(CHANGE_SCHEMA, {"url": "https://example.org/sse"})
     with pytest.raises(ValueError):
         ChangeStreamReader(CHANGE_SCHEMA, {})
+
+
+def test_stateful_user_activity_across_batches(spark, tmp_path):
+    from rc_scanner_spark.sources.sse import RcChangeDataSource
+    from rc_scanner_spark.streaming.stateful import user_activity
+
+    jsonl = str(tmp_path / "st.jsonl")
+    # 12 events across micro-batches of 5 lines: Alice (i%3 != 0) hits
+    # titles T1/T2 (2 distinct, 8 events), Bob hits T0/T1 (2 distinct,
+    # 4 events).
+    changes = []
+    for i in range(12):
+        user = "Alice" if i % 3 else "Bob"
+        title = f"T{i % (3 if user == 'Alice' else 2)}"
+        changes.append(make_change(i, title, user=user))
+    write_changes_jsonl(jsonl, changes)
+
+    spark.dataSource.register(RcChangeDataSource)
+    stream = (
+        spark.readStream.format("rcstream")
+        .option("path", jsonl).option("batchlines", "5").load()
+    )
+    out = user_activity(stream)
+    q = (
+        out.writeStream.format("memory").queryName("activity")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_st"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last update per user = cumulative totals across ALL batches
+    rows = spark.sql(
+        "SELECT user, max(n_events) n, max(n_titles) t, max(last_offset) o "
+        "FROM activity GROUP BY user"
+    ).collect()
+    got = {r["user"]: (r["n"], r["t"], r["o"]) for r in rows}
+    assert got["Alice"] == (8, 2, 11)
+    assert got["Bob"] == (4, 2, 9)
