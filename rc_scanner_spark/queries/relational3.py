@@ -1,0 +1,153 @@
+"""Relational batch 3: multi-way star joins (TPC-H Q5/Q6 shapes) and
+explicit skew-mitigation (salted join) whose oracle twin is the plain
+join — proving the salt is a pure physical rewrite."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..tables import load_table
+from . import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join, revenue per nation for one region
+    and a date window.  Dimension chain region->nation broadcasts;
+    the only shuffles are orders|x|lineitem and the final groupBy."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        # Q5 additionally requires supplier and customer in the same
+        # nation; keep that predicate for selectivity.
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q5ISH = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+  AND s_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate — the pushdown showcase
+    (every predicate reaches the parquet reader)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-mitigated equi-join: the fact side gets a random-free,
+    deterministic salt (hash of a unique-ish column set mod N), the
+    dimension side is exploded N ways, and the join key becomes
+    (key, salt) — splitting one hot key's rows across N tasks.
+
+    The result is row-identical to ``facts.join(dim, key)``; only the
+    physical distribution changes.  AQE's skew-join handles moderate
+    skew automatically; explicit salting is for the pathological keys
+    AQE cannot split (single-key hot partitions in non-sort-merge
+    plans).
+    """
+    salt = (F.xxhash64(*[F.col(c) for c in facts.columns]) % salt_buckets + salt_buckets) % salt_buckets
+    salted_facts = facts.withColumn("__salt", salt.cast("int"))
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return salted_facts.join(salted_dim, on=[key, "__salt"]).drop("__salt")
+
+
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join whose oracle is the PLAIN join — the salt must be
+    semantically invisible.  events.user_id plays the skewed fact key
+    (every user's events split across 8 salt buckets)."""
+    ev = _t(spark, sf_dir, "events")
+    user_dim = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_total"))
+    )
+    joined = salted_join(ev, user_dim, key="user_id", salt_buckets=8)
+    return joined.groupBy("user_id", "user_total").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+SQL_JOIN_SALTED_SKEW = """
+WITH user_dim AS (SELECT user_id, count(*) AS user_total FROM events GROUP BY user_id)
+SELECT e.user_id, d.user_total, count(*) AS n, round(sum(e.value), 2) AS total_value
+FROM events e JOIN user_dim d ON e.user_id = d.user_id
+GROUP BY e.user_id, d.user_total
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "tpch_q5ish": QuerySpec(q_tpch_q5ish, SQL_TPCH_Q5ISH),
+    "tpch_q6": QuerySpec(q_tpch_q6, SQL_TPCH_Q6),
+    "join_salted_skew": QuerySpec(q_join_salted_skew, SQL_JOIN_SALTED_SKEW),
+}
