@@ -17,15 +17,68 @@ from . import TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Files below this size stay un-spread: tiny dimensions (region,
+# nation, ...) are broadcast anyway and an exchange would cost more
+# than the single-task scan.
+_SPREAD_MIN_BYTES = 256 << 10
+
+# Only tables whose downstream operators are CPU-heavy per row
+# (shingling, hashing, vector math, regex) repay the exchange.  For
+# the relational tables the single-task scan + partial aggregate is
+# already cheaper than shuffling full rows (measured at sf0.1:
+# agg_tpch_q1 0.83 s unspread vs 1.37 s spread).
+_SPREAD_TABLES = {"documents", "embeddings"}
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame, path: str, name: str) -> DataFrame:
+    """Fan a narrow scan of a CPU-heavy table out across cores.
+
+    Parquet cannot be split below a row group, and the test fixtures
+    are single-row-group files — so every scan plans as ONE partition
+    and all scan-side compute (shingling, hashing, vector folds) runs
+    on one core.  A round-robin repartition fixes that for the price
+    of shuffling a small file once; only worth it for the tables in
+    _SPREAD_TABLES, whose per-row operator cost dwarfs the exchange.
+
+    At production scale this is a structural no-op: a 100 TB table
+    scans as tens of thousands of splits and the size guard below
+    abstains.  Disable with SPARK_GRAFT_SPREAD=0.
+    """
+    if name not in _SPREAD_TABLES:
+        return df
+    if os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":
+        return df
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    if size < _SPREAD_MIN_BYTES:
+        return df
+    # Planned scan partitions if Spark could split the file (it cannot
+    # below a row group, so this over-estimates -> only abstain when
+    # the file is large enough to split properly on its own).
+    max_part = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+    if size >= max_part:
+        return df
+    # Local task overhead (~20-50 ms/stage/task) swamps the gain past
+    # ~8 tasks at these file sizes; scale with size, cap below cores.
+    target = min(
+        spark.sparkContext.defaultParallelism,
+        max(2, size // (96 << 10)),
+        8,
+    )
+    return df.repartition(target)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    df = _spread(spark, spark.read.parquet(path), path, name)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long via nanosAsLong (session.py);
         # floor-divide to microseconds — the same truncation DuckDB
