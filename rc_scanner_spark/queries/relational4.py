@@ -1,0 +1,454 @@
+"""Relational batch 4: the classic TPC-H query shapes adapted to the
+driver's simplified schemas (no partsupp / commitdate / shipmode, see
+FIXTURES.md §B) — exercising semi/anti joins with correlated-predicate
+pushdown, scalar subqueries, disjunctive filter pushdown, having
+clauses, and deterministic top-k.
+
+Scale notes apply to every query here: dimension sides (nation,
+supplier, per-key aggregates with bounded key counts) are explicitly
+broadcast; the only shuffles left are fact-fact joins on their natural
+keys and the final aggregations, which is the plan a 1000-executor
+cluster wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..tables import load_table
+from . import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q3: shipping priority (join + agg + deterministic top-k) --------
+
+
+def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-07-01")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-07-01")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+SQL_TPCH_Q3ISH = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND l_shipdate  > TIMESTAMP '1997-07-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- Q4: order priority via EXISTS (semi join w/ non-equi term) ------
+
+
+def q_tpch_q4ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS compiles to a left-semi join whose non-equi term
+    (l_shipdate > o_orderdate) rides along the equi key — Catalyst
+    keeps it a single shuffled semi join, no subquery re-execution."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-10-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_TPCH_Q4ISH = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# --- Q7: nation-pair trade volume (two dimension legs, one fact) -----
+
+
+def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        # 1196 groups x float-sum ordering noise makes a .005 rounding
+        # tie likely somewhere; accumulate in exact decimal so the sum
+        # is order-independent and both engines round the same value.
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("volume")
+        )
+    )
+
+
+SQL_TPCH_Q7ISH = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND n1.n_name <> n2.n_name
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- Q10: returned items (join + agg + top 20) -----------------------
+
+
+def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+SQL_TPCH_Q10ISH = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       c_acctbal, n_name
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- Q12 shape: late-shipment counts by priority (interval arith) ----
+
+
+def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_late"),
+            F.sum(
+                F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+            ).alias("n_high"),
+        )
+    )
+
+
+SQL_TPCH_Q12ISH = """
+SELECT o_orderpriority, count(*) AS n_late,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS n_high
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY o_orderpriority
+"""
+
+
+# --- Q14: promo revenue share (conditional agg, single row) ----------
+
+
+def q_tpch_q14ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                2,
+            ).alias("promo_pct")
+        )
+    )
+
+
+SQL_TPCH_Q14ISH = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
+# --- Q15: top supplier (agg view + scalar max subquery) --------------
+
+
+def q_tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar max over the revenue view is a one-row broadcast
+    cross join — the view is computed once and reused for both sides
+    (Catalyst collapses the shared subtree in the reused exchange)."""
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_rev"
+        )
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_rev == max_rev.max_rev)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+SQL_TPCH_Q15ISH = """
+WITH rev AS (SELECT l_suppkey,
+                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+               AND l_shipdate <  TIMESTAMP '1997-04-01'
+             GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+
+# --- Q17: small-quantity revenue (correlated avg as a join) ----------
+
+
+def q_tpch_q17ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated per-part avg decorrelates into a broadcast join
+    against a bounded-key aggregate (|parts| rows) — no re-execution
+    per outer row, which is the only shape that survives at scale."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    l = _t(spark, sf_dir, "lineitem")
+    pa = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(pa), l.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_TPCH_Q17ISH = """
+WITH pa AS (SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS half_avg
+            FROM lineitem GROUP BY l_partkey)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pa   ON pk = l_partkey
+WHERE p_brand = 'Brand#23' AND l_quantity < half_avg
+"""
+
+
+# --- Q18: large orders (having + join back) --------------------------
+
+
+def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+SQL_TPCH_Q18ISH = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --- Q19: disjunctive predicate pushdown -----------------------------
+
+
+def q_tpch_q19ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three OR'd brand/size/quantity bands: Catalyst extracts the
+    common l_partkey equi-key for the join and leaves the disjunction
+    as a post-join filter; the common `l_quantity <= 30` bound is
+    still derivable for scan-level pushdown."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & q.between(1, 11) & sz.between(1, 5))
+        | ((b == "Brand#23") & q.between(10, 20) & sz.between(1, 10))
+        | ((b == "Brand#34") & q.between(20, 30) & sz.between(1, 15))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_TPCH_Q19ISH = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1  AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
+
+# --- Q22 shape: rich idle customers (scalar subquery + anti join) ----
+
+
+def q_tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no recent orders: the avg
+    is a one-row broadcast; the NOT EXISTS is a left-anti join against
+    the date-filtered orders (filter pushed below the anti join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("abal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("abal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+SQL_TPCH_Q22ISH = """
+WITH avg_bal AS (SELECT avg(c_acctbal) AS abal FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, count(*) AS n_custs, round(sum(c_acctbal), 2) AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > abal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "tpch_q3ish": QuerySpec(q_tpch_q3ish, SQL_TPCH_Q3ISH),
+    "tpch_q4ish": QuerySpec(q_tpch_q4ish, SQL_TPCH_Q4ISH),
+    "tpch_q7ish": QuerySpec(q_tpch_q7ish, SQL_TPCH_Q7ISH),
+    "tpch_q10ish": QuerySpec(q_tpch_q10ish, SQL_TPCH_Q10ISH),
+    "tpch_q12ish": QuerySpec(q_tpch_q12ish, SQL_TPCH_Q12ISH),
+    "tpch_q14ish": QuerySpec(q_tpch_q14ish, SQL_TPCH_Q14ISH),
+    "tpch_q15ish": QuerySpec(q_tpch_q15ish, SQL_TPCH_Q15ISH),
+    "tpch_q17ish": QuerySpec(q_tpch_q17ish, SQL_TPCH_Q17ISH),
+    "tpch_q18ish": QuerySpec(q_tpch_q18ish, SQL_TPCH_Q18ISH),
+    "tpch_q19ish": QuerySpec(q_tpch_q19ish, SQL_TPCH_Q19ISH),
+    "tpch_q22ish": QuerySpec(q_tpch_q22ish, SQL_TPCH_Q22ISH),
+}
