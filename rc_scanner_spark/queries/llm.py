@@ -171,6 +171,19 @@ SELECT query_id, vec_id, sim, rank FROM (
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed cosine top-5 (16 cells, 4 probes): each query scores
+    only ~1/4 of the corpus.  Approximate (centroid seeds, bounded
+    probes) -> no SQL oracle; recall vs ann_cosine_topk in tests."""
+    from ..operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, queries, k=5, num_cells=16, num_probes=4)
+
+
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed near-neighbor pairs (cosine >= 0.35,
     12 planes x 4 tables).  Deterministic Rademacher planes from
@@ -343,6 +356,93 @@ QUALIFY rank <= 3
 """
 
 
+def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep pipeline as ONE Catalyst plan:
+    language-ID + quality scoring + token counting (all map-side) ->
+    quality filter -> exact dedup (min-id survivor per fingerprint) ->
+    per-language corpus stats.
+
+    Shuffle count at any scale: exactly two (fingerprint dedup window,
+    final language aggregate); everything upstream is scan-fused."""
+    d = _t(spark, sf_dir, "documents")
+    enriched = d.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).filter(F.col("quality") >= 0.35)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    survivors = (
+        enriched.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    return survivors.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
+SQL_LLM_PREP_PIPELINE = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{_M["en"]}')) AS s_en,
+         len(regexp_extract_all(lower(text), '{_M["de"]}')) AS s_de,
+         len(regexp_extract_all(lower(text), '{_M["fr"]}')) AS s_fr,
+         len(regexp_extract_all(lower(text), '{_M["es"]}')) AS s_es,
+         len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+  FROM documents
+),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN s_zh > 0 THEN 'zh'
+              WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+              WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+              ELSE 'und' END AS lang_pred
+  FROM s
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '{_M["en"]}')) AS n_stop
+  FROM documents
+),
+qual AS (
+  SELECT doc_id,
+         round(least(n_words / 50.0, 1.0) * 0.4
+               + coalesce(round(n_stop / CASE WHEN n_words > 0
+                                              THEN CAST(n_words AS DOUBLE) END, 4),
+                          0.0) * 0.4
+               + least(coalesce(round(n_punct / CASE WHEN n_words > 0
+                                                     THEN CAST(n_words AS DOUBLE) END, 4),
+                                0.0) * 5, 1.0) * 0.2, 4) AS quality
+  FROM m
+),
+base AS (
+  SELECT d.doc_id, lang_pred, quality,
+         CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tokens,
+         substring(md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))), 1, 16)
+             AS fp
+  FROM documents d
+  JOIN lang USING (doc_id)
+  JOIN qual USING (doc_id)
+  WHERE quality >= 0.35
+),
+surv AS (
+  SELECT * FROM base
+  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+)
+SELECT lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       round(avg(quality), 4) AS avg_quality
+FROM surv
+GROUP BY lang_pred
+"""
+
+
 def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checkable slice: binary payload
     column (utf-8 of text as a deterministic stand-in) with byte
@@ -376,7 +476,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE
     ),
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, None),
     "ann_lsh_bucketed": QuerySpec(q_ann_lsh_bucketed, None),
+    "llm_prep_pipeline": QuerySpec(q_llm_prep_pipeline, SQL_LLM_PREP_PIPELINE),
     "text_lang_id": QuerySpec(q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY),
     "text_token_count": QuerySpec(q_text_token_count, SQL_TEXT_TOKEN_COUNT),

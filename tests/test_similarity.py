@@ -87,3 +87,39 @@ def test_approx_distinct_error_bound(spark):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) / n < 0.1
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, emb):
+    from rc_scanner_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, num_cells=16, num_probes=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # every query must come back with k results
+    assert set(approx_sets) == set(exact_sets)
+    assert all(len(v) == 5 for v in approx_sets.values())
+    # 4 of 16 probed cells: require aggregate recall well above the
+    # 25% a random probe would give
+    hits = sum(len(exact_sets[q] & approx_sets[q]) for q in exact_sets)
+    total = sum(len(exact_sets[q]) for q in exact_sets)
+    assert hits / total >= 0.5, f"IVF recall {hits}/{total}"
+
+
+def test_ivf_assignment_is_deterministic_and_total(spark, emb):
+    from rc_scanner_spark.operators.similarity import ivf_assign
+
+    _, assigned = ivf_assign(emb, num_cells=8)
+    n = emb.count()
+    assert assigned.count() == n  # every vector lands in exactly one cell
+    assert assigned.select("id").distinct().count() == n
+    a = {r["id"]: r["cell"] for r in assigned.collect()}
+    b = {r["id"]: r["cell"] for r in ivf_assign(emb, num_cells=8)[1].collect()}
+    assert a == b
