@@ -57,6 +57,10 @@ def get_spark(app_name: str = "rc_scanner_spark") -> SparkSession:
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/rc_scanner_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )

@@ -120,6 +120,53 @@ def windowed_counts(
     )
 
 
+def attribution_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    max_lag: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join (the ad-attribution shape): each
+    click matches the same user's views in the preceding ``max_lag``.
+
+    Both sides carry watermarks, so the join state store evicts rows
+    older than watermark + lag — bounded state at any scale.  The join
+    key + time-range condition shuffles both streams on ``key`` once.
+    """
+    c = clicks.select(
+        F.col(key).alias("k"),
+        F.col(ts_col).alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    v = views.select(
+        F.col(key).alias("vk"),
+        F.col(ts_col).alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("view_ts", watermark)
+    return c.join(
+        v,
+        F.expr(
+            f"k = vk AND view_ts >= click_ts - INTERVAL {max_lag} AND view_ts < click_ts"
+        ),
+    ).select(F.col("k").alias(key), "click_id", "click_ts", "view_id", "view_ts")
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Key dedup with *bounded* state: duplicates arriving within the
+    watermark horizon are dropped, state older than the horizon is
+    evicted.  The scale-safe alternative to the reference's unbounded
+    flag-log dedup (filter_.py:90-102) when product semantics allow a
+    horizon."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def start_flaglog_sink(
     flagged: DataFrame,
     out_dir: str,

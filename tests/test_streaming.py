@@ -191,3 +191,68 @@ def test_stateful_user_activity_across_batches(spark, tmp_path):
     got = {r["user"]: (r["n"], r["t"], r["o"]) for r in rows}
     assert got["Alice"] == (8, 2, 11)
     assert got["Bob"] == (4, 2, 9)
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    from rc_scanner_spark.streaming.pipeline import attribution_join
+    from rc_scanner_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    views_b = ev.filter(F.col("event_type") == "view")
+    # batch ground truth of the same interval-join condition
+    expected = (
+        clicks_b.alias("c")
+        .join(
+            views_b.alias("v"),
+            F.expr(
+                "c.user_id = v.user_id AND v.ts >= c.ts - INTERVAL 10 minutes"
+                " AND v.ts < c.ts"
+            ),
+        )
+        .count()
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "ss_ev"))
+    stream = spark.readStream.schema(ev.schema).parquet(str(tmp_path / "ss_ev"))
+    joined = attribution_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "view"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) AS n FROM attrib").first()["n"]
+    assert got == expected
+    assert expected > 0
+
+
+def test_dedup_within_watermark_drops_in_horizon_dupes(spark, tmp_path):
+    from rc_scanner_spark.streaming.pipeline import dedup_within_watermark
+    from rc_scanner_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").limit(200)
+    # plant exact duplicates (same event_id, same ts) — all inside any
+    # watermark horizon, so every duplicate must be dropped
+    doubled = ev.union(ev)
+    doubled.write.mode("overwrite").parquet(str(tmp_path / "dup_ev"))
+    stream = spark.readStream.schema(ev.schema).parquet(str(tmp_path / "dup_ev"))
+    deduped = dedup_within_watermark(stream, ["event_id"], watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ddww")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ddww"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) AS n FROM ddww").first()["n"]
+    assert got == 200
