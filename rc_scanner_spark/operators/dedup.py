@@ -124,8 +124,16 @@ def minhash_lsh_pairs(
     # The exploded shingle frame feeds three consumers (signatures and
     # both sides of the verification join); persist it so the HOF
     # shingling runs once.  At 100 TB the same role is played by a
-    # checkpointed/parquet-materialized shingle table.
-    sh = _exploded_shingles(df, id_col, text_col, shingle_k).persist()
+    # checkpointed/parquet-materialized shingle table.  Shingles are
+    # collapsed to their 64-bit hash immediately: every downstream
+    # shuffle/join moves 8 bytes instead of a k-word string, and
+    # Jaccard over hashed shingles equals Jaccard over strings up to
+    # 2^-64 collisions.
+    sh = (
+        _exploded_shingles(df, id_col, text_col, shingle_k)
+        .select("id", F.xxhash64("shingle").alias("shingle"))
+        .persist()
+    )
 
     sig = sh.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_sh"),

@@ -306,7 +306,10 @@ FROM documents
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document — tokenize (explode), tf
-    groupBy, df groupBy, broadcast the doc count, window top-k."""
+    groupBy, document frequency as a count-window over the tf frame
+    (tf has one row per (doc, term), so count-per-term == distinct
+    docs — one shuffle instead of a groupBy + join back), broadcast
+    doc count, window top-k."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -315,10 +318,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    w_df = Window.partitionBy("term")
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_df))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

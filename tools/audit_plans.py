@@ -1,0 +1,77 @@
+"""Physical-plan audit for every registry query.
+
+For each query, prints the scale-relevant plan facts:
+  exchanges  - shuffle count (each is a full network pass at 100 TB)
+  bhj / smj  - broadcast vs sort-merge join counts
+  pushed     - whether any parquet scan carries pushed filters
+  pyeval     - row-at-a-time Python UDF nodes (must be 0 in hot paths)
+  arrow      - Arrow-batched Python nodes (mapInPandas etc.)
+  wscg       - whole-stage-codegen span count
+
+Usage: python tools/audit_plans.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rc_scanner_spark.queries import build_registry
+from rc_scanner_spark.session import get_spark
+
+
+def audit(plan: str) -> dict[str, int | bool]:
+    return {
+        "exchanges": len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
+        + plan.count("Exchange RoundRobin"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "pushed": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+        "pyeval": plan.count("BatchEvalPython"),
+        "arrow": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
+        # executedPlan marks codegen'd operators with a "*(<id>)" prefix
+        "wscg": len(set(re.findall(r"\*\((\d+)\)", plan))),
+    }
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+    spark = get_spark("plan-audit")
+    registry = build_registry()
+    rows = []
+    for name in sorted(registry):
+        if names and name not in names:
+            continue
+        df = registry[name].fn(spark, sf_dir)
+        # Execute THIS DataFrame's own query execution (collect, not
+        # count — count builds a separate plan): under AQE the join
+        # strategies, coalesced exchanges and codegen spans are only
+        # final after execution.
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # AQE plan strings append an "== Initial Plan ==" section;
+        # count only the final (executed) operators above it.
+        plan = plan.split("== Initial Plan ==")[0]
+        a = audit(plan)
+        rows.append((name, a))
+        flags = []
+        if a["pyeval"]:
+            flags.append("PYTHON-IN-PLAN")
+        if a["exchanges"] >= 6:
+            flags.append("MANY-SHUFFLES")
+        print(
+            f"{name:28s} xchg={a['exchanges']:2d} bhj={a['bhj']} smj={a['smj']} "
+            f"pushed={int(a['pushed'])} pyeval={a['pyeval']} arrow={a['arrow']} "
+            f"wscg={a['wscg']:2d} {' '.join(flags)}"
+        )
+    n_py = sum(1 for _, a in rows if a["pyeval"])
+    print(f"\n{len(rows)} queries audited; {n_py} with row-at-a-time Python in plan")
+
+
+if __name__ == "__main__":
+    main()
