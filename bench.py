@@ -23,6 +23,8 @@ from rc_scanner_spark.session import get_spark
 
 HEADLINE = [
     "agg_tpch_q1",
+    "tpch_q5ish",
+    "tpch_q18ish",
     "join_inner_agg",
     "join_broadcast_dims",
     "join_asof",
@@ -33,9 +35,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "text_quality",
     "tfidf_top_terms",
+    "llm_prep_pipeline",
 ]
 
 

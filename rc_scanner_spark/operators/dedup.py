@@ -266,7 +266,12 @@ def ngram_jaccard_pairs(
 def simhash_votes(text: Column) -> Column:
     """64-slot bit-vote array: for each distinct word, xxhash64(word)
     contributes +1/-1 per bit position.  One ``aggregate`` fold, no
-    shuffle, no UDF."""
+    shuffle, no UDF.
+
+    NOTE: array higher-order functions are interpreted per element —
+    this per-row form exists for composability (e.g. inside a larger
+    projection); the scan-scale path is ``simhash_signatures`` below,
+    whose explode + hash-aggregate stays in whole-stage codegen."""
     toks = F.array_distinct(words(text))
     return F.aggregate(
         toks,
@@ -285,6 +290,45 @@ def simhash_votes(text: Column) -> Column:
             lambda a, b: a + b,
         ),
     )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sh) SimHash signatures on the codegen path: explode
+    distinct words, hash once per word, 64 conditional-sum aggregates
+    (map-side partial agg; one shuffle on id).  Bit-identical to
+    ``simhash_chunks(simhash_votes(text))`` (asserted in tests); the
+    HOF fold is interpreted per array element while the hash aggregate
+    is whole-stage-codegen'd, so the per-row advantage grows with
+    document count (locally the one-time codegen compile of the
+    64-aggregate masks much of it)."""
+    # explode_outer keeps zero-word docs (one NULL row): NULL hash
+    # fails every bit test -> votes -1 -> all-zero chunks, identical
+    # to the fold's zero-vote signature.
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(F.array_distinct(words(F.col(text_col)))).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    chunks = []
+    for c in range(4):
+        val: Column = F.lit(0)
+        for i in range(16):
+            val = val + F.when(F.col(f"v{c * 16 + i}") > 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+        chunks.append(val.cast("int"))
+    return votes.select("id", F.array(*chunks).alias("sh"))
 
 
 def simhash_chunks(votes: Column) -> Column:
@@ -315,12 +359,7 @@ def simhash_pairs(
     budgets this is a recall-bounded heuristic (documented).  The
     chunk equi-join avoids the all-pairs cross join at scale.
     """
-    base = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-        .withColumn("votes", simhash_votes(F.col("t")))
-        .withColumn("sh", simhash_chunks(F.col("votes")))
-        .select("id", "sh")
-    )
+    base = simhash_signatures(df, id_col, text_col)
     chunked = base.select(
         "id",
         "sh",

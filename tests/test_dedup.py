@@ -110,3 +110,24 @@ def test_minhash_empty_and_tiny_docs(spark):
     )
     got = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df, verify_threshold=0.5).collect()}
     assert got == {(2, 3)}  # empty doc dropped, sub-k docs still shingled
+
+
+def test_simhash_signatures_match_fold_form(spark):
+    from pyspark.sql import functions as F
+
+    from rc_scanner_spark.operators.dedup import (
+        simhash_chunks,
+        simhash_signatures,
+        simhash_votes,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    fold = docs.select(
+        F.col("doc_id").alias("id"),
+        simhash_chunks(simhash_votes(F.col("text"))).alias("sh"),
+    )
+    fast = simhash_signatures(docs)
+    a = {r["id"]: r["sh"] for r in fold.collect()}
+    b = {r["id"]: r["sh"] for r in fast.collect()}
+    assert a == b
