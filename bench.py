@@ -57,6 +57,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
+        # Each query is measured standalone: drop persisted frames the
+        # previous query left behind so cache memory/GC pressure from
+        # one query cannot distort the next.
+        spark.catalog.clearCache()
         fn = registry[name].fn
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
