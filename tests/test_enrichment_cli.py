@@ -113,3 +113,55 @@ def test_csv_json_source_roundtrip(spark, tmp_path):
     a = back_json.agg(F.round(F.sum("value"), 2).alias("s")).first()["s"]
     b = ev.agg(F.round(F.sum("value"), 2).alias("s")).first()["s"]
     assert a == b
+
+
+def test_cli_log_level_3_attaches_all_sinks(spark, tmp_path, capsys):
+    import os
+
+    from rc_scanner_spark.cli import main
+
+    indir = tmp_path / "changes3"
+    indir.mkdir()
+    write_changes_jsonl(
+        str(indir / "a.json"),
+        [make_change(i, f"Only{i}") for i in range(3)],
+    )
+    users = tmp_path / "users3.parquet"
+    spark.createDataFrame([("Alice", 5)], "user string, editcount long").write.parquet(
+        str(users)
+    )
+    revs = tmp_path / "revs3.parquet"
+    spark.createDataFrame(
+        [(1000 + i, "a userbox sighting") for i in range(3)],
+        "revid long, text string",
+    ).write.parquet(str(revs))
+
+    out = tmp_path / "logs3"
+    rc = main(
+        [
+            "userboxes",
+            "--input", str(indir),
+            "--users", str(users),
+            "--revisions", str(revs),
+            "--out", str(out),
+            "--log-level", "3",
+        ]
+    )
+    assert rc == 0
+    # K2: one revid per line
+    revids = {
+        r["value"] for r in spark.read.text(str(out / "revids")).collect()
+    }
+    assert revids == {"1000", "1001", "1002"}
+    # K3: flag log rows
+    assert spark.read.json(str(out / "flagged_changes")).count() == 3
+    # K4: date-partitioned content files (meta.dt -> date=2026-08-13)
+    parts = os.listdir(str(out / "changes"))
+    assert any(p.startswith("date=2026-08-13") for p in parts), parts
+    content = spark.read.parquet(str(out / "changes"))
+    assert content.count() == 3
+    assert {f for f in content.columns} >= {"filename", "filter", "content", "date"}
+    # filenames sanitized user_revid
+    assert {r["filename"] for r in content.collect()} == {
+        "Alice_1000", "Alice_1001", "Alice_1002"
+    }
