@@ -28,10 +28,26 @@ class QuerySpec:
 
 
 def build_registry() -> dict[str, QuerySpec]:
-    from . import llm, relational, relational2, relational3, relational4, scanner_queries
+    from . import (
+        llm,
+        relational,
+        relational2,
+        relational3,
+        relational4,
+        scanner_queries,
+        sql_api,
+    )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, relational2, relational3, relational4, scanner_queries, llm):
+    for mod in (
+        relational,
+        relational2,
+        relational3,
+        relational4,
+        sql_api,
+        scanner_queries,
+        llm,
+    ):
         for name, spec in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name {name}")
