@@ -256,3 +256,39 @@ def test_dedup_within_watermark_drops_in_horizon_dupes(spark, tmp_path):
     q.stop()
     got = spark.sql("SELECT count(*) AS n FROM ddww").first()["n"]
     assert got == 200
+
+
+def test_checkpoint_restart_is_exactly_once(spark, users, revisions, tmp_path):
+    """C2 analog: the reference loses its position on connection drop
+    (scanner.py:82-88); checkpointing must resume without reprocessing
+    or losing events across a stop/restart."""
+    src = tmp_path / "ck_in"
+    src.mkdir()
+    out_dir = str(tmp_path / "ck_out")
+    ckpt = str(tmp_path / "ck_ckpt")
+
+    def start():
+        stream = read_change_stream(spark, str(src))
+        flagged = build_pipeline(stream, _spec(), users=users, revisions=revisions)
+        return start_flaglog_sink(flagged, out_dir, ckpt)
+
+    write_changes_jsonl(
+        str(src / "a.json"), [make_change(i, f"CkA{i}") for i in range(0, 6)]
+    )
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    first = spark.read.json(out_dir).count()
+    assert first == 3  # even revisions carry 'spark text'
+
+    # restart from the same checkpoint with one more file present
+    write_changes_jsonl(
+        str(src / "b.json"), [make_change(i, f"CkB{i}") for i in range(6, 12)]
+    )
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    titles = [r["title"] for r in spark.read.json(out_dir).collect()]
+    # batch a NOT reprocessed, batch b fully processed
+    assert len(titles) == 6, sorted(titles)
+    assert len(set(titles)) == 6
