@@ -284,7 +284,22 @@ FROM h WHERE len(hits) > 0
 """
 
 
+def q_scan_api_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (filter_.py:57): server_name -> API URL derivation;
+    ``documents.source`` plays the server_name."""
+    from ..scanner import api_url
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", api_url(F.col("source")).alias("api"))
+
+
+SQL_SCAN_API_ROUTE = """
+SELECT doc_id, 'https://' || source || '/w/api.php?' AS api FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "scan_api_route": QuerySpec(q_scan_api_route, SQL_SCAN_API_ROUTE),
     "scan_attribute_filter": QuerySpec(q_scan_attribute_filter, SQL_SCAN_ATTRIBUTE_FILTER),
     "scan_threshold_disabled": QuerySpec(
         q_scan_threshold_disabled, SQL_SCAN_THRESHOLD_DISABLED

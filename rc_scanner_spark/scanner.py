@@ -56,6 +56,14 @@ def date_partition(dt: Column) -> Column:
     return F.substring(dt, 1, 10)
 
 
+def api_url(server_name: Column) -> Column:
+    """S4 (filter_.py:57, scanner.py:128): server_name -> MediaWiki API
+    URL.  The reference pre-builds a dict per site; as a column
+    derivation the "dict" is just string concat — constant-folded and
+    codegen'd, no lookup table needed."""
+    return F.concat(F.lit("https://"), server_name, F.lit("/w/api.php?"))
+
+
 def sanitize_filename(user: Column, revid: Column) -> Column:
     """P5 (scanner.py:156-158): '{user}_{revid}' with ':' -> '-'
     (colons invalid in filenames)."""
