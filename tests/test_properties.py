@@ -1,0 +1,112 @@
+"""Property-based spot checks (SURVEY.md §5 item 4) — hypothesis
+generates adversarial text corpora, Spark evaluates, invariants must
+hold.  Batched: each example set becomes ONE DataFrame so Spark runs
+once per example, not once per row."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd", "Zs", "Po"), max_codepoint=0x2FF
+        ),
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(texts=TEXTS)
+@SLOW
+def test_normalize_is_idempotent(spark, texts):
+    from rc_scanner_spark.operators.text import normalize
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = df.select(
+        normalize(F.col("text")).alias("once"),
+    ).withColumn("twice", normalize(F.col("once")))
+    assert all(r["once"] == r["twice"] for r in out.collect())
+
+
+@given(texts=TEXTS)
+@SLOW
+def test_fingerprint_invariant_under_whitespace_and_case(spark, texts):
+    from rc_scanner_spark.operators.text import fingerprint
+
+    # case variation must use Spark's own upper(): Python str.upper and
+    # JVM lower() disagree on exotic foldings (e.g. µ -> Greek Mu)
+    rows = [(t, "  " + t.replace(" ", "   ") + " ") for t in texts]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = df.select(
+        fingerprint(F.col("a")).alias("fa"),
+        fingerprint(F.upper(F.col("b"))).alias("fb"),
+    )
+    assert all(r["fa"] == r["fb"] for r in out.collect())
+
+
+@given(texts=TEXTS)
+@SLOW
+def test_regex_union_superset_of_each_pattern(spark, texts):
+    """The |-union prefilter optimization is sound: any row matched by
+    an individual pattern is matched by the union."""
+    from rc_scanner_spark.functions.regex import regex_hits
+
+    pats = ["[0-9]+", "[A-Z][a-z]+"]
+    union = "|".join(f"(?:{p})" for p in pats)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = df.select(
+        (F.size(regex_hits(F.col("text"), pats)) > 0).alias("any_single"),
+        F.col("text").rlike(union).alias("union_hit"),
+    )
+    for r in out.collect():
+        if r["any_single"]:
+            assert r["union_hit"]
+
+
+@given(texts=TEXTS)
+@SLOW
+def test_exact_dedup_copies_collapse(spark, texts):
+    """Doubling a corpus never changes the group count, and every
+    group's copy count doubles."""
+    from rc_scanner_spark.operators.dedup import exact_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    doubled = df.union(
+        spark.createDataFrame(
+            [(i + 1000, t) for i, t in rows], "doc_id long, text string"
+        )
+    )
+    one = {r["fp"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    two = {r["fp"]: r["n_copies"] for r in exact_dedup(doubled).collect()}
+    assert set(one) == set(two)
+    assert all(two[fp] == 2 * n for fp, n in one.items())
+
+
+@given(texts=TEXTS)
+@SLOW
+def test_jaccard_bounds_and_symmetry(spark, texts):
+    from rc_scanner_spark.operators.dedup import jaccard, word_shingles
+
+    rows = [(a, b) for a, b in zip(texts, reversed(texts))]
+    df = spark.createDataFrame(rows, "a string, b string")
+    sa = word_shingles(F.col("a"))
+    sb = word_shingles(F.col("b"))
+    out = df.select(
+        jaccard(sa, sb).alias("jab"), jaccard(sb, sa).alias("jba")
+    ).collect()
+    for r in out:
+        assert 0.0 <= r["jab"] <= 1.0
+        assert abs(r["jab"] - r["jba"]) < 1e-12
