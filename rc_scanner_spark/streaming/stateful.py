@@ -68,3 +68,63 @@ def user_activity(changes: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SPEND_OUTPUT_SCHEMA = "user_id long, total_value double, n_events long"
+
+
+def _make_spend_processor():
+    """Spark 4 ``StatefulProcessor`` tracking per-user cumulative spend.
+
+    The successor API to applyInPandasWithState: named state variables
+    (ValueState/ListState/MapState per key) instead of one state tuple,
+    plus timers and TTL.  Functionally this mirrors ``_track_user``'s
+    shape so both stateful APIs are covered.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SpendTracker(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "total_value double, n_events long"
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            prior = self._agg.get()
+            total, n = (prior[0], prior[1]) if prior is not None else (0.0, 0)
+            for pdf in rows:
+                total += float(pdf["value"].sum())
+                n += len(pdf)
+            self._agg.update((total, n))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "total_value": [round(total, 6)],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return SpendTracker()
+
+
+def user_spend(events: DataFrame) -> DataFrame:
+    """Per-user cumulative (value sum, event count) over an events
+    stream via ``transformWithStateInPandas`` — one update row per user
+    per micro-batch; state checkpointed in the state store."""
+    from pyspark.sql import functions as F
+
+    slim = events.select(F.col("user_id"), F.col("value"))
+    return slim.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_spend_processor(),
+        outputStructType=SPEND_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

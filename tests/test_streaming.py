@@ -292,3 +292,50 @@ def test_checkpoint_restart_is_exactly_once(spark, users, revisions, tmp_path):
     # batch a NOT reprocessed, batch b fully processed
     assert len(titles) == 6, sorted(titles)
     assert len(set(titles)) == 6
+
+
+def test_transform_with_state_user_spend(spark, tmp_path):
+    """The Spark 4 StatefulProcessor API: cumulative per-user spend
+    must equal the batch aggregate after the stream drains.
+
+    transformWithStateInPandas speaks protobuf to the state server;
+    skipped where google.protobuf is absent (this container) — the
+    applyInPandasWithState twin above covers stateful semantics."""
+    pytest.importorskip("google.protobuf")
+    from rc_scanner_spark.streaming.stateful import user_spend
+    from rc_scanner_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    expected = {
+        r["user_id"]: (round(r["total"], 4), r["n"])
+        for r in ev.groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    ev.write.mode("overwrite").parquet(str(tmp_path / "tws_ev"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "tws_ev"))
+    )
+    out = user_spend(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_spend")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last update per user wins (update mode emits one row per batch)
+    rows = spark.sql(
+        "SELECT user_id, total_value, n_events FROM tws_spend"
+    ).collect()
+    last = {}
+    for r in rows:
+        cur = last.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[1]:
+            last[r["user_id"]] = (round(r["total_value"], 4), r["n_events"])
+    assert last == expected
