@@ -57,10 +57,13 @@ def hashed_word_shingles(text: Column, k: int = 3) -> Column:
 
     Hashing the k word columns directly (``xxhash64(w_i, .., w_i+k-1)``)
     skips the slice + array_join string materialization of
-    ``word_shingles`` entirely (measured ~3x faster shingling at
-    sf0.1).  Corner: docs with fewer than k words hash their full
-    word-join, which cannot collide into the k-gram space of longer
-    docs — acceptable for a hash-identity operator (no SQL oracle).
+    ``word_shingles`` and every downstream shuffle moves 8-byte longs
+    instead of k-word strings (~2x faster end-to-end MinHash at sf0.1;
+    the remaining shingling cost is the tokenizer regex + the
+    per-element HOF transform, shared with the string form).  Corner:
+    docs with fewer than k words hash their full word-join, which
+    cannot collide into the k-gram space of longer docs — acceptable
+    for a hash-identity operator (no SQL oracle).
     """
     ws = words(text)
     n = F.size(ws)
