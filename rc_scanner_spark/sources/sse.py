@@ -13,9 +13,12 @@ Two modes:
   Change events; the offset is the line number.  Fully offline,
   CI-safe, used by the tests.
 - ``url`` option set -> **live mode**: connects to an SSE endpoint
-  (text/event-stream) with ``requests`` if available.  Gated behind an
-  import-try; never exercised in tests (no network in this
-  environment).
+  (text/event-stream) with a pooled ``requests`` session, buffers
+  events driver-side, and serves them to micro-batches with the
+  buffer index as the offset (Last-Event-ID resumption on reconnect).
+  The SSE frame parser (``parse_sse_events``) is pure and tested
+  offline; the socket path itself needs network and is exercised
+  only in production.
 
 Partitioning: one partition per stream topic (the reference
 multiplexes topics into one iterator; we keep them parallel).
@@ -24,7 +27,8 @@ multiplexes topics into one iterator; we keep them parallel).
 from __future__ import annotations
 
 import json
-from collections.abc import Iterator
+import threading
+from collections.abc import Iterable, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -36,6 +40,91 @@ from pyspark.sql.types import StructType
 from ..schemas import CHANGE_SCHEMA
 
 
+def parse_sse_events(lines: Iterable[str]) -> Iterator[dict]:
+    """Incremental SSE (text/event-stream) frame parser.
+
+    Yields {"id": str|None, "event": str|None, "data": str} per frame;
+    frames end on a blank line, multi-``data:`` lines join with \\n,
+    comment lines (leading ':') are skipped — per the WHATWG
+    EventSource spec, which is what Wikimedia EventStreams speaks.
+    Pure function: tested offline with canned byte streams.
+    """
+    event_id: str | None = None
+    event_type: str | None = None
+    data: list[str] = []
+    for raw in lines:
+        line = raw.rstrip("\n").rstrip("\r")
+        if line == "":
+            if data:
+                yield {"id": event_id, "event": event_type, "data": "\n".join(data)}
+            event_id, event_type, data = None, None, []
+            continue
+        if line.startswith(":"):
+            continue
+        field, _, value = line.partition(":")
+        value = value[1:] if value.startswith(" ") else value
+        if field == "id":
+            event_id = value
+        elif field == "event":
+            event_type = value
+        elif field == "data":
+            data.append(value)
+    if data:
+        yield {"id": event_id, "event": event_type, "data": "\n".join(data)}
+
+
+class _LiveFeed:
+    """Driver-side SSE buffer: a daemon thread appends parsed Change
+    dicts; offsets index into the buffer.  Reconnects with
+    Last-Event-ID so no events are lost across drops (the reference
+    loses position, scanner.py:82-88)."""
+
+    def __init__(self, url: str, timeout: float = 30.0):
+        import requests
+
+        self._url = url
+        self._timeout = timeout
+        self._session = requests.Session()
+        self._events: list[dict] = []
+        self._lock = threading.Lock()
+        self._last_id: str | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        import time
+
+        while True:
+            try:
+                headers = {"Accept": "text/event-stream"}
+                if self._last_id:
+                    headers["Last-Event-ID"] = self._last_id
+                resp = self._session.get(
+                    self._url, stream=True, timeout=self._timeout, headers=headers
+                )
+                for ev in parse_sse_events(
+                    resp.iter_lines(decode_unicode=True)
+                ):
+                    try:
+                        obj = json.loads(ev["data"])
+                    except (ValueError, TypeError):
+                        continue  # C1: skip malformed, never die
+                    with self._lock:
+                        self._events.append(obj)
+                        self._last_id = ev["id"] or self._last_id
+            except Exception:
+                pass  # reconnect (C2 without the interactive prompt)
+            time.sleep(1.0)  # backoff so a dead endpoint can't spin-loop
+
+    def size(self) -> int:
+        with self._lock:
+            return len(self._events)
+
+    def slice(self, start: int, end: int) -> list[dict]:
+        with self._lock:
+            return self._events[start:end]
+
+
 class _LinePartition(InputPartition):
     def __init__(self, path: str, start: int, end: int):
         self.path = path
@@ -43,20 +132,30 @@ class _LinePartition(InputPartition):
         self.end = end
 
 
+class _LivePartition(InputPartition):
+    def __init__(self, rows: list[tuple]):
+        self.rows = rows
+
+
 class ChangeStreamReader(DataSourceStreamReader):
-    """Replay-mode stream reader: JSONL file, offset = line count."""
+    """Stream reader: JSONL replay (offset = line count) or live SSE
+    (offset = buffer index)."""
 
     def __init__(self, schema: StructType, options: dict):
         self.path = options.get("path")
         self.url = options.get("url")
         self.batch_lines = int(options.get("batchlines", "100"))
+        self._feed: _LiveFeed | None = None
         if not self.path and not self.url:
             raise ValueError("rcstream source needs a 'path' (replay) or 'url' (live)")
         if self.url and not self.path:
-            raise NotImplementedError(
-                "live SSE mode requires network access; use replay mode "
-                "(option 'path') in this environment"
-            )
+            try:
+                import requests  # noqa: F401
+            except ImportError as e:  # pragma: no cover
+                raise NotImplementedError(
+                    "live SSE mode requires the requests package"
+                ) from e
+            self._feed = _LiveFeed(self.url)
 
     def _count_lines(self) -> int:
         try:
@@ -69,26 +168,37 @@ class ChangeStreamReader(DataSourceStreamReader):
         return {"line": 0}
 
     def latestOffset(self) -> dict:
+        if self._feed is not None:
+            return {"line": self._feed.size()}
         return {"line": self._count_lines()}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = start["line"], end["line"]
-        parts = []
         step = max(self.batch_lines, 1)
+        if self._feed is not None:
+            # Live events exist only in the driver buffer: ship the
+            # already-coerced rows inside the serialized partitions.
+            parts: list[InputPartition] = [
+                _LivePartition([_row(obj) for obj in self._feed.slice(s, min(s + step, hi))])
+                for s in range(lo, hi, step)
+            ]
+            return parts or [_LivePartition([])]
+        parts = []
         for s in range(lo, hi, step):
             parts.append(_LinePartition(self.path, s, min(s + step, hi)))
         return parts or [_LinePartition(self.path, lo, lo)]
 
-    def read(self, partition: _LinePartition) -> Iterator[tuple]:
-        fields = [f.name for f in CHANGE_SCHEMA.fields]
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        if isinstance(partition, _LivePartition):
+            yield from partition.rows
+            return
         with open(partition.path, "r", encoding="utf-8") as f:
             for i, line in enumerate(f):
                 if i < partition.start:
                     continue
                 if i >= partition.end:
                     break
-                obj = json.loads(line)
-                yield tuple(_coerce(obj.get(name), CHANGE_SCHEMA[name].dataType) for name in fields)
+                yield _row(json.loads(line))
 
     def commit(self, end: dict) -> None:
         pass
@@ -103,6 +213,13 @@ def _coerce(value, dtype):
     if isinstance(dtype, _St):
         return tuple(_coerce(value.get(f.name), f.dataType) for f in dtype.fields)
     return value
+
+
+def _row(obj: dict) -> tuple:
+    """One parsed Change dict -> CHANGE_SCHEMA row tuple."""
+    return tuple(
+        _coerce(obj.get(f.name), f.dataType) for f in CHANGE_SCHEMA.fields
+    )
 
 
 class RcChangeDataSource(DataSource):

@@ -145,13 +145,50 @@ def test_flaglog_sink_exactly_once_shape(spark, users, revisions, tmp_path):
     )
 
 
-def test_rcstream_live_mode_gated():
+def test_rcstream_live_mode_construction():
     from rc_scanner_spark.sources.sse import ChangeStreamReader
 
-    with pytest.raises(NotImplementedError):
-        ChangeStreamReader(CHANGE_SCHEMA, {"url": "https://example.org/sse"})
+    # live mode constructs (buffer starts empty; the feed thread backs
+    # off against the unreachable endpoint)
+    r = ChangeStreamReader(CHANGE_SCHEMA, {"url": "https://127.0.0.1:1/sse"})
+    assert r.initialOffset() == {"line": 0}
+    assert r.latestOffset() == {"line": 0}
+    assert r.partitions({"line": 0}, {"line": 0})[0].rows == []
     with pytest.raises(ValueError):
         ChangeStreamReader(CHANGE_SCHEMA, {})
+
+
+def test_sse_frame_parser():
+    from rc_scanner_spark.sources.sse import parse_sse_events
+
+    lines = [
+        ": heartbeat comment",
+        "event: message",
+        'id: ["primary",{"offset":42}]',
+        'data: {"title": "A",',
+        'data:  "type": "edit"}',
+        "",
+        "data: not-json-but-still-a-frame",
+        "",
+    ]
+    frames = list(parse_sse_events(lines))
+    assert len(frames) == 2
+    assert frames[0]["event"] == "message"
+    assert frames[0]["id"] == '["primary",{"offset":42}]'
+    # multi-line data joins with newline per the EventSource spec
+    import json as _json
+
+    obj = _json.loads(frames[0]["data"])
+    assert obj == {"title": "A", "type": "edit"}
+    assert frames[1]["data"] == "not-json-but-still-a-frame"
+    assert frames[1]["id"] is None
+
+
+def test_sse_parser_unterminated_frame_flushes():
+    from rc_scanner_spark.sources.sse import parse_sse_events
+
+    frames = list(parse_sse_events(["data: tail-no-blank-line"]))
+    assert [f["data"] for f in frames] == ["tail-no-blank-line"]
 
 
 def test_stateful_user_activity_across_batches(spark, tmp_path):
