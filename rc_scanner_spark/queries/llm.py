@@ -446,6 +446,48 @@ GROUP BY lang_pred
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary media payloads
+    (operators/multimodal.extract_features): the ONE deliberate Python
+    stage in the engine — mapInPandas at the codec boundary.  Feature
+    values depend on the Python-side fake codec -> rows-only check;
+    numeric ground truth in tests/test_multimodal.py."""
+    from ..operators.multimodal import attach_fake_media, extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    feats = extract_features(attach_fake_media(d))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "checksum",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "feature_sum"
+        ),
+    )
+
+
+def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (operators/multimodal.frame_sample_plan):
+    (doc_id, duration) -> one row per sampled frame timestamp, pure
+    sequence+explode.  Durations derived deterministically from doc_id
+    so the oracle can replay them."""
+    from ..operators.multimodal import frame_sample_plan
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    media = d.select(
+        "doc_id",
+        ((F.col("doc_id") % 5) * 1500 + 500).cast("long").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
+
+
+SQL_MULTIMODAL_FRAME_PLAN = """
+SELECT doc_id, unnest(range(0, (doc_id % 5) * 1500 + 500 + 1, 1000)) AS frame_ts_ms
+FROM documents
+WHERE doc_id % 7 = 0
+"""
+
+
 def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checkable slice: binary payload
     column (utf-8 of text as a deterministic stand-in) with byte
@@ -487,6 +529,10 @@ QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": QuerySpec(q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "multimodal_features": QuerySpec(q_multimodal_features, None),
+    "multimodal_frame_plan": QuerySpec(
+        q_multimodal_frame_plan, SQL_MULTIMODAL_FRAME_PLAN
+    ),
     "multimodal_binary_meta": QuerySpec(
         q_multimodal_binary_meta, SQL_MULTIMODAL_BINARY_META
     ),
