@@ -35,6 +35,7 @@ def build_registry() -> dict[str, QuerySpec]:
         relational3,
         relational4,
         scanner_queries,
+        sketches,
         sql_api,
     )
 
@@ -47,6 +48,7 @@ def build_registry() -> dict[str, QuerySpec]:
         sql_api,
         scanner_queries,
         llm,
+        sketches,
     ):
         for name, spec in mod.QUERIES.items():
             if name in out:

@@ -28,6 +28,7 @@ from ..operators.text import (
     bpe_token_count,
     fingerprint,
     lang_id,
+    normalize,
     quality_columns,
     quality_score,
     token_count,
@@ -93,6 +94,39 @@ FROM nz a JOIN nz b
   ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
 WHERE len(list_intersect(a.sh, b.sh)) * 1.0
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the production shape: a new ingest
+    batch (doc_id % 10 == 0 stands in for it) is deduped *against the
+    existing corpus* via a fingerprint anti-join, then within itself.
+    The corpus side projects to just the 128-bit fingerprint before the
+    join, so at 100 TB the shuffle carries 16 bytes/doc (or the corpus
+    fingerprint set ships as a bloom/broadcast filter when it fits)."""
+    d = _t(spark, sf_dir, "documents")
+    fps = d.select("doc_id", F.md5(normalize(F.col("text"))).alias("fp"))
+    corpus = fps.filter(F.col("doc_id") % 10 != 0)
+    batch = fps.filter(F.col("doc_id") % 10 == 0)
+    fresh = batch.join(corpus.select("fp"), "fp", "left_anti")
+    return fresh.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_in_batch"),
+    )
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH f AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT fp, min(doc_id) AS keep_id, count(*) AS n_in_batch
+FROM f b
+WHERE doc_id % 10 = 0
+  AND NOT EXISTS (SELECT 1 FROM f c
+                  WHERE c.doc_id % 10 != 0 AND c.fp = b.fp)
+GROUP BY fp
 """
 
 
@@ -526,6 +560,7 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_prep_pipeline": QuerySpec(q_llm_prep_pipeline, SQL_LLM_PREP_PIPELINE),
     "text_lang_id": QuerySpec(q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY),
+    "dedup_incremental": QuerySpec(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "text_token_count": QuerySpec(q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": QuerySpec(q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),

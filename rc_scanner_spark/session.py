@@ -25,6 +25,12 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime bloom-filter pruning for shuffle joins: when one join
+    # side is selectively filtered, Spark injects a bloom filter of its
+    # join keys into the other side's scan, cutting the big side's
+    # shuffle before it happens.  No-op on tiny local data (creation
+    # threshold), decisive on fact-fact joins at 100 TB.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # The events table stores TIMESTAMP(NANOS) which Spark cannot
     # represent natively; read as long and convert (tables.load_table)
     # with the same floor-to-microsecond truncation DuckDB applies.
