@@ -130,6 +130,37 @@ GROUP BY fp
 """
 
 
+def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val split by key hash — the reproducible
+    alternative to ``df.sample()`` for training pipelines: the split is
+    a pure function of doc_id (md5 prefix mod 100), so it is stable
+    across runs, engines, partitionings, and incremental re-ingests
+    (a re-ingested doc always lands in the same split).  No shuffle:
+    the bucket is a map-side projection."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )
+
+
+SQL_SAMPLE_HASH_SPLIT = """
+SELECT doc_id,
+       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+         % 100 AS bucket,
+       CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                      AS BIGINT) % 100 < 90
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (32 perms) + LSH banding (8 bands x 4 rows) near-dup —
     the scale path: one shuffle on band buckets, candidates verified
@@ -561,6 +592,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_lang_id": QuerySpec(q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY),
     "dedup_incremental": QuerySpec(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "sample_hash_split": QuerySpec(q_sample_hash_split, SQL_SAMPLE_HASH_SPLIT),
     "text_token_count": QuerySpec(q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": QuerySpec(q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),

@@ -146,8 +146,69 @@ GROUP BY e.user_id, d.user_total
 """
 
 
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join with unmatched rows on BOTH sides: high-balance
+    customers vs customers who ordered in 1996.  Both inputs pre-reduce
+    before the join (filter / partial agg), so the outer join shuffles
+    only the keys that survive — at 100 TB the orders side arrives as a
+    per-key count, not raw rows."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_acctbal",
+        "n_orders",
+    )
+
+
+SQL_JOIN_FULL_OUTER = """
+WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7000),
+o AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY o_custkey)
+SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal, n_orders
+FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+"""
+
+
+def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-outer join (order counts RIGHT JOIN customer): every
+    customer survives, order-less ones with NULL count."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return o.join(c, o.o_custkey == c.c_custkey, "right_outer").select(
+        "c_custkey", "c_mktsegment", "n_orders"
+    )
+
+
+SQL_JOIN_RIGHT_OUTER = """
+SELECT c_custkey, c_mktsegment, n_orders
+FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tpch_q5ish": QuerySpec(q_tpch_q5ish, SQL_TPCH_Q5ISH),
     "tpch_q6": QuerySpec(q_tpch_q6, SQL_TPCH_Q6),
     "join_salted_skew": QuerySpec(q_join_salted_skew, SQL_JOIN_SALTED_SKEW),
+    "join_full_outer": QuerySpec(q_join_full_outer, SQL_JOIN_FULL_OUTER),
+    "join_right_outer": QuerySpec(q_join_right_outer, SQL_JOIN_RIGHT_OUTER),
 }
