@@ -232,3 +232,74 @@ def lsh_ann_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def kmeans_assign(
+    base: DataFrame,
+    centroids: DataFrame,
+) -> DataFrame:
+    """Assign each vector in ``base(id, v)`` to its nearest centroid in
+    ``centroids(cell, cv)`` by cosine: broadcast the K centroids, score
+    |N| x K map-side, keep the per-row argmax.  No shuffle of the
+    vector table; the row_number window partitions by id, which AQE
+    keeps local to the scored rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    return (
+        base.join(F.broadcast(centroids))
+        .withColumn("csim", F.round(cosine(F.col("v"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "v", "cell", "csim")
+    )
+
+
+def kmeans_refine(
+    vectors: DataFrame,
+    num_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd refinement of the IVF coarse quantizer (the step
+    ``ivf_assign`` leaves to production): seeds = the ``num_cells``
+    smallest-id vectors, then ``iters`` rounds of assign -> recompute.
+
+    Everything is DataFrame-native and distributed:
+    - assign: broadcast K centroids, map-side argmax (no vector shuffle);
+    - recompute: posexplode to (cell, dim, val), hash-aggregate the
+      per-dimension means (partial aggregation map-side — the shuffle
+      carries K x dim partial sums per partition, NOT vectors), and
+      re-assemble the centroid arrays with sort+transform.
+    Centroid components round to 6 digits each round so results are
+    invariant to partitioning/aggregation order.  K x dim stays tiny
+    (driver-free: centroids never leave the cluster).
+
+    Returns (centroids(cell, cv), assigned(id, v, cell, csim))."""
+    from pyspark.sql import Window
+
+    base = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    w_seed = Window.orderBy("id")
+    centroids = (
+        base.orderBy("id")
+        .limit(num_cells)
+        .select((F.row_number().over(w_seed) - 1).alias("cell"), F.col("v").alias("cv"))
+    )
+    for _ in range(iters):
+        assigned = kmeans_assign(base, centroids)
+        centroids = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("val"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda x: x["val"],
+                ).alias("cv")
+            )
+        )
+    return centroids, kmeans_assign(base, centroids)

@@ -34,6 +34,7 @@ def build_registry() -> dict[str, QuerySpec]:
         relational2,
         relational3,
         relational4,
+        relational5,
         scanner_queries,
         sketches,
         sql_api,
@@ -45,6 +46,7 @@ def build_registry() -> dict[str, QuerySpec]:
         relational2,
         relational3,
         relational4,
+        relational5,
         sql_api,
         scanner_queries,
         llm,

@@ -261,6 +261,24 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering: Lloyd-refined k-means (8 cells, 3 rounds)
+    over the embedding table, reported as per-cluster size + mean
+    cosine-to-centroid.  All-DataFrame iteration: assignment is a
+    broadcast argmax (no vector shuffle); centroid recompute shuffles
+    only K x dim partial sums.  Iterative + float-order sensitive ->
+    no SQL oracle; ground truth is a numpy Lloyd run in
+    tests/test_similarity.py."""
+    from ..operators.similarity import kmeans_refine
+
+    e = _t(spark, sf_dir, "embeddings")
+    _, assigned = kmeans_refine(e, num_cells=8, iters=3)
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("csim"), 3).alias("mean_cosine"),
+    )
+
+
 # --- text analysis ----------------------------------------------------------
 
 
@@ -335,6 +353,108 @@ SELECT doc_id, n_chars_calc, n_words, punct_ratio, stopword_ratio, avg_word_len,
              + coalesce(stopword_ratio, 0.0) * 0.4
              + least(coalesce(punct_ratio, 0.0) * 5, 1.0) * 0.2, 4) AS quality
 FROM r
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals for corpus filtering: duplicate
+    2-gram fraction, distinct-token ratio, and the most-frequent
+    2-gram's share of all 2-grams.  The ratio columns are pure
+    map-side Catalyst array expressions (no shuffle); the top-2-gram
+    count goes through explode -> (doc, bigram) hash-agg -> per-doc
+    max — linear in corpus size, never quadratic in document length,
+    so a 100 k-token document costs the same per token as a 100-token
+    one."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks).cast("double"), 4
+        ).alias("distinct_token_ratio"),
+        bigrams.alias("bigrams"),
+    ).withColumn("n_bigrams", F.size("bigrams").cast("bigint"))
+    dup = base.withColumn(
+        "dup_bigram_frac",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(
+                (F.col("n_bigrams") - F.size(F.array_distinct("bigrams")))
+                / F.col("n_bigrams").cast("double"),
+                4,
+            ),
+        ),
+    )
+    top = (
+        base.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_bigram_n"))
+    )
+    return (
+        dup.drop("bigrams")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_bigrams",
+            "distinct_token_ratio",
+            "dup_bigram_frac",
+            F.coalesce("top_bigram_n", F.lit(0)).cast("bigint").alias("top_bigram_n"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(
+                    F.coalesce("top_bigram_n", F.lit(0))
+                    / F.col("n_bigrams").cast("double"),
+                    4,
+                ),
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+SQL_TEXT_REPETITION = """
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4)
+           AS distinct_token_ratio,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+           AS bigrams
+  FROM t
+), m AS (
+  SELECT doc_id, n_tokens, distinct_token_ratio,
+         CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+         CASE WHEN len(bigrams) > 0 THEN
+           round((len(bigrams) - len(list_distinct(bigrams)))
+                 / CAST(len(bigrams) AS DOUBLE), 4) END AS dup_bigram_frac
+  FROM b
+), topb AS (
+  SELECT doc_id, max(cnt) AS top_bigram_n
+  FROM (SELECT doc_id, bg, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(bigrams) AS bg FROM b) u
+        GROUP BY doc_id, bg) e
+  GROUP BY doc_id
+)
+SELECT m.doc_id, n_tokens, n_bigrams, distinct_token_ratio, dup_bigram_frac,
+       CAST(coalesce(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       CASE WHEN n_bigrams > 0 THEN
+         round(coalesce(top_bigram_n, 0) / CAST(n_bigrams AS DOUBLE), 4)
+       END AS top_bigram_frac
+FROM m LEFT JOIN topb ON m.doc_id = topb.doc_id
 """
 
 
@@ -593,6 +713,8 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY),
     "dedup_incremental": QuerySpec(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "sample_hash_split": QuerySpec(q_sample_hash_split, SQL_SAMPLE_HASH_SPLIT),
+    "text_repetition": QuerySpec(q_text_repetition, SQL_TEXT_REPETITION),
+    "cluster_kmeans": QuerySpec(q_cluster_kmeans, None),
     "text_token_count": QuerySpec(q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": QuerySpec(q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),

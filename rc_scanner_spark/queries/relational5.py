@@ -1,0 +1,225 @@
+"""Relational batch 5: the remaining classic TPC-H query shapes the
+simplified schemas can express — Q8 (market share, two roles for one
+dimension), Q9 (profit by nation x year), Q13 (outer-join count
+distribution with a join-time predicate), Q16 (distinct-count stats
+over a derived relationship).
+
+Scale notes: every dimension side (region/nation/supplier/part) is
+broadcast, so the fact scan shuffles only for fact-fact joins on
+their natural keys and the final aggregates.  Q13 pre-aggregates
+orders to one row per customer BEFORE its outer join — at 100 TB the
+join moves per-key counts, not raw order rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..tables import load_table
+from . import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q8: national market share (one dim table in two join roles) -----
+
+
+def q_tpch_q8ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of STANDARD-part revenue sold
+    to AMERICA customers, per order year.  ``nation`` joins twice under
+    different roles (supplier nation for the share numerator, customer
+    nation for the region restriction); both copies broadcast.  The
+    share is a conditional-sum / sum ratio inside one aggregate — no
+    second pass over the join."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    r = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "AMERICA")
+        .select("r_regionkey")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q8ISH = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       count(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region   ON n2.n_regionkey = r_regionkey
+WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+GROUP BY 1
+"""
+
+
+# --- Q9: product-type profit by nation x year ------------------------
+
+
+def q_tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp in the simplified schema, so net
+    amount is price x (1-disc) x (1-tax) instead of minus supplycost):
+    profit on widget-named parts per supplier nation per ship year.
+    part/supplier/nation broadcast; the lineitem scan is the only big
+    input and it aggregates straight down to |nations| x |years|."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    l = _t(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 - F.col("l_tax"))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+SQL_TPCH_Q9ISH = """
+SELECT n_name AS nation,
+       CAST(year(l_shipdate) AS INTEGER) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 - l_tax)), 2)
+         AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+# --- Q13: customer order-count distribution (outer join + 2 aggs) ----
+
+
+def q_tpch_q13ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many
+    non-urgent orders they placed, INCLUDING zero-order customers —
+    the predicate lives on the join input, not a post-filter, so
+    filtered-out customers still appear with count 0.  Orders
+    pre-aggregate to one row per customer before the outer join
+    (at scale: the join moves counts, not order rows); the second
+    aggregate is over |customers| rows only."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .select(F.coalesce("cnt", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+SQL_TPCH_Q13ISH = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT coalesce(cnt, 0) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders
+             WHERE o_orderpriority <> '1-URGENT'
+             GROUP BY o_custkey) o
+    ON c_custkey = o_custkey
+) d
+GROUP BY c_count
+"""
+
+
+# --- Q16: supplier-count stats over the derived part-supplier rel ----
+
+
+def q_tpch_q16ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (no partsupp table: the part-supplier
+    relationship derives from lineitem): distinct suppliers per
+    (brand, type, size) for non-Brand#13 parts of small sizes.
+    The distinct is over (partkey, suppkey) pairs — lineitem
+    collapses by orders of magnitude before the distinct-count
+    shuffle, and part broadcasts into the pair scan."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(1, 2, 3, 4, 5)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16ISH = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_size IN (1, 2, 3, 4, 5)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "tpch_q8ish": QuerySpec(q_tpch_q8ish, SQL_TPCH_Q8ISH),
+    "tpch_q9ish": QuerySpec(q_tpch_q9ish, SQL_TPCH_Q9ISH),
+    "tpch_q13ish": QuerySpec(q_tpch_q13ish, SQL_TPCH_Q13ISH),
+    "tpch_q16ish": QuerySpec(q_tpch_q16ish, SQL_TPCH_Q16ISH),
+}

@@ -113,6 +113,51 @@ def test_ivf_topk_recall_vs_brute_force(spark, emb):
     assert hits / total >= 0.5, f"IVF recall {hits}/{total}"
 
 
+def test_kmeans_refine_matches_numpy_lloyd(spark):
+    from rc_scanner_spark.operators.similarity import kmeans_refine
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 8))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids, assigned = kmeans_refine(df, num_cells=4, iters=3)
+
+    # mirror the operator exactly: seeds = 4 smallest ids, cosine
+    # argmax assign (ties -> lowest cell), per-dim mean rounded to 6
+    v64 = np.array([r[1] for r in rows], dtype=np.float64)
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cents = v64[:4].copy()
+    for _ in range(3):
+        cells = []
+        for v in v64:
+            sims = [round(cos(v, c), 6) for c in cents]
+            cells.append(int(np.argmax(sims)))  # argmax takes first on ties
+        cents = np.array(
+            [
+                np.round(v64[[i for i, c in enumerate(cells) if c == k]].mean(axis=0), 6)
+                for k in range(4)
+            ]
+        )
+    final = []
+    for v in v64:
+        sims = [round(cos(v, c), 6) for c in cents]
+        final.append(int(np.argmax(sims)))
+
+    got_assign = {r["id"]: r["cell"] for r in assigned.collect()}
+    assert got_assign == {i: c for i, c in enumerate(final)}
+    got_cents = {r["cell"]: np.array(r["cv"]) for r in centroids.collect()}
+    assert set(got_cents) == {0, 1, 2, 3}
+    for k in range(4):
+        assert np.allclose(got_cents[k], cents[k], atol=1e-5)
+
+    # determinism across re-runs (partitioning-order invariance)
+    again = {r["id"]: r["cell"] for r in kmeans_refine(df, num_cells=4, iters=3)[1].collect()}
+    assert again == got_assign
+
+
 def test_ivf_assignment_is_deterministic_and_total(spark, emb):
     from rc_scanner_spark.operators.similarity import ivf_assign
 
