@@ -217,7 +217,71 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+# --- bivariate statistics: corr / covariance --------------------------
+
+
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate aggregates per return flag: Pearson correlation and
+    population covariance of quantity vs discounted price.  Single
+    partial+final hash-agg pass — corr/covar carry (n, sum_x, sum_y,
+    sum_xy, ...) moments map-side, so the shuffle moves one moment
+    tuple per (flag, partition) regardless of fact size."""
+    l = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr(F.col("l_quantity"), price), 4).alias("corr_qty_price"),
+        F.round(F.covar_pop(F.col("l_quantity"), price), 2).alias("covar_qty_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_AGG_CORR = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice * (1 - l_discount)), 4)
+         AS corr_qty_price,
+       round(covar_pop(l_quantity, l_extendedprice * (1 - l_discount)), 2)
+         AS covar_qty_price,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --- ordered string aggregation (collect_list / string_agg) -----------
+
+
+def q_agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: per region, the comma-joined sorted
+    list of its nation names plus the nation count.  collect_list is
+    unordered across partitions by design, so the deterministic form
+    is collect -> array_sort -> concat_ws (exact string output, no
+    float hazard); region/nation are tiny, the groupBy is the only
+    exchange."""
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n = _t(spark, sf_dir, "nation").select("n_regionkey", "n_name")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+SQL_AGG_STRING_COLLECT = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "agg_corr": QuerySpec(q_agg_corr, SQL_AGG_CORR),
+    "agg_string_collect": QuerySpec(q_agg_string_collect, SQL_AGG_STRING_COLLECT),
     "tpch_q8ish": QuerySpec(q_tpch_q8ish, SQL_TPCH_Q8ISH),
     "tpch_q9ish": QuerySpec(q_tpch_q9ish, SQL_TPCH_Q9ISH),
     "tpch_q13ish": QuerySpec(q_tpch_q13ish, SQL_TPCH_Q13ISH),
