@@ -83,17 +83,27 @@ def main(argv: list[str] | None = None) -> int:
     changes = spark.read.schema(CHANGE_SCHEMA).json(args.input)
     flagged = scan(changes, spec, users=users, revisions=revisions,
                    verbose=args.verbose)
-    # K1 console sink
-    for row in flagged.select("message", "match_message").collect():
+    # K1 console sink.  With -v the frame also carries non-matching
+    # rows (hits empty) — those print their message line only, exactly
+    # like the reference's verbose console (scanner.py:132-139); the
+    # ***MATCH*** line is gated on a non-empty hits array.
+    console = flagged.select(
+        "message", "match_message", F.size("hits").alias("__n_hits")
+    )
+    for row in console.collect():
         print(row["message"])
-        if row["match_message"]:
+        if row["__n_hits"] > 0:
             print(row["match_message"])
+    # Sinks receive matches ONLY — verbose affects the console, never
+    # the logs (reference scanner.py:147-175 writes inside the match
+    # branch).
+    matches = flagged.filter(F.size("hits") > 0) if args.verbose else flagged
     if "revids" in paths:
-        write_revid_log(flagged, paths["revids"])
+        write_revid_log(matches, paths["revids"])
     if "flaglog" in paths:
-        write_flaglog(flagged, paths["flaglog"])
-    if "changes" in paths and "text" in flagged.columns:
-        write_content_files(flagged, paths["changes"])
+        write_flaglog(matches, paths["flaglog"])
+    if "changes" in paths and "text" in matches.columns:
+        write_content_files(matches, paths["changes"])
     return 0
 
 

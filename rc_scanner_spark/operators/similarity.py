@@ -122,14 +122,7 @@ def ivf_assign(
         .limit(num_cells)
         .select((F.row_number().over(w_seed) - 1).alias("cell"), F.col("v").alias("cv"))
     )
-    w_assign = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cell").asc())
-    assigned = (
-        base.join(F.broadcast(centroids))
-        .withColumn("csim", F.round(cosine(F.col("v"), F.col("cv")), 6))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("id", "v", "cell")
-    )
+    assigned = kmeans_assign(base, centroids).select("id", "v", "cell")
     return centroids, assigned
 
 
@@ -158,15 +151,30 @@ def ivf_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("csim").desc(), F.col("cell").asc()
-    )
+    # Probe selection without a window: each query scores the K
+    # broadcast centroids map-side; the per-query top-``num_probes``
+    # cells come from sorting that K-length array in place
+    # (array_sort on (-csim, cell) = csim desc, cell asc) — partial
+    # aggregation collapses the K scored rows per query before any
+    # shuffle, instead of shuffling the K x |Q| frame for row_number.
     probes = (
         q.join(F.broadcast(centroids))
         .withColumn("csim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= num_probes)
-        .select("query_id", "qv", "cell")
+        .groupBy("query_id")
+        .agg(
+            F.any_value(F.col("qv")).alias("qv"),  # constant per query_id
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("csim")).alias("negsim"), F.col("cell"))
+                    )
+                ),
+                1,
+                num_probes,
+            ).alias("probes"),
+        )
+        .select("query_id", "qv", F.explode("probes").alias("probe"))
+        .select("query_id", "qv", F.col("probe.cell").alias("cell"))
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id").asc()
@@ -240,18 +248,23 @@ def kmeans_assign(
 ) -> DataFrame:
     """Assign each vector in ``base(id, v)`` to its nearest centroid in
     ``centroids(cell, cv)`` by cosine: broadcast the K centroids, score
-    |N| x K map-side, keep the per-row argmax.  No shuffle of the
-    vector table; the row_number window partitions by id, which AQE
-    keeps local to the scored rows."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    |N| x K map-side, keep the per-row argmax via ``max_by`` — partial
+    aggregation collapses the K scored rows per id to ONE row before
+    the shuffle, instead of shuffling the K x |N| frame for a
+    row_number window.  Tie-break matches the old window ordering
+    (csim desc, cell asc) through the lexicographic (csim, -cell)
+    ordering struct."""
+    best = F.max_by(
+        F.struct(F.col("cell"), F.col("csim"), F.col("v")),
+        F.struct(F.col("csim"), (-F.col("cell")).alias("negcell")),
+    ).alias("best")
     return (
         base.join(F.broadcast(centroids))
         .withColumn("csim", F.round(cosine(F.col("v"), F.col("cv")), 6))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "v", "cell", "csim")
+        .groupBy("id")
+        .agg(best)
+        .select("id", F.col("best.v").alias("v"), F.col("best.cell").alias("cell"),
+                F.col("best.csim").alias("csim"))
     )
 
 

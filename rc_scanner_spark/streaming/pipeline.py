@@ -64,10 +64,6 @@ def build_pipeline(
                 F.col("editcount").isNotNull()
                 & spec.editcount_predicate(F.col("editcount"))
             )
-    if spec.skip_repeats:
-        # State-store-backed dedup; unbounded like the reference's
-        # flag-log membership scan (filter_.py:102), but O(1) per row.
-        df = df.dropDuplicates(["title"])
     if revisions is not None:
         df = df.join(
             revisions.withColumnRenamed("revid", "__revid"),
@@ -77,6 +73,13 @@ def build_pipeline(
         df = df.filter(F.col("text").isNotNull())
     df = df.withColumn("hits", spec.hits(F.col("text")))
     df = df.filter(F.size("hits") > 0)
+    if spec.skip_repeats:
+        # State-store-backed dedup over *flagged* rows only: the
+        # reference's flag log records matches, and its dedup is a
+        # membership scan of that log (filter_.py:90-102) — a title
+        # whose event did NOT match must not suppress later matches.
+        # Unbounded like the reference's never-expiring log, O(1)/row.
+        df = df.dropDuplicates(["title"])
     verb = verb_column(F.col("type"))
     return (
         df.withColumn("verb", verb)

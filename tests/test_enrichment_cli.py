@@ -165,3 +165,50 @@ def test_cli_log_level_3_attaches_all_sinks(spark, tmp_path, capsys):
     assert {r["filename"] for r in content.collect()} == {
         "Alice_1000", "Alice_1001", "Alice_1002"
     }
+
+
+def test_cli_verbose_console_only(spark, tmp_path, capsys):
+    """-v keeps non-matching rows on the CONSOLE only: sinks receive
+    matches, and no ***MATCH*** line prints for an empty hits array
+    (reference scanner.py:132-139 vs 147-175)."""
+    from rc_scanner_spark.cli import main
+
+    indir = tmp_path / "changes_v"
+    indir.mkdir()
+    write_changes_jsonl(
+        str(indir / "a.json"),
+        [make_change(i, f"VPage{i}") for i in range(4)],
+    )
+    users = tmp_path / "users_v.parquet"
+    spark.createDataFrame([("Alice", 5)], "user string, editcount long").write.parquet(
+        str(users)
+    )
+    # only revids 1000 and 1002 match the userboxes regex
+    revs = tmp_path / "revs_v.parquet"
+    spark.createDataFrame(
+        [(1000, "a userbox"), (1001, "plain"), (1002, "userboxes!"),
+         (1003, "nothing")],
+        "revid long, text string",
+    ).write.parquet(str(revs))
+
+    out = tmp_path / "logs_v"
+    rc = main(
+        [
+            "userboxes",
+            "--input", str(indir),
+            "--users", str(users),
+            "--revisions", str(revs),
+            "--out", str(out),
+            "--log-level", "2",
+            "--verbose",
+        ]
+    )
+    assert rc == 0
+    console = capsys.readouterr().out
+    # all 4 message lines print, but only 2 MATCH lines
+    assert console.count('Alice edited "VPage') == 4
+    assert console.count("***MATCH***") == 2
+    # sinks receive the 2 matches only
+    logged = spark.read.json(str(out / "flagged_changes"))
+    assert logged.count() == 2
+    assert {r["change"]["title"] for r in logged.collect()} == {"VPage0", "VPage2"}

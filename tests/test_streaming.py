@@ -376,3 +376,39 @@ def test_transform_with_state_user_spend(spark, tmp_path):
         if cur is None or r["n_events"] > cur[1]:
             last[r["user_id"]] = (round(r["total_value"], 4), r["n_events"])
     assert last == expected
+
+
+def test_dedup_only_suppresses_flagged_titles(spark, users, tmp_path):
+    """A title whose FIRST event does not match must not suppress a
+    later matching event for the same title (reference filter_.py:90-102
+    dedups against the flag log, i.e. against *matches* only)."""
+    jsonl = str(tmp_path / "dedup_flagged.jsonl")
+    # id 0: title X, revision 1000 -> non-matching text
+    # id 1: title X, revision 1001 -> matching text
+    # id 2: title X, revision 1002 -> matching text (true repeat, dropped)
+    write_changes_jsonl(jsonl, [make_change(i, "X") for i in range(3)])
+    revs = spark.createDataFrame(
+        [(1000, "nothing here"), (1001, "all about spark"),
+         (1002, "more spark stuff")],
+        "revid long, text string",
+    )
+    src = tmp_path / "in_flagged"
+    src.mkdir()
+    os.rename(jsonl, str(src / "events.json"))
+    changes = read_change_stream(spark, str(src))
+    out = build_pipeline(changes, _spec(), users=users, revisions=revs)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_flagged_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_df"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT title, revision.new AS revid FROM dedup_flagged_out"
+    ).collect()
+    # exactly one flagged row for X, and it is a MATCHING one
+    assert len(rows) == 1
+    assert rows[0]["title"] == "X"
+    assert rows[0]["revid"] in (1001, 1002)
