@@ -22,6 +22,28 @@ from pyspark.sql import functions as F
 
 from .text import normalize, words
 
+# DataFrame.persist registers with the JVM CacheManager, which holds a
+# strong reference — caches survive Python GC until an explicit
+# unpersist, so a long-lived session leaks them.  Operators that persist
+# intermediates register them here; ``release_caches()`` drops them all
+# (call it after consuming the returned frames — per-query results are
+# unaffected, only the cached *inputs* are released).  At 100 TB the
+# same role is played by an explicit parquet materialization of the
+# shingle table.
+_CACHED: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every intermediate this module has cached."""
+    while _CACHED:
+        _CACHED.pop().unpersist(blocking=False)
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on normalized-text hash: one hash-shuffle, keeps the
@@ -160,10 +182,12 @@ def minhash_lsh_pairs(
     # materialization at all, every downstream shuffle/join moves 8
     # bytes, and Jaccard over hashed shingles equals Jaccard over
     # strings up to 2^-64 collisions.
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(hashed_word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
-    ).persist()
+    sh = _track_persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(hashed_word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+        )
+    )
 
     sig = sh.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_sh"),
@@ -251,31 +275,61 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int = 100,
 ) -> DataFrame:
     """Blocked exact-Jaccard near-dup: pairs *within a blocking group*
-    (e.g. same lang+source) that share at least one shingle.
-    SQL-expressible (oracle twin exists); the shingle equi-join keeps
-    the block product from ever materializing at scale."""
+    (e.g. same lang+source) that share at least one surviving shingle.
+    SQL-expressible (oracle twin exists).
+
+    Scale hygiene: a shingle shared by m documents would emit m^2 join
+    rows, so one hot 3-gram (boilerplate, license headers) is a
+    quadratic hot key at 100x scale.  Shingles whose per-block document
+    frequency exceeds ``max_shingle_df`` are dropped from BOTH the
+    candidate generation and the per-doc shingle counts (symmetric, so
+    Jaccard stays a true set ratio over the surviving shingles) — the
+    standard blocking-hygiene move: boilerplate shingles carry no
+    near-dup signal.
+
+    Shape: one shuffle groups (block, shingle) -> the doc-id list per
+    bucket (bounded by the cap), pairs explode map-side from each
+    bucket (<= cap^2/2 per bucket by construction), then a pair-count
+    aggregate.  No self-join of the exploded frame, no persist: the
+    per-doc counts and the pair path both hang off the same bucket
+    aggregate, so Spark reuses its exchange and the shingling scan
+    runs once."""
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (pairs sharing no shingle are pruned)")
+    if max_shingle_df < 2:
+        raise ValueError("max_shingle_df must be >= 2 (a pair needs df 2)")
     sh = df.select(
         *[F.col(c) for c in group_cols],
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
-    ).persist()  # three consumers: counts + both join sides
-    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    l, r = sh.alias("l"), sh.alias("r")
-    on = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in group_cols]
-    on.append(F.col("l.shingle") == F.col("r.shingle"))
-    on.append(F.col("l.id") < F.col("r.id"))
-    # Pairs sharing zero shingles have jaccard 0 < threshold, so the
-    # shingle equi-join IS the candidate generation: no pair that
-    # could pass is missed, and no all-pairs block product is built.
-    common = (
-        l.join(r, on=on)
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    buckets = sh.groupBy(*group_cols, "shingle").agg(
+        F.collect_list("id").alias("ids"), F.count(F.lit(1)).alias("df")
+    )
+    kept = buckets.filter(F.col("df") <= max_shingle_df)
+    counts = (
+        kept.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    ids = F.array_sort(F.col("ids"))
+    pairs = kept.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ids,
+                    lambda x, i: F.transform(
+                        F.slice(ids, i + 2, F.size(ids)),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    common = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common"))
     return (
         common.join(
             counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"

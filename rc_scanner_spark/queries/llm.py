@@ -61,13 +61,17 @@ FROM documents GROUP BY 1
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact n-gram Jaccard near-dup: pairs within (lang,
-    source) blocks with word-3-gram Jaccard >= 0.5.  Block keys bound
-    the quadratic term at scale."""
+    source) blocks with word-3-gram Jaccard >= 0.5 over the shingles
+    whose per-block document frequency is <= 50.  Block keys bound the
+    quadratic term; the df cap keeps one hot boilerplate shingle from
+    becoming a quadratic hot key at scale (the cap is mirrored in the
+    oracle SQL)."""
     return ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"),
         group_cols=["lang", "source"],
         shingle_k=3,
         threshold=0.5,
+        max_shingle_df=50,
     )
 
 
@@ -86,14 +90,28 @@ s AS (
               ELSE [] END AS sh
   FROM w
 ),
-nz AS (SELECT * FROM s WHERE len(sh) > 0)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.sh, b.sh)) * 1.0
-             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-FROM nz a JOIN nz b
-  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+e AS (SELECT doc_id, lang, source, unnest(sh) AS shingle FROM s),
+d AS (SELECT lang, source, shingle, count(*) AS df
+      FROM e GROUP BY 1, 2, 3),
+kept AS (
+  SELECT e.doc_id, e.lang, e.source, e.shingle
+  FROM e JOIN d USING (lang, source, shingle)
+  WHERE d.df <= 50
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.5
 """
 
 

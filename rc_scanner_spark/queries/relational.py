@@ -669,15 +669,60 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE quartiles of account balance.  Global (unpartitioned)
-    window — inherently single-reducer; at 100 TB use percentile-based
-    bucketing instead (documented trade-off)."""
-    c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
-    return c.select(
+    """NTILE quartiles of account balance — EXACT ntile semantics with
+    no global window (a bare ``ntile(4) OVER (ORDER BY ...)`` is a
+    single-reducer sort of the whole table).
+
+    Distributed form: the global rank of (c_acctbal, c_custkey)
+    decomposes into
+      rank = (#rows in strictly-smaller balance *chunks*)           [c]
+           + (#rows in smaller balances within my chunk, exclusive)  [b]
+           + (my row_number among equal balances, by custkey)        [a]
+    [a] is a window partitioned by balance (distributed), [b] a window
+    partitioned by coarse value chunk (distributed; TPC-H balances
+    span a fixed domain so chunks are balanced by construction), and
+    [c] a triangular join over the ~dozen chunk totals (broadcast).
+    The ntile bucket is then pure arithmetic on (rank, n).  Every
+    shuffle key is the balance value — nearly unique — so no skew, and
+    nothing ever funnels through one reducer."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    w_val = Window.partitionBy("c_acctbal").orderBy("c_custkey")
+    ranked = c.withColumn("rk_in_val", F.row_number().over(w_val))
+    val_cnt = c.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("vc"))
+    val_cnt = val_cnt.withColumn("chunk", F.floor(F.col("c_acctbal") / 1000))
+    w_chunk = Window.partitionBy("chunk").orderBy("c_acctbal")
+    cum = val_cnt.withColumn("cum_in_chunk", F.sum("vc").over(w_chunk))
+    chunk_tot = val_cnt.groupBy("chunk").agg(F.sum("vc").alias("ct"))
+    a, b = chunk_tot.alias("a"), chunk_tot.alias("b")
+    prior = (
+        a.join(F.broadcast(b), F.col("b.chunk") < F.col("a.chunk"), "left")
+        .groupBy(F.col("a.chunk").alias("chunk"))
+        .agg(F.coalesce(F.sum("b.ct"), F.lit(0)).alias("prior"))
+    )
+    offsets = cum.join(prior, "chunk").select(
+        "c_acctbal",
+        (F.col("prior") + F.col("cum_in_chunk") - F.col("vc")).alias("before"),
+    )
+    n_total = c.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    out = (
+        ranked.join(offsets, "c_acctbal")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("rank", F.col("before") + F.col("rk_in_val"))
+    )
+    # ntile(k): the first (n mod k) buckets get ceil(n/k) rows, the
+    # rest floor(n/k); for n < k bucket == rank.
+    base = F.floor(F.col("n") / 4)
+    rem = F.col("n") % 4
+    big = base + 1
+    cutoff = rem * big
+    quartile = F.when(F.col("rank") <= cutoff, F.ceil(F.col("rank") / big)).otherwise(
+        rem
+        + F.ceil((F.col("rank") - cutoff) / F.greatest(base, F.lit(1)))
+    )
+    return out.select(
         "c_custkey",
         F.round("c_acctbal", 2).alias("acctbal"),
-        F.ntile(4).over(w).cast("int").alias("quartile"),
+        quartile.cast("int").alias("quartile"),
     )
 
 

@@ -131,3 +131,46 @@ def test_simhash_signatures_match_fold_form(spark):
     a = {r["id"]: r["sh"] for r in fold.collect()}
     b = {r["id"]: r["sh"] for r in fast.collect()}
     assert a == b
+
+
+def test_ngram_hot_shingle_df_cap(spark):
+    """A shingle shared by more documents than max_shingle_df must not
+    generate candidate pairs (quadratic hot-key hygiene), while
+    genuinely similar pairs still surface; the capped shingle is also
+    excluded from the per-doc counts (symmetric set semantics)."""
+    hot = "common boiler plate"  # one 3-gram shared by ALL docs
+    rows = [
+        # 6 docs share ONLY the hot shingle pairwise
+        *[(i, f"common boiler plate unique{i} word{i} tail{i}") for i in range(6)],
+        # 2 near-dup docs sharing their distinctive shingles
+        (10, "alpha beta gamma delta epsilon"),
+        (11, "alpha beta gamma delta zeta"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "web") for i, t in rows],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, group_cols=["lang", "source"], threshold=0.3, max_shingle_df=4
+        ).collect()
+    }
+    # hot shingle has df 8 > 4 -> no pair among docs 0..5 (their only
+    # overlap); the 10/11 pair survives on its uncapped shingles.
+    assert all(a >= 10 for a, _ in out), out
+    assert (10, 11) in out
+    # uncapped: docs 10/11 share 'alpha beta gamma'+'beta gamma delta';
+    # each has 3 shingles -> jaccard 2/4 = 0.5
+    assert out[(10, 11)] == pytest.approx(0.5)
+
+
+def test_dedup_release_caches_empties_persistent_rdds(spark, docs):
+    """After a dedup sweep + release_caches(), no cached RDDs remain
+    (long-lived sessions must not accumulate cache)."""
+    from rc_scanner_spark.operators.dedup import release_caches
+
+    minhash_lsh_pairs(docs, verify_threshold=0.5).count()
+    ngram_jaccard_pairs(docs, group_cols=["lang", "source"]).count()
+    release_caches()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
