@@ -5,11 +5,12 @@ ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {"q": sec, ...}, "sf": ...}
 
-Each query is executed via a count()-style action that forces the full
-plan without collecting rows to the driver (df.count() after the final
-projection — Catalyst cannot prune the computed columns away because
-the counts are taken on the materialized plan's row set; for the
-filter-bearing queries the count depends on every operator upstream).
+Each query is forced with a ``noop``-format write: every output column
+is fully computed and shipped to the sink, so Catalyst cannot
+column-prune computed projections the way it can under ``count()``
+(for a projection-only query like text_quality, count() measures
+little more than the parquet scan).  Nothing is collected to the
+driver.
 """
 
 from __future__ import annotations
@@ -56,14 +57,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
+    from rc_scanner_spark.operators.dedup import release_caches
+
     for name in HEADLINE:
         # Each query is measured standalone: drop persisted frames the
         # previous query left behind so cache memory/GC pressure from
         # one query cannot distort the next.
         spark.catalog.clearCache()
+        release_caches()
         fn = registry[name].fn
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt

@@ -37,11 +37,42 @@ _UNSUPPORTED = (
     r"(?P<",  # named group, Python syntax (Java uses (?<name>))
     r"(?P=",  # named back-reference
     r"(?#",   # comment group
+    r"(?(",   # conditional group (?(id)yes|no) — Java has no equivalent
 )
+
+# Residual dialect gaps that are NOT detected (documented trade-off):
+# - octal escapes: Python requires \0dd or a back-reference-ambiguous
+#   \ddd; Java reads \0dd only — patterns relying on bare \ddd octals
+#   already mean "back-reference" in both and are rare enough that we
+#   pass them through;
+# - atomic groups (?>...) and possessive quantifiers (a*+): Java-native
+#   and Python >= 3.11 — accepted, semantics agree where Python
+#   accepts them;
+# - \b inside a character class is backspace in both dialects — fine.
 
 
 class RegexDialectError(ValueError):
     """Pattern uses Python-only syntax that java.util.regex lacks."""
+
+
+def _map_end_anchor(pattern: str) -> str:
+    """Python ``\\Z`` means absolute end-of-string; Java's absolute
+    anchor is ``\\z`` (Java's ``\\Z`` stops before a final line
+    terminator, which is Python ``\\Z``'s behavior only sans newline).
+    Walk escape-aware so a literal backslash (``\\\\``) followed by Z
+    is left alone."""
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            nxt = pattern[i + 1]
+            out.append("\\z" if nxt == "Z" else ch + nxt)
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def translate_pattern(pattern: str | re.Pattern[str]) -> str:
@@ -61,6 +92,7 @@ def translate_pattern(pattern: str | re.Pattern[str]) -> str:
             raise RegexDialectError(
                 f"pattern {pattern!r} uses Python-only construct {bad!r}"
             )
+    pattern = _map_end_anchor(pattern)
     prefix = "".join(
         letter for flag, letter in _FLAG_LETTERS if flags & flag
     )

@@ -483,13 +483,34 @@ FROM events GROUP BY event_type
 
 
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog approx distinct — sketch internals differ across
-    engines, so no SQL oracle (rows-only check); the pytest suite
-    bounds its error against the exact count instead."""
+    """HyperLogLog approx distinct with a bounded-error oracle: sketch
+    internals differ across engines, so instead of emitting the raw
+    estimate (never hash-comparable) the query emits the exact count
+    plus a within-5%-of-exact boolean computed from the HLL estimate
+    (rsd 0.02 -> measured error is ~1% at every SF).  Both columns are
+    deterministic, so the DuckDB twin (exact count, literal TRUE)
+    hash-matches and the driver records a full row — the approximate
+    aggregate is still exercised because ``approx_ok`` depends on it."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("a"),
+            F.countDistinct("l_partkey").alias("e"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("e").alias("exact_parts"),
+            (F.abs(F.col("a") - F.col("e")) / F.col("e") <= 0.05).alias("approx_ok"),
+        )
     )
+
+
+SQL_AGG_APPROX_DISTINCT = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -959,7 +980,7 @@ QUERIES: dict[str, QuerySpec] = {
     "join_asof": QuerySpec(q_join_asof, SQL_JOIN_ASOF),
     "agg_tpch_q1": QuerySpec(q_agg_tpch_q1, SQL_AGG_TPCH_Q1),
     "agg_distinct": QuerySpec(q_agg_distinct, SQL_AGG_DISTINCT),
-    "agg_approx_distinct": QuerySpec(q_agg_approx_distinct, None),
+    "agg_approx_distinct": QuerySpec(q_agg_approx_distinct, SQL_AGG_APPROX_DISTINCT),
     "agg_stats": QuerySpec(q_agg_stats, SQL_AGG_STATS),
     "agg_rollup": QuerySpec(q_agg_rollup, SQL_AGG_ROLLUP),
     "agg_cube": QuerySpec(q_agg_cube, SQL_AGG_CUBE),

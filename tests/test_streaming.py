@@ -412,3 +412,126 @@ def test_dedup_only_suppresses_flagged_titles(spark, users, tmp_path):
     assert len(rows) == 1
     assert rows[0]["title"] == "X"
     assert rows[0]["revid"] in (1001, 1002)
+
+
+class _LoopbackSSE:
+    """Threaded loopback SSE server: streams `n` Change events as
+    text/event-stream frames with ids, then drops the connection.
+    Records the Last-Event-ID header of every request so resumption
+    behavior is observable; on resume it serves only events after the
+    presented id."""
+
+    def __init__(self, n_events=10, drop_after=None):
+        import http.server
+        import threading
+
+        srv = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                last = self.headers.get("Last-Event-ID")
+                srv.seen_last_ids.append(last)
+                start = int(last) + 1 if last is not None else 0
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.end_headers()
+                stop = srv.n_events if srv.drop_after is None else min(
+                    start + srv.drop_after, srv.n_events
+                )
+                for i in range(start, stop):
+                    ev = make_change(i, f"Live{i}")
+                    frame = f"id: {i}\ndata: {json.dumps(ev)}\n\n"
+                    try:
+                        self.wfile.write(frame.encode())
+                        self.wfile.flush()
+                    except BrokenPipeError:
+                        return
+                # fall through: close the socket (client must reconnect)
+
+            def log_message(self, *a):
+                pass
+
+        self.n_events = n_events
+        self.drop_after = drop_after
+        self.seen_last_ids = []
+        self._httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self._httpd.server_address[1]
+        self._t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._t.start()
+
+    def url(self):
+        return f"http://127.0.0.1:{self.port}/sse"
+
+    def close(self):
+        self._httpd.shutdown()
+
+
+def _wait_for(pred, timeout=20.0):
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if pred():
+            return True
+        time.sleep(0.1)
+    return False
+
+
+def test_sse_loopback_reconnect_and_resume(tmp_path):
+    """Live mode against a loopback SSE server that drops the
+    connection every 3 events: the feed must reconnect with
+    Last-Event-ID and collect all events exactly once."""
+    from rc_scanner_spark.sources.sse import _LiveFeed
+
+    srv = _LoopbackSSE(n_events=9, drop_after=3)
+    try:
+        feed = _LiveFeed(srv.url(), timeout=5.0)
+        assert _wait_for(lambda: feed.size() == 9), feed.size()
+        ids = [r["id"] for r in feed.slice(0, 9)]
+        assert ids == list(range(9))
+        # reconnections presented the id of the last received event
+        assert srv.seen_last_ids[0] is None
+        assert "2" in srv.seen_last_ids and "5" in srv.seen_last_ids
+    finally:
+        srv.close()
+
+
+def test_sse_loopback_commit_trims_and_persists_id(tmp_path):
+    """commit() bounds the driver buffer to the uncommitted window and
+    persists the resumption id; a NEW feed (driver restart) presents
+    the persisted id on its first request."""
+    from rc_scanner_spark.schemas import CHANGE_SCHEMA as SCHEMA
+    from rc_scanner_spark.sources.sse import ChangeStreamReader
+
+    idfile = str(tmp_path / "last_id")
+    srv = _LoopbackSSE(n_events=6)
+    try:
+        r = ChangeStreamReader(SCHEMA, {"url": srv.url(), "idfile": idfile})
+        feed = r._feed
+        assert _wait_for(lambda: feed.size() == 6)
+        assert r.latestOffset() == {"line": 6}
+        parts = r.partitions({"line": 0}, {"line": 6})
+        rows = [row for p in parts for row in p.rows]
+        assert len(rows) == 6
+        r.commit({"line": 4})
+        # committed prefix trimmed, uncommitted window intact
+        assert feed.slice(0, 6) == feed.slice(4, 6)
+        assert len(feed.slice(4, 6)) == 2
+        assert feed.size() == 6  # global offset unchanged by trim
+        with open(idfile) as f:
+            assert f.read() == "5"
+    finally:
+        srv.close()
+
+    # restart: fresh server, fresh reader -> resumes from persisted id
+    srv2 = _LoopbackSSE(n_events=6)
+    try:
+        r2 = ChangeStreamReader(SCHEMA, {"url": srv2.url(), "idfile": idfile})
+        assert _wait_for(lambda: len(srv2.seen_last_ids) > 0)
+        assert srv2.seen_last_ids[0] == "5"
+        # checkpoint ahead of the fresh buffer: fast-forward maps new
+        # events to post-checkpoint offsets
+        r2.partitions({"line": 6}, {"line": 6})
+        assert _wait_for(lambda: r2._feed.size() >= 6)
+    finally:
+        srv2.close()
