@@ -347,6 +347,135 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word ``shingle_k``-gram with the benchmark set (the standard
+    n-gram-overlap test-set contamination check for LLM corpora).
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus (eval suites are MBs, the corpus is TBs) — distinct it and
+    broadcast; the train side then needs ONE map-side semi-join per
+    shingle, no shuffle of the corpus.  Counting contaminated shingles
+    per doc is a partial-agg groupBy on id.  Returns one row per train
+    doc: (id, n_contaminated, is_clean).
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle")
+        )
+        .distinct()
+        .hint("broadcast")
+    )
+    train_sh = train.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    hits = (
+        train_sh.join(bench_sh, "shingle", "inner")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            (F.coalesce(F.col("n_contaminated"), F.lit(0)) == 0).alias("is_clean"),
+        )
+    )
+
+
+def paragraph_chunks(text: Column, words_per_para: int = 15) -> Column:
+    """Split a document into pseudo-paragraph chunks of
+    ``words_per_para`` words (array<string>, order-preserving).  Real
+    corpora split on blank lines; the synthetic tables have no
+    newlines, so fixed-width word windows stand in — the dedup
+    machinery downstream is delimiter-agnostic."""
+    ws = words(text)
+    n = F.size(ws)
+    k = F.lit(words_per_para)
+    n_para = F.ceil(n / k).cast("int")
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_para - 1),
+            lambda i: F.array_join(F.slice(ws, i * k + 1, words_per_para), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_para: int = 15,
+    max_para_df: int = 1,
+) -> DataFrame:
+    """Paragraph-level dedup (C4-style): drop any paragraph whose
+    corpus-wide document frequency exceeds ``max_para_df``, then
+    reassemble each document from its surviving paragraphs in order.
+
+    Shape: explode (id, idx, para) → one hash-agg for global paragraph
+    df (on a 64-bit xxhash of the paragraph, so the shuffle moves 8
+    bytes + count, never the text) → broadcast-able hot-paragraph set
+    joined back (the hot set is small by definition: only paragraphs
+    repeated across documents) → groupBy id, sort by idx, re-join.
+    Returns (id, n_paras, n_dropped, clean_text).
+    """
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(paragraph_chunks(F.col(text_col), words_per_para)).alias(
+            "idx", "para"
+        ),
+    ).withColumn("ph", F.xxhash64("para"))
+    # the NULL row explode_outer emits for empty docs exists only so
+    # ``totals`` sees every doc — it must not enter the dedup path
+    # (xxhash64(NULL) is non-null, so two empty docs would otherwise
+    # "share" a paragraph)
+    real = paras.filter(F.col("para").isNotNull())
+    # document frequency per paragraph hash (count distinct docs, not
+    # occurrences, so an in-doc repeat doesn't self-censor)
+    hot = (
+        real.groupBy("ph")
+        .agg(F.count_distinct("id").alias("pdf"))
+        .filter(F.col("pdf") > max_para_df)
+        .select("ph")
+        .hint("broadcast")
+    )
+    kept = real.join(hot, "ph", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = paras.groupBy("id").agg(
+        F.count(F.when(F.col("para").isNotNull(), 1)).alias("n_paras")
+    )
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.col("n_paras").cast("long").alias("n_paras"),
+            (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def simhash_votes(text: Column) -> Column:
     """64-slot bit-vote array: for each distinct word, xxhash64(word)
     contributes +1/-1 per bit position.  One ``aggregate`` fold, no

@@ -268,6 +268,49 @@ def kmeans_assign(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    num_cells: int = 8,
+    iters: int = 2,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster embeddings with k-means,
+    then prune near-duplicates WITHIN each cluster by exact cosine.
+
+    A vector is a duplicate iff some lower-id vector in the same
+    cluster has cosine >= ``threshold`` with it (deterministic,
+    order-free rule; ``dup_of`` records the smallest such id).  The
+    pairwise step is cluster-blocked — the self-join key is the cell
+    id, so cost is sum(|cell|^2), never |N|^2, and the clustering
+    bounds each cell.  At 100 TB: write ``assigned`` bucketed by cell
+    and the self-join is shuffle-free.
+
+    Returns (id, cell, dup_of, is_kept) for every input vector.
+    """
+    _, assigned = kmeans_refine(vectors, num_cells, iters, id_col, vec_col)
+    a = assigned.select("cell", F.col("id").alias("id_lo"), F.col("v").alias("v_lo"))
+    b = assigned.select("cell", F.col("id").alias("id_hi"), F.col("v").alias("v_hi"))
+    dup_links = (
+        a.join(b, "cell")
+        .filter(F.col("id_lo") < F.col("id_hi"))
+        .withColumn("sim", F.round(cosine(F.col("v_lo"), F.col("v_hi")), 4))
+        .filter(F.col("sim") >= threshold)
+        .groupBy("id_hi")
+        .agg(F.min("id_lo").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup_links, assigned.id == dup_links.id_hi, "left")
+        .select(
+            "id",
+            "cell",
+            "dup_of",
+            F.col("dup_of").isNull().alias("is_kept"),
+        )
+    )
+
+
 def kmeans_refine(
     vectors: DataFrame,
     num_cells: int = 16,

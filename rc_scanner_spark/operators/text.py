@@ -100,6 +100,37 @@ def lang_id(text: Column) -> Column:
     return F.when(has_cjk, F.lit("zh")).otherwise(out)
 
 
+# PII patterns (scrub order matters: emails first so their digit runs
+# are gone before the phone/number passes; IPv4 before bare digit runs).
+# Kept to constructs valid in BOTH Java and DuckDB (RE2-ish) dialects so
+# the oracle twin can reuse the exact same strings.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"(?:\(\d{3}\)|\b\d{3})[ .-]\d{3}[ .-]\d{4}\b", "<PHONE>"),
+    ("id_number", r"\b\d{6,}\b", "<ID>"),
+)
+
+
+def pii_scrub(text: Column) -> dict[str, Column]:
+    """PII redaction as pure Catalyst regexp passes — no Python in the
+    hot path, so this scales to 100 TB of documents unchanged.
+
+    Returns the scrubbed text plus a per-category redaction count.
+    Counts are taken on the *pre-pass* text for that category (after
+    earlier categories were replaced), matching the sequential
+    replacement semantics exactly; the oracle twin applies the same
+    passes in the same order.
+    """
+    out: dict[str, Column] = {}
+    cur = text
+    for name, pat, token in PII_PATTERNS:
+        out[f"n_{name}"] = F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).cast("long")
+        cur = F.regexp_replace(cur, pat, token)
+    out["scrubbed"] = cur
+    return out
+
+
 def normalize(text: Column) -> Column:
     """Dedup normalization: lowercase, collapse whitespace, trim."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

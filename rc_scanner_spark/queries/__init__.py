@@ -99,9 +99,19 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "join_right_outer",
     "agg_corr",
     "agg_string_collect",
+    # round-2 additions (past this round's 50-entry window; round 3
+    # leads with whatever remains unchecked)
+    "decontaminate",
+    "dedup_paragraph",
+    "text_pii_scrub",
+    "sample_weighted_mix",
+    "sql_api_recursive_cte",
+    "sql_api_exists",
+    "sql_api_lateral",
     # hash-function-dependent ops (rows-only checks by design)
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_semantic",
     "ann_ivf_topk",
     "ann_lsh_bucketed",
     "cluster_kmeans",

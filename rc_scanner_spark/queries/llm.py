@@ -715,6 +715,235 @@ FROM documents
 """
 
 
+# --- round-2 additions: contamination, paragraph/semantic dedup, PII,
+# --- source-weighted mixing ------------------------------------------------
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    8-gram with the benchmark set (doc_id % 17 == 0 stands in for the
+    eval suite) are flagged.  The benchmark shingle set is distinct'd
+    and broadcast — at 100 TB the corpus side never shuffles."""
+    from ..operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate(train, bench, shingle_k=8)
+
+
+SQL_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 8
+              THEN list_distinct([array_to_string(words[i:i+7], ' ')
+                                  FOR i IN range(1, len(words) - 6)])
+              WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+              ELSE [] END AS sh
+  FROM w
+),
+e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+bench AS (SELECT DISTINCT shingle FROM e WHERE doc_id % 17 = 0),
+hits AS (
+  SELECT e.doc_id, count(*) AS n
+  FROM e JOIN bench USING (shingle)
+  WHERE e.doc_id % 17 != 0
+  GROUP BY 1
+)
+SELECT d.doc_id AS id,
+       COALESCE(h.n, 0) AS n_contaminated,
+       COALESCE(h.n, 0) = 0 AS is_clean
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 17 != 0
+"""
+
+
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup (C4-style boilerplate removal): drop any
+    15-word pseudo-paragraph appearing in more than one document,
+    reassemble the survivors in order.  The paragraph-frequency shuffle
+    moves 8-byte hashes, and the hot set joined back is broadcast-small
+    by construction."""
+    from ..operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(
+        _t(spark, sf_dir, "documents"), words_per_para=15, max_para_df=1
+    )
+
+
+SQL_DEDUP_PARAGRAPH = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         CASE WHEN len(words) > 0
+              THEN [array_to_string(words[(i*15+1):(i*15+15)], ' ')
+                    FOR i IN range(0, CAST(ceil(len(words) / 15.0) AS INT))]
+              ELSE [] END AS paras
+  FROM w
+),
+e AS (
+  SELECT doc_id,
+         generate_subscripts(paras, 1) - 1 AS idx,
+         unnest(paras) AS para
+  FROM p
+),
+hot AS (SELECT para FROM e GROUP BY para HAVING count(DISTINCT doc_id) > 1),
+kept AS (SELECT e.* FROM e ANTI JOIN hot USING (para)),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(para, ' ' ORDER BY idx) AS clean_text
+  FROM kept GROUP BY 1
+),
+totals AS (SELECT doc_id, len(paras) AS n_paras FROM p)
+SELECT t.doc_id AS id,
+       CAST(t.n_paras AS BIGINT) AS n_paras,
+       CAST(t.n_paras - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means cluster the embeddings
+    (k=8, 2 Lloyd iterations, deterministic seeds), prune within-cluster
+    cosine >= 0.7 keeping the smallest id.  The pairwise step is
+    cluster-blocked — never |N|^2.  Lloyd iterations are not
+    SQL-expressible -> rows-only check; planted-duplicate ground truth
+    in tests/test_similarity.py."""
+    from ..operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), num_cells=8, iters=2, threshold=0.7
+    )
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction as sequential Catalyst regexp passes (email ->
+    IPv4 -> phone -> long id numbers), with per-category counts.  The
+    synthetic corpus carries no PII, so a deterministic contact line is
+    planted per doc and then scrubbed — the scrubber sees real
+    patterns, and the oracle replays the identical plant + passes."""
+    from ..operators.text import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or (555) 867-53"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" id 1234567 at 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    cols = pii_scrub(planted)
+    return d.select(
+        "doc_id",
+        cols["n_email"].alias("n_email"),
+        cols["n_ipv4"].alias("n_ipv4"),
+        cols["n_phone"].alias("n_phone"),
+        cols["n_id_number"].alias("n_id_number"),
+        F.md5(cols["scrubbed"]).alias("scrubbed_md5"),
+    )
+
+
+SQL_TEXT_PII_SCRUB = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or (555) 867-53'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              || ' id 1234567 at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+           AS t0
+  FROM documents
+),
+p1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_email,
+         regexp_replace(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1
+  FROM planted
+),
+p2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t1,
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+         regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+  FROM p1
+),
+p3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         CAST(len(regexp_extract_all(t2,
+             '(?:\(\d{3}\)|\b\d{3})[ .-]\d{3}[ .-]\d{4}\b')) AS BIGINT)
+           AS n_phone,
+         regexp_replace(t2, '(?:\(\d{3}\)|\b\d{3})[ .-]\d{3}[ .-]\d{4}\b',
+                        '<PHONE>', 'g') AS t3
+  FROM p2
+),
+p4 AS (
+  SELECT doc_id, n_email, n_ipv4, n_phone,
+         CAST(len(regexp_extract_all(t3, '\b\d{6,}\b')) AS BIGINT)
+           AS n_id_number,
+         regexp_replace(t3, '\b\d{6,}\b', '<ID>', 'g') AS t4
+  FROM p3
+)
+SELECT doc_id, n_email, n_ipv4, n_phone, n_id_number, md5(t4) AS scrubbed_md5
+FROM p4
+"""
+
+
+def q_sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted corpus mixing: per-source sampling rates (1000,
+    500, 250 permille by source tier) applied via a salted md5 bucket
+    of doc_id — deterministic across runs, engines, partitionings and
+    re-ingests, unlike ``df.sample``.  Map-side only: no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring(F.col("source"), 4, 10).cast("int")
+    rate = (
+        F.when(src_num < 5, F.lit(1000))
+        .when(src_num < 10, F.lit(500))
+        .otherwise(F.lit(250))
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 5),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        rate.alias("rate_permille"),
+        bucket.alias("bucket"),
+    ).filter(F.col("bucket") < F.col("rate_permille"))
+
+
+SQL_SAMPLE_WEIGHTED_MIX = """
+WITH b AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 1000
+              WHEN CAST(substr(source, 4) AS INT) < 10 THEN 500
+              ELSE 250 END AS rate_permille,
+         CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 5))
+              AS BIGINT) % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, source, rate_permille, bucket
+FROM b WHERE bucket < rate_permille
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -743,4 +972,9 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_binary_meta": QuerySpec(
         q_multimodal_binary_meta, SQL_MULTIMODAL_BINARY_META
     ),
+    "decontaminate": QuerySpec(q_decontaminate, SQL_DECONTAMINATE),
+    "dedup_paragraph": QuerySpec(q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
+    "dedup_semantic": QuerySpec(q_dedup_semantic, None),
+    "text_pii_scrub": QuerySpec(q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
+    "sample_weighted_mix": QuerySpec(q_sample_weighted_mix, SQL_SAMPLE_WEIGHTED_MIX),
 }

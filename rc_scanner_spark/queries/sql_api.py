@@ -45,6 +45,52 @@ WHERE o_orderdate >= TIMESTAMP '2001-01-01'
 """
 
 
+# Recursive CTE (Spark 4 + DuckDB both speak WITH RECURSIVE): month
+# calendar spine from min to max order date — the standard gap-filling
+# shape (months with zero orders still appear).  The max bound rides
+# along in the recursion so the recursive step needs no subquery.
+SQL_API_RECURSIVE_CTE = """
+WITH RECURSIVE months(m, mx) AS (
+  SELECT date_trunc('month', min(o_orderdate)),
+         date_trunc('month', max(o_orderdate))
+  FROM orders
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH, mx FROM months WHERE m < mx
+),
+per AS (
+  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT months.m AS month_start, CAST(COALESCE(per.n, 0) AS BIGINT) AS n_orders
+FROM months LEFT JOIN per ON per.m = months.m
+"""
+
+# Correlated EXISTS / NOT EXISTS (planned as semi/anti joins).
+SQL_API_EXISTS = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+# LATERAL correlated subquery: per-customer top-2 orders — the lateral
+# form of the window top-k (Catalyst rewrites it to a lateral join).
+SQL_API_LATERAL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t ON true
+"""
+
+
 def _sql_query(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         tune(spark)
@@ -60,4 +106,9 @@ QUERIES: dict[str, QuerySpec] = {
         _sql_query(SQL_API_TOP_CUSTOMERS), SQL_API_TOP_CUSTOMERS
     ),
     "sql_api_window": QuerySpec(_sql_query(SQL_API_WINDOW), SQL_API_WINDOW),
+    "sql_api_recursive_cte": QuerySpec(
+        _sql_query(SQL_API_RECURSIVE_CTE), SQL_API_RECURSIVE_CTE
+    ),
+    "sql_api_exists": QuerySpec(_sql_query(SQL_API_EXISTS), SQL_API_EXISTS),
+    "sql_api_lateral": QuerySpec(_sql_query(SQL_API_LATERAL), SQL_API_LATERAL),
 }

@@ -11,9 +11,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from rc_scanner_spark.operators.dedup import (
+    decontaminate,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    paragraph_dedup,
     simhash_pairs,
     word_shingles,
 )
@@ -174,3 +176,62 @@ def test_dedup_release_caches_empties_persistent_rdds(spark, docs):
     ngram_jaccard_pairs(docs, group_cols=["lang", "source"]).count()
     release_caches()
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A train doc embedding a benchmark 8-gram is flagged; disjoint
+    docs are clean; a doc sharing only a 7-gram stays clean."""
+    # 8 shared words in order -> one shared 8-gram
+    shared = "one two three four five six seven eight"
+    bench = spark.createDataFrame(
+        [(100, f"prefix {shared} suffix")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, f"leading words then {shared} trailing"),  # contaminated
+            (2, "totally different vocabulary with nine distinct words here"),
+            (3, "one two three four five six seven"),  # only a 7-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: (r["n_contaminated"], r["is_clean"])
+           for r in decontaminate(train, bench, shingle_k=8).collect()}
+    assert out[1] == (1, False)
+    assert out[2] == (0, True)
+    assert out[3] == (0, True)
+    # short doc (< k words) shingles as a whole-doc gram: no false hit
+    assert set(out) == {1, 2, 3}
+
+
+def test_paragraph_dedup_drops_cross_doc_paragraphs(spark):
+    """A 3-word paragraph repeated across docs is dropped from both;
+    in-doc repetition alone does not self-censor; text reassembles in
+    order."""
+    boiler = "aaa bbb ccc"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} ddd eee fff"),          # para0=boiler para1=unique
+            (2, f"{boiler} ggg hhh iii"),          # para0=boiler para1=unique
+            (3, f"jjj kkk lll {boiler.replace(' ', 'x ')}"),  # no overlap
+            (4, ""),                                # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in paragraph_dedup(df, words_per_para=3).collect()}
+    assert (out[1]["n_paras"], out[1]["n_dropped"]) == (2, 1)
+    assert out[1]["clean_text"] == "ddd eee fff"
+    assert out[2]["clean_text"] == "ggg hhh iii"
+    assert (out[3]["n_paras"], out[3]["n_dropped"]) == (2, 0)
+    assert (out[4]["n_paras"], out[4]["n_dropped"], out[4]["clean_text"]) == (0, 0, "")
+
+
+def test_paragraph_dedup_in_doc_repeat_not_censored(spark):
+    """df counts DISTINCT docs: a paragraph repeated within one doc is
+    kept (both copies), only cross-doc repeats drop."""
+    df = spark.createDataFrame(
+        [(1, "aaa bbb ccc aaa bbb ccc"), (2, "xxx yyy zzz")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in paragraph_dedup(df, words_per_para=3).collect()}
+    assert out[1]["clean_text"] == "aaa bbb ccc aaa bbb ccc"
+    assert out[1]["n_dropped"] == 0

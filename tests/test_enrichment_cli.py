@@ -212,3 +212,45 @@ def test_cli_verbose_console_only(spark, tmp_path, capsys):
     logged = spark.read.json(str(out / "flagged_changes"))
     assert logged.count() == 2
     assert {r["change"]["title"] for r in logged.collect()} == {"VPage0", "VPage2"}
+
+
+def test_orc_source_roundtrip(spark, tmp_path):
+    """ORC is the other columnar lake format Spark speaks natively;
+    values and schema survive a write/read cycle and predicates push
+    down to the ORC reader."""
+    from rc_scanner_spark.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    li.write.mode("overwrite").orc(str(tmp_path / "li_orc"))
+    back = spark.read.orc(str(tmp_path / "li_orc"))
+    assert back.count() == li.count()
+    assert back.schema == li.schema
+    a = back.agg(F.round(F.sum("l_extendedprice"), 2).alias("s")).first()["s"]
+    b = li.agg(F.round(F.sum("l_extendedprice"), 2).alias("s")).first()["s"]
+    assert a == b
+    plan = (
+        back.filter(F.col("l_quantity") > 40)
+        .select("l_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "l_quantity" in plan
+
+
+def test_text_and_binaryfile_sources(spark, tmp_path):
+    """Unstructured ingestion paths: line-oriented text and whole-file
+    binary (the multimodal on-ramp: binaryFile yields (path, bytes)
+    rows ready for the mapInPandas codec stage)."""
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.txt").write_text("alpha\nbeta\n")
+    (p / "b.txt").write_text("gamma\n")
+    lines = spark.read.text(str(p))
+    assert sorted(r["value"] for r in lines.collect()) == ["alpha", "beta", "gamma"]
+
+    bf = spark.read.format("binaryFile").load(str(p))
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in bf.collect()}
+    assert set(rows) == {"a.txt", "b.txt"}
+    assert bytes(rows["a.txt"]["content"]) == b"alpha\nbeta\n"
+    assert rows["b.txt"]["length"] == 6

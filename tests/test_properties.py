@@ -110,3 +110,38 @@ def test_jaccard_bounds_and_symmetry(spark, texts):
     for r in out:
         assert 0.0 <= r["jab"] <= 1.0
         assert abs(r["jab"] - r["jba"]) < 1e-12
+
+
+def test_pii_scrub_planted_patterns(spark):
+    """Each PII category is counted and replaced; clean text is
+    untouched; counts reflect sequential passes (an email's digits are
+    gone before the id pass)."""
+    from rc_scanner_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@mail.example.org thanks"),
+            (2, "server 192.168.1.100 and backup 10.0.0.7"),
+            (3, "call (555) 867-5309 or 555-123-4567 now"),
+            (4, "account 123456789 pin 99"),   # 6+ digits yes, 2 digits no
+            (5, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    cols = pii_scrub(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[cols[k].alias(k) for k in ("n_email", "n_ipv4", "n_phone", "n_id_number")],
+            cols["scrubbed"].alias("scrubbed"),
+        ).collect()
+    }
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["scrubbed"]
+    assert "@" not in out[1]["scrubbed"]
+    assert out[2]["n_ipv4"] == 2 and out[2]["scrubbed"].count("<IP>") == 2
+    assert out[3]["n_phone"] == 2 and out[3]["scrubbed"].count("<PHONE>") == 2
+    assert out[4]["n_id_number"] == 1 and "<ID>" in out[4]["scrubbed"]
+    assert out[4]["scrubbed"].endswith("pin 99")
+    assert out[5]["scrubbed"] == "no pii here at all"
+    assert all(out[5][k] == 0 for k in ("n_email", "n_ipv4", "n_phone", "n_id_number"))

@@ -168,3 +168,44 @@ def test_ivf_assignment_is_deterministic_and_total(spark, emb):
     a = {r["id"]: r["cell"] for r in assigned.collect()}
     b = {r["id"]: r["cell"] for r in ivf_assign(emb, num_cells=8)[1].collect()}
     assert a == b
+
+
+def test_semantic_dedup_prunes_planted_near_identical(spark):
+    """Two near-identical vectors land in the same k-means cell; the
+    higher id is pruned with dup_of = the lower id.  An orthogonal
+    vector survives.  Every input id appears exactly once."""
+    from rc_scanner_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (4, [0.0, 0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["id"]: r for r in
+           semantic_dedup(df, num_cells=3, iters=2, threshold=0.9).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2]["dup_of"] == 1 and not out[2]["is_kept"]
+    assert out[1]["is_kept"] and out[3]["is_kept"] and out[4]["is_kept"]
+
+
+def test_semantic_dedup_blocking_is_cluster_local(spark, emb):
+    """On the real embeddings table: survivors partition the input, a
+    pruned id's dup_of is a smaller id in the SAME cell with cosine >=
+    threshold (spot-verified against numpy)."""
+    from rc_scanner_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(emb, num_cells=8, iters=2, threshold=0.7).collect()
+    assert len(out) == emb.count()
+    by_id = {r["id"]: r for r in out}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    pruned = [r for r in out if not r["is_kept"]]
+    for r in pruned[:25]:
+        other = by_id[r["dup_of"]]
+        assert r["dup_of"] < r["id"]
+        assert other["cell"] == r["cell"]
+        a, b = vecs[r["id"]], vecs[r["dup_of"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert round(cos, 4) >= 0.7
