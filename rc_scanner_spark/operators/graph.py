@@ -1,0 +1,107 @@
+"""Distributed connected components over near-duplicate edges.
+
+Fuzzy dedup at corpus scale (MinHash bands, SimHash chunks, multiple
+content fingerprints) emits *pairs*; turning pairs into canonical
+document groups is a connected-components problem — a doc can match A
+on one key and B on another, chaining A-doc-B into one cluster.
+
+The solver is iterative min-label propagation expressed entirely in
+DataFrame ops: each round is one hash-aggregate over the (static) edge
+list joined with the current labels, so every round is a single
+shuffle on the node id.  Lineage is cut per round with
+``localCheckpoint`` (an iterative plan would otherwise grow without
+bound), and the loop exits as soon as a round changes no label.  Round
+count is bounded by the cluster diameter — for dedup graphs that is
+small (clusters are near-identical documents chained through shared
+keys), so this converges in 2-4 rounds in practice; the edge builder
+below additionally emits *star* edges (every member -> its group min),
+which caps the diameter of any single-key group at 2 hops.
+
+Scale notes (100 TB): edges are built from bounded key groups (a df
+cap drops degenerate hot keys), star construction keeps the edge count
+linear in the membership (never m^2 per key), and the label frame
+carries only (id, component) longs — the shuffled state per round is
+16 bytes/doc regardless of document size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def star_edges_for_key(
+    df: DataFrame, id_col: str, key_col: str, max_group: int = 1000
+) -> DataFrame:
+    """Edges connecting every doc sharing ``key_col`` to the group's
+    min id: ``(src, dst)`` with src > dst.  Linear in group size (a
+    star, not a clique) yet connects the same component.  Groups
+    larger than ``max_group`` are dropped — a key shared by thousands
+    of docs is boilerplate, not duplication, and would otherwise
+    dominate the shuffle."""
+    g = (
+        df.groupBy(key_col)
+        .agg(
+            F.min(id_col).alias("dst"),
+            F.collect_set(id_col).alias("members"),
+        )
+        .filter(F.size("members") <= max_group)
+        .select("dst", F.explode("members").alias("src"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return g.select("src", "dst")
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """Min-label connected components: returns (id, component) where
+    ``component`` is the smallest id reachable from ``id`` over the
+    undirected ``edges`` (columns src, dst).  Nodes appearing in no
+    edge are absent — union the full id set downstream if needed.
+
+    Each iteration: symmetrize once (cached), join labels to edges,
+    take the min neighbor label per node, keep the smaller of
+    (own label, best neighbor label).  One shuffle per round, state is
+    two longs per node, lineage cut per round.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_best = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_best, labels["id"] == nbr_best["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

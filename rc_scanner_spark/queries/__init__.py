@@ -108,6 +108,12 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sql_api_recursive_cte",
     "sql_api_exists",
     "sql_api_lateral",
+    "dedup_cc_clusters",
+    "pack_sequences",
+    "text_chunk_overlap",
+    "sample_stratified",
+    "profile_columns",
+    "event_funnel",
     # hash-function-dependent ops (rows-only checks by design)
     "dedup_minhash_lsh",
     "dedup_simhash",

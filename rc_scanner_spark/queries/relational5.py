@@ -13,7 +13,7 @@ join moves per-key counts, not raw order rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import tune
@@ -279,6 +279,164 @@ GROUP BY r_name
 """
 
 
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data profiling over the events table: one aggregate
+    computes every column's null count, distinct count, and min/max
+    (strings via cast), then the 1-row result is unpivoted with stack —
+    so profiling N columns costs one scan + one partial-aggregating
+    shuffle, never N scans.  The stack runs on a single-row frame, so
+    the 'unpivot' is free."""
+    e = _t(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        # second-precision timestamp formatting: Spark and DuckDB
+        # disagree on fractional-second string casts; truncation is
+        # monotone so min/max are unaffected.
+        if c == "ts":
+            s = F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
+        elif c == "value":
+            # doubles render differently across engines (sci notation);
+            # fixed-point printf is engine-stable.
+            s = F.format_string("%.6f", F.col(c))
+        else:
+            s = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(s).alias(f"{c}__min"),
+            F.max(s).alias(f"{c}__max"),
+        ]
+    one = e.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) as "
+            "(column_name, n_nulls, n_distinct, min_str, max_str)"
+        ),
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
+_PROFILE_COL_SQL = """
+SELECT '{c}' AS column_name,
+       (SELECT count(*) FROM events) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       min({s}) AS min_str,
+       max({s}) AS max_str
+FROM events
+"""
+
+SQL_PROFILE_COLUMNS = " UNION ALL ".join(
+    _PROFILE_COL_SQL.format(
+        c=c,
+        s=(
+            "strftime(ts, '%Y-%m-%d %H:%M:%S')"
+            if c == "ts"
+            else "printf('%.6f', value)"
+            if c == "value"
+            else f"CAST({c} AS VARCHAR)"
+        ),
+    )
+    for c in ("event_id", "ts", "user_id", "event_type", "value")
+)
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel with a 1-hour conversion window
+    per hop: running per-user windows compute the earliest qualifying
+    timestamp of each stage given the previous stage already happened
+    (strictly ordered by (ts, event_id)), then one aggregate counts
+    users by deepest stage reached.  All three stage windows share the
+    user_id partitioning — a single shuffle, reused across the whole
+    funnel."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hop = F.expr("INTERVAL 1 HOUR")
+    t = e.select("user_id", "ts", "event_id", "event_type")
+    t = t.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    t = t.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("t1"))
+                & (F.col("ts") <= F.col("t1") + hop),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    t = t.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t2"))
+                & (F.col("ts") <= F.col("t2") + hop),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = t.groupBy("user_id").agg(
+        F.max(F.col("t1").isNotNull().cast("int")).alias("s1"),
+        F.max(F.col("t2").isNotNull().cast("int")).alias("s2"),
+        F.max(F.col("t3").isNotNull().cast("int")).alias("s3"),
+    )
+    stage = (F.col("s1") + F.col("s2") + F.col("s3")).cast("bigint")
+    return (
+        per_user.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+             OVER w AS t1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+t2s AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1
+                      AND ts <= t1 + INTERVAL 1 HOUR THEN ts END)
+                OVER w AS t2
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+t3s AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2
+                      AND ts <= t2 + INTERVAL 1 HOUR THEN ts END)
+                OVER w AS t3
+  FROM t2s
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+per_user AS (
+  SELECT user_id,
+         max(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+         max(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+         max(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS s3
+  FROM t3s GROUP BY 1
+)
+SELECT CAST(s1 + s2 + s3 AS BIGINT) AS funnel_stage,
+       count(*) AS n_users
+FROM per_user GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "agg_corr": QuerySpec(q_agg_corr, SQL_AGG_CORR),
     "agg_string_collect": QuerySpec(q_agg_string_collect, SQL_AGG_STRING_COLLECT),
@@ -286,4 +444,6 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q9ish": QuerySpec(q_tpch_q9ish, SQL_TPCH_Q9ISH),
     "tpch_q13ish": QuerySpec(q_tpch_q13ish, SQL_TPCH_Q13ISH),
     "tpch_q16ish": QuerySpec(q_tpch_q16ish, SQL_TPCH_Q16ISH),
+    "profile_columns": QuerySpec(q_profile_columns, SQL_PROFILE_COLUMNS),
+    "event_funnel": QuerySpec(q_event_funnel, SQL_EVENT_FUNNEL),
 }

@@ -1,0 +1,62 @@
+"""Sequence packing + sliding-window chunking: planted ground truth
+(boundary spans, empty docs, exact-fit and off-by-one chunk sizes).
+"""
+
+from __future__ import annotations
+
+
+def _docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_pack_sequences_spans_and_offsets(spark, tmp_path):
+    rows = [
+        (1, " ".join(["w"] * 500), "en", "srcA", 0),   # fills most of seq 0
+        (2, " ".join(["w"] * 100), "en", "srcA", 0),   # spans seq 0 -> 1
+        (3, "", "en", "srcA", 0),                       # zero tokens
+        (4, " ".join(["w"] * 10), "en", "srcB", 0),    # independent stream
+    ]
+    sf = _docs(spark, tmp_path, rows)
+    from rc_scanner_spark.queries.llm import q_pack_sequences
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_offset"], r["first_seq"], r["last_seq"], r["n_seqs"]
+        )
+        for r in q_pack_sequences(spark, sf).collect()
+    }
+    assert got[1] == (500, 0, 0, 0, 1)
+    # doc2: tokens 500..599 -> crosses the 512 boundary
+    assert got[2] == (100, 500, 0, 1, 2)
+    # empty doc sits at offset 600, spans nothing beyond its first_seq
+    assert got[3] == (0, 600, 1, 1, 1)
+    # per-source streams are independent: srcB restarts at offset 0
+    assert got[4] == (10, 0, 0, 0, 1)
+
+
+def test_chunk_overlap_boundaries(spark, tmp_path):
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(64)), "en", "s", 0),   # exact fit
+        (2, " ".join(f"b{i}" for i in range(65)), "en", "s", 0),   # one extra
+        (3, "", "en", "s", 0),                                      # empty -> no rows
+        (4, "solo", "en", "s", 0),                                  # tiny -> 1 chunk
+    ]
+    sf = _docs(spark, tmp_path, rows)
+    from rc_scanner_spark.queries.llm import q_text_chunk_overlap
+
+    rows_out = q_text_chunk_overlap(spark, sf).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows_out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert {r["chunk_idx"] for r in by_doc[1]} == {0}
+    assert by_doc[1][0]["chunk_words"] == 64
+    # 65 words, stride 48: chunks [0..63] and [48..64]
+    two = {r["chunk_idx"]: r["chunk_words"] for r in by_doc[2]}
+    assert two == {0: 64, 1: 17}
+    assert 3 not in by_doc
+    assert [(r["chunk_idx"], r["chunk_words"]) for r in by_doc[4]] == [(0, 1)]
