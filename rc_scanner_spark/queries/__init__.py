@@ -114,6 +114,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sample_stratified",
     "profile_columns",
     "event_funnel",
+    "text_unigram_logprob",
+    "agg_histogram",
+    "cluster_zorder",
     # hash-function-dependent ops (rows-only checks by design)
     "dedup_minhash_lsh",
     "dedup_simhash",

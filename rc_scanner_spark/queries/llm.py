@@ -32,6 +32,7 @@ from ..operators.text import (
     quality_columns,
     quality_score,
     token_count,
+    words,
 )
 from ..session import tune
 from ..tables import load_table
@@ -944,6 +945,316 @@ FROM b WHERE bucket < rate_permille
 """
 
 
+def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters* from multi-key edges via distributed
+    connected components: docs sharing a first-4-words or last-4-words
+    fingerprint are edged (star construction — linear per key group,
+    df-capped at 100), then min-label propagation assigns each doc the
+    smallest reachable id.  Chains (A~B on the prefix key, B~C on the
+    suffix key) collapse into one cluster, which pairwise dedup alone
+    cannot do.  Per round: one shuffle of 16-byte (id, label) state.
+    Oracle: recursive-CTE reachability closure over identical edges."""
+    from ..operators.graph import connected_components, star_edges_for_key
+
+    d = _t(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    k1 = F.md5(F.concat_ws(" ", F.slice(ws, 1, 4)))
+    k2 = F.md5(
+        F.concat_ws(
+            " ",
+            F.when(F.size(ws) >= 4, F.slice(ws, -4, 4)).otherwise(ws),
+        )
+    )
+    keyed = d.select(
+        "doc_id", F.explode(F.array(k1, k2)).alias("key")
+    ).distinct()
+    edges = star_edges_for_key(keyed, "doc_id", "key", max_group=100)
+    comp = connected_components(edges)
+    labeled = (
+        d.select("doc_id")
+        .join(comp, d["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "component").select(
+        "doc_id",
+        "component",
+        "cluster_size",
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+SQL_DEDUP_CC_CLUSTERS = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+keyed AS (
+  SELECT DISTINCT doc_id, key FROM (
+    SELECT doc_id, md5(array_to_string(words[1:4], ' ')) AS key FROM w
+    UNION ALL
+    SELECT doc_id,
+           md5(array_to_string(
+               CASE WHEN len(words) >= 4 THEN words[-4:] ELSE words END, ' '))
+    FROM w
+  )
+),
+grp AS (
+  SELECT key, min(doc_id) AS dst, count(*) AS n
+  FROM keyed GROUP BY key HAVING count(*) <= 100
+),
+star AS (
+  SELECT k.doc_id AS src, g.dst
+  FROM keyed k JOIN grp g USING (key)
+  WHERE k.doc_id != g.dst
+),
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM star UNION ALL SELECT dst AS src, src AS dst FROM star
+  )
+),
+reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
+),
+comp AS (
+  SELECT src AS doc_id, least(min(dst), src) AS component
+  FROM reach GROUP BY src
+),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+sizes AS (
+  SELECT component, count(*) AS cluster_size FROM labeled GROUP BY 1
+)
+SELECT l.doc_id, l.component, s.cluster_size,
+       l.doc_id = l.component AS is_canonical
+FROM labeled l JOIN sizes s USING (component)
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-then-chunk, GPT-style): per
+    source stream, documents are concatenated in doc_id order and cut
+    into fixed 512-token sequences; each doc reports its pack span.
+    One shuffle (the per-source window sum of token counts); running
+    state is one long per doc.  At 100 TB the window key is the
+    source shard — no global ordering is ever materialized."""
+    d = _t(spark, sf_dir, "documents")
+    budget = 512
+    n_tok = token_count(F.col("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    t = t.withColumn("end_offset", F.sum("n_tokens").over(w))
+    t = t.withColumn("start_offset", F.col("end_offset") - F.col("n_tokens"))
+    first_seq = F.floor(F.col("start_offset") / budget)
+    last_seq = F.when(
+        F.col("n_tokens") > 0, F.floor((F.col("end_offset") - 1) / budget)
+    ).otherwise(first_seq)
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        first_seq.cast("bigint").alias("first_seq"),
+        last_seq.cast("bigint").alias("last_seq"),
+        (last_seq - first_seq + 1).cast("bigint").alias("n_seqs"),
+    )
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         sum(len(regexp_extract_all(text, '\S+')))
+             OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS end_offset
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+       CAST(floor((end_offset - n_tokens) / 512) AS BIGINT) AS first_seq,
+       CAST(CASE WHEN n_tokens > 0 THEN floor((end_offset - 1) / 512)
+                 ELSE floor((end_offset - n_tokens) / 512) END AS BIGINT)
+         AS last_seq,
+       CAST(CASE WHEN n_tokens > 0 THEN floor((end_offset - 1) / 512)
+                 ELSE floor((end_offset - n_tokens) / 512) END
+            - floor((end_offset - n_tokens) / 512) + 1 AS BIGINT) AS n_seqs
+FROM t
+"""
+
+
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for retrieval/embedding prep: 64-word
+    chunks, stride 48 (16-word overlap).  Chunk boundaries are computed
+    per row from the word array (sequence -> transform -> explode) —
+    map-side only, zero shuffles; the explode fan-out is bounded by
+    n_words/stride."""
+    d = _t(spark, sf_dir, "documents")
+    chunk, stride = 64, 48
+    ws = words(F.col("text"))
+    n = F.size(ws)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.when(n <= chunk, F.lit(1)).otherwise(
+            F.ceil((n - chunk) / F.lit(stride)) + 1
+        )
+    )
+    t = d.select("doc_id", ws.alias("ws"), n.alias("n_words"), n_chunks.alias("n_chunks"))
+    idx = F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx")
+    t = t.filter(F.col("n_chunks") > 0).select("doc_id", "ws", "n_words", idx)
+    piece = F.slice(F.col("ws"), F.col("chunk_idx") * stride + 1, chunk)
+    return t.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(piece).cast("bigint").alias("chunk_words"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
+    )
+
+
+SQL_TEXT_CHUNK_OVERLAP = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words
+  FROM documents
+),
+c AS (
+  SELECT doc_id, ws,
+         CASE WHEN n_words <= 0 THEN 0
+              WHEN n_words <= 64 THEN 1
+              ELSE CAST(ceil((n_words - 64) / 48.0) AS INT) + 1 END AS n_chunks
+  FROM w
+),
+e AS (
+  SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_idx
+  FROM c WHERE n_chunks > 0
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(ws[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)]) AS BIGINT)
+         AS chunk_words,
+       md5(array_to_string(ws[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)], ' '))
+         AS chunk_md5
+FROM e
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling to the smallest language stratum:
+    per-lang rates (min_count/count as ppm, integer arithmetic so both
+    engines agree exactly) applied via the salted md5 bucket used by
+    the other samplers — deterministic across engines and re-runs,
+    unlike ``df.sampleBy``.  The rate table is tiny -> broadcast; the
+    corpus side never shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    target = counts.agg(F.min("n_lang").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        F.floor((F.col("n_min") * 1000000) / F.col("n_lang"))
+        .cast("bigint")
+        .alias("rate_ppm"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("rate_ppm"),
+            bucket.alias("bucket"),
+        )
+        .filter(F.col("bucket") < F.col("rate_ppm"))
+    )
+
+
+SQL_SAMPLE_STRATIFIED = """
+WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+rates AS (
+  SELECT lang,
+         CAST(floor((SELECT min(n_lang) FROM counts) * 1000000 / n_lang)
+              AS BIGINT) AS rate_ppm
+  FROM counts
+),
+b AS (
+  SELECT d.doc_id, d.lang, r.rate_ppm,
+         CAST(concat('0x', substr(md5('strat:' || CAST(d.doc_id AS VARCHAR)), 1, 6))
+              AS BIGINT) % 1000000 AS bucket
+  FROM documents d JOIN rates r USING (lang)
+)
+SELECT doc_id, lang, rate_ppm, bucket FROM b WHERE bucket < rate_ppm
+"""
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring via a corpus unigram LM (the
+    KenLM-filter stand-in): pass 1 aggregates word frequencies, pass 2
+    joins them back onto the exploded corpus and averages
+    -ln p(word) per doc.  Shuffles are on the word key (zipf-bounded
+    vocab; AQE handles the hot head) and the doc id.  Docs with no
+    words score NULL (filtered by callers, kept here for parity)."""
+    d = _t(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+    vocab = ex.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    total = vocab.agg(F.sum("wc").alias("tot"))
+    scored = (
+        ex.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg(-F.log(F.col("wc") / F.col("tot"))), 4).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
+    return d.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+        "avg_neg_logprob",
+    )
+
+
+SQL_TEXT_UNIGRAM_LOGPROB = """
+WITH e AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+),
+vocab AS (SELECT word, count(*) AS wc FROM e GROUP BY 1),
+tot AS (SELECT sum(wc) AS tot FROM vocab),
+scored AS (
+  SELECT e.doc_id, count(*) AS n_words,
+         round(avg(-ln(v.wc / t.tot)), 4) AS avg_neg_logprob
+  FROM e JOIN vocab v USING (word) CROSS JOIN tot t
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(s.n_words, 0) AS n_words,
+       s.avg_neg_logprob
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -977,4 +1288,11 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_semantic": QuerySpec(q_dedup_semantic, None),
     "text_pii_scrub": QuerySpec(q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "sample_weighted_mix": QuerySpec(q_sample_weighted_mix, SQL_SAMPLE_WEIGHTED_MIX),
+    "dedup_cc_clusters": QuerySpec(q_dedup_cc_clusters, SQL_DEDUP_CC_CLUSTERS),
+    "pack_sequences": QuerySpec(q_pack_sequences, SQL_PACK_SEQUENCES),
+    "text_chunk_overlap": QuerySpec(q_text_chunk_overlap, SQL_TEXT_CHUNK_OVERLAP),
+    "sample_stratified": QuerySpec(q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "text_unigram_logprob": QuerySpec(
+        q_text_unigram_logprob, SQL_TEXT_UNIGRAM_LOGPROB
+    ),
 }

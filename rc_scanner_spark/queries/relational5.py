@@ -437,6 +437,109 @@ FROM per_user GROUP BY 1
 """
 
 
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin histogram of event values: one aggregate for
+    the global (min, max), broadcast to the scan, bucket assignment
+    map-side, one partial-aggregating shuffle on the bucket id.  The
+    bucket expression is mirrored token-for-token in the oracle so the
+    IEEE arithmetic (and thus edge-of-bin assignment) is identical."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    b = e.crossJoin(F.broadcast(bounds))
+    bucket = F.least(
+        F.lit(19),
+        F.floor(
+            (F.col("value") - F.col("vmin"))
+            / (F.col("vmax") - F.col("vmin"))
+            * 20
+        ),
+    ).cast("bigint")
+    return (
+        b.select(bucket.alias("bucket"), "vmin", "vmax")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.min(F.col("vmin") + (F.col("vmax") - F.col("vmin")) / 20 * F.col("bucket")),
+                6,
+            ).alias("lo"),
+        )
+    )
+
+
+SQL_AGG_HISTOGRAM = """
+WITH bounds AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+b AS (
+  SELECT least(19, CAST(floor((value - vmin) / (vmax - vmin) * 20) AS BIGINT))
+           AS bucket,
+         vmin, vmax
+  FROM events CROSS JOIN bounds
+)
+SELECT bucket, count(*) AS n,
+       round(min(vmin + (vmax - vmin) / 20 * bucket), 6) AS lo
+FROM b GROUP BY 1
+"""
+
+
+def _interleave_bits(x, y, bits: int = 16):
+    """Morton/Z-order interleave of two non-negative ints, built as a
+    pure Catalyst expression tree (no UDF): bit i of x -> bit 2i, bit
+    i of y -> bit 2i+1."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(
+                F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            )
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def q_cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, value-decile):
+    interleaving the two dimensions' bits gives a 1-D sort key whose
+    ranges are 2-D locality blocks — sortWithinPartitions(zval) before
+    a parquet write yields min/max column stats that prune on BOTH
+    dimensions.  The z-value is a pure codegen bit expression; the
+    decile uses fixed bounds so both engines agree exactly."""
+    e = _t(spark, sf_dir, "events")
+    x = F.col("user_id").cast("bigint")
+    y = F.least(F.lit(9), F.floor(F.col("value") / 100.0)).cast("bigint")
+    z = _interleave_bits(x, y)
+    return e.select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        z.alias("zval"),
+        F.shiftright(z, 6).alias("zbucket"),
+    )
+
+
+def _sql_interleave(xe: str, ye: str, bits: int = 16) -> str:
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({xe} >> {i}) & 1) << {2 * i})")
+        parts.append(f"((({ye} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(parts)
+
+
+SQL_CLUSTER_ZORDER = f"""
+WITH d AS (
+  SELECT event_id, CAST(user_id AS BIGINT) AS x,
+         CAST(least(9, floor(value / 100.0)) AS BIGINT) AS y
+  FROM events
+)
+SELECT event_id, x, y,
+       ({_sql_interleave('x', 'y')}) AS zval,
+       ({_sql_interleave('x', 'y')}) >> 6 AS zbucket
+FROM d
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "agg_corr": QuerySpec(q_agg_corr, SQL_AGG_CORR),
     "agg_string_collect": QuerySpec(q_agg_string_collect, SQL_AGG_STRING_COLLECT),
@@ -446,4 +549,6 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q16ish": QuerySpec(q_tpch_q16ish, SQL_TPCH_Q16ISH),
     "profile_columns": QuerySpec(q_profile_columns, SQL_PROFILE_COLUMNS),
     "event_funnel": QuerySpec(q_event_funnel, SQL_EVENT_FUNNEL),
+    "agg_histogram": QuerySpec(q_agg_histogram, SQL_AGG_HISTOGRAM),
+    "cluster_zorder": QuerySpec(q_cluster_zorder, SQL_CLUSTER_ZORDER),
 }

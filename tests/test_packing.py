@@ -60,3 +60,20 @@ def test_chunk_overlap_boundaries(spark, tmp_path):
     assert two == {0: 64, 1: 17}
     assert 3 not in by_doc
     assert [(r["chunk_idx"], r["chunk_words"]) for r in by_doc[4]] == [(0, 1)]
+
+
+def test_zorder_interleave_known_values(spark):
+    """Morton interleave against hand-computed values: x=3 (11b),
+    y=5 (101b) -> z = 39; plus the identity rows."""
+    from pyspark.sql import functions as F
+
+    from rc_scanner_spark.queries.relational5 import _interleave_bits
+
+    df = spark.createDataFrame(
+        [(3, 5), (1, 0), (0, 1), (0, 0)], "x bigint, y bigint"
+    )
+    out = df.select(
+        "x", "y", _interleave_bits(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    got = {(r["x"], r["y"]): r["z"] for r in out}
+    assert got == {(3, 5): 39, (1, 0): 1, (0, 1): 2, (0, 0): 0}
