@@ -117,13 +117,16 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "text_unigram_logprob",
     "agg_histogram",
     "cluster_zorder",
-    # hash-function-dependent ops (rows-only checks by design)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+    # k-means family: full oracles via unrolled-Lloyd SQL (every
+    # decision float is rounded before comparison on both sides)
+    "cluster_kmeans",
     "dedup_semantic",
     "ann_ivf_topk",
+    # xxhash64-dependent ops (rows-only checks by design — DuckDB has
+    # no xxhash64, and the hash IS the algorithm)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_lsh_bucketed",
-    "cluster_kmeans",
     "multimodal_features",
 )
 

@@ -257,8 +257,10 @@ SELECT query_id, vec_id, sim, rank FROM (
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed cosine top-5 (16 cells, 4 probes): each query scores
-    only ~1/4 of the corpus.  Approximate (centroid seeds, bounded
-    probes) -> no SQL oracle; recall vs ann_cosine_topk in tests."""
+    only ~1/4 of the corpus.  Every float that influences a decision is
+    rounded (centroid sim to 6, output sim to 4) before comparison, so
+    the unrolled SQL twin reproduces the assignment/probe/rank
+    decisions exactly."""
     from ..operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -266,6 +268,102 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(e, queries, k=5, num_cells=16, num_probes=4)
+
+
+def _sql_kmeans_ctes(num_cells: int, iters: int) -> tuple[str, str]:
+    """Unrolled Lloyd iteration as DuckDB CTE text: returns (ctes,
+    final_assign_name).  Mirrors operators/similarity.kmeans_refine
+    decision-for-decision: seeds = ``num_cells`` smallest ids, csim
+    rounded to 6 before the argmax (tie -> lowest cell), per-dimension
+    centroid means rounded to 6 each round."""
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+{name} AS (
+  SELECT id, v, cell, csim FROM (
+    SELECT b.id, b.v, c.cell,
+           round(list_cosine_similarity(b.v, c.cv), 6) AS csim,
+           row_number() OVER (
+             PARTITION BY b.id
+             ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC, c.cell
+           ) AS rn
+    FROM kb b CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    def recompute(name: str, assigned: str) -> str:
+        return f"""
+{name} AS (
+  SELECT cell, list(val ORDER BY pos) AS cv FROM (
+    SELECT cell, pos, round(avg(val), 6) AS val FROM (
+      SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+      FROM {assigned}
+    ) GROUP BY cell, pos
+  ) GROUP BY cell
+)"""
+
+    parts = [
+        "kb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""kc0 AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
+  FROM (SELECT id, v FROM kb ORDER BY id LIMIT {num_cells})
+)""",
+    ]
+    for i in range(iters):
+        parts.append(assign(f"ka{i + 1}", f"kc{i}"))
+        parts.append(recompute(f"kc{i + 1}", f"ka{i + 1}"))
+    final = f"ka{iters + 1}"
+    parts.append(assign(final, f"kc{iters}"))
+    return ",\n".join(parts), final
+
+
+_KMEANS_CTES_8_3, _KMEANS_FINAL_8_3 = _sql_kmeans_ctes(8, 3)
+_KMEANS_CTES_8_2, _KMEANS_FINAL_8_2 = _sql_kmeans_ctes(8, 2)
+_IVF_CTES, _IVF_ASSIGN = _sql_kmeans_ctes(16, 0)
+
+SQL_CLUSTER_KMEANS = f"""
+WITH {_KMEANS_CTES_8_3}
+SELECT cell, count(*) AS n_vectors, round(avg(csim), 3) AS mean_cosine
+FROM {_KMEANS_FINAL_8_3} GROUP BY cell
+"""
+
+SQL_DEDUP_SEMANTIC = f"""
+WITH {_KMEANS_CTES_8_2},
+links AS (
+  SELECT hi.id AS id_hi, min(lo.id) AS dup_of
+  FROM {_KMEANS_FINAL_8_2} lo JOIN {_KMEANS_FINAL_8_2} hi USING (cell)
+  WHERE lo.id < hi.id
+    AND round(list_cosine_similarity(lo.v, hi.v), 4) >= 0.7
+  GROUP BY hi.id
+)
+SELECT a.id, a.cell, l.dup_of, l.dup_of IS NULL AS is_kept
+FROM {_KMEANS_FINAL_8_2} a LEFT JOIN links l ON l.id_hi = a.id
+"""
+
+SQL_ANN_IVF_TOPK = f"""
+WITH {_IVF_CTES},
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id % 25 = 0),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cell
+           ) AS rn
+    FROM q CROSS JOIN kc0 c
+  ) WHERE rn <= 4
+)
+SELECT query_id, vec_id, sim, rank FROM (
+  SELECT p.query_id, a.id AS vec_id,
+         round(list_cosine_similarity(p.qv, a.v), 4) AS sim,
+         CAST(row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY round(list_cosine_similarity(p.qv, a.v), 4) DESC, a.id
+         ) AS INTEGER) AS rank
+  FROM probes p JOIN {_IVF_ASSIGN} a USING (cell)
+) WHERE rank <= 5
+"""
 
 
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1264,7 +1362,7 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE
     ),
     "ann_cosine_topk": QuerySpec(q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
-    "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, None),
+    "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_lsh_bucketed": QuerySpec(q_ann_lsh_bucketed, None),
     "llm_prep_pipeline": QuerySpec(q_llm_prep_pipeline, SQL_LLM_PREP_PIPELINE),
     "text_lang_id": QuerySpec(q_text_lang_id, SQL_TEXT_LANG_ID),
@@ -1272,7 +1370,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_incremental": QuerySpec(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "sample_hash_split": QuerySpec(q_sample_hash_split, SQL_SAMPLE_HASH_SPLIT),
     "text_repetition": QuerySpec(q_text_repetition, SQL_TEXT_REPETITION),
-    "cluster_kmeans": QuerySpec(q_cluster_kmeans, None),
+    "cluster_kmeans": QuerySpec(q_cluster_kmeans, SQL_CLUSTER_KMEANS),
     "text_token_count": QuerySpec(q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": QuerySpec(q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
@@ -1285,7 +1383,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "decontaminate": QuerySpec(q_decontaminate, SQL_DECONTAMINATE),
     "dedup_paragraph": QuerySpec(q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
-    "dedup_semantic": QuerySpec(q_dedup_semantic, None),
+    "dedup_semantic": QuerySpec(q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "text_pii_scrub": QuerySpec(q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "sample_weighted_mix": QuerySpec(q_sample_weighted_mix, SQL_SAMPLE_WEIGHTED_MIX),
     "dedup_cc_clusters": QuerySpec(q_dedup_cc_clusters, SQL_DEDUP_CC_CLUSTERS),
