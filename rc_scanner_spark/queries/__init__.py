@@ -122,12 +122,13 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "cluster_kmeans",
     "dedup_semantic",
     "ann_ivf_topk",
+    # the fake codec is deterministic byte arithmetic -> SQL-replayable
+    "multimodal_features",
     # xxhash64-dependent ops (rows-only checks by design — DuckDB has
     # no xxhash64, and the hash IS the algorithm)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_bucketed",
-    "multimodal_features",
 )
 
 

@@ -751,9 +751,11 @@ GROUP BY lang_pred
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary media payloads
     (operators/multimodal.extract_features): the ONE deliberate Python
-    stage in the engine — mapInPandas at the codec boundary.  Feature
-    values depend on the Python-side fake codec -> rows-only check;
-    numeric ground truth in tests/test_multimodal.py."""
+    stage in the engine — mapInPandas at the codec boundary.  The fake
+    codec is deterministic per-byte arithmetic, so the oracle replays
+    it in SQL via hex-chunk list comprehensions; feature_sum has at
+    most 3 true decimals, so the float32 round-trip (error ~1e-7)
+    cannot flip the 4-digit round."""
     from ..operators.multimodal import attach_fake_media, extract_features
 
     d = _t(spark, sf_dir, "documents")
@@ -766,6 +768,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feature_sum"
         ),
     )
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH m AS (SELECT doc_id, text, encode(text) AS media FROM documents),
+h AS (SELECT doc_id, text, hex(media) AS hx,
+             CAST(octet_length(media) AS INT) AS nb
+      FROM m)
+SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes, md5(text) AS checksum,
+       round(list_sum([COALESCE(list_sum(
+                          [CAST('0x' || substr(hx, 2*i+1, 2) AS INT)
+                           FOR i IN range(k, nb, 8)]), 0) % 1000
+                       FOR k IN range(0, 8)]) / 1000.0, 4) AS feature_sum
+FROM h
+"""
 
 
 def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1374,7 +1390,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": QuerySpec(q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
-    "multimodal_features": QuerySpec(q_multimodal_features, None),
+    "multimodal_features": QuerySpec(q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_frame_plan": QuerySpec(
         q_multimodal_frame_plan, SQL_MULTIMODAL_FRAME_PLAN
     ),
