@@ -613,3 +613,94 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Set-similarity join via prefix filtering (PPJoin-style, Xiao et
+    al. WWW'08): lossless for Jaccard >= ``threshold``, with candidate
+    generation bounded by token *rarity* instead of a blocking key.
+
+    Each doc's distinct shingles are ordered globally by (document
+    frequency asc, token asc); only the first
+    ``n - ceil(threshold*n) + 1`` tokens — the rarest — are emitted as
+    join keys.  Two docs with Jaccard >= t MUST share a prefix token
+    (pigeonhole on the overlap bound), so recall is exact; and because
+    prefixes hold each doc's *rarest* tokens, a hot boilerplate
+    shingle (high df) never generates candidates — the hot-key
+    quadratic blowup that plain shingle blocking needs a df cap for is
+    structurally impossible here.
+
+    Shuffles: token df count, per-doc sort/collect, prefix equi-join,
+    verification count — all on token/id/pair keys, never all-pairs.
+    (Production note: hash shingles to 64-bit at birth like
+    ``minhash_lsh_pairs`` does; strings are kept here so the DuckDB
+    oracle can replay the exact ordering.)
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("tok"),
+    )
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(dfreq, "tok")
+    per_doc = ranked.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))), lambda s: s["tok"]
+        ).alias("toks"),
+        F.count(F.lit(1)).alias("n_tok"),
+    )
+    plen = (F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1).cast(
+        "int"
+    )
+    prefix = per_doc.select(
+        "id", "n_tok", F.explode(F.slice("toks", 1, plen)).alias("tok")
+    )
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[F.col("l.tok") == F.col("r.tok"), F.col("l.id") < F.col("r.id")],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.n_tok").alias("n_a"),
+            F.col("r.n_tok").alias("n_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # Verification restricted to candidate ids BEFORE any token
+    # self-join (same shape as minhash_lsh_pairs): the big token table
+    # is semi-filtered down to candidate members, so the |common| join
+    # is linear in candidate token mass, never the full corpus.
+    ta = tok.join(
+        cand.select("id_a").distinct().hint("broadcast"), tok.id == F.col("id_a")
+    ).select(F.col("id_a").alias("ca"), "tok")
+    tb = tok.join(
+        cand.select("id_b").distinct().hint("broadcast"), tok.id == F.col("id_b")
+    ).select(F.col("id_b").alias("cb"), F.col("tok").alias("tok_b"))
+    common = (
+        ta.join(tb, F.col("tok") == F.col("tok_b"))
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        cand.join(common, (cand.id_a == common.ca) & (cand.id_b == common.cb))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

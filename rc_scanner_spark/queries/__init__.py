@@ -117,6 +117,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "text_unigram_logprob",
     "agg_histogram",
     "cluster_zorder",
+    "variant_shred",
+    "dedup_prefix_jaccard",
     # k-means family: full oracles via unrolled-Lloyd SQL (every
     # decision float is rounded before comparison on both sides)
     "cluster_kmeans",

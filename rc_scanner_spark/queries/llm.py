@@ -1369,8 +1369,68 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (un-blocked) near-dup pairs at word-3-gram Jaccard >= 0.5
+    via prefix filtering — lossless, and structurally immune to hot
+    boilerplate shingles (high-df tokens never enter a prefix), unlike
+    blocked joins that need a df cap."""
+    from ..operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.5
+    )
+
+
+SQL_DEDUP_PREFIX_JACCARD = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_distinct([array_to_string(words[i:i+2], ' ')
+                                  FOR i IN range(1, len(words) - 1)])
+              WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+              ELSE [] END AS sh
+  FROM w
+),
+e AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+dfreq AS (SELECT tok, count(*) AS df FROM e GROUP BY 1),
+perdoc AS (
+  SELECT e.doc_id,
+         list(e.tok ORDER BY d.df, e.tok) AS toks,
+         count(*) AS n_tok
+  FROM e JOIN dfreq d USING (tok) GROUP BY e.doc_id
+),
+pref AS (
+  SELECT doc_id, n_tok,
+         unnest(toks[1:(CAST(n_tok AS INT) - CAST(ceil(0.5 * n_tok) AS INT) + 1)])
+           AS tok
+  FROM perdoc
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.n_tok AS n_a, b.n_tok AS n_b
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT a.doc_id AS ca, b.doc_id AS cb, count(*) AS n_common
+  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       round(m.n_common * 1.0 / (c.n_a + c.n_b - m.n_common), 4) AS jaccard
+FROM cand c JOIN common m ON m.ca = c.id_a AND m.cb = c.id_b
+WHERE round(m.n_common * 1.0 / (c.n_a + c.n_b - m.n_common), 4) >= 0.5
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_prefix_jaccard": QuerySpec(
+        q_dedup_prefix_jaccard, SQL_DEDUP_PREFIX_JACCARD
+    ),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, None),
     "dedup_simhash": QuerySpec(q_dedup_simhash, None),

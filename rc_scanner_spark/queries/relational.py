@@ -186,6 +186,35 @@ WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
 """
 
 
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding via Spark 4's VARIANT type:
+    ``parse_json`` once, then typed ``variant_get`` paths — the
+    engine-native way to query heterogeneous JSON at scale (parse cost
+    paid once per row; shredded columns stay columnar downstream,
+    unlike repeated ``get_json_object`` string re-parses).  Aggregated
+    per event_type so the oracle checks both extraction and typing."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_VARIANT_SHRED = """
+SELECT event_type,
+       count(CAST(props->>'$.k' AS INTEGER)) AS n_with_k,
+       CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+       max(CAST(props->>'$.k' AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions: extract, distinct, sort, slice,
     join — the engine-side form of the reference's list handling."""
@@ -969,6 +998,7 @@ QUERIES: dict[str, QuerySpec] = {
     "proj_datetime": QuerySpec(q_proj_datetime, SQL_PROJ_DATETIME),
     "proj_math": QuerySpec(q_proj_math, SQL_PROJ_MATH),
     "json_extract": QuerySpec(q_json_extract, SQL_JSON_EXTRACT),
+    "variant_shred": QuerySpec(q_variant_shred, SQL_VARIANT_SHRED),
     "array_ops": QuerySpec(q_array_ops, SQL_ARRAY_OPS),
     "map_lookup": QuerySpec(q_map_lookup, SQL_MAP_LOOKUP),
     "join_inner_agg": QuerySpec(q_join_inner_agg, SQL_JOIN_INNER_AGG),

@@ -235,3 +235,48 @@ def test_paragraph_dedup_in_doc_repeat_not_censored(spark):
     out = {r["id"]: r for r in paragraph_dedup(df, words_per_para=3).collect()}
     assert out[1]["clean_text"] == "aaa bbb ccc aaa bbb ccc"
     assert out[1]["n_dropped"] == 0
+
+
+def test_prefix_jaccard_is_lossless_vs_brute_force(spark, docs):
+    """Prefix filtering is exact for Jaccard >= t: the pair set must
+    EQUAL brute force (not just contain it), on the real corpus."""
+    from rc_scanner_spark.operators.dedup import prefix_jaccard_pairs
+
+    expected = _brute_force_pairs(spark, docs, 0.5)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == expected
+
+
+def test_prefix_jaccard_hot_token_no_false_pairs(spark):
+    """Docs sharing ONE boilerplate shingle but nothing else: the hot
+    token's df is maximal so it never enters any prefix -> no
+    candidates, no pairs; the two planted near-dups still match."""
+    from rc_scanner_spark.operators.dedup import prefix_jaccard_pairs
+
+    boiler = "creative commons license"
+    rows = [
+        # letter suffixes: the [a-z]+ tokenizer drops digits, which
+        # would otherwise collapse every doc to the same text
+        (
+            i,
+            f"{boiler} unique{s} alpha{s} beta{s} gamma{s} delta{s}".format(),
+            "en",
+            "s",
+            0,
+        )
+        for i, s in ((i, chr(97 + i) * 2) for i in range(8))
+    ]
+    rows.append((100, "the quick brown fox jumps over the lazy dog", "en", "s", 0))
+    rows.append((101, "the quick brown fox jumps over the lazy dog", "en", "s", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert set(got) == {(100, 101)}
+    assert got[(100, 101)] == 1.0
