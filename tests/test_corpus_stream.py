@@ -1,0 +1,103 @@
+"""Streaming incremental corpus builder + compaction maintenance.
+
+The corpus stream must converge to exactly the batch dedup result
+regardless of how documents are split across micro-batches, and a
+replayed (retried) batch must not double-append.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _write_doc_batches(spark, tmp_path, batches):
+    src = str(tmp_path / "incoming")
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string"
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def test_corpus_stream_matches_batch_dedup(spark, tmp_path):
+    from rc_scanner_spark.streaming.corpus import (
+        build_corpus_stream,
+        read_corpus,
+    )
+
+    # 9 docs, 3 distinct texts: dups within a batch AND across batches
+    rows = [
+        (1, "alpha beta gamma", "en", "s"),
+        (2, "alpha beta gamma", "en", "s"),      # dup of 1, same batch
+        (3, "delta epsilon zeta", "en", "s"),
+        (4, "alpha  beta   gamma", "en", "s"),   # dup of 1 (whitespace)
+        (5, "eta theta iota", "en", "s"),
+        (6, "delta epsilon zeta", "en", "s"),    # dup of 3, later batch
+        (7, "ALPHA BETA GAMMA", "en", "s"),      # dup of 1 (case)
+        (8, "kappa lambda mu", "en", "s"),
+        (9, "eta theta iota", "en", "s"),        # dup of 5
+    ]
+    src = _write_doc_batches(spark, tmp_path, [rows[:3], rows[3:6], rows[6:]])
+    schema = "doc_id bigint, text string, lang string, source string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    q = build_corpus_stream(
+        stream, corpus_dir, str(tmp_path / "ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = read_corpus(spark, corpus_dir)
+    rows_out = got.select("doc_id", "fp").collect()
+    # one survivor per distinct normalized text, regardless of which
+    # micro-batch order the files were picked up in
+    from rc_scanner_spark.operators.text import fingerprint
+
+    expected_fps = {
+        r["fp"]
+        for r in spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string"
+        )
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert {r["fp"] for r in rows_out} == expected_fps
+    assert len(rows_out) == len(expected_fps) == 4
+
+
+def test_corpus_batch_replay_is_idempotent(spark, tmp_path):
+    from rc_scanner_spark.streaming.corpus import merge_batch, read_corpus
+
+    rows = [(1, "some novel text", "en", "s"), (2, "other text", "en", "s")]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    merge_batch(df, 0, corpus_dir)
+    n1 = read_corpus(spark, corpus_dir).count()
+    # retry of the SAME batch id overwrites its own partition
+    merge_batch(df, 0, corpus_dir)
+    assert read_corpus(spark, corpus_dir).count() == n1 == 2
+    # a new batch with the same content appends nothing
+    merge_batch(df, 1, corpus_dir)
+    assert read_corpus(spark, corpus_dir).count() == 2
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    from rc_scanner_spark.operators.maintenance import compact_to, dir_bytes
+
+    src = str(tmp_path / "shattered")
+    spark.range(0, 10000).withColumn("payload", F.md5(F.col("id").cast("string"))) \
+        .repartition(32).write.mode("overwrite").parquet(src)
+    dst = str(tmp_path / "compacted")
+    n = compact_to(spark, src, dst, target_bytes=dir_bytes(src))
+    assert n == 1
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dst).orderBy("id").collect()
+    assert a == b
