@@ -119,6 +119,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "cluster_zorder",
     "variant_shred",
     "dedup_prefix_jaccard",
+    "sample_negatives",
+    "agg_cohens_kappa",
     # k-means family: full oracles via unrolled-Lloyd SQL (every
     # decision float is rounded before comparison on both sides)
     "cluster_kmeans",

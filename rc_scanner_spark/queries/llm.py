@@ -1426,8 +1426,128 @@ WHERE round(m.n_common * 1.0 / (c.n_a + c.n_b - m.n_common), 4) >= 0.5
 """
 
 
+def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    doc draws 4 pseudo-random partners via salted md5 of (doc_id,
+    draw), fetched by an equi-join on the partner id — never a cross
+    join, and reproducible across runs/engines/partitionings.  Self-
+    draws are dropped (rejection, not resample, so both engines agree
+    without iteration).  Assumes dense ids (the testdata contract);
+    sparse corpora first materialize a dense rank once."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    drawn = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("draw"),
+            "n_docs",
+        )
+        .withColumn(
+            "partner_id",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", F.lit("neg"), F.col("doc_id"), F.col("draw"))
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("n_docs"),
+        )
+        .filter(F.col("partner_id") != F.col("doc_id"))
+    )
+    partners = d.select(
+        F.col("doc_id").alias("partner_id"),
+        F.col("lang").alias("partner_lang"),
+        F.col("source").alias("partner_source"),
+    )
+    return drawn.join(partners, "partner_id").select(
+        "doc_id", "draw", "partner_id", "partner_lang", "partner_source"
+    )
+
+
+SQL_SAMPLE_NEGATIVES = """
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+drawn AS (
+  SELECT d.doc_id, i.draw,
+         CAST(concat('0x', substr(md5('neg:' || CAST(d.doc_id AS VARCHAR)
+                                       || ':' || CAST(i.draw AS VARCHAR)), 1, 12))
+              AS BIGINT) % (SELECT n_docs FROM n) AS partner_id
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS draw) i
+)
+SELECT dr.doc_id, dr.draw, dr.partner_id,
+       p.lang AS partner_lang, p.source AS partner_source
+FROM drawn dr JOIN documents p ON p.doc_id = dr.partner_id
+WHERE dr.partner_id != dr.doc_id
+"""
+
+
+def q_agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (Cohen's kappa) between the embedding
+    labels and a derived second rater, computed distributively: one
+    confusion-matrix aggregate, marginals re-aggregated from it (no
+    second scan), kappa = (po - pe) / (1 - pe).  The whole statistic
+    is three tiny shuffles over class-count rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    rated = e.select(
+        F.col("label").alias("a"),
+        F.when(F.col("vec_id") % 2 == 0, F.col("label"))
+        .otherwise((F.col("label") + 1) % 10)
+        .alias("b"),
+    )
+    cm = rated.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    tot = cm.agg(F.sum("c").alias("n"))
+    ma = cm.groupBy("a").agg(F.sum("c").alias("ca"))
+    mb = cm.groupBy("b").agg(F.sum("c").alias("cb"))
+    po = (
+        cm.filter(F.col("a") == F.col("b"))
+        .agg(F.sum("c").alias("agree"))
+        .crossJoin(F.broadcast(tot))
+        .select((F.col("agree") / F.col("n")).alias("po"), "n")
+    )
+    pe = (
+        ma.join(mb, ma.a == mb.b)
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("s"), F.first("n").alias("n"))
+        .select((F.col("s") / (F.col("n") * F.col("n"))).alias("pe"))
+    )
+    return po.crossJoin(pe).select(
+        F.round("po", 6).alias("po"),
+        F.round("pe", 6).alias("pe"),
+        F.round((F.col("po") - F.col("pe")) / (1 - F.col("pe")), 6).alias("kappa"),
+    )
+
+
+SQL_AGG_COHENS_KAPPA = """
+WITH rated AS (
+  SELECT label AS a,
+         CASE WHEN vec_id % 2 = 0 THEN label ELSE (label + 1) % 10 END AS b
+  FROM embeddings
+),
+cm AS (SELECT a, b, count(*) AS c FROM rated GROUP BY 1, 2),
+tot AS (SELECT sum(c) AS n FROM cm),
+ma AS (SELECT a, sum(c) AS ca FROM cm GROUP BY 1),
+mb AS (SELECT b, sum(c) AS cb FROM cm GROUP BY 1),
+po AS (SELECT sum(CASE WHEN a = b THEN c ELSE 0 END) * 1.0 / (SELECT n FROM tot)
+         AS po FROM cm),
+pe AS (SELECT sum(ca * cb) * 1.0 / ((SELECT n FROM tot) * (SELECT n FROM tot))
+         AS pe FROM ma JOIN mb ON ma.a = mb.b)
+SELECT round(po.po, 6) AS po, round(pe.pe, 6) AS pe,
+       round((po.po - pe.pe) / (1 - pe.pe), 6) AS kappa
+FROM po, pe
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
+    "sample_negatives": QuerySpec(q_sample_negatives, SQL_SAMPLE_NEGATIVES),
+    "agg_cohens_kappa": QuerySpec(q_agg_cohens_kappa, SQL_AGG_COHENS_KAPPA),
     "dedup_prefix_jaccard": QuerySpec(
         q_dedup_prefix_jaccard, SQL_DEDUP_PREFIX_JACCARD
     ),

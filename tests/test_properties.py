@@ -145,3 +145,25 @@ def test_pii_scrub_planted_patterns(spark):
     assert out[4]["scrubbed"].endswith("pin 99")
     assert out[5]["scrubbed"] == "no pii here at all"
     assert all(out[5][k] == 0 for k in ("n_email", "n_ipv4", "n_phone", "n_id_number"))
+
+
+def test_cohens_kappa_known_value(spark, tmp_path):
+    """Kappa against a hand-computed 2x2 case: raters agree on 6 of 8,
+    marginals give pe = 0.53125 -> kappa = (0.75-0.53125)/(1-0.53125)."""
+    import pyspark.sql.functions as F
+
+    # labels: rater a = label; rater b = label for even ids, +1 mod 10
+    # for odd — replicate the query's derivation on a planted frame
+    rows = [(i, [0.0] * 4, i % 2) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    from rc_scanner_spark.queries.llm import q_agg_cohens_kappa
+
+    out = q_agg_cohens_kappa(spark, sf).collect()[0]
+    # a = (0,1,0,1,...); b = a for even vec_id (a=0), a+1=2 for odd (a=1)
+    # agreements: even ids only -> po = 4/8 = 0.5
+    # marginals: a: 0->4, 1->4 ; b: 0->4, 2->4 ; pe = (4*4)/64 = 0.25
+    assert out["po"] == 0.5
+    assert out["pe"] == 0.25
+    assert out["kappa"] == round((0.5 - 0.25) / (1 - 0.25), 6)
