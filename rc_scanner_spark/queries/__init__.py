@@ -121,6 +121,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "dedup_prefix_jaccard",
     "sample_negatives",
     "agg_cohens_kappa",
+    "sample_interleave_shards",
+    "text_readability",
     # k-means family: full oracles via unrolled-Lloyd SQL (every
     # decision float is rounded before comparison on both sides)
     "cluster_kmeans",

@@ -1426,6 +1426,94 @@ WHERE round(m.n_common * 1.0 / (c.n_a + c.n_b - m.n_common), 4) >= 0.5
 """
 
 
+def q_sample_interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-interleaved training order: rank docs within each source
+    (one windowed shuffle on the source key), then deal them round-
+    robin into 8 shards with a position that alternates sources —
+    the deterministic 'shuffle' a training run wants (no RNG, stable
+    under re-runs, no global sort).  position = rank-within-source;
+    readers consume (shard, position, source) lexicographically and
+    see sources interleaved."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    r = d.select(
+        "doc_id", "source", (F.row_number().over(w) - 1).alias("pos_in_source")
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        (F.col("pos_in_source") % 8).cast("bigint").alias("shard"),
+        (F.col("pos_in_source") / 8).cast("bigint").alias("position"),
+    )
+
+
+SQL_SAMPLE_INTERLEAVE_SHARDS = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+           AS pos_in_source
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(pos_in_source % 8 AS BIGINT) AS shard,
+       CAST(floor(pos_in_source / 8) AS BIGINT) AS position
+FROM r
+"""
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability signals: sentence count (terminator runs), words
+    per sentence, mean word length, and a Flesch-style score from
+    those two rates.  Pure Catalyst expressions, map-side only —
+    the oracle mirrors each regex and the rounded arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    ws = words(F.col("text"))
+    n_words = F.size(ws)
+    total_chars = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    wps = F.when(n_words > 0, n_words / n_sent)
+    mwl = F.when(n_words > 0, total_chars / n_words)
+    return d.select(
+        "doc_id",
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(wps, 4).alias("words_per_sentence"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(206.835 - 1.015 * wps - 84.6 * (mwl / 3), 4).alias("flesch_ish"),
+    )
+
+
+SQL_TEXT_READABILITY = r"""
+WITH t AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent,
+         regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_sent, len(ws) AS n_words,
+         list_sum([length(w) FOR w IN ws]) AS total_chars
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_sent AS BIGINT) AS n_sentences,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(CASE WHEN n_words > 0 THEN n_words * 1.0 / n_sent END, 4)
+         AS words_per_sentence,
+       round(CASE WHEN n_words > 0 THEN total_chars * 1.0 / n_words END, 4)
+         AS mean_word_len,
+       round(CASE WHEN n_words > 0 THEN
+               206.835 - 1.015 * (n_words * 1.0 / n_sent)
+                       - 84.6 * ((total_chars * 1.0 / n_words) / 3)
+             END, 4) AS flesch_ish
+FROM m
+"""
+
+
 def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for contrastive training: each
     doc draws 4 pseudo-random partners via salted md5 of (doc_id,
@@ -1548,6 +1636,10 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "sample_negatives": QuerySpec(q_sample_negatives, SQL_SAMPLE_NEGATIVES),
     "agg_cohens_kappa": QuerySpec(q_agg_cohens_kappa, SQL_AGG_COHENS_KAPPA),
+    "sample_interleave_shards": QuerySpec(
+        q_sample_interleave_shards, SQL_SAMPLE_INTERLEAVE_SHARDS
+    ),
+    "text_readability": QuerySpec(q_text_readability, SQL_TEXT_READABILITY),
     "dedup_prefix_jaccard": QuerySpec(
         q_dedup_prefix_jaccard, SQL_DEDUP_PREFIX_JACCARD
     ),
