@@ -167,3 +167,35 @@ def test_cohens_kappa_known_value(spark, tmp_path):
     assert out["po"] == 0.5
     assert out["pe"] == 0.25
     assert out["kappa"] == round((0.5 - 0.25) / (1 - 0.25), 6)
+
+
+def test_partitioning_invariance_of_dedup_and_sampling(spark, tmp_path):
+    """The same logical input under different physical layouts (1 vs 7
+    partitions) must produce identical results for the operators whose
+    docstrings promise partitioning-invariance."""
+    import pyspark.sql.functions as F
+
+    from rc_scanner_spark.tables import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "documents")
+    lay1 = str(tmp_path / "p1")
+    lay7 = str(tmp_path / "p7")
+    src.coalesce(1).write.parquet(f"{lay1}/documents.parquet")
+    src.repartition(7).write.parquet(f"{lay7}/documents.parquet")
+
+    from rc_scanner_spark.queries.llm import (
+        q_dedup_cc_clusters,
+        q_dedup_prefix_jaccard,
+        q_pack_sequences,
+        q_sample_weighted_mix,
+    )
+
+    for fn in (
+        q_dedup_cc_clusters,
+        q_dedup_prefix_jaccard,
+        q_pack_sequences,
+        q_sample_weighted_mix,
+    ):
+        a = sorted(map(repr, fn(spark, lay1).collect()))
+        b = sorted(map(repr, fn(spark, lay7).collect()))
+        assert a == b, f"{fn.__name__} differs across physical layouts"
