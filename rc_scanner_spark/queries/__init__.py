@@ -123,6 +123,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "agg_cohens_kappa",
     "sample_interleave_shards",
     "text_readability",
+    "agg_source_entropy",
+    "text_ngram_novelty",
     # k-means family: full oracles via unrolled-Lloyd SQL (every
     # decision float is rounded before comparison on both sides)
     "cluster_kmeans",

@@ -1514,6 +1514,115 @@ FROM m
 """
 
 
+def q_agg_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-balance diagnostics per source: Shannon entropy of the
+    language distribution (nats), effective number of languages
+    (exp(H)), and dominant-language share.  One count aggregate plus
+    arithmetic over the tiny (source, lang) frame — the balance check
+    a weighted-mix pipeline runs before and after resampling."""
+    d = _t(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = sl.groupBy("source").agg(F.sum("c").alias("n"))
+    p = sl.join(tot, "source").withColumn("p", F.col("c") / F.col("n"))
+    return (
+        p.groupBy("source")
+        .agg(
+            F.first("n").alias("n_docs"),
+            F.round((-F.sum(F.col("p") * F.log("p"))), 6).alias("entropy_nats"),
+            F.round(F.exp(-F.sum(F.col("p") * F.log("p"))), 4).alias(
+                "effective_langs"
+            ),
+            F.round(F.max("p"), 4).alias("dominant_share"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "entropy_nats",
+            "effective_langs",
+            "dominant_share",
+        )
+    )
+
+
+SQL_AGG_SOURCE_ENTROPY = """
+WITH sl AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+tot AS (SELECT source, sum(c) AS n FROM sl GROUP BY 1),
+p AS (SELECT sl.source, sl.c * 1.0 / t.n AS p, t.n
+      FROM sl JOIN tot t ON t.source = sl.source)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       round(-sum(p * ln(p)), 6) AS entropy_nats,
+       round(exp(-sum(p * ln(p))), 4) AS effective_langs,
+       round(max(p), 4) AS dominant_share
+FROM p GROUP BY source
+"""
+
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: the fraction of a doc's distinct word-5-grams
+    that appear in no other document — the data-value signal that
+    separates boilerplate from original content.  One df count over
+    shingles (8-byte keys at scale), joined back per doc; novelty 1.0
+    means fully original, 0.0 fully boilerplate."""
+    d = _t(spark, sf_dir, "documents")
+    from ..operators.dedup import word_shingles
+
+    ex = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 5)).alias("sh")
+    )
+    dfreq = ex.groupBy("sh").agg(F.count_distinct("doc_id").alias("df"))
+    per_doc = (
+        ex.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("bigint")).alias("n_unique"),
+        )
+    )
+    out = d.select("doc_id").join(per_doc, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+        F.coalesce(F.col("n_unique"), F.lit(0)).alias("n_unique"),
+        F.round(
+            F.when(
+                F.col("n_shingles") > 0, F.col("n_unique") / F.col("n_shingles")
+            ),
+            4,
+        ).alias("novelty"),
+    )
+
+
+SQL_TEXT_NGRAM_NOVELTY = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 5
+              THEN list_distinct([array_to_string(words[i:i+4], ' ')
+                                  FOR i IN range(1, len(words) - 3)])
+              WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+              ELSE [] END AS sh
+  FROM w
+),
+e AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+dfreq AS (SELECT sh, count(DISTINCT doc_id) AS df FROM e GROUP BY 1),
+per_doc AS (
+  SELECT e.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_unique
+  FROM e JOIN dfreq d USING (sh) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(p.n_unique, 0) AS BIGINT) AS n_unique,
+       round(CASE WHEN p.n_shingles > 0
+                  THEN p.n_unique * 1.0 / p.n_shingles END, 4) AS novelty
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for contrastive training: each
     doc draws 4 pseudo-random partners via salted md5 of (doc_id,
@@ -1640,6 +1749,8 @@ QUERIES: dict[str, QuerySpec] = {
         q_sample_interleave_shards, SQL_SAMPLE_INTERLEAVE_SHARDS
     ),
     "text_readability": QuerySpec(q_text_readability, SQL_TEXT_READABILITY),
+    "agg_source_entropy": QuerySpec(q_agg_source_entropy, SQL_AGG_SOURCE_ENTROPY),
+    "text_ngram_novelty": QuerySpec(q_text_ngram_novelty, SQL_TEXT_NGRAM_NOVELTY),
     "dedup_prefix_jaccard": QuerySpec(
         q_dedup_prefix_jaccard, SQL_DEDUP_PREFIX_JACCARD
     ),
