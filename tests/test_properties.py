@@ -5,6 +5,8 @@ once per example, not once per row."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -235,3 +237,54 @@ def test_udtf_matches_catalyst_twin(spark):
         )
     assert via_udtf == via_catalyst
     assert (1, 2) in via_udtf  # three sentences from doc 1
+
+
+_REGEX_ATOMS = ["a", "b", "c", "x", r"\d", r"\w", r"\s", "[ab]", "[^c]", "."]
+_REGEX_QUANTS = ["", "*", "+", "?", "{1,2}"]
+
+
+@st.composite
+def _simple_patterns(draw):
+    n = draw(st.integers(min_value=1, max_value=4))
+    parts = []
+    for _ in range(n):
+        atom = draw(st.sampled_from(_REGEX_ATOMS))
+        parts.append(atom + draw(st.sampled_from(_REGEX_QUANTS)))
+    pat = "".join(parts)
+    if draw(st.booleans()):
+        pat = f"({pat}|{draw(st.sampled_from(_REGEX_ATOMS))})"
+    if draw(st.booleans()):
+        pat = "^" + pat
+    if draw(st.booleans()):
+        pat = pat + r"\Z"
+    return pat
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    pats=st.lists(_simple_patterns(), min_size=1, max_size=4, unique=True),
+    texts=st.lists(
+        st.text(alphabet="abcx 1\n", min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_regex_translation_matches_python_re(spark, pats, texts):
+    """The central F4 parity property: for every translated pattern,
+    Spark's rlike must agree with Python's re.search on arbitrary
+    inputs (reference filter_.py:110-112 applies re.search)."""
+    import pyspark.sql.functions as F
+
+    from rc_scanner_spark.functions.regex import translate_pattern
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    cols = [
+        F.col("t").rlike(translate_pattern(re.compile(p))).alias(f"m{j}")
+        for j, p in enumerate(pats)
+    ]
+    rows = df.select("i", *cols).collect()
+    for r in rows:
+        t = texts[r["i"]]
+        for j, p in enumerate(pats):
+            expected = re.search(p, t) is not None
+            assert r[f"m{j}"] == expected, (p, t)
