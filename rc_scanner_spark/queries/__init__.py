@@ -125,6 +125,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "text_readability",
     "agg_source_entropy",
     "text_ngram_novelty",
+    "text_gopher_rules",
+    "text_html_strip",
     # k-means family: full oracles via unrolled-Lloyd SQL (every
     # decision float is rounded before comparison on both sides)
     "cluster_kmeans",

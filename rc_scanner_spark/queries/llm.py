@@ -1514,6 +1514,155 @@ FROM m
 """
 
 
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. '21 §A1.1) as one
+    map-side expression block: word-count bounds, mean word length
+    bounds, symbol-to-word ratio, alphabetic-word fraction, stop-word
+    floor — emitted as per-rule booleans plus the conjunction, so
+    downstream can both filter and audit WHY a doc failed."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    n_tok = F.size(toks)
+    letters = words(F.col("text"))
+    n_letter_words = F.size(letters)
+    total_len = F.aggregate(
+        F.transform(letters, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mwl = F.when(n_letter_words > 0, total_len / n_letter_words)
+    n_sym = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"#|\.\.\."), 0))
+    sym_ratio = F.when(n_tok > 0, n_sym / n_tok)
+    alpha_frac = F.when(n_tok > 0, n_letter_words / n_tok)
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")),
+            F.lit(r"\b(the|be|to|of|and|that|have|with)\b"),
+            0,
+        )
+    )
+    r_wc = (n_tok >= 5) & (n_tok <= 100000)
+    r_mwl = F.coalesce((mwl >= 2) & (mwl <= 12), F.lit(False))
+    r_sym = F.coalesce(sym_ratio <= 0.1, F.lit(False))
+    r_alpha = F.coalesce(alpha_frac >= 0.6, F.lit(False))
+    r_stop = n_stop >= 1
+    return d.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(sym_ratio, 4).alias("symbol_ratio"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        r_wc.alias("pass_word_count"),
+        r_mwl.alias("pass_mean_word_len"),
+        r_sym.alias("pass_symbol_ratio"),
+        r_alpha.alias("pass_alpha_frac"),
+        r_stop.alias("pass_stopwords"),
+        (r_wc & r_mwl & r_sym & r_alpha & r_stop).alias("pass_all"),
+    )
+
+
+SQL_TEXT_GOPHER_RULES = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n_tok,
+         regexp_extract_all(lower(text), '[a-z]+') AS letters,
+         len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+         len(regexp_extract_all(lower(text),
+             '\b(the|be|to|of|and|that|have|with)\b')) AS n_stop
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_tok, n_sym, n_stop,
+         len(letters) AS n_lw,
+         list_sum([length(w) FOR w IN letters]) AS total_len
+  FROM t
+),
+x AS (
+  SELECT doc_id, n_tok, n_stop,
+         CASE WHEN n_lw > 0 THEN total_len * 1.0 / n_lw END AS mwl,
+         CASE WHEN n_tok > 0 THEN n_sym * 1.0 / n_tok END AS sym_ratio,
+         CASE WHEN n_tok > 0 THEN n_lw * 1.0 / n_tok END AS alpha_frac
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       round(mwl, 4) AS mean_word_len,
+       round(sym_ratio, 4) AS symbol_ratio,
+       round(alpha_frac, 4) AS alpha_frac,
+       CAST(n_stop AS BIGINT) AS n_stopwords,
+       n_tok >= 5 AND n_tok <= 100000 AS pass_word_count,
+       COALESCE(mwl >= 2 AND mwl <= 12, FALSE) AS pass_mean_word_len,
+       COALESCE(sym_ratio <= 0.1, FALSE) AS pass_symbol_ratio,
+       COALESCE(alpha_frac >= 0.6, FALSE) AS pass_alpha_frac,
+       n_stop >= 1 AS pass_stopwords,
+       (n_tok >= 5 AND n_tok <= 100000)
+         AND COALESCE(mwl >= 2 AND mwl <= 12, FALSE)
+         AND COALESCE(sym_ratio <= 0.1, FALSE)
+         AND COALESCE(alpha_frac >= 0.6, FALSE)
+         AND n_stop >= 1 AS pass_all
+FROM x
+"""
+
+
+def q_text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate stripping: HTML planted deterministically around the
+    text (the corpus is plain text; wrapping it gives the stripper real
+    markup, same plant replayed by the oracle), then tags removed,
+    entities decoded, whitespace collapsed — sequential Catalyst
+    regexp passes, map-side only."""
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.lit('<html><body class="doc"><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><br/>&amp; more &lt;here&gt;&nbsp;</body></html>"),
+    )
+    no_tags = F.regexp_replace(planted, r"<[^>]+>", " ")
+    decoded = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(no_tags, "&amp;", "&"), "&lt;", "<"
+            ),
+            "&gt;",
+            ">",
+        ),
+        "&nbsp;",
+        " ",
+    )
+    clean = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.length(planted).cast("bigint").alias("n_raw"),
+        F.length(clean).cast("bigint").alias("n_clean"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+SQL_TEXT_HTML_STRIP = r"""
+WITH planted AS (
+  SELECT doc_id,
+         '<html><body class="doc"><h1>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</h1><p>' || text
+         || '</p><br/>&amp; more &lt;here&gt;&nbsp;</body></html>' AS raw
+  FROM documents
+),
+s AS (
+  SELECT doc_id, raw,
+         trim(regexp_replace(
+           replace(replace(replace(replace(
+             regexp_replace(raw, '<[^>]+>', ' ', 'g'),
+             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
+           '\s+', ' ', 'g')) AS clean
+  FROM planted
+)
+SELECT doc_id,
+       CAST(length(raw) AS BIGINT) AS n_raw,
+       CAST(length(clean) AS BIGINT) AS n_clean,
+       md5(clean) AS clean_md5
+FROM s
+"""
+
+
 def q_agg_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-balance diagnostics per source: Shannon entropy of the
     language distribution (nats), effective number of languages
@@ -1751,6 +1900,8 @@ QUERIES: dict[str, QuerySpec] = {
     "text_readability": QuerySpec(q_text_readability, SQL_TEXT_READABILITY),
     "agg_source_entropy": QuerySpec(q_agg_source_entropy, SQL_AGG_SOURCE_ENTROPY),
     "text_ngram_novelty": QuerySpec(q_text_ngram_novelty, SQL_TEXT_NGRAM_NOVELTY),
+    "text_gopher_rules": QuerySpec(q_text_gopher_rules, SQL_TEXT_GOPHER_RULES),
+    "text_html_strip": QuerySpec(q_text_html_strip, SQL_TEXT_HTML_STRIP),
     "dedup_prefix_jaccard": QuerySpec(
         q_dedup_prefix_jaccard, SQL_DEDUP_PREFIX_JACCARD
     ),
