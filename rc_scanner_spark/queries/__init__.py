@@ -36,6 +36,13 @@ class QuerySpec:
 # reason to exist), the LLM dedup/ANN/text operators, the
 # re-strengthened approximate aggregates, the TPC-H shapes, and the
 # SQL API — so the combined r1+r2 evidence covers the registry.
+#
+# ROUND 3 TODO: after CORRECTNESS_r02 lands, rotate again — move the
+# entries past position 50 of THIS list (everything from "unpivot"
+# down: the 6 remaining relational queries, the round-2 additions, and
+# the k-means/multimodal oracle upgrades) into the checked prefix, and
+# push the r1+r2-green entries to the back.  Everything in this file
+# below position ~50 has local-pytest parity but no driver row yet.
 _VERIFICATION_PRIORITY: tuple[str, ...] = (
     # scanner semantics (reference parity, incl. the flagship)
     "scan_pipeline_full",

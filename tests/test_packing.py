@@ -77,3 +77,53 @@ def test_zorder_interleave_known_values(spark):
     ).collect()
     got = {(r["x"], r["y"]): r["z"] for r in out}
     assert got == {(3, 5): 39, (1, 0): 1, (0, 1): 2, (0, 0): 0}
+
+
+def test_zorder_sort_tightens_file_stats(spark, tmp_path):
+    """Writing z-ordered data produces per-file (x, y) min/max ranges
+    with far smaller area than an id-ordered layout — the parquet
+    row-group stats that make 2-D predicate file-skipping work."""
+    import pyarrow.parquet as pq
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rc_scanner_spark.queries.relational5 import _interleave_bits
+
+    n, files = 4096, 16
+    base = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.col("id") % 64).alias("x"),
+            F.floor(F.col("id") / 64).alias("y"),
+        )
+        .withColumn("z", _interleave_bits(F.col("x"), F.col("y")))
+    )
+
+    def bbox_area_sum(path):
+        total = 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            xs, ys = [], []
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                cols = {row.column(i).path_in_schema: row.column(i).statistics
+                        for i in range(row.num_columns)}
+                xs += [cols["x"].min, cols["x"].max]
+                ys += [cols["y"].min, cols["y"].max]
+            total += (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1)
+        return total
+
+    flat = str(tmp_path / "flat")
+    base.repartition(files, "id").write.mode("overwrite").parquet(flat)
+    zsorted = str(tmp_path / "zsorted")
+    base.repartitionByRange(files, "z").sortWithinPartitions("z").write.mode(
+        "overwrite"
+    ).parquet(zsorted)
+
+    # hash-partitioned files each span ~the whole 64x64 grid; z-ranged
+    # files cover compact tiles — require at least a 4x total shrink
+    assert bbox_area_sum(zsorted) * 4 <= bbox_area_sum(flat)
