@@ -42,8 +42,9 @@ def words(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace-word count."""
-    return F.size(F.regexp_extract_all(text, F.lit(r"\S+"), 0))
+    """Whitespace-word count (split form — same counts as
+    ``regexp_extract_all(text, '\\S+')``, one cheaper regex pass)."""
+    return F.size(F.filter(F.split(text, r"\s+"), lambda x: x != F.lit("")))
 
 
 def bpe_token_count(text: Column) -> Column:
