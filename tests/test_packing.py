@@ -127,3 +127,34 @@ def test_zorder_sort_tightens_file_stats(spark, tmp_path):
     # hash-partitioned files each span ~the whole 64x64 grid; z-ranged
     # files cover compact tiles — require at least a 4x total shrink
     assert bbox_area_sum(zsorted) * 4 <= bbox_area_sum(flat)
+
+
+def test_gopher_rules_planted_failures(spark, tmp_path):
+    """Each rule must fire on a document built to violate exactly it."""
+    from pyspark.sql import functions as F
+
+    good = "the quick brown fox jumps over and over with that same energy"
+    rows = [
+        (1, good, "en", "s", 0),                                  # passes all
+        (2, "too short", "en", "s", 0),                           # word count
+        (3, "the " + "hippopotomonstrous " * 30, "en", "s", 0),   # mean word len
+        (4, "the " + "### ... ### " * 20 + "of it", "en", "s", 0),# symbol ratio
+        (5, "the " + "123 456 789 " * 20 + "and", "en", "s", 0),  # alpha frac
+        (6, "lorem ipsum dolor sit amet something entirely else here now", "en", "s", 0),  # stopwords
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    from rc_scanner_spark.queries.llm import q_text_gopher_rules
+
+    out = {r["doc_id"]: r.asDict() for r in q_text_gopher_rules(spark, sf).collect()}
+    assert out[1]["pass_all"]
+    assert not out[2]["pass_word_count"]
+    assert not out[3]["pass_mean_word_len"]
+    assert not out[4]["pass_symbol_ratio"]
+    assert not out[5]["pass_alpha_frac"]
+    assert not out[6]["pass_stopwords"]
+    for i in (2, 3, 4, 5, 6):
+        assert not out[i]["pass_all"]
