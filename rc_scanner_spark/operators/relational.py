@@ -107,3 +107,63 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def pack_bins_bfd(
+    docs: DataFrame,
+    budget: int = 2048,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Best-fit-decreasing bin packing of documents into token-budget
+    bins, per group — the quality upgrade over contiguous packing
+    (queries/llm.py pack_sequences) when sequences must not split
+    documents.
+
+    BFD is inherently sequential (each placement depends on all prior
+    placements), which Catalyst cannot express — this is the
+    documented applyInPandas escape hatch: per-group Arrow batches,
+    group state = the open-bin fill table, bounded by
+    group_tokens/budget bins.  Groups are independent, so parallelism
+    is the group count; determinism comes from the (tokens desc, id)
+    placement order.  Oversized docs (> budget) get a bin of their
+    own, fill > 1.0.
+
+    Returns (group, id, n_tokens, bin_id, bin_fill_after).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} string, {id_col} long, {tokens_col} long, "
+        "bin_id long, bin_fill_after double"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [tokens_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []  # fill level per bin id
+        rows = []
+        for _, r in pdf.iterrows():
+            t = int(r[tokens_col])
+            # best fit: fullest bin that still takes t
+            best, best_fill = -1, -1
+            for b, f in enumerate(fills):
+                if f + t <= budget and f > best_fill:
+                    best, best_fill = b, f
+            if best < 0:
+                fills.append(0)
+                best = len(fills) - 1
+            fills[best] += t
+            rows.append(
+                (r[group_col], int(r[id_col]), t, best, fills[best] / budget)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[group_col, id_col, tokens_col, "bin_id", "bin_fill_after"],
+        )
+
+    return docs.select(group_col, id_col, tokens_col).groupBy(group_col).applyInPandas(
+        pack, schema=out_schema
+    )

@@ -141,6 +141,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "ann_ivf_topk",
     # the fake codec is deterministic byte arithmetic -> SQL-replayable
     "multimodal_features",
+    # sequential-algorithm op (BFD bin packing): rows-only by design,
+    # exact pure-Python ground truth in tests
+    "pack_bins_bfd",
     # xxhash64-dependent ops (rows-only checks by design — DuckDB has
     # no xxhash64, and the hash IS the algorithm)
     "dedup_minhash_lsh",

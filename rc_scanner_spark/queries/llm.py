@@ -1772,6 +1772,20 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_pack_bins_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing packing into 512-token bins per source —
+    the no-document-splitting alternative to pack_sequences.  BFD's
+    sequential placement is the documented applyInPandas escape hatch
+    (state = open-bin fills, bounded per group); not SQL-expressible
+    -> rows-only driver check, exact pure-Python BFD ground truth in
+    tests/test_packing.py."""
+    from ..operators.relational import pack_bins_bfd
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("source", "doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return pack_bins_bfd(t, budget=512)
+
+
 def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for contrastive training: each
     doc draws 4 pseudo-random partners via salted md5 of (doc_id,
@@ -1902,6 +1916,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_ngram_novelty": QuerySpec(q_text_ngram_novelty, SQL_TEXT_NGRAM_NOVELTY),
     "text_gopher_rules": QuerySpec(q_text_gopher_rules, SQL_TEXT_GOPHER_RULES),
     "text_html_strip": QuerySpec(q_text_html_strip, SQL_TEXT_HTML_STRIP),
+    "pack_bins_bfd": QuerySpec(q_pack_bins_bfd, None),
     "dedup_prefix_jaccard": QuerySpec(
         q_dedup_prefix_jaccard, SQL_DEDUP_PREFIX_JACCARD
     ),

@@ -158,3 +158,43 @@ def test_gopher_rules_planted_failures(spark, tmp_path):
     assert not out[6]["pass_stopwords"]
     for i in (2, 3, 4, 5, 6):
         assert not out[i]["pass_all"]
+
+
+def _bfd_reference(items, budget):
+    """Pure-Python BFD: (tokens desc, id) order, fullest-fitting bin."""
+    fills, out = [], {}
+    for t, i in sorted(((t, i) for i, t in items), key=lambda p: (-p[0], p[1])):
+        best, best_fill = -1, -1
+        for b, f in enumerate(fills):
+            if f + t <= budget and f > best_fill:
+                best, best_fill = b, f
+        if best < 0:
+            fills.append(0)
+            best = len(fills) - 1
+        fills[best] += t
+        out[i] = (best, fills[best])
+    return out
+
+
+def test_pack_bins_bfd_matches_python_reference(spark):
+    from rc_scanner_spark.operators.relational import pack_bins_bfd
+
+    rows = [("s1", i, t) for i, t in enumerate([300, 300, 300, 200, 200, 100, 700, 50])]
+    rows += [("s2", 100 + i, t) for i, t in enumerate([512, 512, 1, 600])]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, n_tokens bigint")
+    got = {
+        r["doc_id"]: (r["bin_id"], round(r["bin_fill_after"] * 512))
+        for r in pack_bins_bfd(df, budget=512).collect()
+    }
+    for grp in ("s1", "s2"):
+        items = [(i, t) for s, i, t in rows if s == grp]
+        ref = _bfd_reference(items, 512)
+        for i, (b, fill) in ref.items():
+            assert got[i] == (b, fill), (grp, i)
+    # invariant: no bin over budget unless it holds a single oversized doc
+    by_bin = {}
+    for s, i, t in rows:
+        b, _ = got[i]
+        by_bin.setdefault((s, b), []).append(t)
+    for (s, b), ts in by_bin.items():
+        assert sum(ts) <= 512 or (len(ts) == 1 and ts[0] > 512), (s, b, ts)
