@@ -134,6 +134,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "text_ngram_novelty",
     "text_gopher_rules",
     "text_html_strip",
+    "ann_filtered_topk",
     # k-means family: full oracles via unrolled-Lloyd SQL (every
     # decision float is rounded before comparison on both sides)
     "cluster_kmeans",

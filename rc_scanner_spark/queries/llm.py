@@ -270,6 +270,68 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, queries, k=5, num_cells=16, num_probes=4)
 
 
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered similarity search: top-5 by cosine among
+    vectors sharing the query's label — the retrieval pattern behind
+    filtered vector search.  The label equality turns the cross join
+    into a *blocked* equi-join (cost |Q| x |N|/n_labels), and at scale
+    the vector table bucketed by label makes it shuffle-free."""
+    from ..functions.vectors import dot, norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    v = e.select(
+        F.col("vec_id").alias("vec_id"),
+        "label",
+        F.col("embedding").cast("array<double>").alias("vv"),
+    )
+    scored = (
+        q.join(v, q["qlabel"] == v["label"])
+        .withColumn("qn", norm(F.col("qv")))
+        .withColumn("vn", norm(F.col("vv")))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.when(
+                    F.col("qn") * F.col("vn") != 0,
+                    dot(F.col("qv"), F.col("vv")) / (F.col("qn") * F.col("vn")),
+                ),
+                4,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
+SQL_ANN_FILTERED_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+           FROM embeddings WHERE vec_id % 25 = 0)
+SELECT query_id, vec_id, sim, rank FROM (
+  SELECT q.query_id, v.vec_id,
+         round(list_cosine_similarity(q.qv::DOUBLE[], v.embedding::DOUBLE[]), 4)
+           AS sim,
+         CAST(row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv::DOUBLE[],
+                                                   v.embedding::DOUBLE[]), 4)
+                        DESC, v.vec_id) AS INTEGER) AS rank
+  FROM q JOIN embeddings v ON v.label = q.qlabel
+) WHERE rank <= 5
+"""
+
+
 def _sql_kmeans_ctes(num_cells: int, iters: int) -> tuple[str, str]:
     """Unrolled Lloyd iteration as DuckDB CTE text: returns (ctes,
     final_assign_name).  Mirrors operators/similarity.kmeans_refine
@@ -1917,6 +1979,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_gopher_rules": QuerySpec(q_text_gopher_rules, SQL_TEXT_GOPHER_RULES),
     "text_html_strip": QuerySpec(q_text_html_strip, SQL_TEXT_HTML_STRIP),
     "pack_bins_bfd": QuerySpec(q_pack_bins_bfd, None),
+    "ann_filtered_topk": QuerySpec(q_ann_filtered_topk, SQL_ANN_FILTERED_TOPK),
     "dedup_prefix_jaccard": QuerySpec(
         q_dedup_prefix_jaccard, SQL_DEDUP_PREFIX_JACCARD
     ),
