@@ -91,6 +91,17 @@ JOIN LATERAL (
 """
 
 
+SQL_API_GROUP_BY_ALL = """
+SELECT n_name, r_name,
+       count(*) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS total_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ALL
+"""
+
+
 def _sql_query(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         tune(spark)
@@ -111,4 +122,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sql_api_exists": QuerySpec(_sql_query(SQL_API_EXISTS), SQL_API_EXISTS),
     "sql_api_lateral": QuerySpec(_sql_query(SQL_API_LATERAL), SQL_API_LATERAL),
+    "sql_api_group_by_all": QuerySpec(
+        _sql_query(SQL_API_GROUP_BY_ALL), SQL_API_GROUP_BY_ALL
+    ),
 }

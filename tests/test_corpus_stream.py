@@ -101,3 +101,44 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").collect()
     b = spark.read.parquet(dst).orderBy("id").collect()
     assert a == b
+
+
+def test_progress_capture_counts_rows_and_state(spark, tmp_path):
+    """The listener must see every input row across micro-batches and
+    report bounded dedup state for a bounded key set."""
+    import time
+
+    from rc_scanner_spark.streaming.metrics import ProgressCapture
+
+    cap = ProgressCapture()
+    spark.streams.addListener(cap)
+    try:
+        rows = [(i, f"t{i % 4}") for i in range(20)]
+        df = spark.createDataFrame(rows, "id bigint, title string")
+        src = str(tmp_path / "metrics_src")
+        df.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("id bigint, title string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stream.dropDuplicates(["title"])
+        q = (
+            out.writeStream.format("memory")
+            .queryName("metrics_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_metrics"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # listener events are delivered asynchronously
+        for _ in range(40):
+            if cap.total_rows() >= 20:
+                break
+            time.sleep(0.25)
+        assert cap.total_rows() == 20
+        assert len(cap.batches) >= 2          # maxFilesPerTrigger split it
+        assert 0 < cap.max_state_rows() <= 4  # dedup state bounded by titles
+    finally:
+        spark.streams.removeListener(cap)
