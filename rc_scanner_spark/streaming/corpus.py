@@ -66,17 +66,47 @@ def merge_batch(batch_df: DataFrame, batch_id: int, corpus_dir: str) -> None:
 
 
 def build_corpus_stream(
-    doc_stream: DataFrame, corpus_dir: str, checkpoint_dir: str
+    doc_stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    prep=None,
 ):
     """Wire a document stream into the dedup-merge sink.  Returns the
-    (not yet started) ``DataStreamWriter``."""
+    (not yet started) ``DataStreamWriter``.
+
+    ``prep`` (optional): a DataFrame -> DataFrame transform applied to
+    each micro-batch BEFORE dedup — the hook for quality gates and PII
+    scrubbing so filtered/redacted docs never enter the corpus (see
+    ``quality_scrub_prep`` for the standard composition).  It must
+    preserve the document schema.
+    """
+
+    def handle(df: DataFrame, bid: int) -> None:
+        if prep is not None:
+            df = prep(df)
+        merge_batch(df, bid, corpus_dir)
+
     return (
-        doc_stream.writeStream.foreachBatch(
-            lambda df, bid: merge_batch(df, bid, corpus_dir)
-        )
+        doc_stream.writeStream.foreachBatch(handle)
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def quality_scrub_prep(min_tokens: int = 5) -> "callable":
+    """The standard prep hook: drop docs under ``min_tokens``
+    whitespace tokens, then redact PII in the text column — both pure
+    Catalyst, applied per micro-batch before dedup so redaction
+    happens BEFORE fingerprints are taken (two near-identical docs
+    differing only in their PII dedup to one)."""
+    from ..operators.text import pii_scrub, token_count
+
+    def prep(df: DataFrame) -> DataFrame:
+        gated = df.filter(token_count(F.col("text")) >= min_tokens)
+        cols = pii_scrub(F.col("text"))
+        return gated.withColumn("text", cols["scrubbed"])
+
+    return prep
 
 
 def read_corpus(spark, corpus_dir: str) -> DataFrame:

@@ -142,3 +142,42 @@ def test_progress_capture_counts_rows_and_state(spark, tmp_path):
         assert 0 < cap.max_state_rows() <= 4  # dedup state bounded by titles
     finally:
         spark.streams.removeListener(cap)
+
+
+def test_corpus_stream_prep_gates_and_scrubs(spark, tmp_path):
+    """With the quality+PII prep hook: short docs never reach the
+    corpus, emails are redacted BEFORE fingerprinting (so two docs
+    differing only in their PII dedup to one surviving row)."""
+    from rc_scanner_spark.streaming.corpus import (
+        build_corpus_stream,
+        quality_scrub_prep,
+        read_corpus,
+    )
+
+    rows = [
+        (1, "contact alice@example.com about the quarterly report today", "en", "s"),
+        (2, "contact bob@example.com about the quarterly report today", "en", "s"),
+        (3, "too short", "en", "s"),
+        (4, "an entirely different and sufficiently long document here", "en", "s"),
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, lang string, source string")
+        .parquet(src)
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    q = build_corpus_stream(
+        stream, corpus_dir, str(tmp_path / "ckpt"), prep=quality_scrub_prep()
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"]: r["text"] for r in read_corpus(spark, corpus_dir).collect()}
+    assert 3 not in got                       # quality-gated
+    assert len({1, 2} & set(got)) == 1        # PII-equal docs deduped to one
+    surviving_pii_doc = (({1, 2} & set(got))).pop()
+    assert "<EMAIL>" in got[surviving_pii_doc]
+    assert "example.com" not in got[surviving_pii_doc]
+    assert 4 in got
