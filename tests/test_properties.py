@@ -288,3 +288,46 @@ def test_regex_translation_matches_python_re(spark, pats, texts):
         for j, p in enumerate(pats):
             expected = re.search(p, t) is not None
             assert r[f"m{j}"] == expected, (p, t)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    frames=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(alphabet="abcmsg", min_size=1, max_size=8)),
+            st.one_of(st.none(), st.text(alphabet="0123456789of[]\",:{}", max_size=20)),
+            st.lists(
+                st.text(alphabet="abc {}:\",7", max_size=15), min_size=1, max_size=3
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    noise=st.booleans(),
+)
+def test_sse_render_parse_roundtrip(frames, noise):
+    """EventSource round-trip: any (event, id, multi-line data) frame
+    set rendered to SSE wire lines parses back to the same frames —
+    multi-line data joins with newline, comments and heartbeats are
+    ignored, blank lines delimit."""
+    from rc_scanner_spark.sources.sse import parse_sse_events
+
+    lines = []
+    for ev, fid, data_lines in frames:
+        if noise:
+            lines.append(": heartbeat")
+        if ev is not None:
+            lines.append(f"event: {ev}")
+        if fid is not None:
+            lines.append(f"id: {fid}")
+        for dl in data_lines:
+            lines.append(f"data: {dl}")
+        lines.append("")
+    parsed = list(parse_sse_events(lines))
+    assert len(parsed) == len(frames)
+    for got, (ev, fid, data_lines) in zip(parsed, frames):
+        # contract: event is None when the field is absent (consumers
+        # treat None as the spec's default "message" type)
+        assert got["event"] == ev
+        assert got["id"] == fid
+        assert got["data"] == "\n".join(data_lines)
