@@ -136,6 +136,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "text_html_strip",
     "ann_filtered_topk",
     "sql_api_group_by_all",
+    "contract_violations",
     # k-means family: full oracles via unrolled-Lloyd SQL (every
     # decision float is rounded before comparison on both sides)
     "cluster_kmeans",

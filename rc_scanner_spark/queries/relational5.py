@@ -540,8 +540,63 @@ FROM d
 """
 
 
+def q_contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract enforcement over events: declarative rules
+    (not-null ids, value range, event_type enum, ts window) compiled to
+    one map-side expression block; output = per-rule violation counts
+    plus the clean-row count, so the oracle checks both the rule logic
+    and the quarantine split."""
+    from ..operators.contracts import in_range, in_set, not_null, validate
+
+    e = _t(spark, sf_dir, "events")
+    rules = [
+        not_null("event_id"),
+        not_null("user_id"),
+        in_range("value", 0.0, 500.0),
+        in_set("event_type", ["view", "click", "purchase", "signup", "error"]),
+    ]
+    clean, violations = validate(e, rules)
+    counts = violations.groupBy("violated_rule").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = clean.agg(
+        F.lit("__clean__").alias("violated_rule"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return counts.unionByName(total)
+
+
+SQL_CONTRACT_VIOLATIONS = """
+WITH checks AS (
+  SELECT
+    CASE WHEN event_id IS NULL THEN 1 ELSE 0 END AS f_eid,
+    CASE WHEN user_id IS NULL THEN 1 ELSE 0 END AS f_uid,
+    CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 500.0)
+         THEN 1 ELSE 0 END AS f_range,
+    CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+              ('view','click','purchase','signup','error')
+         THEN 1 ELSE 0 END AS f_enum
+  FROM events
+)
+SELECT 'event_id_not_null' AS violated_rule, sum(f_eid) AS n_rows
+FROM checks HAVING sum(f_eid) > 0
+UNION ALL
+SELECT 'user_id_not_null', sum(f_uid) FROM checks HAVING sum(f_uid) > 0
+UNION ALL
+SELECT 'value_in_range', sum(f_range) FROM checks HAVING sum(f_range) > 0
+UNION ALL
+SELECT 'event_type_in_set', sum(f_enum) FROM checks HAVING sum(f_enum) > 0
+UNION ALL
+SELECT '__clean__', count(*) FROM checks
+WHERE f_eid = 0 AND f_uid = 0 AND f_range = 0 AND f_enum = 0
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "agg_corr": QuerySpec(q_agg_corr, SQL_AGG_CORR),
+    "contract_violations": QuerySpec(
+        q_contract_violations, SQL_CONTRACT_VIOLATIONS
+    ),
     "agg_string_collect": QuerySpec(q_agg_string_collect, SQL_AGG_STRING_COLLECT),
     "tpch_q8ish": QuerySpec(q_tpch_q8ish, SQL_TPCH_Q8ISH),
     "tpch_q9ish": QuerySpec(q_tpch_q9ish, SQL_TPCH_Q9ISH),

@@ -57,3 +57,69 @@ def test_merge_schema_reads_old_files_with_nulls(spark, tmp_path):
     assert got == {1: None, 2: 9.5}
     # and the evolved column is still filterable/aggregatable
     assert df.agg(F.sum("score")).collect()[0][0] == 9.5
+
+
+def test_corrupt_json_records_are_quarantined_not_fatal(spark, tmp_path):
+    """PERMISSIVE JSON reads must land malformed lines in
+    _corrupt_record (per-record error containment, the C1 semantic at
+    the source layer) instead of failing the scan."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "title": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 2, "title": "also ok"}\n'
+        '{"id": "not-a-number", "title": "type clash"}\n'
+    )
+    df = (
+        spark.read.schema("id bigint, title string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = {r["id"] for r in rows if r["_corrupt_record"] is None}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert good == {1, 2}
+    assert len(bad) == 2
+    # and DROPMALFORMED keeps only the clean rows
+    clean = (
+        spark.read.schema("id bigint, title string")
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+    )
+    assert {r["id"] for r in clean.collect()} == {1, 2}
+
+
+def test_contract_validate_splits_clean_and_violations(spark):
+    from rc_scanner_spark.operators.contracts import (
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        validate,
+    )
+
+    rows = [
+        (1, "view", 10.0, "u1"),
+        (None, "view", 10.0, "u2"),       # null id
+        (3, "hover", 10.0, "u3"),         # bad enum
+        (4, "click", -5.0, "u4"),         # out of range
+        (5, "click", 9999.0, "bad user"), # out of range AND bad name
+    ]
+    df = spark.createDataFrame(rows, "id bigint, etype string, v double, name string")
+    rules = [
+        not_null("id"),
+        in_set("etype", ["view", "click"]),
+        in_range("v", 0.0, 100.0),
+        matches("name", r"^u\d+$"),
+    ]
+    clean, violations = validate(df, rules)
+    assert {r["id"] for r in clean.collect()} == {1}
+    viol = {(r["id"], r["violated_rule"]) for r in violations.collect()}
+    assert viol == {
+        (None, "id_not_null"),
+        (3, "etype_in_set"),
+        (4, "v_in_range"),
+        (5, "v_in_range"),
+        (5, "name_matches"),
+    }
