@@ -704,3 +704,107 @@ def prefix_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _portable_hash64(*cols: Column) -> Column:
+    """Engine-portable 60-bit hash: md5 of the ':'-joined inputs,
+    first 15 hex chars as a long.  ~3x slower than xxhash64 — exists
+    so the LSH mechanism has an exactly-replayable twin in engines
+    without xxhash64 (the fast path stays on xxhash64)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", *cols)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH with every hash step engine-portable (md5-derived),
+    so a SQL oracle replays the EXACT candidate generation: per-seed
+    signature mins, band buckets, candidate pairs, Jaccard verify.
+
+    Same pipeline shape as ``minhash_lsh_pairs`` (explode -> hash-agg
+    signature -> band equi-join -> candidate-restricted verification);
+    only the hash functions differ.  Use the xxhash64 form in
+    production — this one exists to put the LSH *mechanism* under the
+    external oracle gate.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    sig = sh.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min(_portable_hash64(F.lit(str(seed)), F.col("shingle"))).alias(
+                f"h{seed}"
+            )
+            for seed in range(num_hashes)
+        ],
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _portable_hash64(
+                            *[
+                                F.col(f"h{b * rows_per_band + i}").cast("string")
+                                for i in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    counts = sig.select("id", "n_sh")
+    ta = sh.join(
+        cand.select("id_a").distinct().hint("broadcast"), sh.id == F.col("id_a")
+    ).select(F.col("id_a").alias("ca"), "shingle")
+    tb = sh.join(
+        cand.select("id_b").distinct().hint("broadcast"), sh.id == F.col("id_b")
+    ).select(F.col("id_b").alias("cb"), F.col("shingle").alias("shingle_b"))
+    common = (
+        ta.join(tb, F.col("shingle") == F.col("shingle_b"))
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        cand.join(common, (cand.id_a == common.ca) & (cand.id_b == common.cb), "left")
+        .join(counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0))),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -137,6 +137,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "ann_filtered_topk",
     "sql_api_group_by_all",
     "contract_violations",
+    "dedup_minhash_portable",
     # k-means family: full oracles via unrolled-Lloyd SQL (every
     # decision float is rounded before comparison on both sides)
     "cluster_kmeans",

@@ -270,6 +270,92 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, queries, k=5, num_cells=16, num_probes=4)
 
 
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with engine-portable (md5-derived) hashes: the SQL
+    oracle replays the exact signature mins, band buckets, candidate
+    pairs, and Jaccard verification — putting the LSH *mechanism*
+    under the external hash-match gate (the xxhash64 form stays the
+    production/headline operator)."""
+    from ..operators.dedup import minhash_lsh_pairs_portable
+
+    return minhash_lsh_pairs_portable(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=4,
+        shingle_k=3,
+        verify_threshold=0.5,
+    )
+
+
+def _sql_minhash_portable(num_hashes: int = 16, bands: int = 4) -> str:
+    rpb = num_hashes // bands
+
+    def ph(arg: str) -> str:
+        return f"CAST(concat('0x', substr(md5({arg}), 1, 15)) AS BIGINT)"
+
+    sig_cols = ",\n         ".join(
+        "min({h}) AS h{s}".format(h=ph("'{}:' || shingle".format(s)), s=s)
+        for s in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sig".format(
+            b=b,
+            bucket=ph(
+                " || ':' || ".join(
+                    f"CAST(h{b * rpb + i} AS VARCHAR)" for i in range(rpb)
+                )
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_distinct([array_to_string(words[i:i+2], ' ')
+                                  FOR i IN range(1, len(words) - 1)])
+              WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+              ELSE [] END AS sh
+  FROM w
+),
+e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+sig AS (
+  SELECT doc_id, count(*) AS n_sh,
+         {sig_cols}
+  FROM e GROUP BY doc_id
+),
+banded AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT a.doc_id AS ca, b.doc_id AS cb, count(*) AS n_common
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       round(COALESCE(m.n_common, 0) * 1.0
+             / (sa.n_sh + sb.n_sh - COALESCE(m.n_common, 0)), 4) AS jaccard
+FROM cand c
+LEFT JOIN common m ON m.ca = c.id_a AND m.cb = c.id_b
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+WHERE round(COALESCE(m.n_common, 0) * 1.0
+            / (sa.n_sh + sb.n_sh - COALESCE(m.n_common, 0)), 4) >= 0.5
+"""
+
+
+SQL_DEDUP_MINHASH_PORTABLE = _sql_minhash_portable()
+
+
 def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered similarity search: top-5 by cosine among
     vectors sharing the query's label — the retrieval pattern behind
@@ -1980,6 +2066,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_html_strip": QuerySpec(q_text_html_strip, SQL_TEXT_HTML_STRIP),
     "pack_bins_bfd": QuerySpec(q_pack_bins_bfd, None),
     "ann_filtered_topk": QuerySpec(q_ann_filtered_topk, SQL_ANN_FILTERED_TOPK),
+    "dedup_minhash_portable": QuerySpec(
+        q_dedup_minhash_portable, SQL_DEDUP_MINHASH_PORTABLE
+    ),
     "dedup_prefix_jaccard": QuerySpec(
         q_dedup_prefix_jaccard, SQL_DEDUP_PREFIX_JACCARD
     ),
