@@ -808,3 +808,75 @@ def minhash_lsh_pairs_portable(
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def simhash_pairs_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs with engine-portable (md5-derived) word
+    hashes: 60 bit-votes, 4 x 15-bit chunks, chunk-equality candidate
+    join, Hamming verify — all integer arithmetic, so a SQL oracle
+    replays every bit exactly.  Zero-word docs are excluded (they have
+    no signature; both engines drop them identically).  The xxhash64
+    ``simhash_pairs`` stays the production form."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("w"),
+    ).withColumn("h", _portable_hash64(F.col("w")))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(60)
+        ]
+    )
+    chunks = []
+    for c in range(4):
+        val: Column = F.lit(0)
+        for i in range(15):
+            val = val + F.when(F.col(f"v{c * 15 + i}") > 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+        chunks.append(val.cast("long").alias(f"c{c}"))
+    sig = votes.select("id", *chunks)
+    exploded = sig.select(
+        "id",
+        *[F.col(f"c{c}") for c in range(4)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("val"))
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "c0", "c1", "c2", "c3", "cc.chunk", "cc.val")
+    l, r = exploded.alias("l"), exploded.alias("r")
+    hamming: Column = F.lit(0)
+    for c in range(4):
+        hamming = hamming + F.bit_count(
+            F.col(f"l.c{c}").bitwiseXOR(F.col(f"r.c{c}"))
+        )
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.val") == F.col("r.val"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

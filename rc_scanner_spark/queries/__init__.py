@@ -138,6 +138,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sql_api_group_by_all",
     "contract_violations",
     "dedup_minhash_portable",
+    "dedup_simhash_portable",
     # k-means family: full oracles via unrolled-Lloyd SQL (every
     # decision float is rounded before comparison on both sides)
     "cluster_kmeans",

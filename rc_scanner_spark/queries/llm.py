@@ -356,6 +356,70 @@ WHERE round(COALESCE(m.n_common, 0) * 1.0
 SQL_DEDUP_MINHASH_PORTABLE = _sql_minhash_portable()
 
 
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with md5-derived word hashes (60 bit-votes, 4 x 15-bit
+    chunks): pure integer arithmetic end to end, so the oracle replays
+    every vote, chunk, candidate, and Hamming distance exactly."""
+    from ..operators.dedup import simhash_pairs_portable
+
+    return simhash_pairs_portable(
+        _t(spark, sf_dir, "documents"), max_hamming=2
+    )
+
+
+def _sql_simhash_portable(max_hamming: int = 2) -> str:
+    ph = "CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)"
+    vote_cols = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(60)
+    )
+    chunk_cols = ",\n         ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN v{c * 15 + i} > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(15)
+        )
+        + f") AS c{c}"
+        for c in range(4)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT id, c0, c1, c2, c3, {c} AS chunk, c{c} AS val FROM sig"
+        for c in range(4)
+    )
+    hamming = " + ".join(f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(4))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS w
+  FROM documents
+),
+hashed AS (SELECT id, {ph} AS h FROM toks),
+votes AS (
+  SELECT id,
+         {vote_cols}
+  FROM hashed GROUP BY id
+),
+sig AS (
+  SELECT id,
+         {chunk_cols}
+  FROM votes
+),
+banded AS (
+{band_selects}
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         CAST({hamming} AS INT) AS hamming
+  FROM banded a JOIN banded b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.id < b.id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+SQL_DEDUP_SIMHASH_PORTABLE = _sql_simhash_portable()
+
+
 def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered similarity search: top-5 by cosine among
     vectors sharing the query's label — the retrieval pattern behind
@@ -2068,6 +2132,9 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_filtered_topk": QuerySpec(q_ann_filtered_topk, SQL_ANN_FILTERED_TOPK),
     "dedup_minhash_portable": QuerySpec(
         q_dedup_minhash_portable, SQL_DEDUP_MINHASH_PORTABLE
+    ),
+    "dedup_simhash_portable": QuerySpec(
+        q_dedup_simhash_portable, SQL_DEDUP_SIMHASH_PORTABLE
     ),
     "dedup_prefix_jaccard": QuerySpec(
         q_dedup_prefix_jaccard, SQL_DEDUP_PREFIX_JACCARD
