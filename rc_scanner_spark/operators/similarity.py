@@ -359,3 +359,106 @@ def kmeans_refine(
             )
         )
     return centroids, kmeans_assign(base, centroids)
+
+
+def _portable_sign_bit(table: int, plane: int, dim: Column) -> Column:
+    """Engine-portable Rademacher weight: bit 0 of md5-derived hash of
+    'table:plane:dim' decides +1/-1 — replayable in any engine with
+    md5 (the xxhash64 form stays the fast path)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(str(table)), F.lit(str(plane)), dim.cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h.bitwiseAND(F.lit(1))
+
+
+def lsh_ann_pairs_portable(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 12,
+    num_tables: int = 2,
+    threshold: float = 0.3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Hyperplane-LSH near-neighbor pairs with every signature decision
+    integer-exact: embeddings are fixed-pointed (round(x * scale) as
+    long), plane weights come from md5-derived hash bits, and each
+    plane dot is an integer sum — so sign(dot) can never diverge
+    between engines on float summation order, and a SQL oracle replays
+    the exact buckets.  Verification cosine stays float (rounded 4,
+    like every other similarity oracle).  The xxhash64/float
+    ``lsh_ann_pairs`` remains the production form."""
+    base = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    fixed = base.withColumn(
+        "fx",
+        F.transform(F.col("v"), lambda x: F.round(x * scale).cast("long")),
+    )
+    dims = F.size(F.col("fx"))
+
+    def plane_dot(table: int, p: int) -> Column:
+        prods = F.zip_with(
+            F.col("fx"),
+            F.sequence(F.lit(0), dims - 1),
+            lambda x, d: F.when(_portable_sign_bit(table, p, d) == 1, x).otherwise(
+                -x
+            ),
+        )
+        return F.aggregate(prods, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    sigs = fixed.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        sum(
+                            [
+                                F.when(plane_dot(t, p) > 0, F.lit(1 << p)).otherwise(
+                                    F.lit(0)
+                                )
+                                for p in range(num_planes)
+                            ],
+                            F.lit(0),
+                        ).cast("long").alias("sig"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "v", "s.tbl", "s.sig")
+    l, r = sigs.alias("l"), sigs.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.tbl") == F.col("r.tbl"),
+                F.col("l.sig") == F.col("r.sig"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -139,6 +139,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "contract_violations",
     "dedup_minhash_portable",
     "dedup_simhash_portable",
+    "ann_lsh_portable",
     # k-means family: full oracles via unrolled-Lloyd SQL (every
     # decision float is rounded before comparison on both sides)
     "cluster_kmeans",
@@ -149,8 +150,11 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     # sequential-algorithm op (BFD bin packing): rows-only by design,
     # exact pure-Python ground truth in tests
     "pack_bins_bfd",
-    # xxhash64-dependent ops (rows-only checks by design — DuckDB has
-    # no xxhash64, and the hash IS the algorithm)
+    # xxhash64-dependent production forms (rows-only — DuckDB has no
+    # xxhash64).  Each mechanism is nonetheless externally verified via
+    # its md5-based portable twin above (dedup_minhash_portable,
+    # dedup_simhash_portable, ann_lsh_portable): identical pipeline
+    # shape, hash-matched oracle.
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_bucketed",

@@ -420,6 +420,77 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
 SQL_DEDUP_SIMHASH_PORTABLE = _sql_simhash_portable()
 
 
+def q_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane LSH with integer-exact signatures: fixed-point
+    embeddings (x 1e6), md5-derived plane signs — sign(dot) cannot
+    diverge on float summation order, so the oracle replays the exact
+    buckets; candidate verification is rounded cosine like the other
+    similarity oracles."""
+    from ..operators.similarity import lsh_ann_pairs_portable
+
+    return lsh_ann_pairs_portable(
+        _t(spark, sf_dir, "embeddings"),
+        num_planes=12,
+        num_tables=2,
+        threshold=0.3,
+    )
+
+
+def _sql_lsh_portable(num_planes: int = 12, num_tables: int = 2) -> str:
+    def dot(t: int, p: int) -> str:
+        h = (
+            "CAST(concat('0x', substr(md5('{t}:{p}:' || CAST(i AS VARCHAR)), 1, 15))"
+            " AS BIGINT)".format(t=t, p=p)
+        )
+        return (
+            "list_sum([CASE WHEN ({h}) & 1 = 1 THEN fx[i+1] ELSE -fx[i+1] END "
+            "FOR i IN range(0, len(fx))])".format(h=h)
+        )
+
+    def sig(t: int) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"CASE WHEN ({dot(t, p)}) > 0 THEN {1 << p} ELSE 0 END"
+                for p in range(num_planes)
+            )
+            + f") AS sig{t}"
+        )
+
+    sig_cols = ",\n         ".join(sig(t) for t in range(num_tables))
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT id, v, {t} AS tbl, sig{t} AS sig FROM sigs"
+        for t in range(num_tables)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         [CAST(round(x * 1000000) AS BIGINT) FOR x IN embedding::DOUBLE[]] AS fx
+  FROM embeddings
+),
+sigs AS (
+  SELECT id, v,
+         {sig_cols}
+  FROM base
+),
+banded AS (
+{band_selects}
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+  FROM banded a JOIN banded b
+    ON a.tbl = b.tbl AND a.sig = b.sig AND a.id < b.id
+)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(va, vb), 4) AS sim
+FROM pairs
+WHERE round(list_cosine_similarity(va, vb), 4) >= 0.3
+"""
+
+
+SQL_ANN_LSH_PORTABLE = _sql_lsh_portable()
+
+
 def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered similarity search: top-5 by cosine among
     vectors sharing the query's label — the retrieval pattern behind
@@ -2136,6 +2207,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash_portable": QuerySpec(
         q_dedup_simhash_portable, SQL_DEDUP_SIMHASH_PORTABLE
     ),
+    "ann_lsh_portable": QuerySpec(q_ann_lsh_portable, SQL_ANN_LSH_PORTABLE),
     "dedup_prefix_jaccard": QuerySpec(
         q_dedup_prefix_jaccard, SQL_DEDUP_PREFIX_JACCARD
     ),
