@@ -123,3 +123,31 @@ def test_contract_validate_splits_clean_and_violations(spark):
         (5, "v_in_range"),
         (5, "name_matches"),
     }
+
+
+def test_jsonl_sink_writes_atomically(spark, tmp_path):
+    """The custom Python DataSource writer: committed parts only, no
+    temp files left, content round-trips."""
+    import json
+    import os
+
+    from rc_scanner_spark.sinks.jsonl_sink import JsonlSinkDataSource
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = str(tmp_path / "jsonl_out")
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "id bigint, name string"
+    ).repartition(2)
+    df.write.format("jsonlsink").option("path", out).mode("append").save()
+
+    files = sorted(os.listdir(out))
+    assert files and all(f.startswith("part-") for f in files)
+    rows = []
+    for f in files:
+        with open(os.path.join(out, f)) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert sorted((r["id"], r["name"]) for r in rows) == [
+        (1, "alpha"),
+        (2, "beta"),
+        (3, "gamma"),
+    ]
