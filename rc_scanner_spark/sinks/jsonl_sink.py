@@ -26,6 +26,7 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -69,8 +70,55 @@ class JsonlWriter(DataSourceWriter):
                 os.remove(m.temp_path)
 
 
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming form: every epoch's parts commit under an
+    ``epoch=N`` subdirectory via the same temp-rename protocol, so a
+    retried epoch replaces its own directory (idempotent — the same
+    recipe as streaming/corpus.py's batch_id partitions) and a crashed
+    epoch leaves only removable temp files."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlsink requires option 'path'")
+
+    def write(self, rows) -> JsonlCommitMessage:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in rows:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return JsonlCommitMessage(tmp, n)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (Spark API)
+        epoch_dir = os.path.join(self.path, f"epoch={batchId}")
+        if os.path.isdir(epoch_dir):
+            for old in os.listdir(epoch_dir):  # retried epoch: replace
+                os.remove(os.path.join(epoch_dir, old))
+        os.makedirs(epoch_dir, exist_ok=True)
+        for m in messages:
+            if m is None:
+                continue
+            if m.rows == 0:
+                if os.path.exists(m.temp_path):
+                    os.remove(m.temp_path)
+                continue
+            final = os.path.join(
+                epoch_dir, os.path.basename(m.temp_path).replace("_tmp-", "part-")
+            )
+            os.replace(m.temp_path, final)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        for m in messages:
+            if m is not None and os.path.exists(m.temp_path):
+                os.remove(m.temp_path)
+
+
 class JsonlSinkDataSource(DataSource):
-    """``df.write.format("jsonlsink")`` after
+    """``df.write.format("jsonlsink")`` (batch) or
+    ``df.writeStream.format("jsonlsink")`` (streaming) after
     ``spark.dataSource.register(JsonlSinkDataSource)``."""
 
     @classmethod
@@ -82,3 +130,6 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> JsonlWriter:
         return JsonlWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> JsonlStreamWriter:
+        return JsonlStreamWriter(self.options)

@@ -151,3 +151,41 @@ def test_jsonl_sink_writes_atomically(spark, tmp_path):
         (2, "beta"),
         (3, "gamma"),
     ]
+
+
+def test_jsonl_stream_sink_commits_per_epoch(spark, tmp_path):
+    """Streaming custom sink: every micro-batch lands in its own
+    epoch=N directory, rows round-trip, no temp files remain."""
+    import json
+    import os
+
+    from rc_scanner_spark.sinks.jsonl_sink import JsonlSinkDataSource
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    src = str(tmp_path / "stream_src")
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(6)], "id bigint, name string"
+    )
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "stream_out")
+    q = (
+        spark.readStream.schema("id bigint, name string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.format("jsonlsink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_jsonl"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    epochs = [d for d in os.listdir(out) if d.startswith("epoch=")]
+    assert len(epochs) >= 2
+    assert not [f for f in os.listdir(out) if f.startswith("_tmp-")]
+    rows = []
+    for e in epochs:
+        for f in os.listdir(os.path.join(out, e)):
+            with open(os.path.join(out, e, f)) as fh:
+                rows += [json.loads(line) for line in fh]
+    assert sorted(r["id"] for r in rows) == list(range(6))
