@@ -189,3 +189,46 @@ def test_jsonl_stream_sink_commits_per_epoch(spark, tmp_path):
             with open(os.path.join(out, e, f)) as fh:
                 rows += [json.loads(line) for line in fh]
     assert sorted(r["id"] for r in rows) == list(range(6))
+
+
+def test_jsonl_stream_sink_restart_no_duplication(spark, tmp_path):
+    """Stop the stream, add data, restart from the same checkpoint:
+    every row lands exactly once across the two runs' epochs."""
+    import json
+    import os
+
+    from rc_scanner_spark.sinks.jsonl_sink import JsonlSinkDataSource
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    src = str(tmp_path / "restart_src")
+    out = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id bigint, name string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("jsonlsink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame([(3, "c"), (4, "d")], "id bigint, name string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    rows = []
+    for e in os.listdir(out):
+        if not e.startswith("epoch="):
+            continue
+        for f in os.listdir(os.path.join(out, e)):
+            with open(os.path.join(out, e, f)) as fh:
+                rows += [json.loads(line) for line in fh]
+    assert sorted(r["id"] for r in rows) == [1, 2, 3, 4]
