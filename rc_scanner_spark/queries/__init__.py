@@ -140,6 +140,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_portable",
     "dedup_simhash_portable",
     "ann_lsh_portable",
+    "graph_degree_stats",
     # k-means family: full oracles via unrolled-Lloyd SQL (every
     # decision float is rounded before comparison on both sides)
     "cluster_kmeans",

@@ -2055,6 +2055,83 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-graph diagnostics: degree distribution of the near-dup
+    pair graph (blocked n-gram Jaccard >= 0.5 edges) — how many docs
+    have 0, 1, 2.. near-duplicates.  The shape a dedup run reports to
+    decide whether clustering is needed (max degree > 1 means pairwise
+    removal under-deletes).  One extra aggregate over the pairs
+    frame."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        group_cols=["lang", "source"],
+        shingle_k=3,
+        threshold=0.5,
+        max_shingle_df=50,
+    )
+    ends = pairs.select(F.col("id_a").alias("doc_id")).union(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    d = _t(spark, sf_dir, "documents")
+    all_deg = (
+        d.select("doc_id")
+        .join(deg, "doc_id", "left")
+        .select(F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
+    )
+    return all_deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_GRAPH_DEGREE_STATS = """
+WITH w AS (
+  SELECT doc_id, lang, source,
+         regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN len(words) >= 3
+              THEN list_distinct([array_to_string(words[i:i+2], ' ')
+                                  FOR i IN range(1, len(words) - 1)])
+              WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+              ELSE [] END AS sh
+  FROM w
+),
+e AS (SELECT doc_id, lang, source, unnest(sh) AS shingle FROM s),
+d AS (SELECT lang, source, shingle, count(*) AS df FROM e GROUP BY 1, 2, 3),
+kept AS (
+  SELECT e.doc_id, e.lang, e.source, e.shingle
+  FROM e JOIN d USING (lang, source, shingle)
+  WHERE d.df <= 50
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common JOIN counts ca ON ca.doc_id = id_a
+              JOIN counts cb ON cb.doc_id = id_b
+  WHERE round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) >= 0.5
+),
+ends AS (
+  SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b FROM pairs
+),
+deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY 1),
+all_deg AS (
+  SELECT COALESCE(g.degree, 0) AS degree
+  FROM documents d LEFT JOIN deg g USING (doc_id)
+)
+SELECT degree, count(*) AS n_docs FROM all_deg GROUP BY 1
+"""
+
+
 def q_pack_bins_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-fit-decreasing packing into 512-token bins per source —
     the no-document-splitting alternative to pack_sequences.  BFD's
@@ -2208,6 +2285,7 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_simhash_portable, SQL_DEDUP_SIMHASH_PORTABLE
     ),
     "ann_lsh_portable": QuerySpec(q_ann_lsh_portable, SQL_ANN_LSH_PORTABLE),
+    "graph_degree_stats": QuerySpec(q_graph_degree_stats, SQL_GRAPH_DEGREE_STATS),
     "dedup_prefix_jaccard": QuerySpec(
         q_dedup_prefix_jaccard, SQL_DEDUP_PREFIX_JACCARD
     ),
