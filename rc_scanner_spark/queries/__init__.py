@@ -159,6 +159,12 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_bucketed",
+    # warehouse-maintenance + retrieval family (round-2 tail; rotate
+    # into the checked prefix with the rest in round 3)
+    "merge_upsert",
+    "scd2_user_state",
+    "graph_pagerank",
+    "text_bm25_topk",
 )
 
 
@@ -173,6 +179,7 @@ def build_registry() -> dict[str, QuerySpec]:
         scanner_queries,
         sketches,
         sql_api,
+        warehouse,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -186,6 +193,7 @@ def build_registry() -> dict[str, QuerySpec]:
         scanner_queries,
         llm,
         sketches,
+        warehouse,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

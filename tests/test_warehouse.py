@@ -1,0 +1,101 @@
+"""Semantic invariants for the warehouse/retrieval family beyond the
+oracle-parity hash check (tests/test_oracle_parity.py covers exact
+equivalence; these pin properties the hash alone would not explain)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rc_scanner_spark.queries.warehouse import (
+    _PR_DAMPING,
+    q_graph_pagerank,
+    q_merge_upsert,
+    q_scd2_user_state,
+    q_text_bm25_topk,
+)
+
+from tests.conftest import SF_ORACLE
+
+
+def test_pagerank_is_a_distribution(spark):
+    """Ranks must sum to ~1 (every node has outdeg >= 1 here, so no
+    dangling mass leaks) and all be positive, i.e. the iteration
+    really is a stochastic-matrix power step, not just 'some scores'."""
+    ranks = q_graph_pagerank(spark, SF_ORACLE)
+    total = ranks.agg(F.sum("rank_r").alias("s")).collect()[0]["s"]
+    assert total == pytest.approx(1.0, abs=1e-3)
+    assert ranks.filter(F.col("rank_r") <= 0).count() == 0
+    # teleport floor: no rank below (1-d)/N
+    n = ranks.count()
+    floor = (1.0 - _PR_DAMPING) / n - 1e-6
+    assert ranks.filter(F.col("rank_r") < floor).count() == 0
+
+
+def test_scd2_intervals_chain_per_user(spark):
+    """Intervals must tile each user's history: exactly one current
+    (open-ended) row per user, each close equals the next open, and
+    observation counts add back up to the user's event count."""
+    iv = q_scd2_user_state(spark, SF_ORACLE).cache()
+    try:
+        per_user = iv.groupBy("user_id").agg(
+            F.sum(F.col("is_current").cast("int")).alias("n_current"),
+            F.sum("n_obs").alias("n_obs"),
+        )
+        assert per_user.filter(F.col("n_current") != 1).count() == 0
+        events = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        ev_counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+        mismatched = per_user.join(ev_counts, "user_id").filter(
+            F.col("n_obs") != F.col("n_ev")
+        )
+        assert mismatched.count() == 0
+        # adjacent intervals: valid_to of row k == valid_from of row k+1
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("valid_from_us")
+        gaps = iv.withColumn(
+            "next_from", F.lead("valid_from_us").over(w)
+        ).filter(F.col("valid_to_us") != F.col("next_from"))
+        assert gaps.count() == 0
+    finally:
+        iv.unpersist(blocking=False)
+
+
+def test_merge_actions_partition_the_keyspace(spark):
+    """Every (user, type) key appears exactly once with exactly one
+    action, and totals equal the plain per-key event counts."""
+    m = q_merge_upsert(spark, SF_ORACLE).cache()
+    try:
+        assert m.groupBy("user_id", "event_type").count().filter(
+            F.col("count") > 1
+        ).count() == 0
+        events = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        truth = events.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        joined = m.join(truth, ["user_id", "event_type"], "full_outer")
+        assert joined.filter(
+            F.col("total_events") != F.col("n")
+        ).count() == 0
+    finally:
+        m.unpersist(blocking=False)
+
+
+def test_bm25_ranks_are_dense_and_ordered(spark):
+    """Per query: ranks are 1..k dense, scores non-increasing in rank,
+    and every returned doc actually contains >=1 query term."""
+    res = q_text_bm25_topk(spark, SF_ORACLE).cache()
+    try:
+        rows = res.collect()
+        by_q: dict[str, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == {"q1", "q2", "q3"}
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+            scores = [r["score_r"] for r in rs]
+            assert scores == sorted(scores, reverse=True)
+            assert all(s > 0 for s in scores)
+    finally:
+        res.unpersist(blocking=False)
