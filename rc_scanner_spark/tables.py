@@ -74,19 +74,51 @@ def _spread(spark: SparkSession, df: DataFrame, path: str, name: str) -> DataFra
     return df.repartition(target)
 
 
+#: Columns that carry event/business time, per table.  Fixture
+#: generators have shipped them in three encodings across rounds
+#: (TIMESTAMP(NANOS) -> bigint via nanosAsLong, timestamp[us] without
+#: UTC annotation -> TIMESTAMP_NTZ, and instant-annotated us -> UTC
+#: TIMESTAMP); ``_normalize_timestamps`` folds all of them to
+#: ``TimestampType`` so downstream operators see ONE type.
+_TS_COLUMNS = {"events": ("ts",), "orders": ("o_orderdate",), "lineitem": ("l_shipdate",)}
+
+
+def _normalize_timestamps(df: DataFrame, name: str) -> DataFrame:
+    """Fold every known timestamp encoding to ``TimestampType``.
+
+    The reference engine tolerates input-shape drift per event
+    (scanner.py:75-81 catches and skips); a batch loader's equivalent
+    is normalizing at the source boundary.  With the session timezone
+    pinned to UTC (session.RUNTIME_CONF) the NTZ->TIMESTAMP cast is
+    value-preserving, so DuckDB (which reads timestamp[us] as naive
+    TIMESTAMP) and Spark agree on wall-clock values.
+    """
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    for col in _TS_COLUMNS.get(name, ()):
+        enc = dtypes.get(col)
+        if enc == "bigint":
+            # TIMESTAMP(NANOS) read as long via nanosAsLong
+            # (session.py); floor-divide to microseconds — the same
+            # truncation DuckDB applies when it reads the ns column.
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif enc == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    # Catch-all: any other NTZ column (future fixture drift) gets the
+    # same treatment so no unix_micros()/watermark call site can crash.
+    for col, enc in dtypes.items():
+        if enc == "timestamp_ntz" and col not in _TS_COLUMNS.get(name, ()):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = table_path(sf_dir, name)
     df = _spread(spark, spark.read.parquet(path), path, name)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long via nanosAsLong (session.py);
-        # floor-divide to microseconds — the same truncation DuckDB
-        # applies when it reads the ns column (FIXTURES.md §B note).
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    return _normalize_timestamps(df, name)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

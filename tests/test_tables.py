@@ -1,0 +1,104 @@
+"""Timestamp-encoding canary for the table loader.
+
+The driver-generated fixtures have shipped event-time columns in three
+different parquet encodings across rounds:
+
+1. TIMESTAMP(NANOS)      -> Spark reads bigint (nanosAsLong conf)
+2. timestamp[us] (naive)  -> Spark reads TIMESTAMP_NTZ
+3. timestamp[us] UTC      -> Spark reads TIMESTAMP
+
+Rounds 2-3 each lost a week of green to a silent re-encode (the loader
+handled exactly one historical encoding).  This canary writes a tiny
+``events`` fixture in every encoding and asserts ``load_table`` always
+yields ``TimestampType`` with identical wall-clock values — so the next
+fixture drift fails HERE with an obvious message, not in 4 operators
+and the bench harness.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql.types import TimestampType
+
+from rc_scanner_spark.tables import load_table
+
+# One known instant, expressed per-encoding below.
+_INSTANT = dt.datetime(2026, 8, 13, 12, 34, 56, 789000)
+_MICROS = int(_INSTANT.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+
+def _base_columns(n: int = 3):
+    return {
+        "id": pa.array(range(n), pa.int64()),
+        "user": pa.array([f"u{i}" for i in range(n)], pa.string()),
+    }
+
+
+def _write_events(tmpdir, ts_array: pa.Array) -> str:
+    cols = _base_columns(len(ts_array))
+    cols["ts"] = ts_array
+    table = pa.table(cols)
+    path = str(tmpdir / "events.parquet")
+    pq.write_table(table, path)
+    return str(tmpdir)
+
+
+def _ts_values(n: int = 3):
+    return [_MICROS + i * 1_000_000 for i in range(n)]
+
+
+@pytest.mark.parametrize(
+    "encoding",
+    ["ns_int64", "us_ntz", "us_utc", "ms_ntz"],
+)
+def test_load_table_normalizes_every_timestamp_encoding(spark, tmp_path, encoding):
+    micros = _ts_values()
+    if encoding == "ns_int64":
+        arr = pa.array([m * 1000 for m in micros], pa.timestamp("ns"))
+    elif encoding == "us_ntz":
+        arr = pa.array(micros, pa.timestamp("us"))
+    elif encoding == "us_utc":
+        arr = pa.array(micros, pa.timestamp("us", tz="UTC"))
+    else:  # ms_ntz: coarser unit, still NTZ on the Spark side
+        arr = pa.array([m // 1000 for m in micros], pa.timestamp("ms"))
+    sf_dir = _write_events(tmp_path, arr)
+
+    df = load_table(spark, sf_dir, "events")
+    ts_field = df.schema["ts"]
+    assert isinstance(ts_field.dataType, TimestampType), (
+        f"encoding {encoding}: loader must normalize to TimestampType, "
+        f"got {ts_field.dataType}"
+    )
+    got = [r.ts for r in df.orderBy("id").collect()]
+    want = [
+        dt.datetime.fromtimestamp(m / 1_000_000, dt.timezone.utc).replace(tzinfo=None)
+        for m in micros
+    ]
+    assert got == want, f"encoding {encoding}: wall-clock values drifted"
+
+
+def test_load_table_normalizes_order_and_lineitem_dates(spark, tmp_path):
+    """orders.o_orderdate / lineitem.l_shipdate get the same treatment."""
+    micros = _ts_values()
+    for tbl, col in (("orders", "o_orderdate"), ("lineitem", "l_shipdate")):
+        cols = _base_columns(len(micros))
+        cols[col] = pa.array(micros, pa.timestamp("us"))  # NTZ encoding
+        pq.write_table(pa.table(cols), str(tmp_path / f"{tbl}.parquet"))
+        df = load_table(spark, str(tmp_path), tbl)
+        assert isinstance(df.schema[col].dataType, TimestampType)
+
+
+def test_load_table_normalizes_unknown_ntz_columns(spark, tmp_path):
+    """Future drift: an NTZ column NOT in _TS_COLUMNS is still folded."""
+    cols = _base_columns(3)
+    cols["ts"] = pa.array(_ts_values(), pa.timestamp("us"))
+    cols["created_at"] = pa.array(_ts_values(), pa.timestamp("us"))
+    pq.write_table(pa.table(cols), str(tmp_path / "events.parquet"))
+    df = load_table(spark, str(tmp_path), "events")
+    for col in ("ts", "created_at"):
+        assert isinstance(df.schema[col].dataType, TimestampType), col
