@@ -1024,7 +1024,8 @@ surv AS (
   SELECT * FROM base
   QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
 )
-SELECT lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+SELECT lang_pred, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(quality), 4) AS avg_quality
 FROM surv
 GROUP BY lang_pred

@@ -223,7 +223,8 @@ def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q12ISH = """
 SELECT o_orderpriority, count(*) AS n_late,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS n_high
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY

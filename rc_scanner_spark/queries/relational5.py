@@ -578,14 +578,18 @@ WITH checks AS (
          THEN 1 ELSE 0 END AS f_enum
   FROM events
 )
-SELECT 'event_id_not_null' AS violated_rule, sum(f_eid) AS n_rows
+SELECT 'event_id_not_null' AS violated_rule,
+       CAST(sum(f_eid) AS BIGINT) AS n_rows
 FROM checks HAVING sum(f_eid) > 0
 UNION ALL
-SELECT 'user_id_not_null', sum(f_uid) FROM checks HAVING sum(f_uid) > 0
+SELECT 'user_id_not_null', CAST(sum(f_uid) AS BIGINT)
+FROM checks HAVING sum(f_uid) > 0
 UNION ALL
-SELECT 'value_in_range', sum(f_range) FROM checks HAVING sum(f_range) > 0
+SELECT 'value_in_range', CAST(sum(f_range) AS BIGINT)
+FROM checks HAVING sum(f_range) > 0
 UNION ALL
-SELECT 'event_type_in_set', sum(f_enum) FROM checks HAVING sum(f_enum) > 0
+SELECT 'event_type_in_set', CAST(sum(f_enum) AS BIGINT)
+FROM checks HAVING sum(f_enum) > 0
 UNION ALL
 SELECT '__clean__', count(*) FROM checks
 WHERE f_eid = 0 AND f_uid = 0 AND f_range = 0 AND f_enum = 0

@@ -89,6 +89,21 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: columns {scols} != {ocols}")
             continue
+        # The external driver hashes TYPED values, so an int64 Spark
+        # column vs a HUGEINT->float64 oracle column hash-mismatches
+        # even when every value compares equal (2 == 2.0).  Compare
+        # pandas dtype *kinds* (i/u vs f vs O vs M) to catch that
+        # class locally; int32-vs-int64 width differences stay ok.
+        kind_drift = [
+            (c, sdf[c].dtype.kind, odf[c].dtype.kind)
+            for c in scols
+            if sdf[c].dtype.kind != odf[c].dtype.kind
+            and {sdf[c].dtype.kind, odf[c].dtype.kind} - {"i", "u"}
+        ]
+        if kind_drift:
+            failures.append(name)
+            print(f"FAIL {name}: dtype drift {kind_drift} (driver hash would mismatch)")
+            continue
         eq, why = rows_equal(srows, orows)
         if not eq:
             failures.append(name)
