@@ -28,95 +28,54 @@ class QuerySpec:
 
 
 # Registry iteration order doubles as the external driver's
-# verification order (it oracle-checks a fixed-size prefix per round).
-# Round 1 verified the first 50 entries of the module order —
-# relational basics through the join/agg/window families (all green,
-# CORRECTNESS_r01.json).  Round 2 therefore leads with everything that
-# round did NOT reach: the scanner-semantics queries (the engine's
-# reason to exist), the LLM dedup/ANN/text operators, the
-# re-strengthened approximate aggregates, the TPC-H shapes, and the
-# SQL API — so the combined r1+r2 evidence covers the registry.
-#
-# ROUND 3 TODO: after CORRECTNESS_r02 lands, rotate again — move the
-# entries past position 50 of THIS list (everything from "unpivot"
-# down: the 6 remaining relational queries, the round-2 additions, and
-# the k-means/multimodal oracle upgrades) into the checked prefix, and
-# push the r1+r2-green entries to the back.  Everything in this file
-# below position ~50 has local-pytest parity but no driver row yet.
+# verification order (it oracle-checks a fixed-size ~50-entry prefix
+# per round).  Coverage ledger:
+#   r1 checked the first 50 of the then-module-order (relational
+#     basics through join/agg/window; CORRECTNESS_r01.json) — but the
+#     events-table rows among them predate the timestamp re-encode and
+#     are STALE.
+#   r2+r3 checked the scanner/LLM/TPC-H/SQL-API prefix (48 green,
+#     CORRECTNESS_r03.json).
+#   r4 (THIS ordering) leads with the 5 stale events-table queries
+#     (crash sites of the NTZ regression, now fixed) and the 47
+#     oracle-backed entries that have never had a driver row, so the
+#     cumulative r1∪r3∪r4 evidence covers every oracle-expressible
+#     query in the registry.
 _VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # scanner semantics (reference parity, incl. the flagship)
-    "scan_pipeline_full",
-    "scan_attribute_filter",
-    "scan_threshold_disabled",
-    "scan_regex_hits",
-    "scan_dedup_first",
-    "scan_api_route",
-    "scan_verb",
-    "scan_message",
-    "scan_match_message",
-    "scan_date_partition",
-    "scan_filename",
-    # LLM-pipeline operators with SQL oracles
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_incremental",
-    "ann_cosine_topk",
-    "llm_prep_pipeline",
-    "text_lang_id",
-    "text_quality",
-    "text_repetition",
-    "text_token_count",
-    "text_fingerprint",
-    "tfidf_top_terms",
-    "sample_hash_split",
-    "multimodal_frame_plan",
-    "multimodal_binary_meta",
-    # mergeable sketches + approximate aggregates (bounded-error oracles)
-    "sketch_hll_mergeable",
-    "sketch_hll_daily_rollup",
-    "agg_approx_distinct",
-    "agg_percentile_approx",
-    # TPC-H shapes
-    "tpch_q3ish",
-    "tpch_q4ish",
-    "tpch_q5ish",
-    "tpch_q6",
-    "tpch_q7ish",
-    "tpch_q8ish",
-    "tpch_q9ish",
-    "tpch_q10ish",
-    "tpch_q12ish",
-    "tpch_q13ish",
-    "tpch_q14ish",
-    "tpch_q15ish",
-    "tpch_q16ish",
-    "tpch_q17ish",
-    "tpch_q18ish",
-    "tpch_q19ish",
-    "tpch_q22ish",
-    # SQL text interface
-    "sql_api_revenue",
-    "sql_api_top_customers",
-    "sql_api_window",
-    # remaining round-1-unchecked relational queries
+    # -- 1-5: events-table queries whose r1 rows predate the testdata
+    # re-encode (VERDICT r3 item 6): re-verify on current data.
+    "join_asof",
+    "window_lag_lead",
+    "session_windows",
+    "time_window_tumbling",
+    "date_arithmetic",
+    # -- 6-15: never-driver-checked ops called out by name in VERDICT
+    # r3 item 2.  The portable twins are the external evidence for the
+    # xxhash64 production forms (identical pipeline shape, md5 hashes).
+    "decontaminate",
+    "dedup_cc_clusters",
+    "pack_sequences",
+    "merge_upsert",
+    "scd2_user_state",
+    "graph_pagerank",
+    "text_bm25_topk",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "ann_lsh_portable",
+    # -- 16-50: the rest of the never-checked oracle-backed entries
+    # (original relative order preserved).
     "unpivot",
     "join_salted_skew",
     "join_full_outer",
     "join_right_outer",
     "agg_corr",
     "agg_string_collect",
-    # round-2 additions (past this round's 50-entry window; round 3
-    # leads with whatever remains unchecked)
-    "decontaminate",
     "dedup_paragraph",
     "text_pii_scrub",
     "sample_weighted_mix",
     "sql_api_recursive_cte",
     "sql_api_exists",
     "sql_api_lateral",
-    "dedup_cc_clusters",
-    "pack_sequences",
     "text_chunk_overlap",
     "sample_stratified",
     "profile_columns",
@@ -137,34 +96,79 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "ann_filtered_topk",
     "sql_api_group_by_all",
     "contract_violations",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "ann_lsh_portable",
     "graph_degree_stats",
     # k-means family: full oracles via unrolled-Lloyd SQL (every
     # decision float is rounded before comparison on both sides)
     "cluster_kmeans",
     "dedup_semantic",
+    # -- 51-52: also never-checked, but carrying the strongest local
+    # evidence (recall test / deterministic-codec pytest parity) —
+    # first to spill if the driver prefix stops at 50.
     "ann_ivf_topk",
     # the fake codec is deterministic byte arithmetic -> SQL-replayable
     "multimodal_features",
-    # sequential-algorithm op (BFD bin packing): rows-only by design,
-    # exact pure-Python ground truth in tests
+    # -- rows-only entries (no SQL oracle by design; weaker driver
+    # check adds nothing beyond their pytest ground truth).
+    # sequential-algorithm op (BFD bin packing): exact pure-Python
+    # ground truth in tests
     "pack_bins_bfd",
-    # xxhash64-dependent production forms (rows-only — DuckDB has no
-    # xxhash64).  Each mechanism is nonetheless externally verified via
-    # its md5-based portable twin above (dedup_minhash_portable,
-    # dedup_simhash_portable, ann_lsh_portable): identical pipeline
-    # shape, hash-matched oracle.
+    # xxhash64-dependent production forms (DuckDB has no xxhash64);
+    # mechanisms externally verified via the md5 portable twins above.
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_bucketed",
-    # warehouse-maintenance + retrieval family (round-2 tail; rotate
-    # into the checked prefix with the rest in round 3)
-    "merge_upsert",
-    "scd2_user_state",
-    "graph_pagerank",
-    "text_bm25_topk",
+    # -- r2/r3-green prefix (CORRECTNESS_r03.json), pushed behind the
+    # never-checked set.
+    "scan_pipeline_full",
+    "scan_attribute_filter",
+    "scan_threshold_disabled",
+    "scan_regex_hits",
+    "scan_dedup_first",
+    "scan_api_route",
+    "scan_verb",
+    "scan_message",
+    "scan_match_message",
+    "scan_date_partition",
+    "scan_filename",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "ann_cosine_topk",
+    "llm_prep_pipeline",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition",
+    "text_token_count",
+    "text_fingerprint",
+    "tfidf_top_terms",
+    "sample_hash_split",
+    "multimodal_frame_plan",
+    "multimodal_binary_meta",
+    "sketch_hll_mergeable",
+    "sketch_hll_daily_rollup",
+    "agg_approx_distinct",
+    "agg_percentile_approx",
+    "tpch_q3ish",
+    "tpch_q4ish",
+    "tpch_q5ish",
+    "tpch_q6",
+    "tpch_q7ish",
+    "tpch_q8ish",
+    "tpch_q9ish",
+    "tpch_q10ish",
+    "tpch_q12ish",
+    "tpch_q13ish",
+    "tpch_q14ish",
+    "tpch_q15ish",
+    "tpch_q16ish",
+    "tpch_q17ish",
+    "tpch_q18ish",
+    "tpch_q19ish",
+    "tpch_q22ish",
+    "sql_api_revenue",
+    "sql_api_top_customers",
+    "sql_api_window",
 )
 
 
