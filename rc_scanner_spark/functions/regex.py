@@ -127,6 +127,25 @@ def regex_hits(text: Column, patterns: list[str | re.Pattern[str]]) -> Column:
     return out
 
 
+def regex_matches(
+    text: Column, patterns: list[str | re.Pattern[str]]
+) -> list[tuple[str, Column]]:
+    """Per-pattern (translated pattern string, boolean rlike) pairs.
+
+    The scalar building block behind ``regex_hits``: consumers that
+    only need *derived strings* (a joined hit list, a match message, a
+    hit count) should combine these booleans with ``concat_ws``/
+    ``when`` instead of materializing the array.  Rationale, measured
+    at sf0.1: the array form inlined into several projection columns
+    defeats codegen subexpression elimination (the ``transform`` HOF
+    is codegen-fallback), ballooning the generated code — one executor
+    core then spends ~1 s Janino-compiling it while every sibling task
+    blocks on the codegen cache lock.  The all-scalar form stays small
+    and fully codegen-friendly; each regex is evaluated once per row.
+    """
+    return [(p, text.rlike(p)) for p in (translate_pattern(q) for q in patterns)]
+
+
 def any_match(text: Column, patterns: list[str | re.Pattern[str]]) -> Column:
     """Boolean: does any pattern match?  Short-circuiting OR of rlike,
     cheaper than materializing the hits array when only existence is

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..filters import FilterSpec
-from ..functions.regex import regex_hits
+from ..functions.regex import regex_hits, regex_matches
 from ..operators.text import fingerprint
 from ..scanner import match_message, verb_column
 from ..session import tune
@@ -245,18 +245,35 @@ def q_scan_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base.withColumn("title", F.col("doc_id")).transform(
         lambda df: spec.apply_dedup(df, flagged)
     )
+    # All-scalar form of hits/array_join/match_message: the hit list
+    # only feeds derived strings here, so three boolean rlikes +
+    # concat_ws (which skips the NULLs unmatched patterns leave behind)
+    # produce byte-identical output to the array form while keeping the
+    # whole projection codegen-small — the array form inlined ~5x by
+    # CollapseProject put a ~1 s Janino compile on the first task (see
+    # functions/regex.regex_matches docstring).
     uri = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
-    return (
-        base.withColumn("hits", spec.hits(F.col("text")))
-        .filter(F.size("hits") > 0)
-        .select(
-            "doc_id",
-            "lang",
-            F.size("hits").cast("int").alias("n_hits"),
-            F.array_join("hits", ", ").alias("hits_str"),
-            match_message(F.col("hits"), uri).alias("match_msg"),
-            fingerprint(F.col("text")).alias("fp"),
-        )
+    matches = regex_matches(F.col("text"), list(spec.regexes))
+    n_hits = sum((m.cast("int") for _, m in matches), F.lit(0))
+    hits_str = F.concat_ws(", ", *[F.when(m, F.lit(p)) for p, m in matches])
+    quoted = F.concat_ws(", ", *[F.when(m, F.lit(f"`{p}`")) for p, m in matches])
+    match_msg = F.concat(
+        F.lit("***MATCH*** with regex"),
+        F.when(n_hits > 1, F.lit("es ")).otherwise(F.lit(" ")),
+        quoted,
+        F.lit(": "),
+        uri,
+    )
+    any_hit = matches[0][1]
+    for _, m in matches[1:]:
+        any_hit = any_hit | m
+    return base.filter(any_hit).select(
+        "doc_id",
+        "lang",
+        n_hits.cast("int").alias("n_hits"),
+        hits_str.alias("hits_str"),
+        match_msg.alias("match_msg"),
+        fingerprint(F.col("text")).alias("fp"),
     )
 
 
