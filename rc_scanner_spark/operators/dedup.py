@@ -77,15 +77,20 @@ def hashed_word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles as 64-bit hashes — for operators
     that only need shingle *identity* (MinHash), not the string.
 
-    Hashing the k word columns directly (``xxhash64(w_i, .., w_i+k-1)``)
-    skips the slice + array_join string materialization of
-    ``word_shingles`` and every downstream shuffle moves 8-byte longs
-    instead of k-word strings (~2x faster end-to-end MinHash at sf0.1;
-    the remaining shingling cost is the tokenizer regex + the
-    per-element HOF transform, shared with the string form).  Corner:
-    docs with fewer than k words hash their full word-join, which
-    cannot collide into the k-gram space of longer docs — acceptable
-    for a hash-identity operator (no SQL oracle).
+    Hash basis: ``xxhash64(array_join(slice(ws, i, k), ' '))`` — the
+    hash of the space-joined shingle string.  An earlier form hashed
+    the k word columns directly (``xxhash64(w_i, .., w_i+k-1)``) to
+    skip the join, but measured 3x SLOWER at sf0.1 (2.8 s vs 0.9 s for
+    the exploded shingle scan): higher-order ``transform`` bodies are
+    interpreted per element, so k ``element_at`` child evaluations
+    cost far more than one ``slice`` + one ``array_join`` node, and
+    the string materialization they save is short-lived scan-side
+    garbage anyway.  Downstream shuffles still move only the 8-byte
+    long.  Corner: docs with fewer than k words hash their full
+    word-join, which is exactly the same expression the >=k branch
+    produces for n == k — consistent identity space, and the long
+    form cannot collide into the k-gram space of longer docs beyond
+    the hash's own 2^-64.
     """
     ws = words(text)
     n = F.size(ws)
@@ -94,7 +99,7 @@ def hashed_word_shingles(text: Column, k: int = 3) -> Column:
             n >= k,
             F.transform(
                 F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.xxhash64(*[F.element_at(ws, i + j) for j in range(k)]),
+                lambda i: F.xxhash64(F.array_join(F.slice(ws, i, k), " ")),
             ),
         ).otherwise(
             F.when(n > 0, F.array(F.xxhash64(F.array_join(ws, " ")))).otherwise(
