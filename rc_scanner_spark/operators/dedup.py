@@ -199,12 +199,19 @@ def minhash_lsh_pairs(
     # array: building them as nested Column calls costs ~1 s of py4j
     # round-trips per query construction (measured sf-independent
     # driver overhead), the parsed plan is identical.
-    sig = sh.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_sh"),
-        *[
-            F.expr(f"min(xxhash64({seed}L, shingle)) AS h{seed}")
-            for seed in range(num_hashes)
-        ],
+    # sig feeds three consumers (both sides of the band self-join plus
+    # the n_sh counts); persisted, else each consumer re-runs the
+    # 128-min aggregate (~2 s CPU x 8 AQE stages at sf0.1).  5000 rows
+    # x 129 longs here; at 100 TB the signature table is the thing you
+    # materialize to parquet anyway.
+    sig = _track_persist(
+        sh.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            *[
+                F.expr(f"min(xxhash64({seed}L, shingle)) AS h{seed}")
+                for seed in range(num_hashes)
+            ],
+        )
     )
     band_structs = ", ".join(
         "struct({b} AS band, xxhash64({cols}) AS bucket)".format(
@@ -579,7 +586,10 @@ def simhash_pairs(
     budgets this is a recall-bounded heuristic (documented).  The
     chunk equi-join avoids the all-pairs cross join at scale.
     """
-    base = simhash_signatures(df, id_col, text_col)
+    # Both sides of the chunk self-join consume the signature frame;
+    # persist it so the 64-vote aggregate runs once (same rationale as
+    # the MinHash signature persist).
+    base = _track_persist(simhash_signatures(df, id_col, text_col))
     chunked = base.select(
         "id",
         "sh",
