@@ -35,6 +35,15 @@ RUNTIME_CONF = {
     # represent natively; read as long and convert (tables.load_table)
     # with the same floor-to-microsecond truncation DuckDB applies.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # ObjectHashAggregate (collect_list/collect_set) falls back to
+    # sort-based aggregation after 128 distinct groups PER PARTITION —
+    # an entry COUNT, not a byte budget, and absurdly conservative for
+    # group-by-shingle workloads where every partition holds 10^5+
+    # groups (the fallback sorts the whole stream; measured ~0.5 s/query
+    # at sf0.1).  1M entries of (short key, small list buffer) is tens
+    # of MB against multi-GB executors; genuinely oversized buckets are
+    # capped upstream by the operators themselves (max_shingle_df).
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": str(1 << 20),
 }
 
 
