@@ -247,24 +247,46 @@ def kmeans_assign(
     centroids: DataFrame,
 ) -> DataFrame:
     """Assign each vector in ``base(id, v)`` to its nearest centroid in
-    ``centroids(cell, cv)`` by cosine: broadcast the K centroids, score
-    |N| x K map-side, keep the per-row argmax via ``max_by`` — partial
-    aggregation collapses the K scored rows per id to ONE row before
-    the shuffle, instead of shuffling the K x |N| frame for a
-    row_number window.  Tie-break matches the old window ordering
-    (csim desc, cell asc) through the lexicographic (csim, -cell)
-    ordering struct."""
-    best = F.max_by(
-        F.struct(F.col("cell"), F.col("csim"), F.col("v")),
-        F.struct(F.col("csim"), (-F.col("cell")).alias("negcell")),
-    ).alias("best")
+    ``centroids(cell, cv)`` by cosine — as a PURE PROJECTION, no
+    aggregation: the K centroids collapse to one array row, broadcast
+    to every task; each vector scores the array in place and
+    ``array_max`` picks the lexicographic (csim, -cell) best, so the
+    tie-break (csim desc, cell asc) matches the historical window /
+    max_by orderings exactly.
+
+    Why not the earlier ``explode x K -> groupBy(id) -> max_by``
+    shape: an aggregate whose buffer holds the vector itself cannot
+    use hash aggregation (non-mutable buffer type) and planned as
+    SortAggregate — sorting |N| x K rows each carrying a 64-dim array
+    (the dominant stage of every k-means query at sf0.1).  The
+    projection form shuffles NOTHING: assignment cost is exactly one
+    pass over the vectors, which is also the right shape at 100 TB
+    (the 8 KB centroid array rides the closure broadcast; the vector
+    table never moves)."""
+    cent_arr = F.broadcast(
+        centroids.groupBy().agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cell"), F.col("cv")))
+            ).alias("cents")
+        )
+    )
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(cosine(F.col("v"), c["cv"]), 6).alias("csim"),
+            (-c["cell"]).alias("negcell"),
+            c["cell"].alias("cell"),
+        ),
+    )
     return (
-        base.join(F.broadcast(centroids))
-        .withColumn("csim", F.round(cosine(F.col("v"), F.col("cv")), 6))
-        .groupBy("id")
-        .agg(best)
-        .select("id", F.col("best.v").alias("v"), F.col("best.cell").alias("cell"),
-                F.col("best.csim").alias("csim"))
+        base.crossJoin(cent_arr)
+        .withColumn("best", F.array_max(scored))
+        .select(
+            "id",
+            "v",
+            F.col("best.cell").alias("cell"),
+            F.col("best.csim").alias("csim"),
+        )
     )
 
 
