@@ -24,6 +24,13 @@ RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Respect the advisory partition size when coalescing instead of
+    # preserving default parallelism: small shuffles collapse to few
+    # tasks (locally: the deep dedup/ANN stage DAGs stop paying 32
+    # task launches per near-empty exchange), and at cluster scale
+    # this is the setting Spark's own AQE docs recommend for
+    # production ("parallelismFirst ... recommended to set false").
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Runtime bloom-filter pruning for shuffle joins: when one join
     # side is selectively filtered, Spark injects a bloom filter of its
