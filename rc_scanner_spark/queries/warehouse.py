@@ -431,9 +431,129 @@ QUALIFY row_number() OVER wq <= {_BM25_TOPK}
 """
 
 
+# --------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 + embedding cosine
+# --------------------------------------------------------------------
+
+# Each lexical query is anchored to a seed document whose embedding
+# drives the semantic arm (embeddings.vec_id indexes documents.doc_id
+# in the fixture corpus).  RRF constant 60 per Cormack et al. (the
+# standard hybrid-search default).
+_RRF_SEEDS: tuple[tuple[str, int], ...] = (("q1", 0), ("q2", 1), ("q3", 2))
+_RRF_K = 60
+_RRF_ARM_TOPK = 10
+_RRF_TOPK = 10
+
+
+def q_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — the standard RAG /
+    decontamination first stage that combines a lexical ranking (BM25,
+    ``q_text_bm25_topk``) with a semantic one (embedding cosine against
+    a per-query seed document).
+
+    rrf(doc) = sum over arms of 1/(K + rank_arm(doc)), docs absent
+    from an arm's top-k contribute nothing from that arm.  Plan shape:
+    both arms end in per-query top-k windows (never global); fusion is
+    a (query_id, doc_id) full outer join of two k-row-per-query
+    frames — constant-size regardless of corpus scale, so the whole
+    fusion overhead is dominated by the arms themselves.
+
+    Determinism discipline: both arms rank by ROUNDED scores with
+    doc_id tie-breaks, and the fused score is rounded before the final
+    rank window — identical ordering decisions on both engines.
+    """
+    from ..functions.vectors import cosine
+
+    lex = q_text_bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_lex")
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    seeds = spark.createDataFrame(list(_RRF_SEEDS), ["query_id", "seed_id"])
+    qv = seeds.join(e, seeds.seed_id == e.vec_id).select(
+        "query_id", F.col("embedding").alias("qv")
+    )
+    scored = (
+        F.broadcast(qv)
+        .crossJoin(
+            e.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("dv"))
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cosine(F.col("qv"), F.col("dv")), 4).alias("csim_r"),
+        )
+    )
+    w_sem = Window.partitionBy("query_id").orderBy(
+        F.col("csim_r").desc(), F.col("doc_id")
+    )
+    sem = (
+        scored.withColumn("rank_sem", F.row_number().over(w_sem))
+        .filter(F.col("rank_sem") <= _RRF_ARM_TOPK)
+        .select("query_id", "doc_id", "rank_sem")
+    )
+    fused = (
+        lex.join(sem, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("rank_sem")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= _RRF_TOPK)
+        .select("query_id", "rank", "doc_id", "rrf")
+    )
+
+
+def _rrf_seeds_values() -> str:
+    return ", ".join(f"('{q}', {d})" for q, d in _RRF_SEEDS)
+
+
+SQL_RETRIEVAL_RRF_FUSION = f"""
+WITH lex AS ({SQL_TEXT_BM25_TOPK}),
+seeds(query_id, seed_id) AS (VALUES {_rrf_seeds_values()}),
+sem_scored AS (
+  SELECT s.query_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 4) AS csim_r
+  FROM seeds s
+  JOIN embeddings q ON q.vec_id = s.seed_id
+  CROSS JOIN embeddings e
+),
+sem AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY csim_r DESC, doc_id) AS INT)
+             AS rank_sem
+  FROM sem_scored
+  QUALIFY rank_sem <= {_RRF_ARM_TOPK}
+),
+fused AS (
+  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         coalesce(l.doc_id, s.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({_RRF_K} + l.rank), 0)
+               + coalesce(1.0 / ({_RRF_K} + s.rank_sem), 0), 6) AS rrf
+  FROM lex l
+  FULL JOIN sem s ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+)
+SELECT query_id, CAST(row_number() OVER wf AS INT) AS rank, doc_id, rrf
+FROM fused
+WINDOW wf AS (PARTITION BY query_id ORDER BY rrf DESC, doc_id)
+QUALIFY row_number() OVER wf <= {_RRF_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "merge_upsert": QuerySpec(q_merge_upsert, SQL_MERGE_UPSERT),
     "scd2_user_state": QuerySpec(q_scd2_user_state, SQL_SCD2_USER_STATE),
     "graph_pagerank": QuerySpec(q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "text_bm25_topk": QuerySpec(q_text_bm25_topk, SQL_TEXT_BM25_TOPK),
+    "retrieval_rrf_fusion": QuerySpec(
+        q_retrieval_rrf_fusion, SQL_RETRIEVAL_RRF_FUSION
+    ),
 }

@@ -99,3 +99,35 @@ def test_bm25_ranks_are_dense_and_ordered(spark):
             assert all(s > 0 for s in scores)
     finally:
         res.unpersist(blocking=False)
+
+
+def test_rrf_fusion_mechanism(spark, duck):
+    """RRF invariants beyond the oracle hash: per-query top-k shape,
+    contiguous ranks, and the fusion property — a doc present in BOTH
+    arms' top-k outranks a doc with the same single-arm rank that
+    appears in only one arm."""
+    from rc_scanner_spark.queries.warehouse import (
+        _RRF_K,
+        _RRF_TOPK,
+        q_retrieval_rrf_fusion,
+    )
+
+    fused = q_retrieval_rrf_fusion(spark, SF_ORACLE).collect()
+    by_q = {}
+    for r in fused:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {"q1", "q2", "q3"}
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1)), q
+        assert len(rows) <= _RRF_TOPK
+        # rrf scores non-increasing in rank
+        ordered = sorted(rows, key=lambda r: r["rank"])
+        scores = [r["rrf"] for r in ordered]
+        assert scores == sorted(scores, reverse=True), q
+    # fusion property: max possible single-arm score < min possible
+    # both-arms score for equal ranks => any doc in both top-k arms
+    # beats a doc at the same ranks in one arm only.
+    single_best = 1.0 / (_RRF_K + 1)
+    both_worst = 2.0 / (_RRF_K + _RRF_TOPK)
+    assert both_worst > single_best
