@@ -115,6 +115,24 @@ def test_csv_json_source_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_xml_source_roundtrip(spark, tmp_path):
+    """Spark 4 ships a native XML source: round-trip the events table
+    through it (rowTag framing) and verify the aggregate survives, so
+    a user feeding XML exports gets the same operator surface."""
+    from rc_scanner_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").drop("props")
+    path = str(tmp_path / "ev_xml")
+    ev.write.mode("overwrite").option("rowTag", "event").xml(path)
+    back = (
+        spark.read.schema(ev.schema).option("rowTag", "event").xml(path)
+    )
+    assert back.count() == ev.count()
+    a = back.agg(F.round(F.sum("value"), 2).alias("s")).first()["s"]
+    b = ev.agg(F.round(F.sum("value"), 2).alias("s")).first()["s"]
+    assert a == b
+
+
 def test_cli_log_level_3_attaches_all_sinks(spark, tmp_path, capsys):
     import os
 
