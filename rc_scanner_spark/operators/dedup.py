@@ -590,42 +590,20 @@ def simhash_pairs(
     # persist it so the 64-vote aggregate runs once (same rationale as
     # the MinHash signature persist).
     base = _track_persist(simhash_signatures(df, id_col, text_col))
-    chunked = base.select(
-        "id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.element_at(F.col("sh"), c + 1).alias("val"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("c"),
+    # SQL-string construction (selectExpr / one F.expr join condition)
+    # for the same py4j-round-trip reason as simhash_signatures.
+    chunk_structs = ", ".join(f"struct({c} AS chunk, sh[{c}] AS val)" for c in range(4))
+    chunked = base.selectExpr(
+        "id", "sh", f"explode(array({chunk_structs})) AS c"
     ).select("id", "sh", "c.chunk", "c.val")
     l, r = chunked.alias("l"), chunked.alias("r")
-    hamming: Column = F.lit(0)
-    for c in range(4):
-        hamming = hamming + F.bit_count(
-            F.element_at(F.col("l.sh"), c + 1).bitwiseXOR(
-                F.element_at(F.col("r.sh"), c + 1)
-            )
-        )
+    ham = " + ".join(f"bit_count(l.sh[{c}] ^ r.sh[{c}])" for c in range(4))
     return (
-        l.join(
-            r,
-            on=[
-                F.col("l.chunk") == F.col("r.chunk"),
-                F.col("l.val") == F.col("r.val"),
-                F.col("l.id") < F.col("r.id"),
-            ],
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            hamming.cast("int").alias("hamming"),
+        l.join(r, on=F.expr("l.chunk = r.chunk AND l.val = r.val AND l.id < r.id"))
+        .selectExpr(
+            "l.id AS id_a",
+            "r.id AS id_b",
+            f"CAST(({ham}) AS INT) AS hamming",
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
