@@ -107,9 +107,10 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "ann_ivf_topk",
     # the fake codec is deterministic byte arithmetic -> SQL-replayable
     "multimodal_features",
-    # round-4 addition (hybrid BM25 + cosine retrieval); rotates into
-    # the checked prefix next round
+    # round-4 additions (hybrid BM25 + cosine retrieval; quality-first
+    # token-budget selection); rotate into the checked prefix next round
     "retrieval_rrf_fusion",
+    "select_token_budget",
     # -- rows-only entries (no SQL oracle by design; weaker driver
     # check adds nothing beyond their pytest ground truth).
     # sequential-algorithm op (BFD bin packing): exact pure-Python

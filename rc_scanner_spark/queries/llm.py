@@ -2265,6 +2265,118 @@ FROM po, pe
 """
 
 
+
+
+# --------------------------------------------------------------------
+# Data selection under a token budget
+# --------------------------------------------------------------------
+
+_BUDGET_TOKENS = 5_000
+
+
+def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-first corpus selection under a token budget: keep
+    the highest-quality documents (quality desc, doc_id asc) until the
+    next document would push the running token total past
+    ``_BUDGET_TOKENS`` — the selection step behind "train on the best
+    N tokens" pipelines.
+
+    Scale shape: the obvious form is one GLOBAL running-sum window over
+    the quality ordering, which collapses to a single partition at any
+    size.  Instead, documents aggregate into quality BANDS (the
+    4-decimal rounded score — at most 10^4+1 distinct values no matter
+    the corpus), the tiny band frame takes the only unpartitioned
+    window, whole bands under the budget survive in bulk, and just the
+    one boundary band runs a per-band (PARTITIONed, distributed)
+    running sum to find its cut point.  Work per doc is one aggregate
+    + one broadcast join probe regardless of corpus size.
+
+    Determinism: quality is rounded before banding on both engines;
+    within a band the cut order is doc_id asc; a doc that does not fit
+    is skipped and ends the prefix (greedy-prefix rule, documented).
+    Returns (doc_id, quality_r, n_tokens, cum_tokens) for the kept set.
+    """
+    d = _t(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality_r"),
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    bands = m.groupBy("quality_r").agg(F.sum("n_tokens").alias("band_tokens"))
+    # Band frame cardinality is bounded by the quality grid (<= 10^4+1
+    # rows), so the unpartitioned window is safe at any corpus size.
+    w_band = Window.orderBy(F.col("quality_r").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bc = bands.select(
+        "quality_r",
+        (F.sum("band_tokens").over(w_band) - F.col("band_tokens")).alias(
+            "cum_before"
+        ),
+    )
+    w_doc = Window.partitionBy("quality_r").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dc = m.join(F.broadcast(bc), "quality_r").withColumn(
+        "band_cum", F.sum("n_tokens").over(w_doc)
+    )
+    return (
+        dc.filter(F.col("cum_before") + F.col("band_cum") <= _BUDGET_TOKENS)
+        .select(
+            "doc_id",
+            "quality_r",
+            "n_tokens",
+            (F.col("cum_before") + F.col("band_cum"))
+            .cast("bigint")
+            .alias("cum_tokens"),
+        )
+    )
+
+
+SQL_SELECT_TOKEN_BUDGET = f"""
+WITH q AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '{_M["en"]}')) AS n_stop,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_tokens,
+         round(least(n_words / 50.0, 1.0) * 0.4
+               + coalesce(round(n_stop / CASE WHEN n_words > 0
+                                              THEN CAST(n_words AS DOUBLE) END, 4),
+                          0.0) * 0.4
+               + least(coalesce(round(n_punct / CASE WHEN n_words > 0
+                                                     THEN CAST(n_words AS DOUBLE) END,
+                                      4),
+                                0.0) * 5, 1.0) * 0.2, 4) AS quality_r
+  FROM q
+),
+bands AS (
+  SELECT quality_r, sum(n_tokens) AS band_tokens FROM m GROUP BY 1
+),
+bc AS (
+  SELECT quality_r,
+         sum(band_tokens) OVER (ORDER BY quality_r DESC
+                                ROWS UNBOUNDED PRECEDING) - band_tokens
+             AS cum_before
+  FROM bands
+),
+dc AS (
+  SELECT m.doc_id, m.quality_r, m.n_tokens, bc.cum_before,
+         sum(m.n_tokens) OVER (PARTITION BY m.quality_r ORDER BY m.doc_id
+                               ROWS UNBOUNDED PRECEDING) AS band_cum
+  FROM m JOIN bc USING (quality_r)
+)
+SELECT doc_id, quality_r, n_tokens,
+       CAST(cum_before + band_cum AS BIGINT) AS cum_tokens
+FROM dc
+WHERE cum_before + band_cum <= {_BUDGET_TOKENS}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "sample_negatives": QuerySpec(q_sample_negatives, SQL_SAMPLE_NEGATIVES),
@@ -2302,6 +2414,7 @@ QUERIES: dict[str, QuerySpec] = {
     "llm_prep_pipeline": QuerySpec(q_llm_prep_pipeline, SQL_LLM_PREP_PIPELINE),
     "text_lang_id": QuerySpec(q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY),
+    "select_token_budget": QuerySpec(q_select_token_budget, SQL_SELECT_TOKEN_BUDGET),
     "dedup_incremental": QuerySpec(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "sample_hash_split": QuerySpec(q_sample_hash_split, SQL_SAMPLE_HASH_SPLIT),
     "text_repetition": QuerySpec(q_text_repetition, SQL_TEXT_REPETITION),

@@ -65,3 +65,34 @@ def test_prepare_corpus_is_deterministic(spark):
     a = sorted(map(repr, prepare_corpus(spark, docs).collect()))
     b = sorted(map(repr, prepare_corpus(spark, docs.repartition(5)).collect()))
     assert a == b
+
+
+def test_select_token_budget_invariants(spark):
+    """Budget selection: total stays under budget, the kept set is a
+    greedy quality-first prefix, and the boundary band cuts by doc_id."""
+    from rc_scanner_spark.queries.llm import (
+        _BUDGET_TOKENS,
+        q_select_token_budget,
+    )
+
+    rows = q_select_token_budget(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "selection must be non-empty at the fixture scale"
+    total = sum(r["n_tokens"] for r in rows)
+    assert total <= _BUDGET_TOKENS
+    assert max(r["cum_tokens"] for r in rows) == total
+    # prefix property: every kept doc's quality band is >= the worst
+    # kept band, and within the worst band the kept doc_ids form a
+    # doc_id-ordered prefix (no gaps created by skipping a smaller doc).
+    worst = min(r["quality_r"] for r in rows)
+    kept_worst = sorted(r["doc_id"] for r in rows if r["quality_r"] == worst)
+    from rc_scanner_spark.operators.text import quality_score, token_count
+    from rc_scanner_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    )
+    all_worst = sorted(
+        r["doc_id"] for r in d.filter(F.col("q") == worst).collect()
+    )
+    assert kept_worst == all_worst[: len(kept_worst)]
