@@ -311,10 +311,21 @@ def ngram_jaccard_pairs(
         raise ValueError("threshold must be > 0 (pairs sharing no shingle are pruned)")
     if max_shingle_df < 2:
         raise ValueError("max_shingle_df must be >= 2 (a pair needs df 2)")
+    # Shingles are grouping keys only here (Jaccard is a set ratio, no
+    # ordering semantics — unlike prefix_jaccard_pairs, whose df-based
+    # prefix ORDER must replay in the oracle), so collapse them to
+    # 64-bit hashes at birth: the bucket aggregate groups and shuffles
+    # 8-byte longs instead of k-word strings.  Collisions perturb a
+    # pair's Jaccard by at most 2^-64 per shingle — far below the
+    # 4-decimal rounding the comparison uses.
     sh = df.select(
         *[F.col(c) for c in group_cols],
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shstr"),
+    ).select(
+        *[F.col(c) for c in group_cols],
+        "id",
+        F.xxhash64("shstr").alias("shingle"),
     )
     buckets = sh.groupBy(*group_cols, "shingle").agg(
         F.collect_list("id").alias("ids"), F.count(F.lit(1)).alias("df")
