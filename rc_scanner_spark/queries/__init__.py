@@ -111,6 +111,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     # token-budget selection); rotate into the checked prefix next round
     "retrieval_rrf_fusion",
     "select_token_budget",
+    "filter_source_blocklist",
+    "batch_length_buckets",
     # -- rows-only entries (no SQL oracle by design; weaker driver
     # check adds nothing beyond their pytest ground truth).
     # sequential-algorithm op (BFD bin packing): exact pure-Python

@@ -2377,6 +2377,125 @@ WHERE cum_before + band_cum <= {_BUDGET_TOKENS}
 """
 
 
+
+
+# --------------------------------------------------------------------
+# Source blocklist filtering + batch length bucketing
+# --------------------------------------------------------------------
+
+#: Glob-style source blocklist (first match wins, order matters) —
+#: the C4/RefinedWeb-style domain filter stage.  '*' is the only
+#: wildcard; patterns anchor at both ends.
+_SOURCE_BLOCKLIST: tuple[str, ...] = ("src1*", "src7")
+
+
+def _glob_to_regex(glob: str) -> str:
+    import re as _re
+
+    return "^" + "".join(
+        ".*" if ch == "*" else _re.escape(ch) for ch in glob
+    ) + "$"
+
+
+def q_filter_source_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auditable source blocklist: every document tagged with the FIRST
+    blocklist glob its source matches (NULL = kept) — the domain-level
+    filter stage of web-corpus pipelines, kept auditable per-doc
+    (which rule removed what) rather than silently dropping rows.
+
+    Globs compile to anchored literal regexes at plan time, so the
+    whole filter is one codegen'd CASE chain — no Python, no join.
+    """
+    d = _t(spark, sf_dir, "documents")
+    rule: Column = F.lit(None).cast("string")
+    for g in reversed(_SOURCE_BLOCKLIST):
+        rule = F.when(
+            F.col("source").rlike(_glob_to_regex(g)), F.lit(g)
+        ).otherwise(rule)
+    return d.select(
+        "doc_id",
+        "source",
+        rule.alias("blocked_by"),
+        rule.isNull().alias("is_kept"),
+    )
+
+
+def _blocklist_sql_case() -> str:
+    whens = " ".join(
+        f"WHEN regexp_matches(source, '{_glob_to_regex(g)}') THEN '{g}'"
+        for g in _SOURCE_BLOCKLIST
+    )
+    return f"CASE {whens} ELSE NULL END"
+
+
+SQL_FILTER_SOURCE_BLOCKLIST = f"""
+SELECT doc_id, source,
+       {_blocklist_sql_case()} AS blocked_by,
+       ({_blocklist_sql_case()}) IS NULL AS is_kept
+FROM documents
+"""
+
+
+_BUCKET_STEP = 64
+_BUCKET_CAP = 512
+
+
+def q_batch_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching stats: documents grouped into
+    fixed-step token-length buckets (step 64, capped at 512 — longer
+    docs truncate to the cap), reporting per-bucket document count,
+    true token mass, and the padding waste a batch padded to the
+    bucket length would carry.  The planning stage behind
+    length-bucketed training/inference batching.
+
+    One map-side bucket expression + one aggregate: linear scan, one
+    shuffle of <= cap/step rows.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text")).cast("bigint")
+    bucket = F.least(
+        F.greatest(
+            (F.ceil(n_tok / _BUCKET_STEP) * _BUCKET_STEP).cast("bigint"),
+            F.lit(_BUCKET_STEP).cast("bigint"),
+        ),
+        F.lit(_BUCKET_CAP).cast("bigint"),
+    )
+    capped = F.least(n_tok, F.lit(_BUCKET_CAP).cast("bigint"))
+    return (
+        d.select(bucket.alias("bucket_len"), capped.alias("n_tokens"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(
+                1
+                - F.sum("n_tokens")
+                / (F.col("bucket_len") * F.count(F.lit(1))).cast("double"),
+                4,
+            ).alias("padding_waste"),
+        )
+    )
+
+
+SQL_BATCH_LENGTH_BUCKETS = f"""
+WITH t AS (
+  SELECT least(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT),
+               {_BUCKET_CAP}) AS n_tokens,
+         least(greatest(CAST(ceil(CAST(len(regexp_extract_all(text, '\\S+'))
+                                       AS BIGINT) / {_BUCKET_STEP}.0)
+                             * {_BUCKET_STEP} AS BIGINT),
+                        {_BUCKET_STEP}), {_BUCKET_CAP}) AS bucket_len
+  FROM documents
+)
+SELECT bucket_len, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       round(1 - sum(n_tokens) / CAST(bucket_len * count(*) AS DOUBLE), 4)
+           AS padding_waste
+FROM t
+GROUP BY bucket_len
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "sample_negatives": QuerySpec(q_sample_negatives, SQL_SAMPLE_NEGATIVES),
@@ -2415,6 +2534,12 @@ QUERIES: dict[str, QuerySpec] = {
     "text_lang_id": QuerySpec(q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY),
     "select_token_budget": QuerySpec(q_select_token_budget, SQL_SELECT_TOKEN_BUDGET),
+    "filter_source_blocklist": QuerySpec(
+        q_filter_source_blocklist, SQL_FILTER_SOURCE_BLOCKLIST
+    ),
+    "batch_length_buckets": QuerySpec(
+        q_batch_length_buckets, SQL_BATCH_LENGTH_BUCKETS
+    ),
     "dedup_incremental": QuerySpec(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "sample_hash_split": QuerySpec(q_sample_hash_split, SQL_SAMPLE_HASH_SPLIT),
     "text_repetition": QuerySpec(q_text_repetition, SQL_TEXT_REPETITION),
