@@ -155,6 +155,63 @@ def _exploded_shingles(
     )
 
 
+def minhash_signature_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, n_sh, h0..h{n-1}) MinHash signatures as a plain frame — the
+    storable/mergeable form: write it as a sidecar table and two
+    corpora (or a stream batch vs its accumulated corpus) can
+    near-dup-join WITHOUT re-reading any text.  Same hash basis as
+    ``minhash_lsh_pairs``."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(hashed_word_shingles(F.col(text_col), shingle_k)).alias(
+            "shingle"
+        ),
+    )
+    return sh.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.expr(f"min(xxhash64({seed}L, shingle)) AS h{seed}")
+            for seed in range(num_hashes)
+        ],
+    )
+
+
+def minhash_band_buckets(
+    sig: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(id, band, bucket) LSH band keys from a signature frame
+    (``minhash_signature_frame`` output or its parquet sidecar)."""
+    rows_per_band = num_hashes // bands
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS bucket)".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * rows_per_band + i}" for i in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return sig.selectExpr(
+        "id", f"explode(array({band_structs})) AS bb"
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def signature_match_fraction(num_hashes: int) -> "Column":
+    """Estimated Jaccard between two joined signature sides aliased
+    ``n`` and ``o``: the fraction of agreeing MinHash components (the
+    standard unbiased estimator).  Null-safe per component."""
+    terms = " + ".join(
+        f"IF(n.h{i} <=> o.h{i}, 1, 0)" for i in range(num_hashes)
+    )
+    return F.expr(f"({terms}) / {num_hashes}.0")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -93,6 +93,125 @@ def build_corpus_stream(
     )
 
 
+#: Streaming near-dup parameters: 32 hashes x 8 bands of 4 rows keeps
+#: the sidecar narrow while banding still catches Jaccard >= ~0.6
+#: pairs with high probability; the signature-agreement estimate then
+#: confirms before dropping.
+NEAR_NUM_HASHES = 32
+NEAR_BANDS = 8
+NEAR_THRESHOLD = 0.6
+
+
+def merge_batch_neardup(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    sig_dir: str,
+    threshold: float = NEAR_THRESHOLD,
+) -> None:
+    """foreachBatch handler with NEAR-duplicate suppression: exact
+    fp-dedup as in ``merge_batch``, then MinHash-LSH against the
+    accumulated signature sidecar — an incoming doc whose estimated
+    Jaccard with ANY already-kept doc reaches ``threshold`` is dropped
+    before it enters the corpus.
+
+    The sidecar (``sig_dir``, one ``batch_id=N`` partition per batch,
+    same overwrite-idempotent recipe as the corpus itself) stores
+    (id, n_sh, h0..h31) per kept doc: 33 longs, no text — so the
+    cross-batch near-dup check joins the new batch's band buckets
+    against signatures only, never re-reading corpus text.  Candidate
+    generation is the banded equi-join (never all-pairs); confirmation
+    is the MinHash agreement fraction (unbiased Jaccard estimator) on
+    the 32 components.  Within-batch near-dups are NOT suppressed here
+    (only cross-batch) — run the batch ``minhash_lsh_pairs`` operator
+    over a finished corpus for that.
+    """
+    from ..operators.dedup import (
+        minhash_band_buckets,
+        minhash_signature_frame,
+        signature_match_fraction,
+    )
+
+    spark = batch_df.sparkSession
+    new = _with_fp(batch_df)
+    new = (
+        new.withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if os.path.isdir(corpus_dir) and any(
+        e.startswith("batch_id=") for e in os.listdir(corpus_dir)
+    ):
+        seen = (
+            spark.read.parquet(corpus_dir)
+            .filter(F.col("batch_id") != batch_id)
+            .select("fp")
+        )
+        new = new.join(seen, "fp", "left_anti")
+
+    sig_new = minhash_signature_frame(new, num_hashes=NEAR_NUM_HASHES)
+    if os.path.isdir(sig_dir) and any(
+        e.startswith("batch_id=") for e in os.listdir(sig_dir)
+    ):
+        sig_old = spark.read.parquet(sig_dir).filter(
+            F.col("batch_id") != batch_id
+        )
+        b_new = minhash_band_buckets(sig_new, NEAR_NUM_HASHES, NEAR_BANDS)
+        b_old = minhash_band_buckets(sig_old, NEAR_NUM_HASHES, NEAR_BANDS)
+        cand = (
+            b_new.join(
+                b_old.withColumnRenamed("id", "old_id"), ["band", "bucket"]
+            )
+            .select("id", "old_id")
+            .dropDuplicates(["id", "old_id"])
+        )
+        est = (
+            cand.join(sig_new.alias("n"), cand.id == F.col("n.id"))
+            .join(sig_old.alias("o"), cand.old_id == F.col("o.id"))
+            .select(
+                cand.id.alias("dup_id"),
+                signature_match_fraction(NEAR_NUM_HASHES).alias("est_j"),
+            )
+        )
+        dups = (
+            est.filter(F.col("est_j") >= threshold)
+            .select(F.col("dup_id").alias("doc_id"))
+            .distinct()
+        )
+        new = new.join(dups, "doc_id", "left_anti")
+        sig_new = sig_new.join(
+            dups.withColumnRenamed("doc_id", "id"), "id", "left_anti"
+        )
+
+    new.select(*CORPUS_COLS).write.mode("overwrite").parquet(
+        f"{corpus_dir}/batch_id={batch_id}"
+    )
+    sig_new.write.mode("overwrite").parquet(f"{sig_dir}/batch_id={batch_id}")
+
+
+def build_corpus_stream_neardup(
+    doc_stream: DataFrame,
+    corpus_dir: str,
+    sig_dir: str,
+    checkpoint_dir: str,
+    prep=None,
+):
+    """``build_corpus_stream`` with cross-batch near-dup suppression."""
+
+    def handle(df: DataFrame, bid: int) -> None:
+        if prep is not None:
+            df = prep(df)
+        merge_batch_neardup(df, bid, corpus_dir, sig_dir)
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
 def quality_scrub_prep(min_tokens: int = 5) -> "callable":
     """The standard prep hook: drop docs under ``min_tokens``
     whitespace tokens, then redact PII in the text column — both pure

@@ -181,3 +181,54 @@ def test_corpus_stream_prep_gates_and_scrubs(spark, tmp_path):
     assert "<EMAIL>" in got[surviving_pii_doc]
     assert "example.com" not in got[surviving_pii_doc]
     assert 4 in got
+
+
+def test_corpus_stream_neardup_drops_cross_batch_near_copies(spark, tmp_path):
+    """A later batch's lightly-perturbed copy of an earlier doc is
+    dropped by the signature-sidecar near-dup check even though its
+    exact fingerprint differs; novel docs still land."""
+    from rc_scanner_spark.streaming.corpus import (
+        build_corpus_stream_neardup,
+        read_corpus,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to find some tasty food for "
+        "its hungry little cubs before the night falls over the hills"
+    )
+    near = base.replace("tasty", "delicious")  # 1-word perturbation
+    novel = (
+        "completely different content about distributed query engines "
+        "processing enormous datasets with columnar storage formats and "
+        "adaptive execution strategies for modern analytics workloads"
+    )
+    batch1 = [(1, base, "en", "s"), (2, novel, "en", "s")]
+    other = (
+        "meanwhile a separate report describes oceanic current patterns "
+        "shifting across hemispheres as seasonal temperature gradients "
+        "redistribute thermal energy between latitudes every single year"
+    )
+    batch2 = [(3, near, "en", "s"), (4, other, "en", "s")]
+    src = _write_doc_batches(spark, tmp_path, [batch1, batch2])
+    schema = "doc_id bigint, text string, lang string, source string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    corpus_dir = str(tmp_path / "corpus_nd")
+    sig_dir = str(tmp_path / "sigs_nd")
+    q = build_corpus_stream_neardup(
+        stream, corpus_dir, sig_dir, str(tmp_path / "ckpt_nd")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    kept = {r["doc_id"] for r in read_corpus(spark, corpus_dir).collect()}
+    assert 1 in kept and 2 in kept
+    assert 3 not in kept, "near-copy of doc 1 must be suppressed"
+    assert 4 in kept, "genuinely different doc must survive"
+    # sidecar mirrors the kept set
+    sigs = {r["id"] for r in spark.read.parquet(sig_dir).collect()}
+    assert sigs == kept
