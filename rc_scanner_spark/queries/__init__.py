@@ -113,6 +113,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "select_token_budget",
     "filter_source_blocklist",
     "batch_length_buckets",
+    "sample_cluster_balanced",
     # -- rows-only entries (no SQL oracle by design; weaker driver
     # check adds nothing beyond their pytest ground truth).
     # sequential-algorithm op (BFD bin packing): exact pure-Python

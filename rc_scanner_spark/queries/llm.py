@@ -2496,6 +2496,52 @@ GROUP BY bucket_len
 """
 
 
+
+
+_CLUSTER_SAMPLE_PER_CELL = 20
+
+
+def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware sampling: an equal quota of vectors from every
+    k-means cell (8 cells, 2 Lloyd rounds — the dedup_semantic
+    clustering), picked in md5-of-id order — deterministic,
+    engine-portable pseudo-random, and independent of ingestion order.
+    The selection stage behind cluster-balanced training mixes, where
+    uniform sampling would over-represent dense regions of embedding
+    space.
+
+    Plan shape: clustering is the zero-shuffle broadcast-argmax
+    assignment; the quota cut is one per-cell rank window (PARTITIONed
+    — never a global window)."""
+    from ..operators.similarity import kmeans_refine
+
+    e = _t(spark, sf_dir, "embeddings")
+    _, assigned = kmeans_refine(e, num_cells=8, iters=2)
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    )
+    return (
+        assigned.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= _CLUSTER_SAMPLE_PER_CELL)
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("pick").cast("int").alias("pick"),
+        )
+    )
+
+
+SQL_SAMPLE_CLUSTER_BALANCED = f"""
+WITH {_KMEANS_CTES_8_2}
+SELECT CAST(id AS BIGINT) AS id, CAST(cell AS INT) AS cell,
+       CAST(row_number() OVER (
+           PARTITION BY cell
+           ORDER BY md5(CAST(id AS VARCHAR)), id) AS INT) AS pick
+FROM {_KMEANS_FINAL_8_2}
+QUALIFY pick <= {_CLUSTER_SAMPLE_PER_CELL}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "sample_negatives": QuerySpec(q_sample_negatives, SQL_SAMPLE_NEGATIVES),
@@ -2544,6 +2590,9 @@ QUERIES: dict[str, QuerySpec] = {
     "sample_hash_split": QuerySpec(q_sample_hash_split, SQL_SAMPLE_HASH_SPLIT),
     "text_repetition": QuerySpec(q_text_repetition, SQL_TEXT_REPETITION),
     "cluster_kmeans": QuerySpec(q_cluster_kmeans, SQL_CLUSTER_KMEANS),
+    "sample_cluster_balanced": QuerySpec(
+        q_sample_cluster_balanced, SQL_SAMPLE_CLUSTER_BALANCED
+    ),
     "text_token_count": QuerySpec(q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": QuerySpec(q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
