@@ -120,11 +120,153 @@ FROM events GROUP BY 1
 """
 
 
+
+
+# --- Count-Min heavy hitters (portable md5 bucketing) ----------------
+
+_CM_DEPTH = 4
+_CM_WIDTH = 256
+_CM_TOPK = 20
+
+
+def _cm_bucket(depth: int, word):
+    """Engine-portable Count-Min bucket: md5-derived 60-bit hash of
+    'depth:word' mod width — the same trick as the portable LSH twins,
+    so the DuckDB oracle replays the exact sketch."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(depth)), word)), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % _CM_WIDTH
+
+
+def q_sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over document words, audited on the true
+    heavy hitters: build the (depth, bucket) -> count table in one
+    pass, then for the exact top-``_CM_TOPK`` words report exact count
+    vs sketch estimate (min over depths).  The CM table is the
+    mergeable form: per-shard tables sum cell-wise (commutative), so
+    frequency tracking at 100 TB never shuffles words — only the
+    depth x width cell grid (1024 rows here).
+
+    Deterministic: md5-derived buckets; the over-count property
+    (estimate >= exact, asserted by the oracle comparison via the
+    boolean column) is the sketch's defining invariant.
+    """
+    from ..operators.text import words
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(words(F.col("text"))).alias("w"))
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dep).alias("depth"),
+                        _cm_bucket(dep, F.col("w")).alias("bucket"),
+                    )
+                    for dep in range(_CM_DEPTH)
+                ]
+            )
+        ).alias("c")
+    ).groupBy("c.depth", "c.bucket").agg(F.count(F.lit(1)).alias("n"))
+
+    exact = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n_exact"))
+    from pyspark.sql import Window
+
+    w_top = Window.orderBy(F.col("n_exact").desc(), F.col("w"))
+    top = (
+        exact.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= _CM_TOPK)
+        .drop("rk")
+    )
+    probes = top.select(
+        "w",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dep).alias("depth"),
+                        _cm_bucket(dep, F.col("w")).alias("bucket"),
+                    )
+                    for dep in range(_CM_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select("w", "n_exact", "c.depth", "c.bucket")
+    return (
+        probes.join(F.broadcast(cells), ["depth", "bucket"])
+        .groupBy("w")
+        .agg(
+            F.first("n_exact").alias("n_exact"),
+            F.min("n").alias("n_est"),
+        )
+        .select(
+            F.col("w").alias("word"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_est").cast("bigint").alias("n_est"),
+            (F.col("n_est") >= F.col("n_exact")).alias("never_undercounts"),
+        )
+    )
+
+
+def _cm_bucket_sql(depth: int, word_expr: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{depth}', ':', {word_expr})),"
+        f" 1, 15)) AS BIGINT) % {_CM_WIDTH}"
+    )
+
+
+def _cm_cells_sql() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT {dep} AS depth, {_cm_bucket_sql(dep, 'w')} AS bucket FROM tok"
+        for dep in range(_CM_DEPTH)
+    )
+    return f"({unions})"
+
+
+SQL_SKETCH_COUNTMIN_TOPK = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+cells AS (
+  SELECT depth, bucket, count(*) AS n
+  FROM {_cm_cells_sql()}
+  GROUP BY 1, 2
+),
+exact AS (SELECT w, count(*) AS n_exact FROM tok GROUP BY 1),
+top AS (
+  SELECT w, n_exact FROM exact
+  QUALIFY row_number() OVER (ORDER BY n_exact DESC, w) <= {_CM_TOPK}
+),
+probes AS (
+  {" UNION ALL ".join(
+      f"SELECT w, n_exact, {dep} AS depth, "
+      + _cm_bucket_sql(dep, "w")
+      + " AS bucket FROM top"
+      for dep in range(_CM_DEPTH)
+  )}
+)
+SELECT p.w AS word,
+       CAST(any_value(p.n_exact) AS BIGINT) AS n_exact,
+       CAST(min(c.n) AS BIGINT) AS n_est,
+       min(c.n) >= any_value(p.n_exact) AS never_undercounts
+FROM probes p JOIN cells c USING (depth, bucket)
+GROUP BY p.w
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sketch_hll_mergeable": QuerySpec(
         q_sketch_hll_mergeable, SQL_SKETCH_HLL_MERGEABLE
     ),
     "sketch_hll_daily_rollup": QuerySpec(
         q_sketch_hll_daily_rollup, SQL_SKETCH_HLL_DAILY_ROLLUP
+    ),
+    "sketch_countmin_topk": QuerySpec(
+        q_sketch_countmin_topk, SQL_SKETCH_COUNTMIN_TOPK
     ),
 }
