@@ -596,6 +596,61 @@ WHERE f_eid = 0 AND f_uid = 0 AND f_range = 0 AND f_enum = 0
 """
 
 
+
+
+def q_events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational rate monitoring: hourly event counts per type,
+    z-scored against that type's own hourly distribution over the
+    whole window; hours with |z| >= 2 surface as anomalies.  The
+    monitoring query every streaming ingest pipeline runs next to its
+    business queries.
+
+    Two hash aggregates (hour counts, per-type moments) + one broadcast
+    join of the 5-row moments table — no windows, no global sort, so
+    the shape is flat at any event volume.  Determinism: z is rounded
+    to 4 before the threshold filter on both engines (house rule for
+    float ranking/filtering decisions).
+    """
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    moments = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    return (
+        hourly.join(F.broadcast(moments), "event_type")
+        .withColumn(
+            "z_r", F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4)
+        )
+        .filter(F.abs(F.col("z_r")) >= 2)
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+            F.col("n").cast("bigint").alias("n"),
+            "z_r",
+        )
+    )
+
+
+SQL_EVENTS_RATE_ANOMALY = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+moments AS (
+  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+  FROM hourly GROUP BY 1
+)
+SELECT h.event_type,
+       strftime(h.hour, '%Y-%m-%d %H:00') AS hour,
+       CAST(h.n AS BIGINT) AS n,
+       round((h.n - m.mu) / m.sd, 4) AS z_r
+FROM hourly h JOIN moments m USING (event_type)
+WHERE abs(round((h.n - m.mu) / m.sd, 4)) >= 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "agg_corr": QuerySpec(q_agg_corr, SQL_AGG_CORR),
     "contract_violations": QuerySpec(
@@ -608,6 +663,9 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q16ish": QuerySpec(q_tpch_q16ish, SQL_TPCH_Q16ISH),
     "profile_columns": QuerySpec(q_profile_columns, SQL_PROFILE_COLUMNS),
     "event_funnel": QuerySpec(q_event_funnel, SQL_EVENT_FUNNEL),
+    "events_rate_anomaly": QuerySpec(
+        q_events_rate_anomaly, SQL_EVENTS_RATE_ANOMALY
+    ),
     "agg_histogram": QuerySpec(q_agg_histogram, SQL_AGG_HISTOGRAM),
     "cluster_zorder": QuerySpec(q_cluster_zorder, SQL_CLUSTER_ZORDER),
 }
