@@ -116,6 +116,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sample_cluster_balanced",
     "sketch_countmin_topk",
     "events_rate_anomaly",
+    "event_transitions",
     # -- rows-only entries (no SQL oracle by design; weaker driver
     # check adds nothing beyond their pytest ground truth).
     # sequential-algorithm op (BFD bin packing): exact pure-Python

@@ -651,6 +651,78 @@ WHERE abs(round((h.n - m.mu) / m.sd, 4)) >= 2
 """
 
 
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized path analytics: within 30-minute user sessions
+    (operators/relational.sessionize), count event_type -> event_type
+    transitions and report each transition's share of its source
+    type's outgoing edges — the Markov-transition table behind funnel
+    and journey analysis.
+
+    One shuffle for the session window (keyed by user — distributed),
+    one aggregate for the edge counts, one broadcast join for the
+    per-source totals.  Ties inside a session order by event_id, so
+    the lag sequence is deterministic on both engines.
+    """
+    from ..operators.relational import sessionize
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sess = sessionize(e, key="user_id", ts="ts", gap_seconds=1800,
+                      order_tiebreak="event_id")
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    steps = sess.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    edges = steps.groupBy(
+        F.col("prev").alias("src"), F.col("event_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = edges.groupBy("src").agg(F.sum("n").alias("tot"))
+    return (
+        edges.join(F.broadcast(totals), "src")
+        .select(
+            "src",
+            "dst",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("tot"), 4).alias("share"),
+        )
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH sess AS (
+  SELECT user_id, event_type, ts, event_id,
+         sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, event_type, ts, event_id,
+           epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_us
+    FROM events WHERE user_id IS NOT NULL
+  )
+),
+steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM sess
+),
+edges AS (
+  SELECT src, dst, count(*) AS n FROM steps WHERE src IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (SELECT src, sum(n) AS tot FROM edges GROUP BY 1)
+SELECT e.src, e.dst, CAST(e.n AS BIGINT) AS n,
+       round(e.n / CAST(t.tot AS DOUBLE), 4) AS share
+FROM edges e JOIN totals t USING (src)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "agg_corr": QuerySpec(q_agg_corr, SQL_AGG_CORR),
     "contract_violations": QuerySpec(
@@ -665,6 +737,9 @@ QUERIES: dict[str, QuerySpec] = {
     "event_funnel": QuerySpec(q_event_funnel, SQL_EVENT_FUNNEL),
     "events_rate_anomaly": QuerySpec(
         q_events_rate_anomaly, SQL_EVENTS_RATE_ANOMALY
+    ),
+    "event_transitions": QuerySpec(
+        q_event_transitions, SQL_EVENT_TRANSITIONS
     ),
     "agg_histogram": QuerySpec(q_agg_histogram, SQL_AGG_HISTOGRAM),
     "cluster_zorder": QuerySpec(q_cluster_zorder, SQL_CLUSTER_ZORDER),
