@@ -117,6 +117,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sketch_countmin_topk",
     "events_rate_anomaly",
     "event_transitions",
+    "profile_quality_by_source",
     # -- rows-only entries (no SQL oracle by design; weaker driver
     # check adds nothing beyond their pytest ground truth).
     # sequential-algorithm op (BFD bin packing): exact pure-Python

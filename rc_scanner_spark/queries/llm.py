@@ -2542,6 +2542,65 @@ QUALIFY pick <= {_CLUSTER_SAMPLE_PER_CELL}
 """
 
 
+
+
+def q_profile_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration profile: exact p10/median/p90 of
+    the composite quality score plus the share of docs clearing the
+    prep pipeline's 0.35 gate — the diagnostic a curation team reads
+    before tuning per-source thresholds.  Exact ``percentile`` (not
+    approx) so the DuckDB twin (quantile_cont) agrees bit-for-bit on
+    the rounded values; one hash aggregate, no windows."""
+    d = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    return (
+        d.select("source", q.alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.expr("percentile(q, 0.1)"), 4).alias("p10"),
+            F.round(F.expr("percentile(q, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(q, 0.9)"), 4).alias("p90"),
+            F.round(
+                F.sum(F.when(F.col("q") >= 0.35, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("pass_rate"),
+        )
+    )
+
+
+SQL_PROFILE_QUALITY_BY_SOURCE = f"""
+WITH m AS (
+  SELECT source,
+         round(least(len(regexp_extract_all(lower(text), '[a-z]+')) / 50.0,
+                     1.0) * 0.4
+               + coalesce(round(len(regexp_extract_all(lower(text), '{_M["en"]}'))
+                                / CASE WHEN len(regexp_extract_all(lower(text),
+                                                                   '[a-z]+')) > 0
+                                       THEN CAST(len(regexp_extract_all(lower(text),
+                                                                        '[a-z]+'))
+                                                 AS DOUBLE) END, 4),
+                          0.0) * 0.4
+               + least(coalesce(round(len(regexp_extract_all(text, '[.,;:!?]'))
+                                      / CASE WHEN len(regexp_extract_all(lower(text),
+                                                                         '[a-z]+')) > 0
+                                             THEN CAST(len(regexp_extract_all(lower(text),
+                                                                              '[a-z]+'))
+                                                       AS DOUBLE) END, 4),
+                                0.0) * 5, 1.0) * 0.2, 4) AS q
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(q, 0.1), 4) AS p10,
+       round(quantile_cont(q, 0.5), 4) AS p50,
+       round(quantile_cont(q, 0.9), 4) AS p90,
+       round(sum(CASE WHEN q >= 0.35 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS pass_rate
+FROM m GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "sample_negatives": QuerySpec(q_sample_negatives, SQL_SAMPLE_NEGATIVES),
@@ -2580,6 +2639,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_lang_id": QuerySpec(q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY),
     "select_token_budget": QuerySpec(q_select_token_budget, SQL_SELECT_TOKEN_BUDGET),
+    "profile_quality_by_source": QuerySpec(
+        q_profile_quality_by_source, SQL_PROFILE_QUALITY_BY_SOURCE
+    ),
     "filter_source_blocklist": QuerySpec(
         q_filter_source_blocklist, SQL_FILTER_SOURCE_BLOCKLIST
     ),
