@@ -2601,6 +2601,115 @@ FROM m GROUP BY source
 """
 
 
+
+
+def q_dedup_pair_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explainable near-dup: for every blocked-Jaccard pair (same
+    parameters as ``dedup_ngram_jaccard``), report the evidence a
+    reviewer needs — shared-shingle count and the first three shared
+    shingles alphabetically.  Dedup that deletes at 100 TB must be
+    auditable; this is the query a curation UI renders next to each
+    proposed merge.
+
+    Same plan shape as the pair generation (string shingles retained
+    here because they ARE the output); the explanation adds one
+    ``collect_set`` bounded at 3 surviving examples per pair."""
+    from ..operators.dedup import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    e = d.select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("id"),
+        F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
+    )
+    dfreq = e.groupBy("lang", "source", "shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    kept = e.join(dfreq.filter(F.col("df") <= 50), ["lang", "source", "shingle"])
+    counts = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = kept.select("lang", "source", "shingle", F.col("id").alias("id_a"))
+    b = kept.select("lang", "source", "shingle", F.col("id").alias("id_b"))
+    pairs = (
+        a.join(b, ["lang", "source", "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.slice(F.array_sort(F.collect_set("shingle")), 1, 3).alias("ex"),
+        )
+    )
+    return (
+        pairs.join(
+            counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.concat_ws(" | ", "ex").alias("examples"),
+        )
+    )
+
+
+SQL_DEDUP_PAIR_EXPLAIN = """
+WITH w AS (
+  SELECT doc_id, lang, source,
+         regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN len(words) >= 3
+              THEN list_distinct([array_to_string(words[i:i+2], ' ')
+                                  FOR i IN range(1, len(words) - 1)])
+              WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+              ELSE [] END AS sh
+  FROM w
+),
+e AS (SELECT doc_id, lang, source, unnest(sh) AS shingle FROM s),
+d AS (SELECT lang, source, shingle, count(*) AS df
+      FROM e GROUP BY 1, 2, 3),
+kept AS (
+  SELECT e.doc_id, e.lang, e.source, e.shingle
+  FROM e JOIN d USING (lang, source, shingle)
+  WHERE d.df <= 50
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared,
+         array_to_string(list_sort(list_distinct(list(a.shingle)))[1:3], ' | ')
+             AS examples
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_shared * 1.0 / (ca.n_sh + cb.n_sh - n_shared), 4) AS jaccard,
+       CAST(n_shared AS BIGINT) AS n_shared, examples
+FROM pairs
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE n_shared * 1.0 / (ca.n_sh + cb.n_sh - n_shared) >= 0.5
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "sample_negatives": QuerySpec(q_sample_negatives, SQL_SAMPLE_NEGATIVES),
@@ -2627,6 +2736,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_prefix_jaccard, SQL_DEDUP_PREFIX_JACCARD
     ),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_pair_explain": QuerySpec(
+        q_dedup_pair_explain, SQL_DEDUP_PAIR_EXPLAIN
+    ),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, None),
     "dedup_simhash": QuerySpec(q_dedup_simhash, None),
     "dedup_embedding_cosine": QuerySpec(
