@@ -119,6 +119,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "event_transitions",
     "profile_quality_by_source",
     "dedup_pair_explain",
+    "dedup_rate_by_source",
     # -- rows-only entries (no SQL oracle by design; weaker driver
     # check adds nothing beyond their pytest ground truth).
     # sequential-algorithm op (BFD bin packing): exact pure-Python

@@ -2710,6 +2710,49 @@ WHERE n_shared * 1.0 / (ca.n_sh + cb.n_sh - n_shared) >= 0.5
 """
 
 
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup diagnostics per source: document count, distinct
+    normalized fingerprints, and the exact-dup rate — the first chart
+    on any corpus-health dashboard (a source whose dup rate spikes is
+    usually a crawler or pipeline fault).  One hash aggregate over
+    (source, fp) then one over source; both partial-aggregate map-side.
+    """
+    d = _t(spark, sf_dir, "documents")
+    per_fp = d.select("source", fingerprint(F.col("text")).alias("fp"))
+    return (
+        per_fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            F.round(
+                1 - F.col("n_distinct") / F.col("n_docs").cast("double"), 4
+            ).alias("dup_rate"),
+        )
+    )
+
+
+SQL_DEDUP_RATE_BY_SOURCE = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT substring(md5(trim(regexp_replace(lower(text),
+                                                        '\\s+', ' ', 'g'))),
+                                1, 16)) AS n_distinct,
+       round(1 - count(DISTINCT substring(md5(trim(regexp_replace(lower(text),
+                                                                  '\\s+', ' ',
+                                                                  'g'))),
+                                          1, 16))
+                 / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+FROM documents
+GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "sample_negatives": QuerySpec(q_sample_negatives, SQL_SAMPLE_NEGATIVES),
@@ -2736,6 +2779,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_prefix_jaccard, SQL_DEDUP_PREFIX_JACCARD
     ),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_rate_by_source": QuerySpec(
+        q_dedup_rate_by_source, SQL_DEDUP_RATE_BY_SOURCE
+    ),
     "dedup_pair_explain": QuerySpec(
         q_dedup_pair_explain, SQL_DEDUP_PAIR_EXPLAIN
     ),

@@ -232,3 +232,32 @@ def test_corpus_stream_neardup_drops_cross_batch_near_copies(spark, tmp_path):
     # sidecar mirrors the kept set
     sigs = {r["id"] for r in spark.read.parquet(sig_dir).collect()}
     assert sigs == kept
+
+
+def test_neardup_batch_replay_is_idempotent(spark, tmp_path):
+    """A retried merge_batch_neardup must not self-suppress: the
+    retry's docs would near-match their OWN previous attempt's
+    signatures unless that partition is excluded from both the corpus
+    and sidecar seen-sets."""
+    from rc_scanner_spark.streaming.corpus import (
+        merge_batch_neardup,
+        read_corpus,
+    )
+
+    text = (
+        "an entirely ordinary paragraph about testing retried stream "
+        "batches with signature sidecars in a distributed corpus builder"
+    )
+    df = spark.createDataFrame(
+        [(1, text, "en", "s")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    corpus_dir = str(tmp_path / "corpus_r")
+    sig_dir = str(tmp_path / "sigs_r")
+    merge_batch_neardup(df, 0, corpus_dir, sig_dir)
+    assert read_corpus(spark, corpus_dir).count() == 1
+    # retry same batch id: doc must survive (its own prior signatures
+    # are excluded), partition overwritten not doubled
+    merge_batch_neardup(df, 0, corpus_dir, sig_dir)
+    assert read_corpus(spark, corpus_dir).count() == 1
+    assert spark.read.parquet(sig_dir).count() == 1
