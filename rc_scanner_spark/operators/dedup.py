@@ -300,26 +300,31 @@ def minhash_lsh_pairs(
         return cand.withColumn("jaccard", F.lit(None).cast("double"))
 
     # Exact-Jaccard verification on candidates only: |A∩B| via a
-    # shingle equi-join, |A∪B| = |A|+|B|-|A∩B|.
+    # shingle equi-join, |A∪B| = |A|+|B|-|A∩B|.  The intersection is
+    # PAIR-restricted: a-side shingles are routed through the candidate
+    # pair list first, so the b-side equi-join is keyed on
+    # (id_b, shingle) and emits work linear in |pairs|×shingles/doc.
+    # An unrestricted shingle==shingle_b intersect would emit m×n rows
+    # for a hot shingle shared by m a-docs and n b-docs even when those
+    # pairs were never LSH candidates — the quadratic term the banding
+    # exists to avoid.  Both joins are plain shuffle equi-joins (no
+    # broadcast hint: the candidate set grows with the corpus, so a
+    # driver-small assumption would OOM at 100 TB; AQE may still pick
+    # broadcast when it measures the build side as small).
     counts = sig.select("id", "n_sh")
+    pair_sh = sh.join(cand, sh.id == cand.id_a).select(
+        "id_a", "id_b", "shingle"
+    )
     common = (
-        sh.join(cand.select("id_a").distinct().hint("broadcast"), sh.id == F.col("id_a"))
-        .select(F.col("id_a").alias("ca"), F.col("shingle"))
-        .join(
-            sh.join(
-                cand.select("id_b").distinct().hint("broadcast"), sh.id == F.col("id_b")
-            ).select(F.col("id_b").alias("cb"), F.col("shingle").alias("shingle_b")),
-            F.col("shingle") == F.col("shingle_b"),
+        pair_sh.join(
+            sh.select(F.col("id").alias("id_b"), "shingle"),
+            on=["id_b", "shingle"],
         )
-        .groupBy("ca", "cb")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     out = (
-        cand.join(
-            common,
-            (cand.id_a == common.ca) & (cand.id_b == common.cb),
-            "left",
-        )
+        cand.join(common, ["id_a", "id_b"], "left")
         .join(counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
         .join(counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         .withColumn(

@@ -29,29 +29,87 @@ class QuerySpec:
 
 # Registry iteration order doubles as the external driver's
 # verification order (it oracle-checks a fixed-size ~50-entry prefix
-# per round).  Coverage ledger:
-#   r1 checked the first 50 of the then-module-order (relational
-#     basics through join/agg/window; CORRECTNESS_r01.json) — but the
-#     events-table rows among them predate the timestamp re-encode and
-#     are STALE.
-#   r2+r3 checked the scanner/LLM/TPC-H/SQL-API prefix (48 green,
-#     CORRECTNESS_r03.json).
-#   r4 (THIS ordering) leads with the 5 stale events-table queries
-#     (crash sites of the NTZ regression, now fixed) and the 47
-#     oracle-backed entries that have never had a driver row, so the
-#     cumulative r1∪r3∪r4 evidence covers every oracle-expressible
-#     query in the registry.
+# per round).
+
 _VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # -- 1-5: events-table queries whose r1 rows predate the testdata
-    # re-encode (VERDICT r3 item 6): re-verify on current data.
+    # Rotation ledger (driver checks a ~50-entry prefix per round):
+    #   r1: first 50 of the then-module order (the "r1-era" block below).
+    #   r2+r3: scanner/LLM/TPC-H/SQL-API prefix (CORRECTNESS_r03.json).
+    #   r4: stale events rows + 45 never-checked (CORRECTNESS_r04.json,
+    #       50/50 green).
+    #   r5 (THIS ordering): 1-15 = the 13 oracle-backed queries that
+    #       have never had a driver row + the two r3 hash-fails fixed
+    #       in r4 (llm_prep_pipeline, tpch_q12ish) whose last driver
+    #       rows are failures; then new round-5 queries; then the
+    #       r1-era block (oldest driver evidence, re-verification).
+    # -- 1-15: never-driver-checked + fixed r3 hash-fails.
+    "ann_ivf_topk",
+    "multimodal_features",
+    "retrieval_rrf_fusion",
+    "select_token_budget",
+    "filter_source_blocklist",
+    "batch_length_buckets",
+    "sample_cluster_balanced",
+    "sketch_countmin_topk",
+    "events_rate_anomaly",
+    "event_transitions",
+    "profile_quality_by_source",
+    "dedup_pair_explain",
+    "dedup_rate_by_source",
+    "llm_prep_pipeline",
+    "tpch_q12ish",
+    # -- round-5 additions get driver rows on first rotation.
+    # (insert new queries here)
+    # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
+    "filter_membership",
+    "filter_null_threshold",
+    "filter_threshold_inclusive",
+    "proj_string",
+    "proj_datetime",
+    "proj_math",
+    "json_extract",
+    "array_ops",
+    "map_lookup",
+    "join_inner_agg",
+    "join_left_count",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_dims",
+    "join_range_bands",
+    "agg_tpch_q1",
+    "agg_distinct",
+    "agg_stats",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "window_rank_topk",
+    "window_running_sum",
+    "window_ntile",
+    "window_range_frame",
+    "sort_topk_global",
+    "setop_union",
+    "setop_intersect",
+    "setop_except",
+    "pivot",
+    "correlated_subquery",
+    "agg_having",
+    "agg_median",
+    "window_percent_rank",
+    "regexp_extract_group",
+    "posexplode_tokens",
+    "cross_join",
+    "union_by_name",
+    "setop_intersect_all",
+    "setop_except_all",
+    "scalar_subquery",
+    "in_subquery",
+    "limit_offset",
+    # -- r4-green prefix and r2/r3-green tail (most recent evidence).
     "join_asof",
     "window_lag_lead",
     "session_windows",
     "time_window_tumbling",
     "date_arithmetic",
-    # -- 6-15: never-driver-checked ops called out by name in VERDICT
-    # r3 item 2.  The portable twins are the external evidence for the
-    # xxhash64 production forms (identical pipeline shape, md5 hashes).
     "decontaminate",
     "dedup_cc_clusters",
     "pack_sequences",
@@ -62,8 +120,6 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_portable",
     "dedup_simhash_portable",
     "ann_lsh_portable",
-    # -- 16-50: the rest of the never-checked oracle-backed entries
-    # (original relative order preserved).
     "unpivot",
     "join_salted_skew",
     "join_full_outer",
@@ -97,41 +153,12 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sql_api_group_by_all",
     "contract_violations",
     "graph_degree_stats",
-    # k-means family: full oracles via unrolled-Lloyd SQL (every
-    # decision float is rounded before comparison on both sides)
     "cluster_kmeans",
     "dedup_semantic",
-    # -- 51-52: also never-checked, but carrying the strongest local
-    # evidence (recall test / deterministic-codec pytest parity) —
-    # first to spill if the driver prefix stops at 50.
-    "ann_ivf_topk",
-    # the fake codec is deterministic byte arithmetic -> SQL-replayable
-    "multimodal_features",
-    # round-4 additions (hybrid BM25 + cosine retrieval; quality-first
-    # token-budget selection); rotate into the checked prefix next round
-    "retrieval_rrf_fusion",
-    "select_token_budget",
-    "filter_source_blocklist",
-    "batch_length_buckets",
-    "sample_cluster_balanced",
-    "sketch_countmin_topk",
-    "events_rate_anomaly",
-    "event_transitions",
-    "profile_quality_by_source",
-    "dedup_pair_explain",
-    "dedup_rate_by_source",
-    # -- rows-only entries (no SQL oracle by design; weaker driver
-    # check adds nothing beyond their pytest ground truth).
-    # sequential-algorithm op (BFD bin packing): exact pure-Python
-    # ground truth in tests
     "pack_bins_bfd",
-    # xxhash64-dependent production forms (DuckDB has no xxhash64);
-    # mechanisms externally verified via the md5 portable twins above.
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_bucketed",
-    # -- r2/r3-green prefix (CORRECTNESS_r03.json), pushed behind the
-    # never-checked set.
     "scan_pipeline_full",
     "scan_attribute_filter",
     "scan_threshold_disabled",
@@ -148,7 +175,6 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_incremental",
     "ann_cosine_topk",
-    "llm_prep_pipeline",
     "text_lang_id",
     "text_quality",
     "text_repetition",
@@ -170,7 +196,6 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "tpch_q8ish",
     "tpch_q9ish",
     "tpch_q10ish",
-    "tpch_q12ish",
     "tpch_q13ish",
     "tpch_q14ish",
     "tpch_q15ish",

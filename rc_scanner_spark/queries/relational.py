@@ -279,12 +279,16 @@ def q_join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped 3-way join + aggregation.  customer is the small
     side (broadcast); orders/lineitem equi-join shuffles on the order
     key once."""
+    # customer grows linearly with scale factor (unlike region/nation),
+    # so it carries no broadcast hint: AQE size-gates the strategy and
+    # falls back to sort-merge at 100 TB instead of a forced-hint OOM.
+    # (Same policy in every TPC-H shape across relational3/4/5.)
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-01-01")
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-01-15")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),

@@ -62,7 +62,7 @@ def q_tpch_q8ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))

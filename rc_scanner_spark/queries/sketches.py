@@ -173,14 +173,11 @@ def q_sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("c.depth", "c.bucket").agg(F.count(F.lit(1)).alias("n"))
 
     exact = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n_exact"))
-    from pyspark.sql import Window
-
-    w_top = Window.orderBy(F.col("n_exact").desc(), F.col("w"))
-    top = (
-        exact.withColumn("rk", F.row_number().over(w_top))
-        .filter(F.col("rk") <= _CM_TOPK)
-        .drop("rk")
-    )
+    # Deterministic top-K via orderBy().limit(): Spark plans this as a
+    # distributed TakeOrderedAndProject (per-partition heaps merged on
+    # the driver), unlike a global row_number() window which funnels
+    # the whole billion-token vocabulary through ONE partition.
+    top = exact.orderBy(F.col("n_exact").desc(), F.col("w")).limit(_CM_TOPK)
     probes = top.select(
         "w",
         "n_exact",

@@ -23,6 +23,35 @@ from rc_scanner_spark.queries import build_registry
 from rc_scanner_spark.session import get_spark
 
 
+def _bracket_groups(s: str) -> int:
+    groups, depth = 0, 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+    return groups
+
+
+def global_windows(plan: str) -> int:
+    """Count Window nodes with NO partition spec (the whole input is
+    funneled through one task — a single-node choke point at 100 TB).
+
+    A Window node prints ``Window [funcs], [partSpec], [orderSpec]``;
+    the unpartitioned form has only two top-level bracket groups.
+    """
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"(?:^|\s|\))Window\s+\[", line)
+        if m:
+            tail = line[line.index("Window ") + len("Window ") :]
+            if _bracket_groups(tail) < 3:
+                n += 1
+    return n
+
+
 def audit(plan: str) -> dict[str, int | bool]:
     return {
         "exchanges": len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
@@ -34,6 +63,7 @@ def audit(plan: str) -> dict[str, int | bool]:
         "arrow": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
         # executedPlan marks codegen'd operators with a "*(<id>)" prefix
         "wscg": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "gwin": global_windows(plan),
     }
 
 
@@ -64,6 +94,8 @@ def main() -> None:
             flags.append("PYTHON-IN-PLAN")
         if a["exchanges"] >= 6:
             flags.append("MANY-SHUFFLES")
+        if a["gwin"]:
+            flags.append("GLOBAL-WINDOW")
         print(
             f"{name:28s} xchg={a['exchanges']:2d} bhj={a['bhj']} smj={a['smj']} "
             f"pushed={int(a['pushed'])} pyeval={a['pyeval']} arrow={a['arrow']} "
