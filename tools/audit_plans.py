@@ -35,20 +35,48 @@ def _bracket_groups(s: str) -> int:
     return groups
 
 
+def _top_level_groups(s: str) -> list[str]:
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                cur = []
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
 def global_windows(plan: str) -> int:
     """Count Window nodes with NO partition spec (the whole input is
     funneled through one task — a single-node choke point at 100 TB).
 
-    A Window node prints ``Window [funcs], [partSpec], [orderSpec]``;
-    the unpartitioned form has only two top-level bracket groups.
+    A Window node prints ``Window [funcs], [partSpec], [orderSpec]``,
+    omitting whichever of partSpec/orderSpec is empty.  Three groups =
+    partitioned.  Two groups is ambiguous: partition-only (fine) or
+    order-only (GLOBAL — the bad case); an order spec is recognizable
+    by its ``ASC/DESC NULLS`` sort tokens.
     """
     n = 0
     for line in plan.splitlines():
-        m = re.search(r"(?:^|\s|\))Window\s+\[", line)
-        if m:
-            tail = line[line.index("Window ") + len("Window ") :]
-            if _bracket_groups(tail) < 3:
-                n += 1
+        if not re.search(r"(?:^|\s|\))Window\s+\[", line):
+            continue
+        tail = line[line.index("Window ") + len("Window ") :]
+        groups = _top_level_groups(tail)
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2 and not re.search(
+            r"(?:ASC|DESC) NULLS (?:FIRST|LAST)", groups[1]
+        ):
+            continue  # partition-only spec
+        n += 1
     return n
 
 
