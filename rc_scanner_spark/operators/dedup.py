@@ -43,6 +43,58 @@ def release_caches() -> None:
     """Unpersist every intermediate this module has cached."""
     while _CACHED:
         _CACHED.pop().unpersist(blocking=False)
+    _SHARED_FRAMES.clear()
+
+
+# The near-dup family (MinHash, SimHash, n-gram Jaccard) all start
+# from the same corpus tokenization, which is roughly a third of each
+# query's cost: share the tokenized frame within a session the way a
+# production pipeline materializes the token table to parquet once and
+# fans every dedup algorithm out from it.  Keyed by the semantic hash
+# of the (id, text) projection, so different tables / sf_dirs never
+# collide; cleared by ``release_caches``.
+_SHARED_FRAMES: dict[tuple, DataFrame] = {}
+
+
+def shared_word_frame(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Persisted ``(id, ws: array<string>)`` tokenization of ``df``,
+    memoized per source plan — the one regex pass over the raw text
+    that every near-dup algorithm downstream shares."""
+    proj = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    key = ("words", proj.semanticHash())
+    got = _SHARED_FRAMES.get(key)
+    if got is None:
+        got = _track_persist(proj.select("id", words(F.col("text")).alias("ws")))
+        _SHARED_FRAMES[key] = got
+    return got
+
+
+def shared_shingle_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Persisted exploded ``(id, shingle: long)`` distinct hashed word
+    k-gram frame, derived from ``shared_word_frame`` — shared by
+    MinHash (signatures + verification) and blocked Jaccard."""
+    proj = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    key = ("shingles", k, proj.semanticHash())
+    got = _SHARED_FRAMES.get(key)
+    if got is None:
+        ws = shared_word_frame(df, id_col, text_col)
+        got = _track_persist(
+            ws.select(
+                "id",
+                F.explode(hashed_shingles_from_words(F.col("ws"), k)).alias(
+                    "shingle"
+                ),
+            )
+        )
+        _SHARED_FRAMES[key] = got
+    return got
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -73,6 +125,25 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+def hashed_shingles_from_words(ws: Column, k: int = 3) -> Column:
+    """``hashed_word_shingles`` over an already-tokenized word array —
+    the shared-tokenization entry point (see ``shared_word_frame``)."""
+    n = F.size(ws)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.xxhash64(F.array_join(F.slice(ws, i, k), " ")),
+            ),
+        ).otherwise(
+            F.when(n > 0, F.array(F.xxhash64(F.array_join(ws, " ")))).otherwise(
+                F.array().cast("array<long>")
+            )
+        )
+    )
+
+
 def hashed_word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles as 64-bit hashes — for operators
     that only need shingle *identity* (MinHash), not the string.
@@ -92,21 +163,7 @@ def hashed_word_shingles(text: Column, k: int = 3) -> Column:
     form cannot collide into the k-gram space of longer docs beyond
     the hash's own 2^-64.
     """
-    ws = words(text)
-    n = F.size(ws)
-    return F.array_distinct(
-        F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.xxhash64(F.array_join(F.slice(ws, i, k), " ")),
-            ),
-        ).otherwise(
-            F.when(n > 0, F.array(F.xxhash64(F.array_join(ws, " ")))).otherwise(
-                F.array().cast("array<long>")
-            )
-        )
-    )
+    return hashed_shingles_from_words(words(text), k)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -236,20 +293,15 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    # The exploded shingle frame feeds three consumers (signatures and
-    # both sides of the verification join); persist it so the HOF
-    # shingling runs once.  At 100 TB the same role is played by a
+    # The exploded shingle frame feeds three consumers here (signatures
+    # and both sides of the verification join) and is SHARED with the
+    # other near-dup algorithms in the session (shared_shingle_frame —
+    # persisted, memoized).  At 100 TB the same role is played by a
     # checkpointed/parquet-materialized shingle table.  Shingles are
-    # born as 64-bit hashes (hashed_word_shingles): no string
-    # materialization at all, every downstream shuffle/join moves 8
-    # bytes, and Jaccard over hashed shingles equals Jaccard over
-    # strings up to 2^-64 collisions.
-    sh = _track_persist(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(hashed_word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
-        )
-    )
+    # born as 64-bit hashes: no string materialization at all, every
+    # downstream shuffle/join moves 8 bytes, and Jaccard over hashed
+    # shingles equals Jaccard over strings up to 2^-64 collisions.
+    sh = shared_shingle_frame(df, id_col, text_col, shingle_k)
 
     # The 128 per-seed mins and the band structs are built as SQL
     # strings, one F.expr per aggregate / one selectExpr for the band
@@ -380,14 +432,14 @@ def ngram_jaccard_pairs(
     # 8-byte longs instead of k-word strings.  Collisions perturb a
     # pair's Jaccard by at most 2^-64 per shingle — far below the
     # 4-decimal rounding the comparison uses.
-    sh = df.select(
-        *[F.col(c) for c in group_cols],
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shstr"),
-    ).select(
-        *[F.col(c) for c in group_cols],
+    # Hashed shingles come from the session-shared frame (one
+    # tokenization for the whole near-dup family); the thin blocking
+    # columns are joined back on id — two narrow columns off the
+    # parquet scan, a co-partitioned join at scale, instead of a second
+    # full tokenization of the corpus.
+    sh = shared_shingle_frame(df, id_col, text_col, shingle_k).join(
+        df.select(F.col(id_col).alias("id"), *[F.col(c) for c in group_cols]),
         "id",
-        F.xxhash64("shstr").alias("shingle"),
     )
     buckets = sh.groupBy(*group_cols, "shingle").agg(
         F.collect_list("id").alias("ids"), F.count(F.lit(1)).alias("df")
@@ -606,10 +658,13 @@ def simhash_signatures(
     # selectExpr for the chunk assembly): the nested-Column form costs
     # ~1.9 s of py4j round-trips per construction (64 aggregates x ~7
     # calls + 4 x 16 chunk terms), the parsed plan is identical.
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(F.array_distinct(words(F.col(text_col)))).alias("w"),
-    ).withColumn("h", F.xxhash64("w"))
+    # Tokenization comes from the session-shared words frame (one
+    # regex pass shared with MinHash/Jaccard in the same session).
+    toks = (
+        shared_word_frame(df, id_col, text_col)
+        .select("id", F.explode_outer(F.array_distinct(F.col("ws"))).alias("w"))
+        .withColumn("h", F.xxhash64("w"))
+    )
     votes = toks.groupBy("id").agg(
         *[
             F.expr(
