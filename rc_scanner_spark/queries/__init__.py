@@ -59,7 +59,13 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "llm_prep_pipeline",
     "tpch_q12ish",
     # -- round-5 additions get driver rows on first rotation.
-    # (insert new queries here)
+    "embed_quantize_int8",
+    "ann_pq_topk",
+    "sketch_bloom_membership",
+    "dedup_keep_best",
+    "text_bigram_logprob",
+    "dedup_containment",
+    "sketch_quantile_bounded",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -213,6 +219,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
 def build_registry() -> dict[str, QuerySpec]:
     from . import (
         llm,
+        llm2,
         relational,
         relational2,
         relational3,
@@ -234,6 +241,7 @@ def build_registry() -> dict[str, QuerySpec]:
         sql_api,
         scanner_queries,
         llm,
+        llm2,
         sketches,
         warehouse,
     ):

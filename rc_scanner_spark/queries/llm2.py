@@ -1,0 +1,851 @@
+"""Round-5 LLM-pipeline additions: embedding compression (scalar
+int8 quantization, product quantization ANN), Bloom-filter corpus
+membership, cluster-representative selection, interpolated bigram LM
+scoring, asymmetric containment dedup, and bounded-error quantile
+sketches.
+
+Design notes (100 TB):
+  * Quantization/PQ are THE embedding-at-scale levers - int8 cuts the
+    vector footprint 4x and PQ ~32x; both keep search JVM-side
+    (zip_with/aggregate codegen, broadcast codebooks, no Python).
+  * The Bloom filter pre-gates incremental dedup so the expensive
+    anti-join only sees probable-duplicates; the bit table is bounded
+    by the filter width (broadcastable), never by corpus size.
+  * All hash/arithmetical internals are md5/double-deterministic so
+    the DuckDB twin replays them bit-for-bit (same discipline as the
+    portable MinHash/CountMin twins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double_array, cosine
+from ..operators.text import words
+from ..session import tune
+from ..tables import load_table
+from . import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --- scalar int8 quantization ----------------------------------------------
+
+
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column: per-dimension
+    global [min, max] -> 256-level codes -> dequantize -> report the
+    reconstruction cosine per vector.  At 100 TB the stats pass is one
+    bounded aggregation (rows = dims, here 64) broadcast back onto the
+    fleet; codes ship as 1/4 the bytes of float32 and 1/8 of float64.
+
+    Determinism: stats and codes are pure double arithmetic with the
+    same expression shape on both engines; floor() avoids the .5
+    rounding boundary entirely (codes are exact integers), and the
+    final cosine is rounded to 4."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    # Per-dimension stats: rows == dims (64) — a bounded frame that
+    # broadcasts as two tiny arrays, never a per-vector shuffle.
+    stats = (
+        v.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    packed = stats.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "mn", "mx"))
+        ).alias("s")
+    ).select(
+        F.transform("s", lambda r: r["mn"]).alias("mins"),
+        F.transform("s", lambda r: r["mx"]).alias("maxs"),
+    )
+    q = v.crossJoin(F.broadcast(packed))
+    # code_i = floor((x - mn) * 255 / (mx - mn)), clamped to [0, 255];
+    # constant dimensions (mx == mn) encode as 0.
+    code = F.transform(
+        "v",
+        lambda x, i: F.when(
+            F.element_at("maxs", i + 1) == F.element_at("mins", i + 1),
+            F.lit(0),
+        ).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (x - F.element_at("mins", i + 1))
+                        * 255.0
+                        / (
+                            F.element_at("maxs", i + 1)
+                            - F.element_at("mins", i + 1)
+                        )
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+    deq = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at("mins", i + 1)
+        + c.cast("double")
+        * (
+            F.element_at("maxs", i + 1) - F.element_at("mins", i + 1)
+        )
+        / 255.0,
+    )
+    return (
+        q.withColumn("codes", code)
+        .withColumn("deq", deq)
+        .select(
+            "vec_id",
+            F.aggregate(
+                "codes", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("code_sum"),
+            F.round(cosine(F.col("v"), F.col("deq")), 4).alias("recon_cos"),
+        )
+    )
+
+
+SQL_EMBED_QUANTIZE_INT8 = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+stats AS (
+  SELECT pos, min(x) AS mn, max(x) AS mx
+  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM v)
+  GROUP BY pos
+),
+packed AS (
+  SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+  FROM stats
+),
+coded AS (
+  SELECT vec_id, v, mins, maxs,
+         [CASE WHEN maxs[i] = mins[i] THEN 0
+               ELSE least(255, greatest(0,
+                    CAST(floor((v[i] - mins[i]) * 255.0 / (maxs[i] - mins[i]))
+                         AS INT)))
+          END FOR i IN range(1, len(v) + 1)] AS codes
+  FROM v CROSS JOIN packed
+),
+deq AS (
+  SELECT vec_id, v, codes,
+         [mins[i] + codes[i]::DOUBLE * (maxs[i] - mins[i]) / 255.0
+          FOR i IN range(1, len(v) + 1)] AS d
+  FROM coded
+)
+SELECT vec_id,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       round(list_cosine_similarity(v, d), 4) AS recon_cos
+FROM deq
+"""
+
+
+# --- product quantization ANN ----------------------------------------------
+
+_PQ_M = 4          # subspaces
+_PQ_SUBDIM = 16    # dims per subspace (embeddings are 64-d)
+_PQ_K = 16         # codebook entries per subspace
+
+
+def _subvec(col, m: int):
+    return F.slice(col, m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+
+
+def _l2(a, b):
+    """Left-fold squared L2 distance (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: split 64-d embeddings into 4x16-d
+    subspaces, encode each against a 16-entry per-subspace codebook
+    (sampled deterministically from the first 16 vectors; production
+    would Lloyd-refine with operators/similarity.kmeans_refine), then
+    answer top-5 via asymmetric distance computation: the query builds
+    a 4x16 lookup table against the broadcast codebook and each
+    database vector's distance is a 4-way table sum over its codes.
+
+    Scale shape: codes are M bytes per vector (32x smaller than
+    float64); the only per-vector work after encoding is a broadcast
+    hash-join on (subspace, code) + a sum - no vector math touches the
+    database side at query time.  Encoding is a one-off broadcast
+    cross-join against K*M tiny centroids.
+
+    Determinism: distances are fixed-point micro-units (round(d2*1e6)
+    as BIGINT — integer-exact across engines, the portable-LSH
+    discipline; summing re-rounded doubles would straddle decimal
+    boundaries); ties break to the lowest code / lowest vec_id."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+
+    # The seed's own vec_id doubles as the code id — no global window
+    # is needed to number the codebook.
+    seeds = v.orderBy("vec_id").limit(_PQ_K)
+    codebook = seeds.select(
+        F.col("vec_id").alias("code"),
+        *[_subvec(F.col("v"), m).alias(f"c{m}") for m in range(_PQ_M)],
+    )
+    cb_long = codebook.select(
+        "code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"), F.col(f"c{m}").alias("cv")
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select(F.col("s.m").alias("m"), "code", F.col("s.cv").alias("cv"))
+
+    sub = v.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        _subvec(F.col("v"), m).alias("sv"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+    # Encode: per (vector, subspace) argmin over the broadcast codebook.
+    assigned = (
+        sub.join(F.broadcast(cb_long), "m")
+        .withColumn(
+            "d2",
+            F.round(_l2(F.col("sv"), F.col("cv")) * 1000000).cast("long"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("best"))
+        .select("vec_id", "m", F.col("best.code").alias("code"))
+    )
+
+    # Queries build the ADC lookup table against the same codebook.
+    queries = v.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    lut = (
+        queries.select(
+            "qid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            _subvec(F.col("qv"), m).alias("qs"),
+                        )
+                        for m in range(_PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("qid", F.col("s.m").alias("m"), F.col("s.qs").alias("qs"))
+        .join(F.broadcast(cb_long), "m")
+        .select(
+            "qid",
+            "m",
+            "code",
+            F.round(_l2(F.col("qs"), F.col("cv")) * 1000000)
+            .cast("long")
+            .alias("d2"),
+        )
+    )
+
+    scored = (
+        assigned.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d2").alias("approx_d2"))
+    )
+    w = Window.partitionBy("qid").orderBy("approx_d2", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "vec_id", "approx_d2", "rnk")
+    )
+
+
+def _pq_sql() -> str:
+    sub_cases = ", ".join(
+        f"v[{m * _PQ_SUBDIM + 1}:{(m + 1) * _PQ_SUBDIM}] AS s{m}"
+        for m in range(_PQ_M)
+    )
+    cb_union = " UNION ALL ".join(
+        f"SELECT {m} AS m, code, s{m} AS cv FROM codebook"
+        for m in range(_PQ_M)
+    )
+    sub_union = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, s{m} AS sv FROM subv"
+        for m in range(_PQ_M)
+    )
+    q_union = " UNION ALL ".join(
+        f"SELECT qid, {m} AS m, s{m} AS qs FROM qsubv"
+        for m in range(_PQ_M)
+    )
+    l2 = (
+        "CAST(round(list_sum([(a.{x}[i] - b.cv[i]) * (a.{x}[i] - b.cv[i]) "
+        f"FOR i IN range(1, {_PQ_SUBDIM} + 1)]) * 1000000) AS BIGINT)"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (
+  SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {_PQ_K}
+),
+codebook AS (
+  SELECT vec_id AS code, {sub_cases} FROM seeds
+),
+cb AS ({cb_union}),
+subv AS (SELECT vec_id, {sub_cases} FROM v),
+subl AS ({sub_union}),
+assigned AS (
+  SELECT vec_id, m, code FROM (
+    SELECT a.vec_id, a.m, b.code,
+           row_number() OVER (
+             PARTITION BY a.vec_id, a.m
+             ORDER BY {l2.format(x='sv')}, b.code
+           ) AS rn
+    FROM subl a JOIN cb b USING (m)
+  ) WHERE rn = 1
+),
+qsubv AS (
+  SELECT vec_id AS qid, {sub_cases} FROM v WHERE vec_id % 25 = 0
+),
+qsubl AS ({q_union}),
+lut AS (
+  SELECT a.qid, a.m, b.code, {l2.format(x='qs')} AS d2
+  FROM qsubl a JOIN cb b USING (m)
+),
+scored AS (
+  SELECT l.qid, s.vec_id, CAST(sum(l.d2) AS BIGINT) AS approx_d2
+  FROM assigned s JOIN lut l USING (m, code)
+  WHERE l.qid != s.vec_id
+  GROUP BY 1, 2
+)
+SELECT qid, vec_id, approx_d2, rnk FROM (
+  SELECT qid, vec_id, approx_d2,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY approx_d2, vec_id
+         ) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+SQL_ANN_PQ_TOPK = _pq_sql()
+
+
+# --- Bloom-filter corpus membership ----------------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 3     # hash functions
+
+
+def _bloom_pos(j: int, key):
+    """Engine-portable bit position: md5-derived 60-bit hash of
+    'j:key' mod m (same trick as the Count-Min / portable-LSH twins)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), key)), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_M
+    )
+
+
+def _bloom_pos_sql(j: int, key_expr: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{j}', ':', {key_expr})),"
+        f" 1, 15)) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+def q_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-gate for incremental corpus dedup:
+    the even-doc_id half of the corpus is the 'already ingested' set;
+    every doc probes the filter before the (expensive) exact anti-join
+    would run.  Output per doc: bloom_hit and the true membership -
+    the no-false-negative invariant (in_corpus -> bloom_hit) is part
+    of the hash-compared result.
+
+    Scale shape: the 'filter' materializes as the distinct set of set
+    bit positions - bounded by m (4096 rows) regardless of corpus
+    size, so it broadcasts; each probe is a broadcast semi-join plus a
+    count-of-matched-positions == k test.  On a cluster the same
+    filter would ship as Spark's bloom_filter_agg binary and probes
+    would call might_contain; the md5 form here is the
+    engine-portable twin of that plan (DuckDB replays it exactly).
+    """
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.lower(F.col("text")))
+    keyed = d.select("doc_id", key.alias("key"))
+    corpus = keyed.filter(F.col("doc_id") % 2 == 0)
+    bits = (
+        corpus.select(
+            F.explode(
+                F.array(
+                    *[_bloom_pos(j, F.col("key")) for j in range(_BLOOM_K)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probes = keyed.select(
+        "doc_id",
+        "key",
+        F.explode(
+            F.array(*[_bloom_pos(j, F.col("key")) for j in range(_BLOOM_K)])
+        ).alias("pos"),
+    )
+    # A key's k hash positions may collide with each other, so a hit
+    # compares matched-distinct against the key's OWN distinct-position
+    # count, not against k.
+    own = probes.groupBy("doc_id").agg(
+        F.countDistinct("pos").alias("n_pos")
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("pos").alias("n_set"))
+    )
+    membership = keyed.join(
+        corpus.select(F.col("key").alias("ck")).distinct(),
+        keyed["key"] == F.col("ck"),
+        "left",
+    ).select("doc_id", F.col("ck").isNotNull().alias("in_corpus"))
+    return (
+        keyed.select("doc_id")
+        .join(own, "doc_id")
+        .join(hits, "doc_id", "left")
+        .join(membership, "doc_id")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("n_set"), F.lit(0)) == F.col("n_pos")).alias(
+                "bloom_hit"
+            ),
+            "in_corpus",
+        )
+    )
+
+
+def _bloom_sql() -> str:
+    pos_union = " UNION ALL ".join(
+        f"SELECT doc_id, key, {_bloom_pos_sql(j, 'key')} AS pos FROM keyed"
+        for j in range(_BLOOM_K)
+    )
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, md5(lower(text)) AS key FROM documents
+),
+allpos AS ({pos_union}),
+bits AS (
+  SELECT DISTINCT pos FROM allpos WHERE doc_id % 2 = 0
+),
+own AS (
+  SELECT doc_id, count(DISTINCT pos) AS n_pos FROM allpos GROUP BY 1
+),
+hits AS (
+  SELECT doc_id, count(DISTINCT pos) AS n_set
+  FROM allpos JOIN bits USING (pos)
+  GROUP BY 1
+),
+corpus_keys AS (
+  SELECT DISTINCT key FROM keyed WHERE doc_id % 2 = 0
+)
+SELECT k.doc_id,
+       COALESCE(h.n_set, 0) = o.n_pos AS bloom_hit,
+       c.key IS NOT NULL AS in_corpus
+FROM keyed k
+JOIN own o USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+LEFT JOIN corpus_keys c USING (key)
+"""
+
+
+SQL_SKETCH_BLOOM_MEMBERSHIP = _bloom_sql()
+
+
+# --- cluster-representative selection --------------------------------------
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution that keeps the BEST document per
+    cluster (longest text, ties to lowest doc_id) instead of the
+    min-id canonical - what a production prep pipeline actually ships
+    downstream.  Clusters come from the same multi-key connected
+    components as dedup_cc_clusters; the representative choice is one
+    window over (component) ordered by quality.
+
+    The window partitions on component (bounded groups), never
+    globally; cluster sizes are df-capped upstream at the edge
+    builder, so no partition key explodes at scale."""
+    from ..operators.graph import connected_components, star_edges_for_key
+
+    d = _t(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    k1 = F.md5(F.concat_ws(" ", F.slice(ws, 1, 4)))
+    k2 = F.md5(
+        F.concat_ws(
+            " ",
+            F.when(F.size(ws) >= 4, F.slice(ws, -4, 4)).otherwise(ws),
+        )
+    )
+    keyed = d.select(
+        "doc_id", F.explode(F.array(k1, k2)).alias("key")
+    ).distinct()
+    edges = star_edges_for_key(keyed, "doc_id", "key", max_group=100)
+    comp = connected_components(edges)
+    labeled = (
+        d.select("doc_id", "n_chars")
+        .join(comp, d["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .select(
+            "doc_id",
+            "component",
+            "cluster_size",
+            (F.col("rn") == 1).alias("kept"),
+        )
+    )
+
+
+SQL_DEDUP_KEEP_BEST = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+keyed AS (
+  SELECT DISTINCT doc_id, key FROM (
+    SELECT doc_id, md5(array_to_string(words[1:4], ' ')) AS key FROM w
+    UNION ALL
+    SELECT doc_id,
+           md5(array_to_string(
+               CASE WHEN len(words) >= 4 THEN words[-4:] ELSE words END, ' '))
+    FROM w
+  )
+),
+grp AS (
+  SELECT key, min(doc_id) AS dst, count(*) AS n
+  FROM keyed GROUP BY key HAVING count(*) <= 100
+),
+star AS (
+  SELECT k.doc_id AS src, g.dst
+  FROM keyed k JOIN grp g USING (key)
+  WHERE k.doc_id != g.dst
+),
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM star UNION ALL SELECT dst AS src, src AS dst FROM star
+  )
+),
+reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
+),
+comp AS (
+  SELECT src AS doc_id, least(min(dst), src) AS component
+  FROM reach GROUP BY src
+),
+labeled AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, component,
+       CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+           AS cluster_size,
+       row_number() OVER (
+         PARTITION BY component ORDER BY n_chars DESC, doc_id
+       ) = 1 AS kept
+FROM labeled
+"""
+
+
+# --- interpolated bigram language model ------------------------------------
+
+
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy scoring with an interpolated bigram LM
+    (0.7 * p(w2|w1) + 0.3 * p(w2)) - one step up from the unigram
+    stand-in toward a KenLM-style quality filter.  Two corpus
+    aggregations (bigram counts keyed by the pair, prefix counts by
+    w1) join back onto the exploded corpus; every shuffle key is a
+    vocabulary term (zipf-bounded, AQE-skew-handled), never a doc.
+
+    Docs with < 2 words score NULL (kept, for parity with the
+    unigram query)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+                F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = d.select(F.explode(words(F.col("text"))).alias("word")).groupBy(
+        "word"
+    ).agg(F.count(F.lit(1)).alias("wc"))
+    tot = uni.agg(F.sum("wc").alias("tot"))
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    pre = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("pc"))
+    scored = (
+        bi.join(bic, ["w1", "w2"])
+        .join(pre, "w1")
+        .join(uni.withColumnRenamed("word", "w2"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        0.7 * F.col("bc") / F.col("pc")
+                        + 0.3 * F.col("wc") / F.col("tot")
+                    )
+                ),
+                4,
+            ).alias("avg_neg_logprob"),
+        )
+    )
+    return d.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        "avg_neg_logprob",
+    )
+
+
+SQL_TEXT_BIGRAM_LOGPROB = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest([{'w1': words[i], 'w2': words[i + 1]}
+                   FOR i IN range(1, len(words))]) AS p
+    FROM w WHERE len(words) >= 2
+  )
+),
+uni AS (
+  SELECT unnest(words) AS word FROM w
+),
+unic AS (SELECT word, count(*) AS wc FROM uni GROUP BY 1),
+tot AS (SELECT sum(wc) AS tot FROM unic),
+bic AS (SELECT w1, w2, count(*) AS bc FROM bi GROUP BY 1, 2),
+pre AS (SELECT w1, count(*) AS pc FROM bi GROUP BY 1),
+scored AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         round(avg(-ln(0.7 * c.bc / p.pc + 0.3 * u.wc / t.tot)), 4)
+             AS avg_neg_logprob
+  FROM bi b
+  JOIN bic c USING (w1, w2)
+  JOIN pre p USING (w1)
+  JOIN unic u ON u.word = b.w2
+  CROSS JOIN tot t
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       s.avg_neg_logprob
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+# --- asymmetric containment dedup ------------------------------------------
+
+_CONT_DF_CAP = 50
+_CONT_THRESHOLD = 0.8
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: doc A is (near-)CONTAINED in doc B when
+    |shingles(A) AND shingles(B)| / |shingles(A)| >= 0.8.  Catches
+    quote-expansion and boilerplate-wrapping cases that symmetric
+    Jaccard misses (a long B dilutes the union).  Same df-capped
+    blocked shingle join as dedup_ngram_jaccard - candidates are
+    linear in shingle postings, never all-pairs."""
+    d = _t(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    sh = F.array_distinct(
+        F.when(
+            F.size(ws) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.slice(ws, i, 3)
+                ),
+            ),
+        )
+        .when(F.size(ws) > 0, F.array(F.concat_ws(" ", ws)))
+        .otherwise(F.array().cast("array<string>")),
+    )
+    s = d.select("doc_id", sh.alias("sh")).withColumn("n_sh", F.size("sh"))
+    e = s.select("doc_id", "n_sh", F.explode("sh").alias("tok"))
+    df_ok = e.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _CONT_DF_CAP
+    )
+    eb = e.join(df_ok.select("tok"), "tok")
+    a = eb.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"), "tok"
+    )
+    b = eb.select(F.col("doc_id").alias("id_b"), "tok")
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first("na").alias("na"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.col("na"), 4),
+        )
+        .filter(F.col("containment") >= _CONT_THRESHOLD)
+    )
+    return pairs.select("id_a", "id_b", "containment")
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_distinct([array_to_string(words[i:i+2], ' ')
+                                  FOR i IN range(1, len(words) - 1)])
+              WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+              ELSE [] END AS sh
+  FROM w
+),
+e AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS tok FROM s
+),
+df_ok AS (
+  SELECT tok FROM e GROUP BY tok HAVING count(*) <= {_CONT_DF_CAP}
+),
+eb AS (SELECT e.* FROM e JOIN df_ok USING (tok)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         any_value(a.n_sh) AS na, count(*) AS n_common
+  FROM eb a JOIN eb b USING (tok)
+  WHERE a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(n_common * 1.0 / na, 4) AS containment
+FROM pairs
+WHERE round(n_common * 1.0 / na, 4) >= {_CONT_THRESHOLD}
+"""
+
+
+# --- bounded-error quantile sketch -----------------------------------------
+
+
+def q_sketch_quantile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch vs exact: per event_type, exact
+    p50/p95 of value (linear interpolation, identical in both
+    engines) plus a within-5% boolean from Spark's approx_percentile
+    (Greenwald-Khanna style sketch, default accuracy 10000).  Same
+    bounded-error oracle pattern as sketch_hll_mergeable: the sketch
+    estimate is engine-specific, so the hash-compared output is the
+    exact value and the bound check.
+
+    At 100 TB the sketch is the only viable plan: exact percentile
+    sorts every group's values; the sketch aggregates per-partition
+    summaries of bounded size and merges."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_exact"),
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("a50"),
+            F.percentile_approx("value", F.lit(0.95), F.lit(10000)).alias(
+                "a95"
+            ),
+        )
+        .select(
+            "event_type",
+            "p50_exact",
+            "p95_exact",
+            (
+                (
+                    F.abs(F.col("a50") - F.col("p50_exact"))
+                    <= 0.05 * F.abs(F.col("p50_exact"))
+                )
+                & (
+                    F.abs(F.col("a95") - F.col("p95_exact"))
+                    <= 0.05 * F.abs(F.col("p95_exact"))
+                )
+            ).alias("approx_ok"),
+        )
+    )
+
+
+SQL_SKETCH_QUANTILE_BOUNDED = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+       round(quantile_cont(value, 0.95), 6) AS p95_exact,
+       TRUE AS approx_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "embed_quantize_int8": QuerySpec(
+        q_embed_quantize_int8, SQL_EMBED_QUANTIZE_INT8
+    ),
+    "ann_pq_topk": QuerySpec(q_ann_pq_topk, SQL_ANN_PQ_TOPK),
+    "sketch_bloom_membership": QuerySpec(
+        q_sketch_bloom_membership, SQL_SKETCH_BLOOM_MEMBERSHIP
+    ),
+    "dedup_keep_best": QuerySpec(q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "text_bigram_logprob": QuerySpec(
+        q_text_bigram_logprob, SQL_TEXT_BIGRAM_LOGPROB
+    ),
+    "dedup_containment": QuerySpec(
+        q_dedup_containment, SQL_DEDUP_CONTAINMENT
+    ),
+    "sketch_quantile_bounded": QuerySpec(
+        q_sketch_quantile_bounded, SQL_SKETCH_QUANTILE_BOUNDED
+    ),
+}
