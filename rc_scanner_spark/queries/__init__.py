@@ -66,6 +66,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "text_bigram_logprob",
     "dedup_containment",
     "sketch_quantile_bounded",
+    "select_dsir",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",

@@ -830,7 +830,124 @@ GROUP BY event_type
 """
 
 
+# --- DSIR importance resampling --------------------------------------------
+
+_DSIR_BUCKETS = 1024
+_DSIR_TOPN = 100
+
+
+def _dsir_bucket(tok):
+    """Hashed n-gram feature bucket (md5-portable, like the Count-Min
+    and Bloom twins)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir:"), tok)), 1, 15), 16, 10
+        ).cast("long")
+        % _DSIR_BUCKETS
+    )
+
+
+def q_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023, arXiv:2302.03169): score every raw document by how much it
+    looks like a TARGET domain under hashed-n-gram bag-of-words
+    models, then keep the top-N.  Features are unigrams + bigrams
+    hashed into 1024 buckets; target/raw bucket distributions are
+    Laplace-smoothed; a doc's importance is the sum of per-occurrence
+    log(p_target/p_raw).
+
+    Scale shape: the two LMs are 1024-row aggregates (broadcast); the
+    scoring pass is one explode + broadcast-join + per-doc sum — no
+    vocabulary-sized shuffle, no driver state.  Top-N selection is
+    orderBy().limit() (distributed TakeOrderedAndProject), never a
+    global window.
+
+    Target domain here: sources src0-src4 (the same tiering the
+    weighted-mix sampler uses)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    feats = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(ws, bigrams)).alias("tok"),
+    ).select("doc_id", "source", _dsir_bucket(F.col("tok")).alias("b"))
+
+    is_target = F.substring(F.col("source"), 4, 10).cast("int") < 5
+    counts = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("n_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("n_raw").alias("tot_raw"), F.sum("n_tgt").alias("tot_tgt")
+    )
+    lm = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.log(
+            ((F.col("n_tgt") + 1.0) / (F.col("tot_tgt") + _DSIR_BUCKETS))
+            / ((F.col("n_raw") + 1.0) / (F.col("tot_raw") + _DSIR_BUCKETS))
+        ).alias("logratio"),
+    )
+    scored = (
+        feats.join(F.broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("logratio"), 4).alias("log_w"),
+        )
+    )
+    return scored.orderBy(
+        F.col("log_w").desc(), F.col("doc_id")
+    ).limit(_DSIR_TOPN)
+
+
+SQL_SELECT_DSIR = f"""
+WITH w AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5('dsir:' || tok), 1, 15)) AS BIGINT)
+             % {_DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, source, unnest(words) AS tok FROM w
+    UNION ALL
+    SELECT doc_id, source,
+           unnest([words[i] || ' ' || words[i + 1]
+                   FOR i IN range(1, len(words))]) AS tok
+    FROM w WHERE len(words) >= 2
+  )
+),
+counts AS (
+  SELECT b, count(*) AS n_raw,
+         sum(CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 1 ELSE 0 END)
+             AS n_tgt
+  FROM feats GROUP BY b
+),
+totals AS (SELECT sum(n_raw) AS tot_raw, sum(n_tgt) AS tot_tgt FROM counts),
+lm AS (
+  SELECT b,
+         ln(((n_tgt + 1.0) / (tot_tgt + {_DSIR_BUCKETS}))
+            / ((n_raw + 1.0) / (tot_raw + {_DSIR_BUCKETS}))) AS logratio
+  FROM counts CROSS JOIN totals
+),
+scored AS (
+  SELECT f.doc_id, count(*) AS n_feats, round(sum(lm.logratio), 4) AS log_w
+  FROM feats f JOIN lm USING (b)
+  GROUP BY 1
+)
+SELECT doc_id, n_feats, log_w
+FROM scored ORDER BY log_w DESC, doc_id LIMIT {_DSIR_TOPN}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "select_dsir": QuerySpec(q_select_dsir, SQL_SELECT_DSIR),
     "embed_quantize_int8": QuerySpec(
         q_embed_quantize_int8, SQL_EMBED_QUANTIZE_INT8
     ),

@@ -16,6 +16,7 @@ from rc_scanner_spark.queries.llm2 import (
     q_dedup_containment,
     q_dedup_keep_best,
     q_embed_quantize_int8,
+    q_select_dsir,
     q_sketch_bloom_membership,
     q_text_bigram_logprob,
 )
@@ -26,8 +27,8 @@ from tests.conftest import SF_SMOKE
 def _write_docs(spark, path, rows):
     spark.createDataFrame(
         [
-            (i, t, "en", "src0", len(t))
-            for i, t in rows
+            (r[0], r[1], "en", r[2] if len(r) > 2 else "src0", len(r[1]))
+            for r in rows
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
@@ -122,3 +123,25 @@ def test_bigram_lm_prefers_predictable_text(spark, tmp_path):
         for r in q_text_bigram_logprob(spark, str(tmp_path)).collect()
     }
     assert scores[1] < scores[2]
+
+
+def test_dsir_scores_target_like_docs_higher(spark, tmp_path):
+    # Target domain (sources src0-src4) speaks the alpha/bravo
+    # vocabulary; an off-domain doc that shares it should importance-
+    # score above an off-domain doc that doesn't.
+    tgt = "alpha bravo charlie delta alpha bravo charlie delta echo foxtrot"
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, tgt, "src0"),
+            (2, tgt + " golf hotel", "src1"),
+            (10, "alpha bravo charlie delta echo", "src10"),
+            (11, "zinc yarrow walnut vermilion umber", "src10"),
+        ],
+    )
+    scores = {
+        r["doc_id"]: r["log_w"]
+        for r in q_select_dsir(spark, str(tmp_path)).collect()
+    }
+    assert scores[10] > scores[11]
