@@ -67,6 +67,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "sketch_quantile_bounded",
     "select_dsir",
+    "ann_ivfpq_topk",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",

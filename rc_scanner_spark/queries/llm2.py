@@ -830,6 +830,241 @@ GROUP BY event_type
 """
 
 
+# --- IVF-PQ (IVFADC) ANN ---------------------------------------------------
+
+_IVFPQ_CELLS = 8
+_IVFPQ_PROBES = 2
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the FAISS IVFADC architecture): a coarse quantizer
+    routes each vector to one of 8 cells; the RESIDUAL (vector minus
+    cell centroid) is product-quantized into 4x16-d codes.  A query
+    probes its 2 nearest cells, builds a per-cell ADC lookup table
+    from its own residual, and scores candidates by a 4-way table sum
+    over their codes - top-5 per query.
+
+    Why this is the 100 TB shape: the index stores M=4 bytes + a cell
+    id per vector (vs 256 B of float32); query-time work is (probed
+    cells' candidate lists) x (a broadcast-joined table lookup), with
+    the candidate join keyed on (cell, m, code) - the cell equi-join
+    is the ONLY data-sized shuffle, and a bucketed-by-cell index
+    removes even that.  Residual encoding keeps PQ codebooks tight
+    around each cell's local distribution, which flat PQ loses.
+
+    Determinism: coarse assignment uses rounded-6 cosine argmax (the
+    ann_ivf_topk convention); PQ distances are fixed-point micro-unit
+    BIGINTs (the ann_pq_topk convention).  Seeds: cells = 8 smallest
+    vec_ids, PQ codebook = 16 smallest vec_ids' residuals.
+
+    Accuracy contract (tested): sampled codebooks guarantee correct
+    CELL routing and near-duplicate retrieval (quantization error ~
+    residual scale, so anything much closer than the cell's spread
+    still wins); fine intra-cell ranking needs Lloyd-refined
+    codebooks (kmeans_refine) — at which point the plan here is
+    unchanged, only the centroid table rows differ."""
+    from ..operators.similarity import ivf_assign
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids, assigned = ivf_assign(e, num_cells=_IVFPQ_CELLS)
+    res = assigned.join(F.broadcast(centroids), "cell").select(
+        "id",
+        "cell",
+        F.zip_with("v", "cv", lambda x, y: x - y).alias("r"),
+    )
+
+    pseeds = res.orderBy("id").limit(_PQ_K)
+    pcb_long = pseeds.select(
+        F.col("id").alias("code"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        _subvec(F.col("r"), m).alias("cv"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select(F.col("s.m").alias("m"), "code", F.col("s.cv").alias("cv"))
+
+    codes = (
+        res.select(
+            "id",
+            "cell",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            _subvec(F.col("r"), m).alias("sv"),
+                        )
+                        for m in range(_PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("id", "cell", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+        .join(F.broadcast(pcb_long), "m")
+        .withColumn(
+            "d2",
+            F.round(_l2(F.col("sv"), F.col("cv")) * 1000000).cast("long"),
+        )
+        .groupBy("id", "cell", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("best"))
+        .select("id", "cell", "m", F.col("best.code").alias("code"))
+    )
+
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        as_double_array(F.col("embedding")).alias("qv"),
+    )
+    wprobe = Window.partitionBy("qid").orderBy(
+        F.col("csim").desc(), F.col("cell")
+    )
+    qprob = (
+        q.join(F.broadcast(centroids))
+        .withColumn("csim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= _IVFPQ_PROBES)
+        .select(
+            "qid",
+            "cell",
+            F.zip_with("qv", "cv", lambda x, y: x - y).alias("rq"),
+        )
+    )
+    lut = (
+        qprob.select(
+            "qid",
+            "cell",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            _subvec(F.col("rq"), m).alias("qs"),
+                        )
+                        for m in range(_PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("qid", "cell", F.col("s.m").alias("m"), F.col("s.qs").alias("qs"))
+        .join(F.broadcast(pcb_long), "m")
+        .select(
+            "qid",
+            "cell",
+            "m",
+            "code",
+            F.round(_l2(F.col("qs"), F.col("cv")) * 1000000)
+            .cast("long")
+            .alias("d2"),
+        )
+    )
+
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "m", "code"])
+        .filter(F.col("qid") != F.col("id"))
+        .groupBy("qid", F.col("id").alias("vec_id"))
+        .agg(F.sum("d2").alias("approx_d2"))
+    )
+    wrank = Window.partitionBy("qid").orderBy("approx_d2", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wrank))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "vec_id", "approx_d2", "rnk")
+    )
+
+
+def _ivfpq_sql() -> str:
+    from .llm import _sql_kmeans_ctes
+
+    ivf_ctes, ivf_assign_name = _sql_kmeans_ctes(_IVFPQ_CELLS, 0)
+    dim = _PQ_M * _PQ_SUBDIM
+    sub_cases = ", ".join(
+        f"r[{m * _PQ_SUBDIM + 1}:{(m + 1) * _PQ_SUBDIM}] AS s{m}"
+        for m in range(_PQ_M)
+    )
+    cb_union = " UNION ALL ".join(
+        f"SELECT {m} AS m, code, s{m} AS cv FROM pcb" for m in range(_PQ_M)
+    )
+    sub_union = " UNION ALL ".join(
+        f"SELECT id, cell, {m} AS m, s{m} AS sv FROM subv"
+        for m in range(_PQ_M)
+    )
+    q_union = " UNION ALL ".join(
+        f"SELECT qid, cell, {m} AS m, s{m} AS qs FROM qsubv"
+        for m in range(_PQ_M)
+    )
+    l2 = (
+        "CAST(round(list_sum([(a.{x}[i] - b.cv[i]) * (a.{x}[i] - b.cv[i]) "
+        f"FOR i IN range(1, {_PQ_SUBDIM} + 1)]) * 1000000) AS BIGINT)"
+    )
+    return f"""
+WITH {ivf_ctes},
+res AS (
+  SELECT a.id, a.cell,
+         [a.v[i] - c.cv[i] FOR i IN range(1, {dim} + 1)] AS r
+  FROM {ivf_assign_name} a JOIN kc0 c USING (cell)
+),
+pseeds AS (SELECT id, r FROM res ORDER BY id LIMIT {_PQ_K}),
+pcb AS (SELECT id AS code, {sub_cases} FROM pseeds),
+cb AS ({cb_union}),
+subv AS (SELECT id, cell, {sub_cases} FROM res),
+subl AS ({sub_union}),
+codes AS (
+  SELECT id, cell, m, code FROM (
+    SELECT a.id, a.cell, a.m, b.code,
+           row_number() OVER (
+             PARTITION BY a.id, a.m
+             ORDER BY {l2.format(x='sv')}, b.code
+           ) AS rn
+    FROM subl a JOIN cb b USING (m)
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id % 25 = 0
+),
+qprob AS (
+  SELECT qid, cell,
+         [qv[i] - cv[i] FOR i IN range(1, {dim} + 1)] AS rq
+  FROM (
+    SELECT q.qid, c.cell, q.qv, c.cv,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                      c.cell
+           ) AS rn
+    FROM q CROSS JOIN kc0 c
+  ) WHERE rn <= {_IVFPQ_PROBES}
+),
+qsubv AS (SELECT qid, cell, {sub_cases.replace('r[', 'rq[')} FROM qprob),
+qsubl AS ({q_union}),
+lut AS (
+  SELECT a.qid, a.cell, a.m, b.code, {l2.format(x='qs')} AS d2
+  FROM qsubl a JOIN cb b USING (m)
+),
+scored AS (
+  SELECT l.qid, s.id AS vec_id, CAST(sum(l.d2) AS BIGINT) AS approx_d2
+  FROM codes s JOIN lut l USING (cell, m, code)
+  WHERE l.qid != s.id
+  GROUP BY 1, 2
+)
+SELECT qid, vec_id, approx_d2, rnk FROM (
+  SELECT qid, vec_id, approx_d2,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY approx_d2, vec_id
+         ) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+SQL_ANN_IVFPQ_TOPK = _ivfpq_sql()
+
+
 # --- DSIR importance resampling --------------------------------------------
 
 _DSIR_BUCKETS = 1024
@@ -948,6 +1183,7 @@ FROM scored ORDER BY log_w DESC, doc_id LIMIT {_DSIR_TOPN}
 
 QUERIES: dict[str, QuerySpec] = {
     "select_dsir": QuerySpec(q_select_dsir, SQL_SELECT_DSIR),
+    "ann_ivfpq_topk": QuerySpec(q_ann_ivfpq_topk, SQL_ANN_IVFPQ_TOPK),
     "embed_quantize_int8": QuerySpec(
         q_embed_quantize_int8, SQL_EMBED_QUANTIZE_INT8
     ),

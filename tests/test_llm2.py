@@ -145,3 +145,35 @@ def test_dsir_scores_target_like_docs_higher(spark, tmp_path):
         for r in q_select_dsir(spark, str(tmp_path)).collect()
     }
     assert scores[10] > scores[11]
+
+
+def test_ivfpq_routes_cells_and_finds_near_dups(spark, tmp_path):
+    import numpy as np
+
+    from rc_scanner_spark.queries.llm2 import q_ann_ivfpq_topk
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(8, 64)) * 5.0
+    vecs = {
+        i: (centers[i % 8] + rng.normal(size=64) * 0.5).astype("float32")
+        for i in range(400)
+    }
+    # Plant a near-duplicate of query 25 (perturbation << cluster spread).
+    vecs[30] = np.array(vecs[25]) + rng.normal(size=64).astype("float32") * 0.01
+    lab = {i: (i % 8 if i != 30 else 25 % 8) for i in vecs}
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], lab[i]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    by_q = {}
+    for r in q_ann_ivfpq_topk(spark, str(tmp_path)).collect():
+        by_q.setdefault(r["qid"], []).append((r["rnk"], r["vec_id"]))
+    # IVF routing: every returned neighbor lives in the query's cluster.
+    same = sum(
+        1 for q, rs in by_q.items() for _, v in rs if lab[v] == lab[q]
+    )
+    tot = sum(len(rs) for rs in by_q.values())
+    assert same / tot >= 0.9
+    # PQ: the planted near-duplicate beats every true-cluster sibling.
+    assert min(by_q[25])[1] == 30

@@ -23,6 +23,10 @@ ALLOWED_GLOBAL_WINDOWS = {
     # k-means seeding: windows run post-.limit(16) (operators/
     # similarity.py) — a 16-row frame at any scale.
     "ann_ivf_topk": 2,
+    # IVF-PQ: the same post-.limit(8) seed window, duplicated per
+    # unshared centroid subtree (residual build, probe scoring, the
+    # assignment inside ivf_assign) — every copy is an 8-row frame.
+    "ann_ivfpq_topk": 7,
     "cluster_kmeans": 1,
     "dedup_semantic": 3,
     "sample_cluster_balanced": 1,
