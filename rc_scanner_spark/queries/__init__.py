@@ -68,6 +68,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sketch_quantile_bounded",
     "select_dsir",
     "ann_ivfpq_topk",
+    "sample_temperature_mix",
+    "events_gap_fill",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",

@@ -1181,7 +1181,139 @@ FROM scored ORDER BY log_w DESC, doc_id LIMIT {_DSIR_TOPN}
 """
 
 
+# --- temperature-scaled source mixing --------------------------------------
+
+_TEMP_ALPHA_NUM = 7  # alpha = 0.7 as a rational so both engines use
+_TEMP_ALPHA_DEN = 10  # identical double math: pow(n, 7/10)
+
+
+def q_sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled dataset mixing (the multilingual/multi-source
+    sampling rule used by large-LM data recipes): source s is sampled
+    proportionally to n_s^alpha (alpha = 0.7), which up-weights small
+    sources relative to raw proportional sampling.  Output: per-source
+    document count, raw share, temperature share, and the effective
+    per-source acceptance rate in permille (all rounded 6).
+
+    One tiny aggregation (rows = #sources) joined broadcast onto
+    nothing — the scoring is entirely within the aggregate, so this
+    composes with the weighted-mix hash sampler as its rate table at
+    any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("tot"),
+        F.sum(
+            F.pow(F.col("n_docs").cast("double"), _TEMP_ALPHA_NUM / _TEMP_ALPHA_DEN)
+        ).alias("tot_pow"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("tot"), 6).alias("raw_share"),
+            F.round(
+                F.pow(
+                    F.col("n_docs").cast("double"),
+                    _TEMP_ALPHA_NUM / _TEMP_ALPHA_DEN,
+                )
+                / F.col("tot_pow"),
+                6,
+            ).alias("temp_share"),
+        )
+        .withColumn(
+            "boost",
+            F.round(F.col("temp_share") / F.col("raw_share"), 6),
+        )
+    )
+
+
+SQL_SAMPLE_TEMPERATURE_MIX = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+  SELECT sum(n_docs) AS tot,
+         sum(pow(n_docs::DOUBLE, {_TEMP_ALPHA_NUM}/{_TEMP_ALPHA_DEN})) AS tot_pow
+  FROM per
+)
+SELECT source, n_docs,
+       round(n_docs / tot, 6) AS raw_share,
+       round(pow(n_docs::DOUBLE, {_TEMP_ALPHA_NUM}/{_TEMP_ALPHA_DEN}) / tot_pow, 6)
+           AS temp_share,
+       round(round(pow(n_docs::DOUBLE, {_TEMP_ALPHA_NUM}/{_TEMP_ALPHA_DEN}) / tot_pow, 6)
+             / round(n_docs / tot, 6), 6) AS boost
+FROM per CROSS JOIN tot
+"""
+
+
+# --- time-series gap filling ------------------------------------------------
+
+
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly per-event_type series with explicit zero rows for
+    missing hours: the monitoring/feature-store shape (downstream
+    models need every bucket present).  The hour spine is generated
+    with ``sequence()`` per event_type from its own [min, max] range
+    (exploded — linear in spine length, no cross join against the
+    fact table) and left-joined against the observed hourly counts.
+
+    Both the spine build and the count agg shuffle on (event_type,
+    hour) — bounded keys; at 100 TB the spine is thousands of rows
+    per type regardless of event volume."""
+    e = _t(spark, sf_dir, "events")
+    hours = e.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
+    )
+    counts = hours.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    spine = (
+        hours.groupBy("event_type")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    return spine.join(counts, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+    )
+
+
+SQL_EVENTS_GAP_FILL = """
+WITH hours AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, value FROM events
+),
+counts AS (
+  SELECT event_type, h, count(*) AS n, round(sum(value), 4) AS sum_value
+  FROM hours GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM (
+    SELECT event_type, min(h) AS lo, max(h) AS hi FROM hours GROUP BY 1
+  )
+)
+SELECT s.event_type, s.h,
+       COALESCE(c.n, 0) AS n,
+       COALESCE(c.sum_value, 0.0) AS sum_value
+FROM spine s LEFT JOIN counts c USING (event_type, h)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_temperature_mix": QuerySpec(
+        q_sample_temperature_mix, SQL_SAMPLE_TEMPERATURE_MIX
+    ),
+    "events_gap_fill": QuerySpec(q_events_gap_fill, SQL_EVENTS_GAP_FILL),
     "select_dsir": QuerySpec(q_select_dsir, SQL_SELECT_DSIR),
     "ann_ivfpq_topk": QuerySpec(q_ann_ivfpq_topk, SQL_ANN_IVFPQ_TOPK),
     "embed_quantize_int8": QuerySpec(

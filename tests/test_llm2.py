@@ -177,3 +177,48 @@ def test_ivfpq_routes_cells_and_finds_near_dups(spark, tmp_path):
     assert same / tot >= 0.9
     # PQ: the planted near-duplicate beats every true-cluster sibling.
     assert min(by_q[25])[1] == 30
+
+
+def test_temperature_mix_boosts_small_sources(spark, tmp_path):
+    from rc_scanner_spark.queries.llm2 import q_sample_temperature_mix
+
+    rows = [(i, f"doc {i} words here", "src0") for i in range(90)]
+    rows += [(100 + i, f"rare {i} words here", "src19") for i in range(10)]
+    _write_docs(spark, tmp_path, rows)
+
+    out = {
+        r["source"]: r
+        for r in q_sample_temperature_mix(spark, str(tmp_path)).collect()
+    }
+    # alpha < 1 compresses the size ratio: small sources gain share,
+    # large sources lose it, and shares still sum to 1.
+    assert out["src19"]["boost"] > 1.0 > out["src0"]["boost"]
+    assert out["src19"]["temp_share"] > out["src19"]["raw_share"]
+    total = sum(r["temp_share"] for r in out.values())
+    assert abs(total - 1.0) < 1e-4
+
+
+def test_events_gap_fill_is_dense_with_zero_rows(spark, tmp_path):
+    from datetime import datetime
+
+    from rc_scanner_spark.queries.llm2 import q_events_gap_fill
+
+    rows = [
+        (1, datetime(2026, 8, 1, 0, 30), 10, "click", 1.0, "{}"),
+        (2, datetime(2026, 8, 1, 3, 10), 11, "click", 2.0, "{}"),
+        (3, datetime(2026, 8, 1, 1, 5), 12, "view", 5.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = q_events_gap_fill(spark, str(tmp_path)).collect()
+    clicks = sorted(
+        (r for r in out if r["event_type"] == "click"), key=lambda r: r["h"]
+    )
+    # Dense spine 00:00..03:00 with explicit zero rows for the gap.
+    assert [r["h"].hour for r in clicks] == [0, 1, 2, 3]
+    assert [r["n"] for r in clicks] == [1, 0, 0, 1]
+    assert [r["sum_value"] for r in clicks] == [1.0, 0.0, 0.0, 2.0]
