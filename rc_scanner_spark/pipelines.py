@@ -34,11 +34,20 @@ def prepare_corpus(
     n_shards: int = 8,
     val_permille: int = 100,
     jaccard_threshold: float = 0.5,
+    keep: str = "first",
 ) -> DataFrame:
     """Run the full prep pipeline; returns the packed, split corpus
     with one row per surviving doc:
     (doc_id, source, split, shard, n_tokens, first_seq, last_seq).
+
+    ``keep`` selects the near-dup cluster survivor: ``"first"`` keeps
+    the smallest doc_id (the component label — cheapest, an anti-join),
+    ``"best"`` keeps the longest document per cluster (one window
+    partitioned by component — what a production prep run usually
+    wants, per queries/llm2.q_dedup_keep_best).
     """
+    if keep not in ("first", "best"):
+        raise ValueError(f"keep must be 'first' or 'best', got {keep!r}")
     # 1. quality gate (inline minimal battery: length + stopword floor
     #    — the full auditable battery is queries/llm.q_text_gopher_rules)
     toks = token_count(F.col("text"))
@@ -52,15 +61,30 @@ def prepare_corpus(
         F.col("_rn") == 1
     ).drop("_rn", "fp")
 
-    # 3. near-dedup: LSH pairs -> CC -> keep each cluster's min id
+    # 3. near-dedup: LSH pairs -> CC -> one survivor per cluster
     pairs = minhash_lsh_pairs(exact, verify_threshold=jaccard_threshold)
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    dropped = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias("doc_id")
-    )
-    kept = exact.join(dropped, "doc_id", "left_anti")
+    if keep == "first":
+        dropped = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias("doc_id")
+        )
+        kept = exact.join(dropped, "doc_id", "left_anti")
+    else:
+        labeled = exact.join(
+            comp, exact["doc_id"] == comp["id"], "left"
+        ).withColumn(
+            "_component", F.coalesce(F.col("component"), F.col("doc_id"))
+        )
+        w_best = Window.partitionBy("_component").orderBy(
+            toks.desc(), F.col("doc_id")
+        )
+        kept = (
+            labeled.withColumn("_rn", F.row_number().over(w_best))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_component", "id", "component")
+        )
 
     # 4. decontamination against the bench set (word 8-grams)
     if bench_docs is not None:

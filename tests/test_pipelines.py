@@ -96,3 +96,26 @@ def test_select_token_budget_invariants(spark):
         r["doc_id"] for r in d.filter(F.col("q") == worst).collect()
     )
     assert kept_worst == all_worst[: len(kept_worst)]
+
+
+def test_prepare_corpus_keep_best_prefers_longest(spark):
+    from rc_scanner_spark.pipelines import prepare_corpus
+
+    rows = [
+        (1, BASE + " one", "en", "srcA", 0),            # near-dup cluster...
+        (2, BASE + " one two three four", "en", "srcA", 0),  # ...longest member
+        (9, "a completely different legal document about maritime law and "
+            "its many fascinating jurisdictional edge cases near coastal "
+            "waters everywhere", "en", "srcB", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, extra int"
+    )
+    first = {r["doc_id"] for r in prepare_corpus(spark, docs).collect()}
+    best = {
+        r["doc_id"]
+        for r in prepare_corpus(spark, docs, keep="best").collect()
+    }
+    # Same cluster, different survivor policy.
+    assert first == {1, 9}
+    assert best == {2, 9}

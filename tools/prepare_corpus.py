@@ -24,6 +24,13 @@ def main() -> int:
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
     ap.add_argument("out_dir", nargs="?", default="/tmp/prepared_corpus")
     ap.add_argument("--bench-mod", type=int, default=17)
+    ap.add_argument(
+        "--keep",
+        choices=("first", "best"),
+        default="first",
+        help="near-dup cluster survivor: smallest id (first) or "
+        "longest document (best)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -36,7 +43,7 @@ def main() -> int:
     docs = load_table(spark, args.sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % args.bench_mod == 0)
     train = docs.filter(F.col("doc_id") % args.bench_mod != 0)
-    corpus = prepare_corpus(spark, train, bench_docs=bench)
+    corpus = prepare_corpus(spark, train, bench_docs=bench, keep=args.keep)
     write_shards(corpus, args.out_dir)
     stats = (
         corpus.groupBy("split")
