@@ -70,6 +70,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "ann_ivfpq_topk",
     "sample_temperature_mix",
     "events_gap_fill",
+    "events_retention_cohorts",
+    "basket_part_pairs",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",

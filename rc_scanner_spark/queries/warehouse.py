@@ -548,7 +548,171 @@ QUALIFY row_number() OVER wf <= {_RRF_TOPK}
 """
 
 
+# --------------------------------------------------------------------
+# Retention cohorts: the canonical product-analytics rollup
+# --------------------------------------------------------------------
+
+
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention cohorts: users grouped by first-seen date, each
+    later active day counted as (cohort_day, day_offset, n_active)
+    with the retention rate against the cohort size.
+
+    Scale shape: two aggregations keyed on user_id (first-seen) and
+    (cohort_day, offset) — the user dimension shuffles once, the
+    cohort matrix is days x days regardless of event volume.  The
+    first-seen frame is the broadcast side of the activity join."""
+    e = _t(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.to_date(F.col("ts")).alias("d")
+    ).distinct()
+    first = activity.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("n_cohort")
+    )
+    ret = (
+        activity.join(F.broadcast(first), "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return ret.join(sizes, "cohort_day").select(
+        # Dates serialize differently across engines (object vs
+        # datetime64); emit the ISO string so the driver hash agrees.
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), 4).alias("retention"),
+    )
+
+
+SQL_EVENTS_RETENTION_COHORTS = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+first AS (
+  SELECT user_id, min(d) AS cohort_day FROM activity GROUP BY 1
+),
+sizes AS (
+  SELECT cohort_day, count(DISTINCT user_id) AS n_cohort FROM first GROUP BY 1
+),
+ret AS (
+  SELECT f.cohort_day, date_diff('day', f.cohort_day, a.d) AS day_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM activity a JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day,
+       r.day_offset, r.n_active, s.n_cohort,
+       round(r.n_active * 1.0 / s.n_cohort, 4) AS retention
+FROM ret r JOIN sizes s USING (cohort_day)
+"""
+
+
+# --------------------------------------------------------------------
+# Market-basket pair mining: co-occurrence support + lift
+# --------------------------------------------------------------------
+
+_BASKET_MAX_ORDER = 20
+_BASKET_MIN_SUPPORT = 3
+
+
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part co-occurrence within orders: pair support and
+    lift over the lineitem fact.  Pair generation is the order-keyed
+    self-join — quadratic ONLY in per-order item count, which is
+    capped (orders above 20 distinct parts are skipped, the standard
+    basket-mining guard), so candidates stay linear in order count at
+    any scale.  Lift's marginals come from one part-keyed aggregate.
+    Output: pairs with support >= 3 (pa < pb)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    ok = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") <= _BASKET_MAX_ORDER)
+        .select("l_orderkey")
+    )
+    li2 = li.join(ok, "l_orderkey")
+    a = li2.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li2.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
+    marg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = li.agg(F.countDistinct("l_orderkey").alias("tot"))
+    return (
+        pairs.join(
+            F.broadcast(marg.withColumnRenamed("l_partkey", "pa")
+                        .withColumnRenamed("n_orders", "na")),
+            "pa",
+        )
+        .join(
+            F.broadcast(marg.withColumnRenamed("l_partkey", "pb")
+                        .withColumnRenamed("n_orders", "nb")),
+            "pb",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pa",
+            "pb",
+            "support",
+            F.round(
+                (F.col("support") * F.col("tot"))
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_BASKET_PART_PAIRS = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+ok AS (
+  SELECT l_orderkey FROM li GROUP BY 1
+  HAVING count(*) <= {_BASKET_MAX_ORDER}
+),
+li2 AS (SELECT li.* FROM li JOIN ok USING (l_orderkey)),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+  FROM li2 a JOIN li2 b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+),
+marg AS (SELECT l_partkey, count(*) AS n_orders FROM li GROUP BY 1),
+tot AS (SELECT count(DISTINCT l_orderkey) AS tot FROM li)
+SELECT p.pa, p.pb, p.support,
+       round((p.support * t.tot) * 1.0 / (ma.n_orders * mb.n_orders), 4)
+           AS lift
+FROM pairs p
+JOIN marg ma ON ma.l_partkey = p.pa
+JOIN marg mb ON mb.l_partkey = p.pb
+CROSS JOIN tot t
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_retention_cohorts": QuerySpec(
+        q_events_retention_cohorts, SQL_EVENTS_RETENTION_COHORTS
+    ),
+    "basket_part_pairs": QuerySpec(
+        q_basket_part_pairs, SQL_BASKET_PART_PAIRS
+    ),
     "merge_upsert": QuerySpec(q_merge_upsert, SQL_MERGE_UPSERT),
     "scd2_user_state": QuerySpec(q_scd2_user_state, SQL_SCD2_USER_STATE),
     "graph_pagerank": QuerySpec(q_graph_pagerank, SQL_GRAPH_PAGERANK),

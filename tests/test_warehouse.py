@@ -131,3 +131,32 @@ def test_rrf_fusion_mechanism(spark, duck):
     single_best = 1.0 / (_RRF_K + 1)
     both_worst = 2.0 / (_RRF_K + _RRF_TOPK)
     assert both_worst > single_best
+
+
+def test_retention_cohorts_day_zero_is_full(spark):
+    from rc_scanner_spark.queries.warehouse import q_events_retention_cohorts
+
+    from tests.conftest import SF_SMOKE
+
+    rows = q_events_retention_cohorts(spark, SF_SMOKE).collect()
+    day0 = [r for r in rows if r["day_offset"] == 0]
+    # Every cohort's first day contains exactly the cohort itself.
+    assert day0 and all(r["retention"] == 1.0 for r in day0)
+    assert all(r["n_active"] == r["n_cohort"] for r in day0)
+    # Offsets never precede the cohort day and rates never exceed 1.
+    assert all(r["day_offset"] >= 0 and r["retention"] <= 1.0 for r in rows)
+
+
+def test_basket_pairs_invariants(spark):
+    from rc_scanner_spark.queries.warehouse import (
+        _BASKET_MIN_SUPPORT,
+        q_basket_part_pairs,
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    rows = q_basket_part_pairs(spark, SF_SMOKE).collect()
+    assert rows, "sf0.001 should produce at least one frequent pair"
+    assert all(r["pa"] < r["pb"] for r in rows)
+    assert all(r["support"] >= _BASKET_MIN_SUPPORT for r in rows)
+    assert all(r["lift"] > 0 for r in rows)
