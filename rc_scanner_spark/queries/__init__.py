@@ -72,6 +72,11 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "events_gap_fill",
     "events_retention_cohorts",
     "basket_part_pairs",
+    "cdc_snapshot_diff",
+    "events_rolling_active_users",
+    "events_ewma_smooth",
+    "time_window_sliding",
+    "graph_triangle_count",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -235,6 +240,7 @@ def build_registry() -> dict[str, QuerySpec]:
         sketches,
         sql_api,
         warehouse,
+        warehouse2,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -250,6 +256,7 @@ def build_registry() -> dict[str, QuerySpec]:
         llm2,
         sketches,
         warehouse,
+        warehouse2,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

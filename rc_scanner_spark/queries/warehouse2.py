@@ -1,0 +1,470 @@
+"""Round-5 warehouse / time-series additions: CDC snapshot diff,
+rolling distinct-user windows, EWMA smoothing, hopping (sliding) time
+windows, and triangle counting on the co-purchase graph.
+
+Why these belong in a 100 TB training-data engine: corpus refreshes
+are snapshot diffs (what changed between yesterday's crawl and
+today's?), rolling actives and EWMA are the monitoring primitives a
+continuously-ingesting pipeline alarms on, hopping windows are the
+batch twin of Structured Streaming's ``window(ts, w, slide)``, and
+triangle counting is the classic "is this dup-cluster a clique or a
+chain?" graph diagnostic.
+
+Scale notes (the 100 TB test, per query):
+  * cdc_snapshot_diff — ONE co-partitioned full-outer shuffle on the
+    snapshot key; both sides prune scan columns to the compare set.
+  * events_rolling_active_users — the 7-day band join is re-expressed
+    as explode(sequence) x7 + equi-groupBy, so it is a plain hash
+    shuffle (no nested-loop range join, no per-day window state).
+  * events_ewma_smooth — contributions explode x horizon on the
+    day-spine frame (days x types, bounded), never on raw events.
+  * time_window_sliding — F.window(w, slide) explodes each row into
+    w/slide assignments JVM-side; state is per-window partial aggs.
+  * graph_triangle_count — support threshold prunes the edge set
+    before the two triangle joins; orientation (pa < pb) halves the
+    join fan-out the standard way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..tables import load_table
+from . import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------
+# CDC snapshot diff
+# --------------------------------------------------------------------
+
+# Old snapshot = orders before _CDC_OLD_END; new snapshot = orders
+# before _CDC_NEW_END with deterministic simulated churn (the testdata
+# has no real updates): keys % 97 == 3 are deleted, keys % 7 == 0 get
+# a 10% price bump.  The *mechanism* under test is the diff plan.
+_CDC_OLD_END = "1999-01-01"
+_CDC_NEW_END = "2000-01-01"
+
+
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: full-outer
+    join on the primary key, classify each key as insert / delete /
+    update (value drift on the compared columns), emit only the drift
+    rows — the audit feed a MERGE would consume.
+
+    Scale: one full-outer shuffle join co-partitioned on o_orderkey;
+    unchanged keys (the overwhelming majority at 100 TB) are dropped
+    before any further processing.  Column pruning keeps the compare
+    set to (key, price, status).
+
+    Determinism: prices go through integer cents (floor(x*100 + 0.5))
+    and the 10% bump is integer division on cents, so both engines do
+    exact integer arithmetic with no round() tie boundary."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    old = o.filter(F.col("o_orderdate") < F.lit(_CDC_OLD_END)).select(
+        "o_orderkey",
+        (cents / 100.0).alias("old_price"),
+        F.col("o_orderstatus").alias("old_status"),
+    )
+    new = (
+        o.filter(
+            (F.col("o_orderdate") < F.lit(_CDC_NEW_END))
+            & (F.col("o_orderkey") % 97 != 3)
+        )
+        .select(
+            "o_orderkey",
+            (
+                F.when(
+                    F.col("o_orderkey") % 7 == 0,
+                    cents + F.floor(cents / 10).cast("long"),
+                ).otherwise(cents)
+                / 100.0
+            ).alias("new_price"),
+            F.col("o_orderstatus").alias("new_status"),
+        )
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    return (
+        j.select(
+            "o_orderkey",
+            F.when(F.col("old_price").isNull(), F.lit("insert"))
+            .when(F.col("new_price").isNull(), F.lit("delete"))
+            .when(
+                (F.col("old_price") != F.col("new_price"))
+                | (F.col("old_status") != F.col("new_status")),
+                F.lit("update"),
+            )
+            .alias("action"),
+            "old_price",
+            "new_price",
+        )
+        .filter(F.col("action").isNotNull())
+    )
+
+
+SQL_CDC_SNAPSHOT_DIFF = f"""
+WITH c AS (
+  SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+old AS (
+  SELECT o_orderkey, cents / 100.0 AS old_price,
+         o_orderstatus AS old_status
+  FROM c WHERE o_orderdate < TIMESTAMP '{_CDC_OLD_END}'
+),
+new AS (
+  SELECT o_orderkey,
+         (CASE WHEN o_orderkey % 7 = 0
+               THEN cents + CAST(floor(cents / 10.0) AS BIGINT)
+               ELSE cents END) / 100.0 AS new_price,
+         o_orderstatus AS new_status
+  FROM c
+  WHERE o_orderdate < TIMESTAMP '{_CDC_NEW_END}' AND o_orderkey % 97 <> 3
+)
+SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old_price IS NULL THEN 'insert'
+            WHEN new_price IS NULL THEN 'delete'
+            WHEN old_price <> new_price OR old_status <> new_status
+                 THEN 'update' END AS action,
+       old_price, new_price
+FROM old FULL OUTER JOIN new USING (o_orderkey)
+WHERE CASE WHEN old_price IS NULL THEN 'insert'
+           WHEN new_price IS NULL THEN 'delete'
+           WHEN old_price <> new_price OR old_status <> new_status
+                THEN 'update' END IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------
+# Rolling 7-day distinct active users
+# --------------------------------------------------------------------
+
+
+def q_events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct-user count per calendar day (the "WAU"
+    monitoring curve).  COUNT(DISTINCT) over a RANGE frame is not
+    windowable in either engine, and a day-band range join plans as a
+    nested loop — so each (user, day) activity contributes itself to
+    the 7 target days it covers via explode(sequence), turning the
+    whole thing into ONE equi-shuffle + distinct count.
+
+    Scale: activity is day-deduplicated first (|users| x |days| upper
+    bound), the x7 explode is on that reduced frame, and the final
+    count_distinct is a standard two-phase partial aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("mn"), F.to_date(F.max("ts")).alias("mx")
+    )
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence("day", F.date_add("day", 6))
+        ).alias("target_day"),
+    )
+    return (
+        contrib.join(
+            F.broadcast(bounds),
+            (F.col("target_day") >= F.col("mn"))
+            & (F.col("target_day") <= F.col("mx")),
+        )
+        .groupBy(
+            # DATE crosses the compare boundary differently per engine
+            # (python date vs datetime64); emit the ISO string.
+            F.date_format("target_day", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count_distinct("user_id").alias("n_active_7d"))
+    )
+
+
+SQL_EVENTS_ROLLING_ACTIVE_USERS = """
+WITH du AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+b AS (
+  SELECT CAST(min(ts) AS DATE) AS mn, CAST(max(ts) AS DATE) AS mx
+  FROM events
+),
+contrib AS (
+  SELECT du.user_id, du.day + g.o::INT AS target_day
+  FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS o) g
+)
+SELECT strftime(c.target_day, '%Y-%m-%d') AS day,
+       count(DISTINCT c.user_id) AS n_active_7d
+FROM contrib c JOIN b ON c.target_day BETWEEN b.mn AND b.mx
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# EWMA smoothing of daily event counts
+# --------------------------------------------------------------------
+
+_EWMA_DECAY = 0.7
+_EWMA_HORIZON = 7  # trailing days contributing (j = 0..6)
+
+
+def q_events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-horizon EWMA of daily event counts per event_type:
+    ewma(d) = sum_j decay^j * count(d-j) / sum_j decay^j over the
+    trailing 7 days, on a zero-filled calendar spine (a gap day pulls
+    the average down, as a monitoring curve should).
+
+    Scale: raw events collapse to the (type, day) spine first (a
+    bounded frame — days x types), and the horizon explode runs on
+    that spine, never on events.  Both engines compute the identical
+    double expression; output rounded to 4."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("mn"), F.to_date(F.max("ts")).alias("mx")
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("mn", "mx")).alias("day"), "mx"
+        )
+        .crossJoin(
+            ev.select("event_type").distinct()
+        )
+    )
+    filled = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        "mx",
+        F.coalesce("cnt", F.lit(0)).cast("double").alias("cnt"),
+    )
+    contrib = filled.select(
+        "event_type",
+        "cnt",
+        "mx",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_EWMA_HORIZON - 1))
+        ).alias("j"),
+        F.col("day").alias("src_day"),
+    ).select(
+        "event_type",
+        F.date_add("src_day", F.col("j")).alias("day"),
+        "mx",
+        (F.pow(F.lit(_EWMA_DECAY), F.col("j")) * F.col("cnt")).alias("wc"),
+        F.pow(F.lit(_EWMA_DECAY), F.col("j")).alias("w"),
+    )
+    return (
+        contrib.filter(F.col("day") <= F.col("mx"))
+        .groupBy(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.round(F.sum("wc") / F.sum("w"), 4).alias("ewma"),
+        )
+    )
+
+
+SQL_EVENTS_EWMA_SMOOTH = f"""
+WITH b AS (
+  SELECT CAST(min(ts) AS DATE) AS mn, CAST(max(ts) AS DATE) AS mx
+  FROM events
+),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT t.event_type, d.day, b.mx
+  FROM b,
+       LATERAL (SELECT unnest(generate_series(b.mn, b.mx,
+                        INTERVAL 1 DAY))::DATE AS day) d,
+       (SELECT DISTINCT event_type FROM events) t
+),
+filled AS (
+  SELECT s.event_type, s.day, s.mx,
+         CAST(coalesce(daily.cnt, 0) AS DOUBLE) AS cnt
+  FROM spine s
+  LEFT JOIN daily ON daily.event_type = s.event_type
+                 AND daily.day = s.day
+),
+contrib AS (
+  SELECT f.event_type, f.day + g.j::INT AS day, f.mx,
+         pow({_EWMA_DECAY}, g.j) * f.cnt AS wc,
+         pow({_EWMA_DECAY}, g.j) AS w
+  FROM filled f
+  CROSS JOIN (SELECT unnest(range(0, {_EWMA_HORIZON})) AS j) g
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       round(sum(wc) / sum(w), 4) AS ewma
+FROM contrib WHERE day <= mx
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------
+# Hopping (sliding) time windows
+# --------------------------------------------------------------------
+
+
+def q_time_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping event-time windows (1 h width, 30 min slide) via
+    ``F.window(ts, w, slide)`` — the batch twin of the streaming
+    sliding-window aggregation.  Each event lands in width/slide = 2
+    windows; the explode happens JVM-side inside the window operator.
+
+    Scale: state per open window is one partial-agg row; the plan is
+    a single hash aggregation keyed on (window, event_type)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+SQL_TIME_WINDOW_SLIDING = """
+WITH assigned AS (
+  SELECT e.event_type, e.value, w.window_start
+  FROM events e,
+       LATERAL (SELECT unnest([
+           CAST(to_timestamp(floor(epoch(e.ts) / 1800) * 1800)
+                AS TIMESTAMP),
+           CAST(to_timestamp(floor(epoch(e.ts) / 1800) * 1800 - 1800)
+                AS TIMESTAMP)]) AS window_start) w
+  WHERE e.ts >= w.window_start
+    AND e.ts < w.window_start + INTERVAL 1 HOUR
+)
+SELECT window_start, event_type, count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM assigned GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------
+# Triangle counting on the co-purchase graph
+# --------------------------------------------------------------------
+
+_TRI_MAX_ORDER = 10  # drop mega-orders before pairing (fan-out guard)
+_TRI_MIN_SUPPORT = 2  # edge = pair co-occurring in >= 2 orders
+
+
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation on the part co-purchase graph
+    (edges = part pairs co-occurring in >= 2 small orders).  The
+    standard oriented enumeration: every triangle a<b<c is found
+    exactly once via e(a,b) |><| e(b,c) |><| e(a,c).
+
+    Scale: the support threshold and the max-order guard prune the
+    edge set BEFORE the two triangle joins (the same basket hygiene
+    as basket_part_pairs); orientation (pa < pb) makes each join a
+    plain equi-join with no duplicate enumeration to dedup after."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    ok = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _TRI_MAX_ORDER)
+        .select("l_orderkey")
+    )
+    li2 = li.join(ok, "l_orderkey")
+    a = li2.alias("a")
+    b = li2.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= _TRI_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("x"),
+            F.col("e1.pb").alias("y"),
+            F.col("e2.pb").alias("z"),
+        )
+    )
+    nodes = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("part")
+    )
+    return nodes.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+SQL_GRAPH_TRIANGLE_COUNT = f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2
+),
+ok AS (
+  SELECT l_orderkey FROM li GROUP BY 1
+  HAVING count(*) <= {_TRI_MAX_ORDER}
+),
+li2 AS (SELECT li.* FROM li JOIN ok USING (l_orderkey)),
+edges AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li2 a JOIN li2 b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}
+),
+tri AS (
+  SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+  FROM edges e1
+  JOIN edges e2 ON e1.pb = e2.pa
+  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+nodes AS (
+  SELECT unnest([x, y, z]) AS part FROM tri
+)
+SELECT part, count(*) AS n_triangles FROM nodes GROUP BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "cdc_snapshot_diff": QuerySpec(q_cdc_snapshot_diff, SQL_CDC_SNAPSHOT_DIFF),
+    "events_rolling_active_users": QuerySpec(
+        q_events_rolling_active_users, SQL_EVENTS_ROLLING_ACTIVE_USERS
+    ),
+    "events_ewma_smooth": QuerySpec(
+        q_events_ewma_smooth, SQL_EVENTS_EWMA_SMOOTH
+    ),
+    "time_window_sliding": QuerySpec(
+        q_time_window_sliding, SQL_TIME_WINDOW_SLIDING
+    ),
+    "graph_triangle_count": QuerySpec(
+        q_graph_triangle_count, SQL_GRAPH_TRIANGLE_COUNT
+    ),
+}
