@@ -134,3 +134,114 @@ def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+# --- perceptual-hash near-duplicate detection ------------------------------
+
+_PHASH_ROWS = 8
+_PHASH_COLS = 9  # dHash compares adjacent columns: 8x9 grid -> 64 bits
+_PHASH_BANDS = 4  # 4 x 16-bit bands for candidate blocking
+
+
+def _fake_gray_grid(payload: bytes) -> list:
+    """Deterministic stand-in for decode+downscale-to-8x9-grayscale:
+    cell (r, c) accumulates the payload bytes at positions congruent
+    to its cell index (mod 72).  A real implementation decodes with
+    Pillow and resamples; only this function changes in production."""
+    cells = _PHASH_ROWS * _PHASH_COLS
+    acc = [0] * cells
+    if payload:
+        for i, b in enumerate(payload):
+            acc[i % cells] = (acc[i % cells] + b) % 256
+    return acc
+
+
+def _dhash64(payload: bytes) -> int:
+    """64-bit difference hash over the fake grayscale grid: bit
+    (r, c) = 1 iff cell (r, c+1) > cell (r, c).  Returned as a SIGNED
+    64-bit value so it round-trips through a Spark LongType column."""
+    g = _fake_gray_grid(payload)
+    bits = 0
+    for r in range(_PHASH_ROWS):
+        for c in range(_PHASH_COLS - 1):
+            bits <<= 1
+            if g[r * _PHASH_COLS + c + 1] > g[r * _PHASH_COLS + c]:
+                bits |= 1
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def phash_media(media_df: DataFrame) -> DataFrame:
+    """Perceptual dHash per payload via ``mapInPandas`` (the decode
+    boundary is the only Python step; everything after is Catalyst).
+    Output: (doc_id, phash long)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pdf["media"].map(
+                        lambda b: _dhash64(b if b is not None else b"")
+                    ),
+                }
+            )
+
+    return media_df.select("doc_id", "media").mapInPandas(
+        op, schema="doc_id long, phash long"
+    )
+
+
+def phash_candidate_pairs(
+    hashed: DataFrame, max_hamming: int = 12
+) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming blocking — the
+    SimHash recipe applied to perceptual hashes: split the 64-bit
+    phash into 4 x 16-bit bands and collide on band equality.  By
+    pigeonhole the blocking is EXACT for Hamming <= 3 (four bands
+    cannot all be touched by three flipped bits); for 4..max_hamming
+    recall is probabilistic (a pair is missed only when its flipped
+    bits hit all four bands) — the standard SimHash-LSH trade-off.
+
+    Scale: one explode x4 + band equi-join — never an all-pairs
+    comparison; the Hamming verification runs only on band-collided
+    candidates.  Output: (id_a, id_b, hamming).
+    """
+    bands = hashed.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (
+                            F.shiftrightunsigned(F.col("phash"), 16 * i)
+                            .bitwiseAND(F.lit(0xFFFF))
+                        ).alias("val"),
+                    )
+                    for i in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "phash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

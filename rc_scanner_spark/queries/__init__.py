@@ -77,6 +77,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "events_ewma_smooth",
     "time_window_sliding",
     "graph_triangle_count",
+    "dedup_substring_spans",
+    "select_pareto_frontier",
+    "multimodal_phash_neardup",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -231,6 +234,7 @@ def build_registry() -> dict[str, QuerySpec]:
     from . import (
         llm,
         llm2,
+        llm3,
         relational,
         relational2,
         relational3,
@@ -254,6 +258,7 @@ def build_registry() -> dict[str, QuerySpec]:
         scanner_queries,
         llm,
         llm2,
+        llm3,
         sketches,
         warehouse,
         warehouse2,

@@ -1,0 +1,297 @@
+"""Round-5 LLM-pipeline additions, batch 2: exact substring-span
+dedup (the token-window form of "Deduplicating Training Data Makes
+Language Models Better"-style exact-substring removal), Pareto-
+frontier data selection (multi-objective quality-vs-cost), and
+perceptual-hash near-duplicate detection on the multimodal column.
+
+Scale notes (the 100 TB test, per query):
+  * dedup_substring_spans — token windows hash to 8-byte keys AT
+    BIRTH (md5-prefix longs), so the duplicate-key count shuffles
+    longs, never strings; per-doc span-union coverage is a window
+    partitioned by doc_id (bounded frame).
+  * select_pareto_frontier — dominance via two partitioned windows
+    (RANGE strictly-preceding running max + same-token-count max), no
+    O(n^2) dominance self-join anywhere.
+  * multimodal_phash_neardup — banded Hamming blocking (explode x4 +
+    band equi-join), the SimHash plan shape applied to image hashes;
+    the only Python is the Arrow-batched decode/phash boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.text import words
+from ..session import tune
+from ..tables import load_table
+from . import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------
+# Exact substring-span dedup (token-window form)
+# --------------------------------------------------------------------
+
+_SPAN_K = 10  # tokens per window
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-substring coverage: hash every positional
+    word 10-gram window, mark windows whose key appears in >= 2
+    distinct docs, and report the fraction of each doc's tokens
+    covered by the union of its duplicated windows — the signal
+    exact-substring dedup pipelines use to cut boilerplate spans out
+    of training text.
+
+    Interval-union without an interval library: duplicated window
+    starts within a doc are sorted (window over doc_id — bounded per
+    doc); consecutive starts s, s' overlap iff s' - s < K, so each
+    start contributes min(K, s' - s) tokens (the last contributes K).
+
+    Portability: window keys are md5-prefix longs, identical in both
+    engines (the portable-twin discipline)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select("doc_id", words(F.col("text")).alias("ws"))
+    n = F.size("ws")
+    win = ws.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.explode(
+            F.when(
+                n >= _SPAN_K,
+                F.transform(
+                    F.sequence(F.lit(1), n - (_SPAN_K - 1)),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.array_join(
+                                        F.slice("ws", i, _SPAN_K), " "
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("bigint")
+                        .alias("key"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<start:int,key:bigint>>")
+            )
+        ).alias("w"),
+    ).select("doc_id", "n_tokens", F.col("w.start").alias("start"), F.col("w.key").alias("key"))
+    dup_keys = (
+        win.groupBy("key")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("key")
+    )
+    dup_win = win.join(dup_keys, "key")
+    w = Window.partitionBy("doc_id").orderBy("start")
+    covered = (
+        dup_win.withColumn("nxt", F.lead("start").over(w))
+        .withColumn(
+            "cov",
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.least(F.lit(_SPAN_K), F.col("nxt") - F.col("start")),
+            ).otherwise(F.lit(_SPAN_K)),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum("cov").alias("covered_tokens"),
+        )
+    )
+    base = d.select("doc_id", F.size(words(F.col("text"))).alias("n_tokens"))
+    return base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_span_frac"),
+    )
+
+
+SQL_DEDUP_SUBSTRING_SPANS = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents
+),
+win AS (
+  SELECT doc_id, len(ws) AS n_tokens, u.s AS start,
+         CAST(concat('0x', substr(md5(
+             array_to_string(ws[u.s:u.s + {_SPAN_K} - 1], ' ')
+         ), 1, 15)) AS BIGINT) AS key
+  FROM t,
+       LATERAL (SELECT unnest(range(1, len(ws) - {_SPAN_K} + 2)) AS s) u
+  WHERE len(ws) >= {_SPAN_K}
+),
+dup_keys AS (
+  SELECT key FROM win GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+),
+dup_win AS (
+  SELECT w.* FROM win w JOIN dup_keys USING (key)
+),
+covered AS (
+  SELECT doc_id, count(*) AS n_dup_windows,
+         sum(CASE WHEN nxt IS NOT NULL
+                  THEN least({_SPAN_K}, nxt - start)
+                  ELSE {_SPAN_K} END) AS covered_tokens
+  FROM (
+    SELECT doc_id, start,
+           lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt
+    FROM dup_win
+  ) GROUP BY 1
+),
+base AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+'))
+             AS n_tokens
+  FROM documents
+)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+       CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       round(CASE WHEN b.n_tokens > 0
+                  THEN coalesce(c.covered_tokens, 0) * 1.0 / b.n_tokens
+                  ELSE 0.0 END, 4) AS dup_span_frac
+FROM base b LEFT JOIN covered c USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------
+# Pareto-frontier data selection
+# --------------------------------------------------------------------
+
+
+def q_select_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-objective data selection: per language, keep the docs on
+    the Pareto frontier of (maximize lexical quality, minimize token
+    cost) — the skyline a budgeted curation pass samples from.  Doc X
+    dominates Y iff X costs no more tokens and scores strictly better
+    quality, or strictly fewer tokens and at-least-equal quality.
+
+    Quality is integer-exact on both engines: q_ppm = (1e6 *
+    n_distinct_words) DIV n_words (integer division — no float round
+    ties, unlike a round(ratio, 6) which hits .5 boundaries on
+    power-of-two word counts).
+
+    Scale: dominance = two partitioned windows — running max quality
+    over strictly-cheaper docs (RANGE ... 1 PRECEDING) plus the
+    same-cost max — never an O(n^2) dominance self-join.  The frame
+    partitions by lang; a global frontier would partition by a
+    token-count band first and merge band frontiers."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        "doc_id",
+        F.size(words(F.col("text"))).alias("n_tokens"),
+        F.size(F.array_distinct(words(F.col("text")))).alias("nd"),
+    ).filter(F.col("n_tokens") > 0)
+    scored = scored.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.expr("(1000000 * nd) DIV n_tokens").alias("q_ppm"),
+    )
+    w_lt = (
+        Window.partitionBy("lang")
+        .orderBy("n_tokens")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("lang", "n_tokens")
+    out = scored.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        "q_ppm",
+        F.max("q_ppm").over(w_lt).alias("best_cheaper"),
+        F.max("q_ppm").over(w_eq).alias("best_same"),
+    )
+    return out.filter(
+        (F.col("best_cheaper").isNull() | (F.col("q_ppm") > F.col("best_cheaper")))
+        & (F.col("q_ppm") == F.col("best_same"))
+    ).select("lang", "doc_id", "n_tokens", "q_ppm")
+
+
+SQL_SELECT_PARETO_FRONTIER = """
+WITH scored AS (
+  SELECT lang, doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_tokens,
+         len(list_distinct(regexp_extract_all(lower(text), '[a-z]+')))
+             AS nd
+  FROM documents
+),
+q AS (
+  SELECT lang, doc_id, n_tokens,
+         (1000000 * nd) // n_tokens AS q_ppm
+  FROM scored WHERE n_tokens > 0
+),
+ranked AS (
+  SELECT lang, doc_id, n_tokens, q_ppm,
+         max(q_ppm) OVER (PARTITION BY lang ORDER BY n_tokens
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS best_cheaper,
+         max(q_ppm) OVER (PARTITION BY lang, n_tokens) AS best_same
+  FROM q
+)
+SELECT lang, doc_id, n_tokens, q_ppm
+FROM ranked
+WHERE (best_cheaper IS NULL OR q_ppm > best_cheaper)
+  AND q_ppm = best_same
+"""
+
+
+# --------------------------------------------------------------------
+# Perceptual-hash near-dup (multimodal)
+# --------------------------------------------------------------------
+
+
+def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via perceptual dHash + banded
+    Hamming blocking (operators/multimodal.py phash_media /
+    phash_candidate_pairs).  The decode->8x9-grayscale step is the
+    honestly-stubbed codec boundary (deterministic fake, Arrow-
+    batched); everything else — banding, collision join, bit_count
+    verification — is Catalyst.  Rows-only check by design: the hash
+    path crosses Python, so there is no SQL twin (same policy as
+    dedup_minhash_lsh)."""
+    from ..operators.multimodal import (
+        attach_fake_media,
+        phash_candidate_pairs,
+        phash_media,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = attach_fake_media(d)
+    hashed = phash_media(media)
+    return phash_candidate_pairs(hashed, max_hamming=12).orderBy(
+        "id_a", "id_b"
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_substring_spans": QuerySpec(
+        q_dedup_substring_spans, SQL_DEDUP_SUBSTRING_SPANS
+    ),
+    "select_pareto_frontier": QuerySpec(
+        q_select_pareto_frontier, SQL_SELECT_PARETO_FRONTIER
+    ),
+    "multimodal_phash_neardup": QuerySpec(q_multimodal_phash_neardup, None),
+}

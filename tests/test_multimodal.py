@@ -90,3 +90,58 @@ def test_resize_media_null_payload_passthrough(spark):
     )
     out = resize_media(df, width=8, height=8).collect()
     assert out[0]["media"] is None
+
+
+def test_phash_identical_payloads_distance_zero(spark):
+    from rc_scanner_spark.operators.multimodal import (
+        phash_candidate_pairs,
+        phash_media,
+    )
+
+    payload = bytes(range(200)) * 3
+    rows = [(1, payload), (2, payload), (3, bytes(reversed(payload)))]
+    media = spark.createDataFrame(rows, "doc_id long, media binary")
+    hashed = phash_media(media)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_candidate_pairs(hashed, max_hamming=12).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+
+
+def test_phash_single_byte_perturbation_is_near(spark):
+    from rc_scanner_spark.operators.multimodal import (
+        _dhash64,
+        phash_candidate_pairs,
+        phash_media,
+    )
+
+    base = bytes((i * 7 + 3) % 256 for i in range(500))
+    perturbed = bytes([base[0] ^ 0xFF]) + base[1:]
+    # One byte changes one grid cell -> at most the handful of dHash
+    # bits adjacent to that cell (possibly none, if the compare
+    # directions around the cell don't flip).
+    ham = bin(_dhash64(base) ^ _dhash64(perturbed)).count("1")
+    assert ham <= 4
+    media = spark.createDataFrame(
+        [(10, base), (11, perturbed)], "doc_id long, media binary"
+    )
+    got = phash_candidate_pairs(phash_media(media), max_hamming=12).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(10, 11)]
+
+
+def test_phash_signed_long_roundtrip(spark):
+    from rc_scanner_spark.operators.multimodal import _dhash64, phash_media
+
+    # A payload whose top dHash bit is set must survive the LongType
+    # column as a negative value, not overflow.
+    for seed in range(64):
+        payload = bytes((i * seed + 11) % 256 for i in range(300))
+        h = _dhash64(payload)
+        assert -(1 << 63) <= h < (1 << 63)
+        media = spark.createDataFrame(
+            [(1, payload)], "doc_id long, media binary"
+        )
+        assert phash_media(media).collect()[0].phash == h
+        if h < 0:
+            break
