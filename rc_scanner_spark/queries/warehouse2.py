@@ -375,7 +375,11 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the support threshold and the max-order guard prune the
     edge set BEFORE the two triangle joins (the same basket hygiene
     as basket_part_pairs); orientation (pa < pb) makes each join a
-    plain equi-join with no duplicate enumeration to dedup after."""
+    plain equi-join with no duplicate enumeration to dedup after.
+    The edge frame is persisted because the enumeration references it
+    three times — without it the pairing groupBy (the expensive
+    stage) would run 3x (AQE exchange reuse is not guaranteed across
+    differently-keyed consumers)."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -400,7 +404,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("s"))
         .filter(F.col("s") >= _TRI_MIN_SUPPORT)
         .select("pa", "pb")
-    )
+    ).persist()
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
