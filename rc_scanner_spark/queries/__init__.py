@@ -80,6 +80,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "dedup_substring_spans",
     "select_pareto_frontier",
     "multimodal_phash_neardup",
+    "source_overlap_matrix",
+    "agg_argmax",
+    "window_first_last",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",

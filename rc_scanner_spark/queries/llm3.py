@@ -295,3 +295,120 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "multimodal_phash_neardup": QuerySpec(q_multimodal_phash_neardup, None),
 }
+
+
+# --------------------------------------------------------------------
+# Cross-source contamination matrix
+# --------------------------------------------------------------------
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level n-gram contamination: for every source
+    pair, how many distinct word-5-grams they share and the overlap
+    coefficient shared/min(|A|, |B|) — the corpus-diagnostics matrix
+    that tells you which "independent" crawls are actually mirrors.
+
+    Scale: shingles collapse to distinct (source, key) pairs FIRST
+    (md5-prefix longs — 8-byte join keys), so the self-join fan-out
+    per shingle is bounded by #sources-containing-it squared (<= 20^2
+    here), never by document count.  Output is #source-pairs rows."""
+    d = _t(spark, sf_dir, "documents")
+    sk = (
+        d.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.when(
+                        F.size(words(F.col("text"))) >= 5,
+                        F.transform(
+                            F.sequence(
+                                F.lit(1), F.size(words(F.col("text"))) - 4
+                            ),
+                            lambda i: F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.array_join(
+                                            F.slice(
+                                                words(F.col("text")), i, 5
+                                            ),
+                                            " ",
+                                        )
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint"),
+                        ),
+                    ).otherwise(F.array().cast("array<bigint>"))
+                )
+            ).alias("key"),
+        )
+        .distinct()
+    )
+    sizes = sk.groupBy("source").agg(F.count(F.lit(1)).alias("n_keys"))
+    a = sk.alias("a")
+    b = sk.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa_sz")
+    sb = sizes.alias("sb_sz")
+    return (
+        shared.join(F.broadcast(sa), F.col("sa") == F.col("sa_sz.source"))
+        .join(F.broadcast(sb), F.col("sb") == F.col("sb_sz.source"))
+        .select(
+            "sa",
+            "sb",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / F.least(F.col("sa_sz.n_keys"), F.col("sb_sz.n_keys")),
+                4,
+            ).alias("overlap"),
+        )
+    )
+
+
+SQL_SOURCE_OVERLAP_MATRIX = """
+WITH t AS (
+  SELECT source, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents
+),
+sk AS (
+  SELECT DISTINCT source,
+         CAST(concat('0x', substr(md5(
+             array_to_string(ws[u.s:u.s + 4], ' ')
+         ), 1, 15)) AS BIGINT) AS key
+  FROM t,
+       LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS s) u
+  WHERE len(ws) >= 5
+),
+sizes AS (
+  SELECT source, count(*) AS n_keys FROM sk GROUP BY 1
+),
+shared AS (
+  SELECT a.source AS sa, b.source AS sb, count(*) AS n_shared
+  FROM sk a JOIN sk b ON a.key = b.key AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.sa, s.sb, s.n_shared,
+       round(s.n_shared * 1.0 / least(za.n_keys, zb.n_keys), 4) AS overlap
+FROM shared s
+JOIN sizes za ON za.source = s.sa
+JOIN sizes zb ON zb.source = s.sb
+"""
+
+
+QUERIES["source_overlap_matrix"] = QuerySpec(
+    q_source_overlap_matrix, SQL_SOURCE_OVERLAP_MATRIX
+)

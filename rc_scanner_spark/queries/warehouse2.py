@@ -472,3 +472,96 @@ QUERIES: dict[str, QuerySpec] = {
         q_graph_triangle_count, SQL_GRAPH_TRIANGLE_COUNT
     ),
 }
+
+
+# --------------------------------------------------------------------
+# arg-max/arg-min aggregation (max_by / min_by surface)
+# --------------------------------------------------------------------
+
+
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment arg-max/arg-min via ``max_by``/``min_by`` with a
+    composite (value, key) ordering struct — the deterministic form
+    (a bare max_by(x, value) is free to pick either row on value
+    ties; pairing the tiebreak key into the ordering struct pins it).
+
+    Scale: a single partial+final hash aggregation — max_by carries
+    one candidate row per group per partition, identical cost to
+    max()."""
+    c = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    base = c.select(
+        "c_mktsegment", "c_custkey", cents.alias("bal_cents")
+    )
+    return base.groupBy("c_mktsegment").agg(
+        F.expr(
+            "max_by(c_custkey, struct(bal_cents, c_custkey))"
+        ).alias("richest_cust"),
+        F.max("bal_cents").alias("max_bal_cents"),
+        F.expr(
+            "min_by(c_custkey, struct(bal_cents, -c_custkey))"
+        ).alias("poorest_cust"),
+        F.min("bal_cents").alias("min_bal_cents"),
+    )
+
+
+SQL_AGG_ARGMAX = """
+SELECT c_mktsegment,
+       max({'b': bal_cents, 'k': c_custkey}).k AS richest_cust,
+       max(bal_cents) AS max_bal_cents,
+       -(min({'b': bal_cents, 'k': -c_custkey}).k) AS poorest_cust,
+       min(bal_cents) AS min_bal_cents
+FROM (
+  SELECT c_mktsegment, c_custkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# first_value / last_value / nth_value with explicit frames
+# --------------------------------------------------------------------
+
+
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user first/last/second event via first_value, last_value,
+    and nth_value over an unbounded frame with a deterministic
+    (ts, event_id) ordering — last_value is the classic frame trap:
+    the default frame ends at CURRENT ROW, so the explicit UNBOUNDED
+    FOLLOWING bound is required for "last in partition" semantics.
+
+    Scale: per-user partitions — bounded frames, no global window."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    out = ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    ).distinct()
+    return out
+
+
+SQL_WINDOW_FIRST_LAST = """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER w AS last_type,
+       nth_value(event_type, 2) OVER w AS second_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+QUERIES["agg_argmax"] = QuerySpec(q_agg_argmax, SQL_AGG_ARGMAX)
+QUERIES["window_first_last"] = QuerySpec(
+    q_window_first_last, SQL_WINDOW_FIRST_LAST
+)
