@@ -83,6 +83,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "source_overlap_matrix",
     "agg_argmax",
     "window_first_last",
+    "profile_key_skew",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",

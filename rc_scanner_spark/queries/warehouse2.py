@@ -565,3 +565,50 @@ QUERIES["agg_argmax"] = QuerySpec(q_agg_argmax, SQL_AGG_ARGMAX)
 QUERIES["window_first_last"] = QuerySpec(
     q_window_first_last, SQL_WINDOW_FIRST_LAST
 )
+
+
+# --------------------------------------------------------------------
+# Join-key skew diagnostics
+# --------------------------------------------------------------------
+
+
+def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for orders.o_custkey — the diagnostic
+    that decides whether a join needs salting / AQE skew handling
+    before you burn a cluster finding out: distinct key count, max
+    per-key frequency, exact interpolated p50/p99 frequencies, and
+    the max/p50 skew ratio.
+
+    Scale: one partial+final count per key, then ONE single-row
+    aggregate over the per-key frame (frequencies, not raw rows);
+    exact percentile over that frame is a bounded sort-merge of
+    per-partition partials — no global window, no driver collect of
+    keys.  Both engines use the same interpolated-quantile formula
+    (Spark percentile == DuckDB quantile_cont)."""
+    o = _t(spark, sf_dir, "orders")
+    freq = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("freq"))
+    return freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("freq").alias("max_freq"),
+        F.round(F.expr("percentile(freq, 0.5)"), 4).alias("p50_freq"),
+        F.round(F.expr("percentile(freq, 0.99)"), 4).alias("p99_freq"),
+        F.round(
+            F.max("freq") / F.expr("percentile(freq, 0.5)"), 4
+        ).alias("skew_ratio"),
+    )
+
+
+SQL_PROFILE_KEY_SKEW = """
+WITH freq AS (
+  SELECT o_custkey, count(*) AS freq FROM orders GROUP BY 1
+)
+SELECT count(*) AS n_keys,
+       max(freq) AS max_freq,
+       round(quantile_cont(freq, 0.5), 4) AS p50_freq,
+       round(quantile_cont(freq, 0.99), 4) AS p99_freq,
+       round(max(freq) / quantile_cont(freq, 0.5), 4) AS skew_ratio
+FROM freq
+"""
+
+
+QUERIES["profile_key_skew"] = QuerySpec(q_profile_key_skew, SQL_PROFILE_KEY_SKEW)

@@ -1,0 +1,174 @@
+"""Planted-semantics tests for the round-5 warehouse2/llm3 batch:
+CDC action classification, triangle-count consistency, substring-span
+coverage on planted duplicate passages, Pareto-frontier dominance, and
+rolling-active window math on a hand-computed fixture.
+
+Queries that read named tables get tiny parquet fixtures written into
+tmp_path (same table-name convention as the sf dirs), so every planted
+expectation is exact.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rc_scanner_spark.queries import build_registry
+
+from tests.conftest import SF_SMOKE
+
+REG = build_registry()
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_cdc_actions_respect_churn_rules(spark):
+    out = REG["cdc_snapshot_diff"].fn(spark, SF_SMOKE).collect()
+    assert out, "diff should not be empty"
+    actions = {r.action for r in out}
+    assert actions <= {"insert", "delete", "update"}
+    for r in out:
+        if r.action == "insert":
+            assert r.old_price is None and r.new_price is not None
+        elif r.action == "delete":
+            assert r.new_price is None and r.old_price is not None
+            assert r.o_orderkey % 97 == 3
+        else:
+            assert r.o_orderkey % 7 == 0
+            # 10% bump in integer cents
+            oc = round(r.old_price * 100)
+            nc = round(r.new_price * 100)
+            assert nc == oc + oc // 10
+
+
+def test_triangle_counts_are_internally_consistent(spark):
+    """sum(per-node counts) == 3 * total triangles, and an independent
+    python enumeration over the (small) sf0.001 edge set agrees."""
+    rows = REG["graph_triangle_count"].fn(spark, SF_SMOKE).collect()
+    per_node = {r.part: r.n_triangles for r in rows}
+    # Recompute edges + triangles in python from the same definition.
+    from rc_scanner_spark.tables import load_table
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    pair_sup = defaultdict(int)
+    for parts in by_order.values():
+        if len(parts) > 10:
+            continue
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_sup[(ps[i], ps[j])] += 1
+    edges = {p for p, s in pair_sup.items() if s >= 2}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+    want = defaultdict(int)
+    n_tri = 0
+    for a, b in edges:
+        for c in adj[b]:
+            if (a, c) in edges:
+                n_tri += 1
+                want[a] += 1
+                want[b] += 1
+                want[c] += 1
+    assert per_node == dict(want)
+    assert sum(per_node.values()) == 3 * n_tri
+
+
+def test_substring_spans_planted_passage(spark, tmp_path):
+    """Two docs sharing an exact 12-token passage are both covered over
+    exactly 12 tokens (three overlapping 10-gram windows union to the
+    passage length); an unrelated doc reports zero coverage."""
+    passage = " ".join(f"tok{i}" for i in range(12))  # 12 shared tokens
+    docs = [
+        (1, passage + " uniqa uniqb uniqc", "en", "s0", 0),
+        (2, "preza prezb " + passage, "en", "s1", 0),
+        (3, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn", "en", "s2", 0),
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    out = {r.doc_id: r for r in REG["dedup_substring_spans"].fn(spark, sf).collect()}
+    # 12-token passage has 12 - 10 + 1 = 3 windows; union covers 12 tokens.
+    assert out[1].n_dup_windows == 3 and out[1].covered_tokens == 12
+    assert out[2].n_dup_windows == 3 and out[2].covered_tokens == 12
+    assert out[3].n_dup_windows == 0 and out[3].covered_tokens == 0
+    assert out[1].n_tokens == 15
+    assert abs(out[1].dup_span_frac - round(12 / 15, 4)) < 1e-9
+
+
+def test_pareto_frontier_dominance_holds(spark, tmp_path):
+    """No surviving doc may be dominated by any other doc of the same
+    language; every dropped doc must be dominated by some survivor."""
+    docs = [
+        # lang en: (tokens, distinct) -> q_ppm
+        (1, "a b c d", "en", "s", 0),          # 4 tokens, 4 distinct -> 1e6
+        (2, "a b c d e f g h", "en", "s", 0),  # 8 tokens, 1e6 (dominated: more tokens, same q)
+        (3, "a a b b", "en", "s", 0),          # 4 tokens, 500000 (dominated by 1)
+        (4, "a b", "en", "s", 0),              # 2 tokens, 1e6 (dominates 1)
+        (5, "x x", "de", "s", 0),              # other lang: own frontier
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    out = REG["select_pareto_frontier"].fn(spark, sf).collect()
+    kept = {(r.lang, r.doc_id) for r in out}
+    assert ("en", 4) in kept
+    assert ("en", 1) not in kept  # dominated by 4 (fewer tokens, same q)
+    assert ("en", 2) not in kept
+    assert ("en", 3) not in kept
+    assert ("de", 5) in kept  # sole doc of its language
+
+
+def test_rolling_active_users_hand_computed(spark, tmp_path):
+    """3 users over 3 days: the 7-day trailing distinct count at each
+    day equals the union of users active in [day-6, day]."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 100, "view", 1.0, "{}"),
+        (2, "2024-01-02 10:00:00", 200, "view", 1.0, "{}"),
+        (3, "2024-01-03 10:00:00", 100, "view", 1.0, "{}"),
+        (4, "2024-01-03 11:00:00", 300, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        r.day: r.n_active_7d
+        for r in REG["events_rolling_active_users"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {"2024-01-01": 1, "2024-01-02": 2, "2024-01-03": 3}
+
+
+def test_phash_neardup_contains_exact_text_dups(spark):
+    """Docs with byte-identical text must appear as hamming-0 pairs."""
+    from rc_scanner_spark.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    dup_ids = (
+        d.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("doc_id"))
+        .collect()
+    )
+    pairs = REG["multimodal_phash_neardup"].fn(spark, SF_SMOKE).collect()
+    zero = {(r.id_a, r.id_b) for r in pairs if r.hamming == 0}
+    dup_set = {r.doc_id for r in dup_ids}
+    if len(dup_set) >= 2:
+        # at least one exact-dup pair must surface at distance 0
+        assert any(a in dup_set and b in dup_set for a, b in zero)
