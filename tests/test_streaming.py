@@ -125,6 +125,52 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     assert got == expected
 
 
+def test_windowed_counts_sliding_matches_batch(spark, tmp_path):
+    """Hopping windows (1h width, 30m slide) through the streaming
+    path equal the batch F.window(w, slide) aggregation — the
+    streaming twin of queries/warehouse2.q_time_window_sliding."""
+    sf = "/root/testdata/sf0.001"
+    from rc_scanner_spark.tables import load_table
+
+    ev_batch = load_table(spark, sf, "events")
+    expected = {
+        (r.window_start, r.event_type): r.n
+        for r in (
+            ev_batch.groupBy(
+                F.window("ts", "1 hour", "30 minutes").alias("win"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("win.start").alias("window_start"), "event_type", "n"
+            )
+            .collect()
+        )
+    }
+    schema = ev_batch.schema
+    ev_batch.write.mode("overwrite").parquet(str(tmp_path / "evslide"))
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path / "evslide"))
+    agg = windowed_counts(
+        stream, watermark="10 minutes", window_len="1 hour", slide="30 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("slide_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.sql(
+            "SELECT window_start, event_type, n FROM slide_out"
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_flaglog_sink_exactly_once_shape(spark, users, revisions, tmp_path):
     src = tmp_path / "in2"
     src.mkdir()
