@@ -84,6 +84,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "agg_argmax",
     "window_first_last",
     "profile_key_skew",
+    "agg_group_quantiles",
+    "text_zipf_fit",
+    "sample_poisson_bootstrap",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",

@@ -412,3 +412,145 @@ JOIN sizes zb ON zb.source = s.sb
 QUERIES["source_overlap_matrix"] = QuerySpec(
     q_source_overlap_matrix, SQL_SOURCE_OVERLAP_MATRIX
 )
+
+
+# --------------------------------------------------------------------
+# Zipf-slope vocabulary fit per source
+# --------------------------------------------------------------------
+
+_ZIPF_TOP = 100  # ranks fitted per source
+
+
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf fit: regression slope of ln(freq) on ln(rank)
+    over the top-100 vocabulary — natural text sits near -1; synthetic
+    or templated corpora drift toward 0 (flat) or below -1.5 (tiny
+    effective vocab).  A distribution-shape fingerprint for corpus
+    forensics next to agg_source_entropy.
+
+    Scale: word counts are one hash aggregate; ranking partitions by
+    source (bounded frames); the regression is regr_slope — a single
+    partial+final aggregate over <= sources x 100 rows."""
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select("source", F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rnk = Window.partitionBy("source").orderBy(
+        F.desc("freq"), F.asc("w")
+    )
+    ranked = wc.withColumn("rank", F.row_number().over(rnk)).filter(
+        F.col("rank") <= _ZIPF_TOP
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.round(
+                F.expr("regr_slope(ln(freq), ln(rank))"), 4
+            ).alias("zipf_slope"),
+            F.round(
+                F.expr("regr_r2(ln(freq), ln(rank))"), 4
+            ).alias("fit_r2"),
+            F.count(F.lit(1)).alias("n_ranks"),
+        )
+    )
+
+
+SQL_TEXT_ZIPF_FIT = f"""
+WITH wc AS (
+  SELECT source, w, count(*) AS freq
+  FROM (
+    SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents
+  ) GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, freq,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY freq DESC, w ASC) AS rank
+  FROM wc
+)
+SELECT source,
+       round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+       round(regr_r2(ln(freq), ln(rank)), 4) AS fit_r2,
+       count(*) AS n_ranks
+FROM ranked WHERE rank <= {_ZIPF_TOP}
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# Deterministic Poisson bootstrap resampling
+# --------------------------------------------------------------------
+
+# Inverse-CDF cutoffs for Poisson(1), capped at 5 copies:
+# P(X=k) cumulative = .367879, .735759, .919699, .981012, .996340, 1.
+_POIS_CUTS = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340)
+
+
+def q_sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson(1) bootstrap resample of the corpus (the distributed
+    bootstrap: per doc draw k ~ Poisson(1) copies, k derived from a
+    salted md5 hash through the inverse CDF — deterministic, seedable,
+    and embarrassingly parallel; no global sampling state).  Output is
+    one row per replica with its copy index.
+
+    Scale: pure map-side — a hash, a CASE ladder, and a
+    posexplode(sequence); expected output size = input size (E[k]=1),
+    max fan-out capped at 5."""
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("boot1:"), F.col("doc_id"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    ) / 1000000.0
+    k = (
+        F.when(u < _POIS_CUTS[0], 0)
+        .when(u < _POIS_CUTS[1], 1)
+        .when(u < _POIS_CUTS[2], 2)
+        .when(u < _POIS_CUTS[3], 3)
+        .when(u < _POIS_CUTS[4], 4)
+        .otherwise(5)
+    )
+    return (
+        d.select("doc_id", "source", k.alias("k"))
+        .filter(F.col("k") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("k"))).alias("replica"),
+        )
+    )
+
+
+SQL_SAMPLE_POISSON_BOOTSTRAP = f"""
+WITH drawn AS (
+  SELECT doc_id, source,
+         (CAST(concat('0x', substr(md5('boot1:' || CAST(doc_id AS VARCHAR)),
+              1, 15)) AS BIGINT) % 1000000) / 1000000.0 AS u
+  FROM documents
+),
+k AS (
+  SELECT doc_id, source,
+         CASE WHEN u < {_POIS_CUTS[0]} THEN 0
+              WHEN u < {_POIS_CUTS[1]} THEN 1
+              WHEN u < {_POIS_CUTS[2]} THEN 2
+              WHEN u < {_POIS_CUTS[3]} THEN 3
+              WHEN u < {_POIS_CUTS[4]} THEN 4
+              ELSE 5 END AS k
+  FROM drawn
+)
+SELECT doc_id, source, CAST(g.r AS BIGINT) AS replica
+FROM k, LATERAL (SELECT unnest(range(1, k + 1)) AS r) g
+WHERE k > 0
+"""
+
+
+QUERIES["text_zipf_fit"] = QuerySpec(q_text_zipf_fit, SQL_TEXT_ZIPF_FIT)
+QUERIES["sample_poisson_bootstrap"] = QuerySpec(
+    q_sample_poisson_bootstrap, SQL_SAMPLE_POISSON_BOOTSTRAP
+)

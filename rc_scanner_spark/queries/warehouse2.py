@@ -612,3 +612,42 @@ FROM freq
 
 
 QUERIES["profile_key_skew"] = QuerySpec(q_profile_key_skew, SQL_PROFILE_KEY_SKEW)
+
+
+# --------------------------------------------------------------------
+# Exact per-group quantiles
+# --------------------------------------------------------------------
+
+
+def q_agg_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p25/p50/p95 of event value per event_type in
+    ONE hash aggregate — the per-group distribution profile behind
+    anomaly thresholds and SLA dashboards.  Exact ``percentile`` (not
+    approx) so the DuckDB twin (quantile_cont, same interpolation
+    formula) agrees on the rounded values.
+
+    Scale: percentile is a sort-based typed-imperative aggregate —
+    per-group partials merge map-side; the approx_percentile variant
+    (agg_percentile_approx) is the fixed-memory path when groups are
+    huge."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+SQL_AGG_GROUP_QUANTILES = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY 1
+"""
+
+
+QUERIES["agg_group_quantiles"] = QuerySpec(
+    q_agg_group_quantiles, SQL_AGG_GROUP_QUANTILES
+)
