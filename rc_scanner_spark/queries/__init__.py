@@ -87,6 +87,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "agg_group_quantiles",
     "text_zipf_fit",
     "sample_poisson_bootstrap",
+    "text_lang_mix",
+    "bootstrap_ci_mean",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",

@@ -554,3 +554,203 @@ QUERIES["text_zipf_fit"] = QuerySpec(q_text_zipf_fit, SQL_TEXT_ZIPF_FIT)
 QUERIES["sample_poisson_bootstrap"] = QuerySpec(
     q_sample_poisson_bootstrap, SQL_SAMPLE_POISSON_BOOTSTRAP
 )
+
+
+# --------------------------------------------------------------------
+# Mixed-language document detection
+# --------------------------------------------------------------------
+
+
+def q_text_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switch / concatenation detection: language-ID the first
+    and second halves of each doc independently (same deterministic
+    marker-argmax as text_lang_id) and flag docs whose halves disagree
+    — the classic symptom of crawl pages that glue two documents
+    together, which single-label language filters silently mislabel.
+
+    Scale: pure per-row regexp counting — map-side, codegen, no
+    shuffle at all."""
+    from ..operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    half = F.floor(F.length("text") / 2).cast("int")
+    left = F.substring(F.col("text"), 1, half)
+    right = F.expr(
+        "substring(text, cast(floor(length(text) / 2) as int) + 1, length(text))"
+    )
+    out = d.select(
+        "doc_id",
+        lang_id(left).alias("lang_left"),
+        lang_id(right).alias("lang_right"),
+    )
+    return out.select(
+        "doc_id",
+        "lang_left",
+        "lang_right",
+        (
+            (F.col("lang_left") != F.col("lang_right"))
+            & (F.col("lang_left") != "und")
+            & (F.col("lang_right") != "und")
+        ).alias("is_mixed"),
+    )
+
+
+def _lang_case(prefix: str) -> str:
+    from ..operators.text import LANG_MARKERS as _M
+
+    g = f"greatest({prefix}_en, {prefix}_de, {prefix}_fr, {prefix}_es)"
+    return (
+        f"CASE WHEN {prefix}_zh > 0 THEN 'zh' "
+        f"WHEN {g} = 0 THEN 'und' "
+        f"WHEN {prefix}_en = {g} THEN 'en' "
+        f"WHEN {prefix}_de = {g} THEN 'de' "
+        f"WHEN {prefix}_fr = {g} THEN 'fr' "
+        f"WHEN {prefix}_es = {g} THEN 'es' ELSE 'und' END"
+    )
+
+
+def _sql_text_lang_mix() -> str:
+    from ..operators.text import LANG_MARKERS as _M
+
+    def scores(prefix: str, col: str) -> str:
+        return ",\n         ".join(
+            [
+                f"len(regexp_extract_all(lower({col}), '{_M[lang]}')) AS {prefix}_{lang}"
+                for lang in ("en", "de", "fr", "es")
+            ]
+            + [f"len(regexp_extract_all({col}, '[一-鿿]')) AS {prefix}_zh"]
+        )
+
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         substring(text, 1, CAST(floor(length(text) / 2) AS INT)) AS lt,
+         substring(text, CAST(floor(length(text) / 2) AS INT) + 1,
+                   length(text)) AS rt
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         {scores("l", "lt")},
+         {scores("r", "rt")}
+  FROM h
+)
+SELECT doc_id,
+       {_lang_case("l")} AS lang_left,
+       {_lang_case("r")} AS lang_right,
+       ({_lang_case("l")} <> {_lang_case("r")}
+        AND {_lang_case("l")} <> 'und'
+        AND {_lang_case("r")} <> 'und') AS is_mixed
+FROM s
+"""
+
+
+SQL_TEXT_LANG_MIX = _sql_text_lang_mix()
+
+
+# --------------------------------------------------------------------
+# Distributed bootstrap confidence interval
+# --------------------------------------------------------------------
+
+_BOOT_B = 32  # resamples
+_BCUTS = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340)
+
+
+def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% CI for the corpus mean doc length via B=32
+    Poisson(1) resamples — the distributed bootstrap: each doc's
+    per-resample multiplicity k_b is a WEIGHT (sum(k*x)/sum(k)), so no
+    row is ever physically replicated; the only blowup is docs x B on
+    aggregation inputs, map-side.
+
+    Scale: one partial+final aggregate keyed on the 32 seeds, then a
+    single-row quantile over 32 resample means.  Fully deterministic:
+    hashes are salted md5 longs, identical in the DuckDB twin."""
+    d = _t(spark, sf_dir, "documents")
+    rep = d.select("doc_id", "n_chars").crossJoin(
+        spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ci:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    ) / 1000000.0
+    k = (
+        F.when(u < _BCUTS[0], 0)
+        .when(u < _BCUTS[1], 1)
+        .when(u < _BCUTS[2], 2)
+        .when(u < _BCUTS[3], 3)
+        .when(u < _BCUTS[4], 4)
+        .otherwise(5)
+    )
+    means = (
+        rep.select("b", "n_chars", k.alias("k"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("k") * F.col("n_chars"))
+                / F.nullif(F.sum("k"), F.lit(0))
+            ).alias("m")
+        )
+    )
+    return means.agg(
+        F.count(F.lit(1)).alias("n_resamples"),
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+    )
+
+
+SQL_BOOTSTRAP_CI_MEAN = f"""
+WITH rep AS (
+  SELECT d.doc_id, d.n_chars, g.b
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(1, {_BOOT_B} + 1)) AS b) g
+),
+drawn AS (
+  SELECT b, n_chars,
+         (CAST(concat('0x', substr(md5('ci:' || CAST(b AS VARCHAR) || ':'
+              || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 1000000) / 1000000.0 AS u
+  FROM rep
+),
+weighted AS (
+  SELECT b, n_chars,
+         CASE WHEN u < {_BCUTS[0]} THEN 0
+              WHEN u < {_BCUTS[1]} THEN 1
+              WHEN u < {_BCUTS[2]} THEN 2
+              WHEN u < {_BCUTS[3]} THEN 3
+              WHEN u < {_BCUTS[4]} THEN 4
+              ELSE 5 END AS k
+  FROM drawn
+),
+means AS (
+  SELECT b, sum(k * n_chars) * 1.0 / nullif(sum(k), 0) AS m
+  FROM weighted GROUP BY b
+)
+SELECT count(*) AS n_resamples,
+       round(avg(m), 4) AS boot_mean,
+       round(quantile_cont(m, 0.025), 4) AS ci_lo,
+       round(quantile_cont(m, 0.975), 4) AS ci_hi
+FROM means
+"""
+
+
+QUERIES["text_lang_mix"] = QuerySpec(q_text_lang_mix, SQL_TEXT_LANG_MIX)
+QUERIES["bootstrap_ci_mean"] = QuerySpec(
+    q_bootstrap_ci_mean, SQL_BOOTSTRAP_CI_MEAN
+)
