@@ -89,6 +89,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sample_poisson_bootstrap",
     "text_lang_mix",
     "bootstrap_ci_mean",
+    "er_fuzzy_match",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",

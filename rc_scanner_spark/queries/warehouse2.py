@@ -651,3 +651,121 @@ FROM events GROUP BY 1
 QUERIES["agg_group_quantiles"] = QuerySpec(
     q_agg_group_quantiles, SQL_AGG_GROUP_QUANTILES
 )
+
+
+# --------------------------------------------------------------------
+# Fuzzy entity resolution (blocked edit-distance join)
+# --------------------------------------------------------------------
+
+_ER_MAX_DIST = 2
+_ER_LEN_BUCKET = 4  # name-length band width for blocking
+
+
+def q_er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string join: resolve "dirty" part names (every 10th
+    part with one deterministically-deleted character — the testdata
+    has no real typos, so churn is synthesized the same way in both
+    engines) back to the clean catalog via blocked Levenshtein.
+
+    Blocking: (first char, length-band) equi-keys, with the dirty side
+    exploding its band +-1 so a one-char deletion can't fall out of
+    the band — turns the quadratic all-pairs distance scan into an
+    equi-join over bounded blocks.  A first-char typo escapes its
+    block: the standard documented recall trade-off of prefix
+    blocking (swap in a phonetic key for higher recall).
+
+    Best match per dirty name = min(struct(distance, partkey)) — an
+    aggregate, not a window."""
+    p = _t(spark, sf_dir, "part")
+    pos = (F.col("p_partkey") % F.length("p_name")).cast("int") + 1
+    dirty = (
+        p.filter(F.col("p_partkey") % 10 == 0)
+        .select(
+            F.col("p_partkey").alias("dirty_key"),
+            F.concat(
+                F.expr(
+                    "substring(p_name, 1, cast(p_partkey % length(p_name) as int))"
+                ),
+                F.expr(
+                    "substring(p_name, cast(p_partkey % length(p_name) as int) + 2, length(p_name))"
+                ),
+            ).alias("dname"),
+        )
+    )
+    dblocked = dirty.select(
+        "dirty_key",
+        "dname",
+        F.substring("dname", 1, 1).alias("c1"),
+        F.explode(
+            F.array(
+                F.floor(F.length("dname") / _ER_LEN_BUCKET) - 1,
+                F.floor(F.length("dname") / _ER_LEN_BUCKET),
+                F.floor(F.length("dname") / _ER_LEN_BUCKET) + 1,
+            )
+        ).alias("bucket"),
+    )
+    clean = p.select(
+        F.col("p_partkey").alias("clean_key"),
+        F.col("p_name").alias("cname"),
+        F.substring("p_name", 1, 1).alias("c1"),
+        F.floor(F.length("p_name") / _ER_LEN_BUCKET).alias("bucket"),
+    )
+    cand = dblocked.join(clean, ["c1", "bucket"]).select(
+        "dirty_key",
+        "dname",
+        "clean_key",
+        F.levenshtein("dname", "cname").alias("dist"),
+    )
+    return (
+        cand.filter(F.col("dist") <= _ER_MAX_DIST)
+        .groupBy("dirty_key", "dname")
+        .agg(
+            F.min(F.struct("dist", "clean_key")).alias("best"),
+        )
+        .select(
+            "dirty_key",
+            "dname",
+            F.col("best.clean_key").alias("matched_key"),
+            F.col("best.dist").alias("dist"),
+        )
+    )
+
+
+SQL_ER_FUZZY_MATCH = f"""
+WITH dirty AS (
+  SELECT p_partkey AS dirty_key,
+         substring(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+         || substring(p_name,
+                      CAST(p_partkey % length(p_name) AS INT) + 2,
+                      length(p_name)) AS dname
+  FROM part WHERE p_partkey % 10 = 0
+),
+dblocked AS (
+  SELECT dirty_key, dname, substring(dname, 1, 1) AS c1,
+         CAST(floor(length(dname) / {_ER_LEN_BUCKET}) AS BIGINT) + g.o
+             AS bucket
+  FROM dirty
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) g
+),
+clean AS (
+  SELECT p_partkey AS clean_key, p_name AS cname,
+         substring(p_name, 1, 1) AS c1,
+         CAST(floor(length(p_name) / {_ER_LEN_BUCKET}) AS BIGINT) AS bucket
+  FROM part
+),
+cand AS (
+  SELECT d.dirty_key, d.dname, c.clean_key,
+         levenshtein(d.dname, c.cname) AS dist
+  FROM dblocked d JOIN clean c USING (c1, bucket)
+),
+best AS (
+  SELECT dirty_key, dname,
+         min({{'d': dist, 'k': clean_key}}) AS b
+  FROM cand WHERE dist <= {_ER_MAX_DIST}
+  GROUP BY 1, 2
+)
+SELECT dirty_key, dname, b.k AS matched_key, b.d AS dist FROM best
+"""
+
+
+QUERIES["er_fuzzy_match"] = QuerySpec(q_er_fuzzy_match, SQL_ER_FUZZY_MATCH)
