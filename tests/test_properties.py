@@ -331,3 +331,100 @@ def test_sse_render_parse_roundtrip(frames, noise):
         assert got["event"] == ev
         assert got["id"] == fid
         assert got["data"] == "\n".join(data_lines)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=0, max_size=40
+        ).map(lambda toks: " ".join(toks)),
+        min_size=2,
+        max_size=8,
+    )
+)
+@SLOW
+def test_substring_spans_match_bruteforce(spark, docs, tmp_path_factory):
+    """dedup_substring_spans coverage equals a brute-force python
+    interval union over cross-doc duplicated 10-gram windows."""
+    from rc_scanner_spark.queries import build_registry
+
+    tmp = tmp_path_factory.mktemp("spans")
+    rows = [(i, t, "en", "s", 0) for i, t in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in build_registry()["dedup_substring_spans"]
+        .fn(spark, str(tmp))
+        .collect()
+    }
+    K = 10
+    toks = {i: re.findall(r"[a-z]+", t.lower()) for i, t, *_ in rows}
+    wins = {
+        i: [tuple(ts[j : j + K]) for j in range(len(ts) - K + 1)]
+        for i, ts in toks.items()
+    }
+    from collections import defaultdict
+
+    owners = defaultdict(set)
+    for i, ws in wins.items():
+        for w in ws:
+            owners[w].add(i)
+    for i, ts in toks.items():
+        starts = [j for j, w in enumerate(wins[i]) if len(owners[w]) >= 2]
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + K))
+        assert out[i].n_tokens == len(ts)
+        assert out[i].n_dup_windows == len(starts)
+        assert out[i].covered_tokens == len(covered)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(1, 6), st.integers(0, 5)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SLOW
+def test_pareto_frontier_matches_bruteforce(spark, pts, tmp_path_factory):
+    """select_pareto_frontier == brute-force dominance filter."""
+    from rc_scanner_spark.queries import build_registry
+
+    tmp = tmp_path_factory.mktemp("pareto")
+    # build docs with n_tokens tokens of which nd are distinct:
+    # nd distinct letters + (n-nd) repeats of the first letter.
+    letters = "abcdefgh"
+    rows = []
+    for i, (n, extra) in enumerate(pts):
+        nd = max(1, n - extra)
+        if nd > n:
+            nd = n
+        toks = list(letters[:nd]) + [letters[0]] * (n - nd)
+        rows.append((i, " ".join(toks), "en", "s", 0))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = {
+        r.doc_id
+        for r in build_registry()["select_pareto_frontier"].fn(spark, str(tmp)).collect()
+    }
+    # brute force on the same (tokens, q_ppm) pairs
+    feats = {}
+    for i, (n, extra) in enumerate(pts):
+        nd = max(1, n - extra)
+        if nd > n:
+            nd = n
+        feats[i] = (n, 1000000 * len(set(list(letters[:nd]) + [letters[0]] * (n - nd))) // n)
+    want = set()
+    for i, (t, q) in feats.items():
+        dominated = any(
+            (t2 <= t and q2 > q) or (t2 < t and q2 >= q)
+            for j, (t2, q2) in feats.items()
+            if j != i
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want
