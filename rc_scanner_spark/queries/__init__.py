@@ -90,6 +90,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "text_lang_mix",
     "bootstrap_ci_mean",
     "er_fuzzy_match",
+    "window_period_over_period",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",

@@ -769,3 +769,60 @@ SELECT dirty_key, dname, b.k AS matched_key, b.d AS dist FROM best
 
 
 QUERIES["er_fuzzy_match"] = QuerySpec(q_er_fuzzy_match, SQL_ER_FUZZY_MATCH)
+
+
+# --------------------------------------------------------------------
+# Period-over-period growth
+# --------------------------------------------------------------------
+
+
+def q_window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week event volume per type: lag over a per-type
+    window plus an integer-ppm growth rate ((cur - prev) * 1e6 DIV
+    prev — integer-exact on both engines, no float round ties).
+
+    Scale: the weekly rollup collapses events first (types x weeks
+    rows); the lag window partitions per type — bounded frames."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    weekly = (
+        ev.groupBy(
+            "event_type",
+            F.weekofyear("ts").alias("week"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("week")
+    return weekly.select(
+        "event_type",
+        "week",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.expr(
+            "CASE WHEN lag(n) OVER (PARTITION BY event_type ORDER BY week)"
+            " IS NOT NULL THEN ((n - lag(n) OVER (PARTITION BY event_type"
+            " ORDER BY week)) * 1000000) DIV lag(n) OVER (PARTITION BY"
+            " event_type ORDER BY week) END"
+        ).alias("growth_ppm"),
+    )
+
+
+SQL_WINDOW_PERIOD_OVER_PERIOD = """
+WITH weekly AS (
+  SELECT event_type, weekofyear(ts) AS week, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, n,
+       lag(n) OVER w AS prev_n,
+       CASE WHEN lag(n) OVER w IS NOT NULL
+            THEN ((n - lag(n) OVER w) * 1000000) // lag(n) OVER w
+       END AS growth_ppm
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY week)
+"""
+
+
+QUERIES["window_period_over_period"] = QuerySpec(
+    q_window_period_over_period, SQL_WINDOW_PERIOD_OVER_PERIOD
+)

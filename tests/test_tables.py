@@ -102,3 +102,22 @@ def test_load_table_normalizes_unknown_ntz_columns(spark, tmp_path):
     df = load_table(spark, str(tmp_path), "events")
     for col in ("ts", "created_at"):
         assert isinstance(df.schema[col].dataType, TimestampType), col
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Lake-style schema evolution: a corpus written in two epochs
+    (the later one adds a quality column) reads back as one unified
+    schema with NULLs for the pre-evolution rows under mergeSchema;
+    filters on the new column still prune to the new files."""
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "old doc")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(d + "/epoch=1")
+    spark.createDataFrame(
+        [(2, "new doc", 0.9)], "doc_id long, text string, quality double"
+    ).write.mode("overwrite").parquet(d + "/epoch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(df.columns) == {"doc_id", "text", "quality", "epoch"}
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[1].quality is None and rows[2].quality == 0.9
+    assert df.filter("quality > 0.5").count() == 1
