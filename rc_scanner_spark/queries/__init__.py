@@ -91,6 +91,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "bootstrap_ci_mean",
     "er_fuzzy_match",
     "window_period_over_period",
+    "sample_uniform_k",
+    "text_compression_ratio",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",

@@ -754,3 +754,108 @@ QUERIES["text_lang_mix"] = QuerySpec(q_text_lang_mix, SQL_TEXT_LANG_MIX)
 QUERIES["bootstrap_ci_mean"] = QuerySpec(
     q_bootstrap_ci_mean, SQL_BOOTSTRAP_CI_MEAN
 )
+
+
+# --------------------------------------------------------------------
+# Exact-k uniform sampling
+# --------------------------------------------------------------------
+
+_UNIFORM_K = 100
+
+
+def q_sample_uniform_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform corpus sample via salted-hash ranking:
+    order by md5-long, keep the first k.  Unlike fraction-based
+    sample() this yields a FIXED size (eval sets, human-review
+    batches), stays deterministic across runs/partitionings, and
+    plans as distributed TakeOrderedAndProject — per-partition top-k
+    partials, never a global sort materialization or a single-node
+    window.
+
+    Scale: k rows per partition flow to the driver-side merge — the
+    same shape as any top-k; salt the literal to draw a fresh
+    sample."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("usamp1:"), F.col("doc_id"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.select("doc_id", "source", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(_UNIFORM_K)
+    )
+
+
+SQL_SAMPLE_UNIFORM_K = f"""
+SELECT doc_id, source,
+       CAST(concat('0x', substr(md5('usamp1:' || CAST(doc_id AS VARCHAR)),
+            1, 15)) AS BIGINT) AS h
+FROM documents
+ORDER BY h, doc_id
+LIMIT {_UNIFORM_K}
+"""
+
+
+QUERIES["sample_uniform_k"] = QuerySpec(
+    q_sample_uniform_k, SQL_SAMPLE_UNIFORM_K
+)
+
+
+# --------------------------------------------------------------------
+# Compression-ratio quality scoring (Arrow-batched)
+# --------------------------------------------------------------------
+
+
+def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style compressibility signal: zlib-compressed size over
+    raw size per doc — highly repetitive/templated text compresses
+    far below natural prose, making this one of the cheapest
+    boilerplate detectors that tokenizers can't see.
+
+    zlib lives in Python, so this is a deliberate Arrow-batched
+    ``mapInPandas`` boundary (same policy as the multimodal codec):
+    rows-only driver check, exact pytest ground truth against direct
+    zlib (tests/test_warehouse2.py).
+
+    Scale: embarrassingly parallel map-side pass; output is two longs
+    and a rounded double per doc."""
+    import zlib
+
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents")
+
+    def op(batches):
+        for pdf in batches:
+            raw = pdf["text"].map(lambda t: len((t or "").encode("utf-8")))
+            comp = pdf["text"].map(
+                lambda t: len(zlib.compress((t or "").encode("utf-8"), 6))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw,
+                    "zlib_bytes": comp,
+                    "compression_ratio": [
+                        round(c / r, 4) if r else 0.0
+                        for c, r in zip(comp, raw)
+                    ],
+                }
+            )
+
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(
+            op,
+            schema="doc_id long, raw_bytes long, zlib_bytes long, "
+            "compression_ratio double",
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["text_compression_ratio"] = QuerySpec(q_text_compression_ratio, None)

@@ -172,3 +172,27 @@ def test_phash_neardup_contains_exact_text_dups(spark):
     if len(dup_set) >= 2:
         # at least one exact-dup pair must surface at distance 0
         assert any(a in dup_set and b in dup_set for a, b in zero)
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    import zlib
+
+    rows = REG["text_compression_ratio"].fn(spark, SF_SMOKE).collect()
+    from rc_scanner_spark.tables import load_table
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    assert len(rows) == len(texts)
+    for r in rows[:50]:
+        raw = texts[r.doc_id].encode("utf-8")
+        assert r.raw_bytes == len(raw)
+        assert r.zlib_bytes == len(zlib.compress(raw, 6))
+        assert abs(r.compression_ratio - round(r.zlib_bytes / r.raw_bytes, 4)) < 1e-12
+
+
+def test_uniform_k_sample_is_deterministic_and_exact_k(spark):
+    a = [r.doc_id for r in REG["sample_uniform_k"].fn(spark, SF_SMOKE).collect()]
+    b = [r.doc_id for r in REG["sample_uniform_k"].fn(spark, SF_SMOKE).collect()]
+    assert a == b and len(a) == 100 and len(set(a)) == 100
