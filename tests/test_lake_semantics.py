@@ -232,3 +232,37 @@ def test_jsonl_stream_sink_restart_no_duplication(spark, tmp_path):
             with open(os.path.join(out, e, f)) as fh:
                 rows += [json.loads(line) for line in fh]
     assert sorted(r["id"] for r in rows) == [1, 2, 3, 4]
+
+
+def test_compaction_plan_flags_fragmented_partitions(spark, tmp_path):
+    """A day-partitioned write with forced fragmentation (8 files in
+    one partition, 1 in the other) yields a plan that flags only the
+    fragmented partition and conserves bytes/rows."""
+    from pyspark.sql import functions as F
+
+    from rc_scanner_spark.operators.maintenance import (
+        compaction_plan,
+        file_stats,
+    )
+
+    d = str(tmp_path / "frag")
+    base = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "2024-01-01").otherwise("2024-01-02").alias("day"),
+    )
+    # day=2024-01-01 written as 8 files, day=2024-01-02 as 1.
+    base.filter("day = '2024-01-01'").repartition(8).write.partitionBy(
+        "day"
+    ).mode("overwrite").parquet(d)
+    base.filter("day = '2024-01-02'").coalesce(1).write.partitionBy(
+        "day"
+    ).mode("append").parquet(d)
+    stats = file_stats(spark, d).collect()
+    assert sum(r.rows for r in stats) == 2000
+    plan = {r.partition_dir.rsplit("=", 1)[-1]: r for r in compaction_plan(spark, d, target_bytes=64 * 1024 * 1024).collect()}
+    assert plan["2024-01-01"].n_files == 8
+    assert plan["2024-01-02"].n_files == 1
+    assert plan["2024-01-01"].needs_compaction
+    assert not plan["2024-01-02"].needs_compaction
+    assert plan["2024-01-01"].target_files == 1
+    assert plan["2024-01-01"].total_rows == 1000
