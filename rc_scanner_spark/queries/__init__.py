@@ -93,6 +93,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "window_period_over_period",
     "sample_uniform_k",
     "text_compression_ratio",
+    "events_cumulative_distinct",
+    "graph_link_prediction",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",

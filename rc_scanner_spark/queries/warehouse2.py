@@ -826,3 +826,193 @@ WINDOW w AS (PARTITION BY event_type ORDER BY week)
 QUERIES["window_period_over_period"] = QuerySpec(
     q_window_period_over_period, SQL_WINDOW_PERIOD_OVER_PERIOD
 )
+
+
+# --------------------------------------------------------------------
+# Cumulative distinct adoption curve
+# --------------------------------------------------------------------
+
+
+def q_events_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users through each day (the adoption
+    curve): a user counts from their first-touch day onward.  The
+    running sum over days is expressed as a triangle join on the
+    BOUNDED day frame (first-touch counts per day x day spine), not a
+    global unpartitioned window — at 100 TB the day frame is still
+    just one row per calendar day.
+
+    Scale: first-touch = one groupBy(user) min; everything after
+    operates on #days-sized frames."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.to_date(F.min("ts")).alias("first_day"))
+        .groupBy("first_day")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    spine = ev.agg(
+        F.to_date(F.min("ts")).alias("mn"), F.to_date(F.max("ts")).alias("mx")
+    ).select(F.explode(F.sequence("mn", "mx")).alias("day"))
+    return (
+        spine.join(
+            F.broadcast(firsts), F.col("first_day") <= F.col("day")
+        )
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum("n_new").alias("cum_users"))
+    )
+
+
+SQL_EVENTS_CUMULATIVE_DISTINCT = """
+WITH firsts AS (
+  SELECT first_day, count(*) AS n_new
+  FROM (
+    SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+    FROM events GROUP BY 1
+  ) GROUP BY 1
+),
+b AS (
+  SELECT CAST(min(ts) AS DATE) AS mn, CAST(max(ts) AS DATE) AS mx
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(b.mn, b.mx, INTERVAL 1 DAY))::DATE AS day
+  FROM b
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       CAST(sum(f.n_new) AS BIGINT) AS cum_users
+FROM spine s JOIN firsts f ON f.first_day <= s.day
+GROUP BY 1
+"""
+
+
+QUERIES["events_cumulative_distinct"] = QuerySpec(
+    q_events_cumulative_distinct, SQL_EVENTS_CUMULATIVE_DISTINCT
+)
+
+
+# --------------------------------------------------------------------
+# Link prediction via common-neighbor Jaccard
+# --------------------------------------------------------------------
+
+_LINK_TOPK = 20
+
+
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor Jaccard link prediction on the co-purchase
+    graph: for node pairs NOT already connected, score = |N(a) n N(c)|
+    / |N(a) u N(c)|; top-20 predicted links.  The wedge enumeration
+    e(a,b) |><| e(b,c) reuses the triangle machinery; existing edges
+    are removed with an anti-join.
+
+    Scale: the same support-pruned persisted edge frame as
+    graph_triangle_count; wedges are bounded by sum(deg^2) over the
+    pruned graph; top-k is TakeOrderedAndProject.  Scores are integer
+    ppm (no float round ties)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    ok = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _TRI_MAX_ORDER)
+        .select("l_orderkey")
+    )
+    li2 = li.join(ok, "l_orderkey")
+    a = li2.alias("a")
+    b = li2.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= _TRI_MIN_SUPPORT)
+        .select("pa", "pb")
+    ).persist()
+    # undirected adjacency (both orientations) for wedges + degrees
+    und = edges.union(
+        edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    )
+    deg = und.groupBy(F.col("pa").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    w1 = und.alias("w1")
+    w2 = und.alias("w2")
+    wedges = (
+        w1.join(w2, F.col("w1.pb") == F.col("w2.pa"))
+        .filter(F.col("w1.pa") < F.col("w2.pb"))
+        .groupBy(
+            F.col("w1.pa").alias("x"), F.col("w2.pb").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    open_pairs = wedges.join(
+        edges,
+        (F.col("x") == F.col("pa")) & (F.col("y") == F.col("pb")),
+        "left_anti",
+    )
+    da = deg.alias("da")
+    dc = deg.alias("dc")
+    return (
+        open_pairs.join(F.broadcast(da), F.col("x") == F.col("da.node"))
+        .join(F.broadcast(dc), F.col("y") == F.col("dc.node"))
+        .select(
+            "x",
+            "y",
+            "cn",
+            F.expr(
+                "(1000000 * cn) DIV (da.deg + dc.deg - cn)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "x", "y")
+        .limit(_LINK_TOPK)
+    )
+
+
+SQL_GRAPH_LINK_PREDICTION = f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2
+),
+ok AS (
+  SELECT l_orderkey FROM li GROUP BY 1
+  HAVING count(*) <= {_TRI_MAX_ORDER}
+),
+li2 AS (SELECT li.* FROM li JOIN ok USING (l_orderkey)),
+edges AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li2 a JOIN li2 b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}
+),
+und AS (
+  SELECT pa, pb FROM edges
+  UNION ALL SELECT pb AS pa, pa AS pb FROM edges
+),
+deg AS (SELECT pa AS node, count(*) AS deg FROM und GROUP BY 1),
+wedges AS (
+  SELECT w1.pa AS x, w2.pb AS y, count(*) AS cn
+  FROM und w1 JOIN und w2 ON w1.pb = w2.pa
+  WHERE w1.pa < w2.pb
+  GROUP BY 1, 2
+),
+open_pairs AS (
+  SELECT w.* FROM wedges w
+  ANTI JOIN edges e ON w.x = e.pa AND w.y = e.pb
+)
+SELECT o.x, o.y, o.cn,
+       (1000000 * o.cn) // (da.deg + dc.deg - o.cn) AS jaccard_ppm
+FROM open_pairs o
+JOIN deg da ON da.node = o.x
+JOIN deg dc ON dc.node = o.y
+ORDER BY jaccard_ppm DESC, x, y
+LIMIT {_LINK_TOPK}
+"""
+
+
+QUERIES["graph_link_prediction"] = QuerySpec(
+    q_graph_link_prediction, SQL_GRAPH_LINK_PREDICTION
+)
