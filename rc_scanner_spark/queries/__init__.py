@@ -79,7 +79,6 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "graph_triangle_count",
     "dedup_substring_spans",
     "select_pareto_frontier",
-    "multimodal_phash_neardup",
     "source_overlap_matrix",
     "agg_argmax",
     "window_first_last",
@@ -92,9 +91,13 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "er_fuzzy_match",
     "window_period_over_period",
     "sample_uniform_k",
-    "text_compression_ratio",
     "events_cumulative_distinct",
     "graph_link_prediction",
+    # rows-only pair last in the block: the driver records only a
+    # weaker rows-only check for these, so oracle-backed queries get
+    # the hash-checked prefix slots.
+    "multimodal_phash_neardup",
+    "text_compression_ratio",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
