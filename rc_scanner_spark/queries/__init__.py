@@ -93,6 +93,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sample_uniform_k",
     "events_cumulative_distinct",
     "graph_link_prediction",
+    "event_conversion_latency",
+    "events_concurrency",
+    "agg_filtered",
     # rows-only pair last in the block: the driver records only a
     # weaker rows-only check for these, so oracle-backed queries get
     # the hash-checked prefix slots.

@@ -1016,3 +1016,219 @@ LIMIT {_LINK_TOPK}
 QUERIES["graph_link_prediction"] = QuerySpec(
     q_graph_link_prediction, SQL_GRAPH_LINK_PREDICTION
 )
+
+
+# --------------------------------------------------------------------
+# Conversion latency (view -> purchase)
+# --------------------------------------------------------------------
+
+
+def q_event_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user view->purchase conversion latency and its exact
+    quartiles: first view, first purchase AFTER that view, latency in
+    seconds — the duration companion to event_funnel's counts.
+
+    Scale: two conditional-min aggregates per user (one shuffle), a
+    single-row quantile over converted users."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(per_user, "user_id")
+        .filter(
+            F.col("first_view").isNotNull()
+            & (F.col("ts") >= F.col("first_view"))
+        )
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    # microsecond-exact on both engines (unix_timestamp truncates to
+    # seconds while DuckDB's epoch()::BIGINT rounds — off-by-one traps)
+    lat = purch.select(
+        (
+            (
+                F.unix_micros("first_purchase")
+                - F.unix_micros("first_view")
+            )
+            / 1000000.0
+        ).alias("latency_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(latency_s, 0.25)"), 2).alias("p25_s"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 2).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.75)"), 2).alias("p75_s"),
+    )
+
+
+SQL_EVENT_CONVERSION_LATENCY = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+  FROM events GROUP BY 1
+),
+purch AS (
+  SELECT e.user_id, p.first_view, min(e.ts) AS first_purchase
+  FROM events e JOIN per_user p USING (user_id)
+  WHERE e.event_type = 'purchase' AND p.first_view IS NOT NULL
+    AND e.ts >= p.first_view
+  GROUP BY 1, 2
+),
+lat AS (
+  SELECT (epoch_us(first_purchase) - epoch_us(first_view)) / 1000000.0
+             AS latency_s
+  FROM purch
+)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(latency_s, 0.25), 2) AS p25_s,
+       round(quantile_cont(latency_s, 0.5), 2) AS p50_s,
+       round(quantile_cont(latency_s, 0.75), 2) AS p75_s
+FROM lat
+"""
+
+
+QUERIES["event_conversion_latency"] = QuerySpec(
+    q_event_conversion_latency, SQL_EVENT_CONVERSION_LATENCY
+)
+
+
+# --------------------------------------------------------------------
+# Peak concurrency via hierarchical prefix sum
+# --------------------------------------------------------------------
+
+_CONC_TTL_MIN = 30  # a user "session" spans [ts, ts + 30 min)
+
+
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent active sessions per day (a session = 30 min
+    after each user's activity start, dedup to first event per user
+    per day): the classic interval-overlap sweep, made scale-safe by a
+    HIERARCHICAL prefix sum — +1/-1 deltas bucket to minutes, the
+    running count = day-level prefix (one bounded frame of days)
+    plus a within-day prefix (window PARTITIONED by day over <= 1440
+    minute rows).  No unpartitioned window anywhere, which is how a
+    global running sum survives 100 TB.
+
+    (Sessions are approximated as fixed-TTL from the user's first
+    event of the day — the mechanism under test is the sweep.)"""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    starts = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.min("ts").alias("t0"))
+        .select(
+            "user_id",
+            F.date_trunc("minute", "t0").alias("m_start"),
+            (
+                F.date_trunc("minute", "t0")
+                + F.expr(f"INTERVAL {_CONC_TTL_MIN} MINUTES")
+            ).alias("m_end"),
+        )
+    )
+    deltas = starts.select(
+        F.col("m_start").alias("m"), F.lit(1).alias("d")
+    ).unionAll(
+        starts.select(F.col("m_end").alias("m"), F.lit(-1).alias("d"))
+    )
+    per_min = deltas.groupBy("m").agg(F.sum("d").alias("delta")).select(
+        "m", F.to_date("m").alias("day"), "delta"
+    )
+    w_in_day = (
+        W.partitionBy("day")
+        .orderBy("m")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    within = per_min.withColumn(
+        "run_in_day", F.sum("delta").over(w_in_day)
+    )
+    day_tot = per_min.groupBy("day").agg(
+        F.sum("delta").alias("day_delta")
+    )
+    # day-level prefix: triangle join over the bounded day frame
+    d1 = day_tot.alias("d1")
+    d2 = day_tot.alias("d2")
+    day_base = (
+        d1.join(
+            d2, F.col("d2.day") < F.col("d1.day"), "left"
+        )
+        .groupBy(F.col("d1.day").alias("day"))
+        .agg(F.coalesce(F.sum("d2.day_delta"), F.lit(0)).alias("base"))
+    )
+    return (
+        within.join(F.broadcast(day_base), "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("base") + F.col("run_in_day")).alias("conc"),
+        )
+        .groupBy("day")
+        .agg(F.max("conc").alias("peak_concurrency"))
+    )
+
+
+SQL_EVENTS_CONCURRENCY = f"""
+WITH starts AS (
+  SELECT user_id, date_trunc('minute', min(ts)) AS m_start,
+         date_trunc('minute', min(ts)) + INTERVAL {_CONC_TTL_MIN} MINUTE
+             AS m_end
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+deltas AS (
+  SELECT m_start AS m, 1 AS d FROM starts
+  UNION ALL SELECT m_end AS m, -1 AS d FROM starts
+),
+per_min AS (
+  SELECT m, CAST(m AS DATE) AS day, sum(d) AS delta
+  FROM deltas GROUP BY 1, 2
+),
+run AS (
+  SELECT day, m,
+         sum(delta) OVER (ORDER BY m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM per_min
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency
+FROM run GROUP BY 1
+"""
+
+
+QUERIES["events_concurrency"] = QuerySpec(
+    q_events_concurrency, SQL_EVENTS_CONCURRENCY
+)
+
+
+# --------------------------------------------------------------------
+# FILTER-clause aggregates
+# --------------------------------------------------------------------
+
+
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation surface: count_if / sum-where / avg-
+    where per event_type in one pass — the FILTER (WHERE ...) clause
+    family, each a plain conditional partial aggregate (one shuffle,
+    no per-condition scans)."""
+    ev = _t(spark, sf_dir, "events")
+    hi = F.col("value") > 0.5
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("count_if(value > 0.5)").alias("n_hi"),
+        F.round(F.sum(F.when(hi, F.col("value"))), 2).alias("sum_hi"),
+        F.round(F.avg(F.when(~hi, F.col("value"))), 4).alias("avg_lo"),
+    )
+
+
+SQL_AGG_FILTERED = """
+SELECT event_type, count(*) AS n,
+       count(*) FILTER (WHERE value > 0.5) AS n_hi,
+       round(sum(value) FILTER (WHERE value > 0.5), 2) AS sum_hi,
+       round(avg(value) FILTER (WHERE value <= 0.5), 4) AS avg_lo
+FROM events GROUP BY 1
+"""
+
+
+QUERIES["agg_filtered"] = QuerySpec(q_agg_filtered, SQL_AGG_FILTERED)
