@@ -1129,7 +1129,7 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.expr(f"INTERVAL {_CONC_TTL_MIN} MINUTES")
             ).alias("m_end"),
         )
-    )
+    ).persist()  # referenced twice (start/end delta arms)
     deltas = starts.select(
         F.col("m_start").alias("m"), F.lit(1).alias("d")
     ).unionAll(
@@ -1137,7 +1137,7 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_min = deltas.groupBy("m").agg(F.sum("d").alias("delta")).select(
         "m", F.to_date("m").alias("day"), "delta"
-    )
+    ).persist()  # feeds both the within-day window and the day totals
     w_in_day = (
         W.partitionBy("day")
         .orderBy("m")
