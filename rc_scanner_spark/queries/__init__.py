@@ -96,6 +96,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "event_conversion_latency",
     "events_concurrency",
     "agg_filtered",
+    "split_leakage_safe",
+    "join_null_safe",
     # rows-only pair last in the block: the driver records only a
     # weaker rows-only check for these, so oracle-backed queries get
     # the hash-checked prefix slots.

@@ -859,3 +859,75 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["text_compression_ratio"] = QuerySpec(q_text_compression_ratio, None)
+
+
+# --------------------------------------------------------------------
+# Leakage-safe train/val/test split
+# --------------------------------------------------------------------
+
+
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware corpus split: the split hash is computed on the
+    normalized-text FINGERPRINT, not the doc id, so exact duplicates
+    always land in the same split — the leakage guard a plain
+    per-doc hash split (sample_hash_split) lacks.  Output includes a
+    per-split dup-safety audit: every fingerprint must have exactly
+    one distinct split.
+
+    Scale: one fingerprint projection (map-side), split assignment is
+    pure hashing; the audit is a fingerprint-keyed aggregate."""
+    from ..operators.text import normalize
+
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(normalize(F.col("text")))
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split1:"), fp)), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    assigned = d.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    audit = assigned.groupBy("fp").agg(
+        F.count_distinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        assigned.join(audit, "fp")
+        .select("doc_id", "split", "n_docs", "n_splits")
+    )
+
+
+SQL_SPLIT_LEAKAGE_SAFE = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, fp,
+         CASE WHEN h < 80 THEN 'train'
+              WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, fp,
+           CAST(concat('0x', substr(md5('split1:' || fp), 1, 4)) AS BIGINT)
+               % 100 AS h
+    FROM fp
+  )
+),
+audit AS (
+  SELECT fp, count(DISTINCT split) AS n_splits, count(*) AS n_docs
+  FROM assigned GROUP BY 1
+)
+SELECT a.doc_id, a.split, u.n_docs, u.n_splits
+FROM assigned a JOIN audit u USING (fp)
+"""
+
+
+QUERIES["split_leakage_safe"] = QuerySpec(
+    q_split_leakage_safe, SQL_SPLIT_LEAKAGE_SAFE
+)

@@ -1232,3 +1232,64 @@ FROM events GROUP BY 1
 
 
 QUERIES["agg_filtered"] = QuerySpec(q_agg_filtered, SQL_AGG_FILTERED)
+
+
+# --------------------------------------------------------------------
+# Null-safe join semantics
+# --------------------------------------------------------------------
+
+
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): orders
+    with a deterministically-nulled priority key join a priority
+    dimension that includes a NULL row — under null-safe equality the
+    NULL keys MATCH the NULL dim row instead of dropping, the subtle
+    semantic every warehouse migration trips over.
+
+    Scale: a plain equi-shuffle — Spark plans <=> as a hash join on
+    the null-safe-wrapped key."""
+    o = _t(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 != 0, F.col("o_orderpriority")).alias(
+            "prio"
+        ),
+    )
+    dim_rows = (
+        o.select(F.col("o_orderpriority").alias("prio"))
+        .distinct()
+        .select("prio", F.length("prio").alias("prio_len"))
+        .unionByName(
+            o.sparkSession.createDataFrame(
+                [(None, -1)], "prio string, prio_len int"
+            )
+        )
+    )
+    return (
+        keyed.join(
+            F.broadcast(dim_rows),
+            keyed["prio"].eqNullSafe(dim_rows["prio"]),
+        )
+        .groupBy(dim_rows["prio"].alias("prio"), "prio_len")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_JOIN_NULL_SAFE = """
+WITH keyed AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 <> 0 THEN o_orderpriority END AS prio
+  FROM orders
+),
+dim AS (
+  SELECT prio, length(prio) AS prio_len
+  FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders)
+  UNION ALL SELECT NULL AS prio, -1 AS prio_len
+)
+SELECT d.prio, d.prio_len, count(*) AS n_orders
+FROM keyed k JOIN dim d ON k.prio IS NOT DISTINCT FROM d.prio
+GROUP BY 1, 2
+"""
+
+
+QUERIES["join_null_safe"] = QuerySpec(q_join_null_safe, SQL_JOIN_NULL_SAFE)
