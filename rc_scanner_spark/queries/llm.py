@@ -2548,25 +2548,39 @@ def q_profile_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality calibration profile: exact p10/median/p90 of
     the composite quality score plus the share of docs clearing the
     prep pipeline's 0.35 gate — the diagnostic a curation team reads
-    before tuning per-source thresholds.  Exact ``percentile`` (not
-    approx) so the DuckDB twin (quantile_cont) agrees bit-for-bit on
-    the rounded values; one hash aggregate, no windows."""
+    before tuning per-source thresholds.
+
+    Percentiles are RANK-SELECTED (lower quantile_disc: the element at
+    row floor((n-1)*p) + 1 of the per-source ordering), not
+    interpolated — interpolated quantile_cont agreed with Spark's
+    percentile() at sf0.01 but diverged by 1 ulp at sf0.1 (the two
+    engines order the a + d*(b-a) arithmetic differently, and with 20
+    sources x 500 docs one group lands on a round(4) tie).  Rank
+    selection is pure integer indexing over identically-rounded row
+    values, scale-independent.  The window partitions per source."""
     d = _t(spark, sf_dir, "documents")
     q = quality_score(F.col("text"))
-    return (
+    w = Window.partitionBy("source").orderBy("q")
+    ranked = (
         d.select("source", q.alias("q"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.expr("percentile(q, 0.1)"), 4).alias("p10"),
-            F.round(F.expr("percentile(q, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(q, 0.9)"), 4).alias("p90"),
-            F.round(
-                F.sum(F.when(F.col("q") >= 0.35, 1).otherwise(0))
-                / F.count(F.lit(1)).cast("double"),
-                4,
-            ).alias("pass_rate"),
-        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("source")))
+    )
+
+    def pick(p: float):
+        target = F.floor((F.col("n") - 1) * F.lit(p)).cast("long") + 1
+        return F.max(F.when(F.col("rn") == target, F.col("q")))
+
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pick(0.1).alias("p10"),
+        pick(0.5).alias("p50"),
+        pick(0.9).alias("p90"),
+        F.round(
+            F.sum(F.when(F.col("q") >= 0.35, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("pass_rate"),
     )
 
 
@@ -2590,14 +2604,23 @@ WITH m AS (
                                                        AS DOUBLE) END, 4),
                                 0.0) * 5, 1.0) * 0.2, 4) AS q
   FROM documents
+),
+ranked AS (
+  SELECT source, q,
+         row_number() OVER (PARTITION BY source ORDER BY q) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM m
 )
 SELECT source, count(*) AS n_docs,
-       round(quantile_cont(q, 0.1), 4) AS p10,
-       round(quantile_cont(q, 0.5), 4) AS p50,
-       round(quantile_cont(q, 0.9), 4) AS p90,
+       max(CASE WHEN rn = CAST(floor((n - 1) * 0.1) AS BIGINT) + 1
+                THEN q END) AS p10,
+       max(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+                THEN q END) AS p50,
+       max(CASE WHEN rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1
+                THEN q END) AS p90,
        round(sum(CASE WHEN q >= 0.35 THEN 1 ELSE 0 END)
              / CAST(count(*) AS DOUBLE), 4) AS pass_rate
-FROM m GROUP BY source
+FROM ranked GROUP BY source
 """
 
 

@@ -294,8 +294,20 @@ def q_join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # Per-item integer cents, then an exact bigint sum: a raw
+            # double sum + round(., 2) hits cent-tie boundaries once
+            # the group count grows (first seen at sf0.1 — thousands
+            # of output groups, engine-dependent summation order).
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                        + 0.5
+                    ).cast("long")
+                )
+                / 100.0
             ).alias("revenue")
         )
     )
@@ -303,7 +315,8 @@ def q_join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JOIN_INNER_AGG = """
 SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) / 100.0 AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
