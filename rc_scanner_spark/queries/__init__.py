@@ -98,6 +98,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "agg_filtered",
     "split_leakage_safe",
     "join_null_safe",
+    "dedup_cluster_size_hist",
+    "events_mad_anomaly",
     # rows-only pair last in the block: the driver records only a
     # weaker rows-only check for these, so oracle-backed queries get
     # the hash-checked prefix slots.

@@ -931,3 +931,42 @@ FROM assigned a JOIN audit u USING (fp)
 QUERIES["split_leakage_safe"] = QuerySpec(
     q_split_leakage_safe, SQL_SPLIT_LEAKAGE_SAFE
 )
+
+
+# --------------------------------------------------------------------
+# Dup-cluster size histogram
+# --------------------------------------------------------------------
+
+
+def q_dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of exact-dup cluster sizes (1 = unique): the
+    one-glance corpus-health chart — a fat tail here means a mirror
+    or template factory upstream.  Two hash aggregations (fingerprint
+    -> cluster size -> histogram), nothing else."""
+    from ..operators.text import normalize
+
+    d = _t(spark, sf_dir, "documents")
+    sizes = d.select(
+        F.md5(normalize(F.col("text"))).alias("fp")
+    ).groupBy("fp").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("size").alias("n_docs"),
+    )
+
+
+SQL_DEDUP_CLUSTER_SIZE_HIST = """
+WITH sizes AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         count(*) AS size
+  FROM documents GROUP BY 1
+)
+SELECT size, count(*) AS n_clusters,
+       CAST(sum(size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1
+"""
+
+
+QUERIES["dedup_cluster_size_hist"] = QuerySpec(
+    q_dedup_cluster_size_hist, SQL_DEDUP_CLUSTER_SIZE_HIST
+)

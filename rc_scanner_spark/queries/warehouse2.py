@@ -1293,3 +1293,98 @@ GROUP BY 1, 2
 
 
 QUERIES["join_null_safe"] = QuerySpec(q_join_null_safe, SQL_JOIN_NULL_SAFE)
+
+
+# --------------------------------------------------------------------
+# Robust (MAD) anomaly detection
+# --------------------------------------------------------------------
+
+_MAD_K = 3.0 * 1.4826  # 3-sigma-equivalent for a normal distribution
+
+
+def q_events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust hourly-rate anomaly detection via median absolute
+    deviation — the mean/std z-score (events_rate_anomaly) is itself
+    dragged by the outliers it hunts; MAD is the robust twin.
+    Medians are RANK-SELECTED (lower disc — integer indexing, the
+    scale-independent discipline from profile_quality_by_source), so
+    every compared value is an exact integer and the only double is
+    the fixed 3*1.4826 threshold factor.
+
+    Scale: hourly rollup first; two per-type window passes over the
+    bounded (type x hours) frame."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    def disc_median(df, part, col, out):
+        w = W.partitionBy(part).orderBy(col)
+        ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(W.partitionBy(part))
+        )
+        target = F.floor((F.col("n") - 1) * 0.5).cast("long") + 1
+        med = (
+            ranked.filter(F.col("rn") == target)
+            .select(part, F.col(col).alias(out))
+        )
+        return df.join(med, part)
+
+    with_med = disc_median(hourly, "event_type", "cnt", "med")
+    dev = with_med.withColumn(
+        "adev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    with_mad = disc_median(dev, "event_type", "adev", "mad")
+    return (
+        with_mad.filter(
+            F.col("adev").cast("double") > F.lit(_MAD_K) * F.col("mad")
+        )
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            "cnt",
+            "med",
+            "mad",
+        )
+    )
+
+
+SQL_EVENTS_MAD_ANOMALY = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+med AS (
+  SELECT event_type, cnt AS med FROM r1
+  WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+),
+dev AS (
+  SELECT h.*, m.med, abs(h.cnt - m.med) AS adev
+  FROM hourly h JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, adev AS mad FROM r2
+  WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+)
+SELECT d.event_type, strftime(d.h, '%Y-%m-%d %H:00') AS hour,
+       d.cnt, d.med, m.mad
+FROM dev d JOIN mad m USING (event_type)
+WHERE CAST(d.adev AS DOUBLE) > {_MAD_K} * m.mad
+"""
+
+
+QUERIES["events_mad_anomaly"] = QuerySpec(
+    q_events_mad_anomaly, SQL_EVENTS_MAD_ANOMALY
+)
