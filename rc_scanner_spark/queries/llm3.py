@@ -1,20 +1,23 @@
-"""Round-5 LLM-pipeline additions, batch 2: exact substring-span
-dedup (the token-window form of "Deduplicating Training Data Makes
-Language Models Better"-style exact-substring removal), Pareto-
-frontier data selection (multi-objective quality-vs-cost), and
-perceptual-hash near-duplicate detection on the multimodal column.
+"""Round-5 LLM-pipeline additions: exact substring-span dedup (the
+token-window form of "Deduplicating Training Data Makes Language
+Models Better"-style exact-substring removal), Pareto-frontier data
+selection, perceptual-hash near-dup on the multimodal column,
+cross-source contamination matrices, Zipf-slope corpus forensics,
+Poisson bootstrap resampling + distributed bootstrap CIs,
+mixed-language detection, exact-k uniform sampling, compression-ratio
+quality scoring, leakage-safe splitting, and dup-cluster size
+histograms.
 
-Scale notes (the 100 TB test, per query):
-  * dedup_substring_spans — token windows hash to 8-byte keys AT
-    BIRTH (md5-prefix longs), so the duplicate-key count shuffles
-    longs, never strings; per-doc span-union coverage is a window
-    partitioned by doc_id (bounded frame).
-  * select_pareto_frontier — dominance via two partitioned windows
-    (RANGE strictly-preceding running max + same-token-count max), no
-    O(n^2) dominance self-join anywhere.
-  * multimodal_phash_neardup — banded Hamming blocking (explode x4 +
-    band equi-join), the SimHash plan shape applied to image hashes;
-    the only Python is the Arrow-batched decode/phash boundary.
+Shared scale discipline (per-query notes on each builder):
+  * every join/shuffle key that starts life as a string is hashed to
+    an md5-prefix LONG at birth (8-byte shuffle keys, replayable in
+    the DuckDB twin);
+  * windows partition on a bounded key (doc_id, lang, source) — no
+    unpartitioned frames;
+  * blocking (bands, buckets, length-bands) precedes every pairwise
+    comparison — no all-pairs joins;
+  * Python appears only at honestly-stubbed Arrow boundaries (phash
+    decode, zlib) — everything else is codegen.
 """
 
 from __future__ import annotations

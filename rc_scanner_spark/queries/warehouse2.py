@@ -1,28 +1,26 @@
-"""Round-5 warehouse / time-series additions: CDC snapshot diff,
-rolling distinct-user windows, EWMA smoothing, hopping (sliding) time
-windows, and triangle counting on the co-purchase graph.
+"""Round-5 warehouse / time-series / graph additions: CDC snapshot
+diff, rolling distinct-user windows, EWMA smoothing, hopping windows,
+triangle counting + link prediction on the co-purchase graph, fuzzy
+entity resolution, arg-max aggregation, window-frame coverage,
+join-key skew diagnostics, per-group quantiles, period-over-period
+growth, cumulative adoption, conversion latency, interval-overlap
+peak concurrency, FILTER-clause aggregates, null-safe joins, and MAD
+robust anomaly detection.
 
 Why these belong in a 100 TB training-data engine: corpus refreshes
-are snapshot diffs (what changed between yesterday's crawl and
-today's?), rolling actives and EWMA are the monitoring primitives a
-continuously-ingesting pipeline alarms on, hopping windows are the
-batch twin of Structured Streaming's ``window(ts, w, slide)``, and
-triangle counting is the classic "is this dup-cluster a clique or a
-chain?" graph diagnostic.
+are snapshot diffs, rolling actives / EWMA / MAD are the monitoring
+primitives a continuously-ingesting pipeline alarms on, hopping
+windows are the batch twin of streaming window(ts, w, slide), the
+graph queries diagnose dup-cluster topology, and the skew profile is
+the pre-salting decision input.
 
-Scale notes (the 100 TB test, per query):
-  * cdc_snapshot_diff — ONE co-partitioned full-outer shuffle on the
-    snapshot key; both sides prune scan columns to the compare set.
-  * events_rolling_active_users — the 7-day band join is re-expressed
-    as explode(sequence) x7 + equi-groupBy, so it is a plain hash
-    shuffle (no nested-loop range join, no per-day window state).
-  * events_ewma_smooth — contributions explode x horizon on the
-    day-spine frame (days x types, bounded), never on raw events.
-  * time_window_sliding — F.window(w, slide) explodes each row into
-    w/slide assignments JVM-side; state is per-window partial aggs.
-  * graph_triangle_count — support threshold prunes the edge set
-    before the two triangle joins; orientation (pa < pb) halves the
-    join fan-out the standard way.
+Shared scale discipline (per-query notes on each builder):
+  * range/band joins re-expressed as explode + equi-shuffles;
+  * running sums via hierarchical prefix (day base + partitioned
+    within-day window) — no unpartitioned window anywhere;
+  * money through integer cents, rates through integer ppm, medians
+    rank-selected — no float round-tie boundaries at any scale;
+  * frames referenced more than once are persisted.
 """
 
 from __future__ import annotations
