@@ -13,6 +13,9 @@ columns; the per-partition rollup is one hash aggregation.
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -75,4 +78,40 @@ def compaction_plan(
         .withColumn(
             "needs_compaction", F.col("n_files") > F.col("target_files")
         )
+    )
+
+
+# --- rewrite-side compaction ------------------------------------------------
+
+
+def dir_bytes(path: str) -> int:
+    """Total bytes of data files under ``path`` (local filesystem; on
+    a cluster ask the FileSystem API instead)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_to(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    shuffle: bool = False,
+) -> int:
+    """Rewrite ``src_dir`` parquet into ``dst_dir`` with file count
+    sized to ``target_bytes`` per file (pre-compression estimate from
+    on-disk size — compressed output files land under target, never
+    over by much).  Returns the number of output files."""
+    df: DataFrame = spark.read.parquet(src_dir)
+    n_files = max(1, math.ceil(dir_bytes(src_dir) / target_bytes))
+    out = df.repartition(n_files) if shuffle else df.coalesce(n_files)
+    out.write.mode("overwrite").parquet(dst_dir)
+    return sum(
+        1
+        for f in os.listdir(dst_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
     )
