@@ -100,6 +100,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "join_null_safe",
     "dedup_cluster_size_hist",
     "events_mad_anomaly",
+    "ann_recall_eval",
     # rows-only pair last in the block: the driver records only a
     # weaker rows-only check for these, so oracle-backed queries get
     # the hash-checked prefix slots.

@@ -973,3 +973,74 @@ FROM sizes GROUP BY 1
 QUERIES["dedup_cluster_size_hist"] = QuerySpec(
     q_dedup_cluster_size_hist, SQL_DEDUP_CLUSTER_SIZE_HIST
 )
+
+
+# --------------------------------------------------------------------
+# ANN recall evaluation (IVF vs brute force)
+# --------------------------------------------------------------------
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index against the exact brute-force
+    baseline — the evaluation harness an ANN deployment ships with:
+    accuracy claims about approximate search need a measured number,
+    not an architecture diagram.  Reuses both existing builders and
+    joins their (query_id, vec_id) result sets; recall is integer ppm
+    per query, then an integer-ppm mean (no float round ties).
+
+    Scale: both arms are the already-audited plans; the comparison
+    adds one equi-join on (query_id, vec_id) and a two-level
+    aggregate."""
+    from .llm import q_ann_cosine_topk, q_ann_ivf_topk
+
+    brute = q_ann_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    ivf = q_ann_ivf_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = brute.join(ivf, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    per_q = (
+        brute.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.expr(
+                "(1000000 * coalesce(n_hit, 0)) DIV k"
+            ).alias("recall_ppm"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.expr("sum(recall_ppm) DIV count(*)").alias("mean_recall_ppm"),
+        F.min("recall_ppm").alias("min_recall_ppm"),
+    )
+
+
+def _sql_ann_recall_eval() -> str:
+    from .llm import SQL_ANN_COSINE_TOPK, SQL_ANN_IVF_TOPK
+
+    return f"""
+WITH brute AS ({SQL_ANN_COSINE_TOPK}),
+ivf AS ({SQL_ANN_IVF_TOPK}),
+hits AS (
+  SELECT b.query_id, count(*) AS n_hit
+  FROM brute b JOIN ivf USING (query_id, vec_id)
+  GROUP BY 1
+),
+per_q AS (
+  SELECT b.query_id,
+         (1000000 * coalesce(h.n_hit, 0)) // count(*) AS recall_ppm
+  FROM brute b LEFT JOIN hits h USING (query_id)
+  GROUP BY b.query_id, h.n_hit
+)
+SELECT count(*) AS n_queries,
+       CAST(sum(recall_ppm) AS BIGINT) // count(*) AS mean_recall_ppm,
+       min(recall_ppm) AS min_recall_ppm
+FROM per_q
+"""
+
+
+SQL_ANN_RECALL_EVAL = _sql_ann_recall_eval()
+
+
+QUERIES["ann_recall_eval"] = QuerySpec(q_ann_recall_eval, SQL_ANN_RECALL_EVAL)
