@@ -101,6 +101,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_size_hist",
     "events_mad_anomaly",
     "ann_recall_eval",
+    "sketch_hll_intersect",
+    "agg_weighted_median",
     # rows-only pair last in the block: the driver records only a
     # weaker rows-only check for these, so oracle-backed queries get
     # the hash-checked prefix slots.

@@ -267,3 +267,69 @@ QUERIES: dict[str, QuerySpec] = {
         q_sketch_countmin_topk, SQL_SKETCH_COUNTMIN_TOPK
     ),
 }
+
+
+# --------------------------------------------------------------------
+# HLL set-intersection estimation (inclusion-exclusion)
+# --------------------------------------------------------------------
+
+
+def q_sketch_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated audience overlap between event types from SKETCHES
+    ONLY: |A n B| ~ est(A) + est(B) - est(A u B) via HLL union —
+    the mergeable-summary answer to "how many users both view and
+    purchase" without re-reading events.  Inclusion-exclusion
+    amplifies HLL error (three estimates subtract), so the guard band
+    is 15% of the union rather than the single-sketch 5%.
+
+    Bounded-error oracle: output = exact intersection + a
+    within-band boolean (same discipline as sketch_hll_mergeable)."""
+    e = _t(spark, sf_dir, "events")
+    pair = ("view", "purchase")
+    sk = (
+        e.filter(F.col("event_type").isin(*pair))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(LG_K)).alias("sk"))
+    )
+    est = sk.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("a")
+    )
+    union_est = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u")
+    )
+    exact = (
+        e.filter(F.col("event_type") == pair[0])
+        .select("user_id")
+        .intersect(
+            e.filter(F.col("event_type") == pair[1]).select("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    wide = (
+        est.groupBy()
+        .pivot("event_type", list(pair))
+        .agg(F.first("a"))
+        .crossJoin(union_est)
+        .crossJoin(F.broadcast(exact))
+    )
+    approx = F.col(pair[0]) + F.col(pair[1]) - F.col("u")
+    return wide.select(
+        "exact_overlap",
+        (
+            F.abs(approx - F.col("exact_overlap"))
+            <= F.lit(0.15) * F.col("u")
+        ).alias("within_band"),
+    )
+
+
+SQL_SKETCH_HLL_INTERSECT = """
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT count(*) AS exact_overlap, TRUE AS within_band
+FROM a JOIN b USING (user_id)
+"""
+
+
+QUERIES["sketch_hll_intersect"] = QuerySpec(
+    q_sketch_hll_intersect, SQL_SKETCH_HLL_INTERSECT
+)

@@ -1386,3 +1386,90 @@ WHERE CAST(d.adev AS DOUBLE) > {_MAD_K} * m.mad
 QUERIES["events_mad_anomaly"] = QuerySpec(
     q_events_mad_anomaly, SQL_EVENTS_MAD_ANOMALY
 )
+
+
+# --------------------------------------------------------------------
+# Weighted quantiles
+# --------------------------------------------------------------------
+
+
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted median quality per source: the median where each
+    doc counts by its token mass, so the answer reflects the corpus a
+    model actually trains on, not a per-doc vote.  Lower weighted
+    median: the smallest q whose cumulative weight reaches half the
+    total — rank-selected (cumulative-sum window partitioned per
+    source), all integer arithmetic.
+
+    Scale: one partitioned cumulative window per source.  A source
+    whose docs exceed one partition's comfort gets pre-banded by a
+    quality band first (the profile_quality_by_source note) — same
+    two-level trick as the hierarchical prefix sums."""
+    from pyspark.sql import Window as W
+
+    from ..operators.text import quality_score, words
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        F.floor(quality_score(F.col("text")) * 10000 + 0.5)
+        .cast("long")
+        .alias("q4"),
+        F.size(words(F.col("text"))).alias("w"),
+    ).filter(F.col("w") > 0)
+    w_cum = (
+        W.partitionBy("source")
+        .orderBy("q4")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = scored.withColumn("cw", F.sum("w").over(w_cum)).withColumn(
+        "tw", F.sum("w").over(W.partitionBy("source"))
+    )
+    # lower weighted median: first row (in q4 order) with 2*cw >= tw
+    hit = cum.filter(2 * F.col("cw") >= F.col("tw"))
+    return hit.groupBy("source").agg(
+        F.min("q4").alias("wmedian_q4"),
+        F.max("tw").alias("total_tokens"),
+    )
+
+
+def _sql_agg_weighted_median() -> str:
+    from ..operators.text import LANG_MARKERS as _M
+
+    return f"""
+WITH scored AS (
+  SELECT source,
+         CAST(floor(round(least(len(regexp_extract_all(lower(text), '[a-z]+'))
+                               / 50.0, 1.0) * 0.4
+            + coalesce(round(len(regexp_extract_all(lower(text), '{_M["en"]}'))
+               / CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+                      THEN CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                                AS DOUBLE) END, 4), 0.0) * 0.4
+            + least(coalesce(round(len(regexp_extract_all(text, '[.,;:!?]'))
+               / CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+                      THEN CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                                AS DOUBLE) END, 4), 0.0) * 5, 1.0) * 0.2, 4)
+            * 10000 + 0.5) AS BIGINT) AS q4,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+cum AS (
+  SELECT source, q4, w,
+         sum(w) OVER (PARTITION BY source ORDER BY q4
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY source) AS tw
+  FROM scored WHERE w > 0
+)
+SELECT source, CAST(min(q4) AS BIGINT) AS wmedian_q4,
+       CAST(max(tw) AS BIGINT) AS total_tokens
+FROM cum WHERE 2 * cw >= tw
+GROUP BY 1
+"""
+
+
+SQL_AGG_WEIGHTED_MEDIAN = _sql_agg_weighted_median()
+
+
+QUERIES["agg_weighted_median"] = QuerySpec(
+    q_agg_weighted_median, SQL_AGG_WEIGHTED_MEDIAN
+)
