@@ -93,6 +93,9 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     ).select("doc_id", "n_tokens", F.col("w.start").alias("start"), F.col("w.key").alias("key"))
+    from ..operators import dedup as _dedup
+
+    win = _dedup._track_persist(win)  # read by dup_keys AND dup_win
     dup_keys = (
         win.groupBy("key")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -116,7 +119,8 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cov").alias("covered_tokens"),
         )
     )
-    base = d.select("doc_id", F.size(words(F.col("text"))).alias("n_tokens"))
+    # reuse the tokenized frame instead of re-tokenizing documents
+    base = ws.select("doc_id", F.size("ws").alias("n_tokens"))
     return base.join(covered, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
@@ -350,6 +354,9 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    from ..operators import dedup as _dedup
+
+    sk = _dedup._track_persist(sk)  # read by sizes and both join sides
     sizes = sk.groupBy("source").agg(F.count(F.lit(1)).alias("n_keys"))
     a = sk.alias("a")
     b = sk.alias("b")
@@ -489,7 +496,21 @@ GROUP BY 1
 
 # Inverse-CDF cutoffs for Poisson(1), capped at 5 copies:
 # P(X=k) cumulative = .367879, .735759, .919699, .981012, .996340, 1.
+# Shared by sample_poisson_bootstrap and bootstrap_ci_mean (one
+# constant — a precision fix lands in both queries and both twins).
 _POIS_CUTS = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340)
+
+
+def _poisson_k(u):
+    """Inverse-CDF Poisson(1) draw from a uniform [0,1) column."""
+    return (
+        F.when(u < _POIS_CUTS[0], 0)
+        .when(u < _POIS_CUTS[1], 1)
+        .when(u < _POIS_CUTS[2], 2)
+        .when(u < _POIS_CUTS[3], 3)
+        .when(u < _POIS_CUTS[4], 4)
+        .otherwise(5)
+    )
 
 
 def q_sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,16 +532,8 @@ def q_sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % 1000000
     ) / 1000000.0
-    k = (
-        F.when(u < _POIS_CUTS[0], 0)
-        .when(u < _POIS_CUTS[1], 1)
-        .when(u < _POIS_CUTS[2], 2)
-        .when(u < _POIS_CUTS[3], 3)
-        .when(u < _POIS_CUTS[4], 4)
-        .otherwise(5)
-    )
     return (
-        d.select("doc_id", "source", k.alias("k"))
+        d.select("doc_id", "source", _poisson_k(u).alias("k"))
         .filter(F.col("k") > 0)
         .select(
             "doc_id",
@@ -599,8 +612,6 @@ def q_text_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_case(prefix: str) -> str:
-    from ..operators.text import LANG_MARKERS as _M
-
     g = f"greatest({prefix}_en, {prefix}_de, {prefix}_fr, {prefix}_es)"
     return (
         f"CASE WHEN {prefix}_zh > 0 THEN 'zh' "
@@ -656,7 +667,6 @@ SQL_TEXT_LANG_MIX = _sql_text_lang_mix()
 # --------------------------------------------------------------------
 
 _BOOT_B = 32  # resamples
-_BCUTS = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340)
 
 
 def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,16 +702,8 @@ def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % 1000000
     ) / 1000000.0
-    k = (
-        F.when(u < _BCUTS[0], 0)
-        .when(u < _BCUTS[1], 1)
-        .when(u < _BCUTS[2], 2)
-        .when(u < _BCUTS[3], 3)
-        .when(u < _BCUTS[4], 4)
-        .otherwise(5)
-    )
     means = (
-        rep.select("b", "n_chars", k.alias("k"))
+        rep.select("b", "n_chars", _poisson_k(u).alias("k"))
         .groupBy("b")
         .agg(
             (
@@ -733,11 +735,11 @@ drawn AS (
 ),
 weighted AS (
   SELECT b, n_chars,
-         CASE WHEN u < {_BCUTS[0]} THEN 0
-              WHEN u < {_BCUTS[1]} THEN 1
-              WHEN u < {_BCUTS[2]} THEN 2
-              WHEN u < {_BCUTS[3]} THEN 3
-              WHEN u < {_BCUTS[4]} THEN 4
+         CASE WHEN u < {_POIS_CUTS[0]} THEN 0
+              WHEN u < {_POIS_CUTS[1]} THEN 1
+              WHEN u < {_POIS_CUTS[2]} THEN 2
+              WHEN u < {_POIS_CUTS[3]} THEN 3
+              WHEN u < {_POIS_CUTS[4]} THEN 4
               ELSE 5 END AS k
   FROM drawn
 ),
@@ -993,7 +995,11 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate."""
     from .llm import q_ann_cosine_topk, q_ann_ivf_topk
 
-    brute = q_ann_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    from ..operators import dedup as _dedup
+
+    brute = _dedup._track_persist(
+        q_ann_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    )  # read by the hits join AND the per-query k groupBy
     ivf = q_ann_ivf_topk(spark, sf_dir).select("query_id", "vec_id")
     hits = brute.join(ivf, ["query_id", "vec_id"]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_hit")

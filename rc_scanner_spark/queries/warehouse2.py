@@ -364,20 +364,13 @@ _TRI_MAX_ORDER = 10  # drop mega-orders before pairing (fan-out guard)
 _TRI_MIN_SUPPORT = 2  # edge = pair co-occurring in >= 2 orders
 
 
-def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle participation on the part co-purchase graph
-    (edges = part pairs co-occurring in >= 2 small orders).  The
-    standard oriented enumeration: every triangle a<b<c is found
-    exactly once via e(a,b) |><| e(b,c) |><| e(a,c).
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-pruned oriented co-purchase edge frame (pa < pb),
+    shared by triangle counting and link prediction.  Persisted via
+    the dedup module's tracked-cache mechanism so long-lived sessions
+    can release it (operators/dedup.release_caches)."""
+    from ..operators import dedup as _dedup
 
-    Scale: the support threshold and the max-order guard prune the
-    edge set BEFORE the two triangle joins (the same basket hygiene
-    as basket_part_pairs); orientation (pa < pb) makes each join a
-    plain equi-join with no duplicate enumeration to dedup after.
-    The edge frame is persisted because the enumeration references it
-    three times — without it the pairing groupBy (the expensive
-    stage) would run 3x (AQE exchange reuse is not guaranteed across
-    differently-keyed consumers)."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -402,7 +395,41 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("s"))
         .filter(F.col("s") >= _TRI_MIN_SUPPORT)
         .select("pa", "pb")
-    ).persist()
+    )
+    return _dedup._track_persist(edges)
+
+
+_SQL_EDGES_CTE = f"""li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2
+),
+ok AS (
+  SELECT l_orderkey FROM li GROUP BY 1
+  HAVING count(*) <= {_TRI_MAX_ORDER}
+),
+li2 AS (SELECT li.* FROM li JOIN ok USING (l_orderkey)),
+edges AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li2 a JOIN li2 b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}
+)"""
+
+
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation on the part co-purchase graph
+    (edges = part pairs co-occurring in >= 2 small orders).  The
+    standard oriented enumeration: every triangle a<b<c is found
+    exactly once via e(a,b) |><| e(b,c) |><| e(a,c).
+
+    Scale: the support threshold and the max-order guard prune the
+    edge set BEFORE the two triangle joins (the same basket hygiene
+    as basket_part_pairs); orientation (pa < pb) makes each join a
+    plain equi-join with no duplicate enumeration to dedup after.
+    The edge frame is persisted (tracked — release via
+    operators/dedup.release_caches) because the enumeration references
+    it three times; AQE exchange reuse is not guaranteed across
+    differently-keyed consumers."""
+    edges = _copurchase_edges(spark, sf_dir)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -428,20 +455,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_GRAPH_TRIANGLE_COUNT = f"""
-WITH li AS (
-  SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2
-),
-ok AS (
-  SELECT l_orderkey FROM li GROUP BY 1
-  HAVING count(*) <= {_TRI_MAX_ORDER}
-),
-li2 AS (SELECT li.* FROM li JOIN ok USING (l_orderkey)),
-edges AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb
-  FROM li2 a JOIN li2 b USING (l_orderkey)
-  WHERE a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}
-),
+WITH {_SQL_EDGES_CTE},
 tri AS (
   SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
   FROM edges e1
@@ -675,7 +689,6 @@ def q_er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Best match per dirty name = min(struct(distance, partkey)) — an
     aggregate, not a window."""
     p = _t(spark, sf_dir, "part")
-    pos = (F.col("p_partkey") % F.length("p_name")).cast("int") + 1
     dirty = (
         p.filter(F.col("p_partkey") % 10 == 0)
         .select(
@@ -784,40 +797,47 @@ def q_window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     from pyspark.sql import Window as W
 
+    # Key on the week's START DATE, not weekofyear(): the bare ISO week
+    # number collapses the same week of different years and folds the
+    # Dec-29..31 ISO-week-1 spillover into January.
     weekly = (
         ev.groupBy(
             "event_type",
-            F.weekofyear("ts").alias("week"),
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias(
+                "week_start"
+            ),
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = W.partitionBy("event_type").orderBy("week")
+    w = W.partitionBy("event_type").orderBy("week_start")
     return weekly.select(
         "event_type",
-        "week",
+        "week_start",
         "n",
         F.lag("n").over(w).alias("prev_n"),
         F.expr(
-            "CASE WHEN lag(n) OVER (PARTITION BY event_type ORDER BY week)"
-            " IS NOT NULL THEN ((n - lag(n) OVER (PARTITION BY event_type"
-            " ORDER BY week)) * 1000000) DIV lag(n) OVER (PARTITION BY"
-            " event_type ORDER BY week) END"
+            "CASE WHEN lag(n) OVER (PARTITION BY event_type ORDER BY"
+            " week_start) IS NOT NULL THEN ((n - lag(n) OVER (PARTITION BY"
+            " event_type ORDER BY week_start)) * 1000000) DIV lag(n) OVER"
+            " (PARTITION BY event_type ORDER BY week_start) END"
         ).alias("growth_ppm"),
     )
 
 
 SQL_WINDOW_PERIOD_OVER_PERIOD = """
 WITH weekly AS (
-  SELECT event_type, weekofyear(ts) AS week, count(*) AS n
+  SELECT event_type,
+         strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+         count(*) AS n
   FROM events GROUP BY 1, 2
 )
-SELECT event_type, week, n,
+SELECT event_type, week_start, n,
        lag(n) OVER w AS prev_n,
        CASE WHEN lag(n) OVER w IS NOT NULL
             THEN ((n - lag(n) OVER w) * 1000000) // lag(n) OVER w
        END AS growth_ppm
 FROM weekly
-WINDOW w AS (PARTITION BY event_type ORDER BY week)
+WINDOW w AS (PARTITION BY event_type ORDER BY week_start)
 """
 
 
@@ -902,35 +922,12 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     e(a,b) |><| e(b,c) reuses the triangle machinery; existing edges
     are removed with an anti-join.
 
-    Scale: the same support-pruned persisted edge frame as
-    graph_triangle_count; wedges are bounded by sum(deg^2) over the
-    pruned graph; top-k is TakeOrderedAndProject.  Scores are integer
-    ppm (no float round ties)."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    ok = (
-        li.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= _TRI_MAX_ORDER)
-        .select("l_orderkey")
-    )
-    li2 = li.join(ok, "l_orderkey")
-    a = li2.alias("a")
-    b = li2.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count(F.lit(1)).alias("s"))
-        .filter(F.col("s") >= _TRI_MIN_SUPPORT)
-        .select("pa", "pb")
-    ).persist()
+    Scale: reuses the SAME support-pruned persisted edge frame as
+    graph_triangle_count (one builder, one cache); wedges are bounded
+    by sum(deg^2) over the pruned graph; top-k is
+    TakeOrderedAndProject.  Scores are integer ppm (no float round
+    ties)."""
+    edges = _copurchase_edges(spark, sf_dir)
     # undirected adjacency (both orientations) for wedges + degrees
     und = edges.union(
         edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
@@ -972,20 +969,7 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_GRAPH_LINK_PREDICTION = f"""
-WITH li AS (
-  SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2
-),
-ok AS (
-  SELECT l_orderkey FROM li GROUP BY 1
-  HAVING count(*) <= {_TRI_MAX_ORDER}
-),
-li2 AS (SELECT li.* FROM li JOIN ok USING (l_orderkey)),
-edges AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb
-  FROM li2 a JOIN li2 b USING (l_orderkey)
-  WHERE a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}
-),
+WITH {_SQL_EDGES_CTE},
 und AS (
   SELECT pa, pb FROM edges
   UNION ALL SELECT pb AS pa, pa AS pb FROM edges
@@ -1127,15 +1111,35 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.expr(f"INTERVAL {_CONC_TTL_MIN} MINUTES")
             ).alias("m_end"),
         )
-    ).persist()  # referenced twice (start/end delta arms)
+    )
+    from ..operators import dedup as _dedup
+
+    starts = _dedup._track_persist(starts)  # two delta arms read it
     deltas = starts.select(
         F.col("m_start").alias("m"), F.lit(1).alias("d")
     ).unionAll(
         starts.select(F.col("m_end").alias("m"), F.lit(-1).alias("d"))
     )
-    per_min = deltas.groupBy("m").agg(F.sum("d").alias("delta")).select(
-        "m", F.to_date("m").alias("day"), "delta"
-    ).persist()  # feeds both the within-day window and the day totals
+    # Zero-delta sentinel at every observed day's midnight: without it
+    # a day whose first own delta comes late never evaluates the count
+    # carried over from the previous day (sessions crossing midnight),
+    # and its peak is understated.
+    midnights = (
+        deltas.agg(
+            F.to_date(F.min("m")).alias("mn"), F.to_date(F.max("m")).alias("mx")
+        )
+        .select(F.explode(F.sequence("mn", "mx")).alias("day"))
+        .select(
+            F.col("day").cast("timestamp").alias("m"), F.lit(0).alias("d")
+        )
+    )
+    per_min = (
+        deltas.unionAll(midnights)
+        .groupBy("m")
+        .agg(F.sum("d").alias("delta"))
+        .select("m", F.to_date("m").alias("day"), "delta")
+    )
+    per_min = _dedup._track_persist(per_min)  # window + day totals
     w_in_day = (
         W.partitionBy("day")
         .orderBy("m")
@@ -1179,9 +1183,17 @@ deltas AS (
   SELECT m_start AS m, 1 AS d FROM starts
   UNION ALL SELECT m_end AS m, -1 AS d FROM starts
 ),
+midnights AS (
+  SELECT CAST(unnest(generate_series(CAST(min(m) AS DATE),
+                                     CAST(max(m) AS DATE),
+                                     INTERVAL 1 DAY)) AS TIMESTAMP) AS m,
+         0 AS d
+  FROM deltas
+),
 per_min AS (
   SELECT m, CAST(m AS DATE) AS day, sum(d) AS delta
-  FROM deltas GROUP BY 1, 2
+  FROM (SELECT * FROM deltas UNION ALL SELECT * FROM midnights)
+  GROUP BY 1, 2
 ),
 run AS (
   SELECT day, m,

@@ -196,3 +196,44 @@ def test_uniform_k_sample_is_deterministic_and_exact_k(spark):
     a = [r.doc_id for r in REG["sample_uniform_k"].fn(spark, SF_SMOKE).collect()]
     b = [r.doc_id for r in REG["sample_uniform_k"].fn(spark, SF_SMOKE).collect()]
     assert a == b and len(a) == 100 and len(set(a)) == 100
+
+
+def test_concurrency_carries_over_midnight(spark, tmp_path):
+    """Sessions starting 23:50 remain active past midnight: the next
+    day's peak must register the carried count even though that day's
+    first own delta is the -1 at 00:20."""
+    rows = [
+        (i, "2024-01-01 23:50:00", 100 + i, "view", 1.0, "{}")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.day: r.peak_concurrency
+        for r in REG["events_concurrency"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out["2024-01-01"] == 5
+    assert out["2024-01-02"] == 5  # carried across midnight
+
+
+def test_period_over_period_separates_years(spark, tmp_path):
+    """Dec-30 (ISO week 1 of next year) must not merge with January's
+    week-1 data — the week key is the week-start date, not the bare
+    ISO week number."""
+    rows = [
+        (1, "2024-12-30 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2025-01-01 10:00:00", 2, "view", 1.0, "{}"),
+        (3, "2025-01-07 10:00:00", 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = REG["window_period_over_period"].fn(spark, str(tmp_path)).collect()
+    weeks = {r.week_start: r.n for r in out}
+    # 2024-12-30 and 2025-01-01 share ISO week 1 but are the SAME
+    # calendar week (week starting Mon 2024-12-30) — one bucket of 2 —
+    # while 2025-01-07 starts the next week.
+    assert weeks == {"2024-12-30": 2, "2025-01-06": 1}
