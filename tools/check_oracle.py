@@ -63,11 +63,16 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    from rc_scanner_spark.operators.dedup import release_caches
+
     registry = build_registry()
     failures = []
     for name, spec in registry.items():
         if filters and not any(f in name for f in filters):
             continue
+        # tracked persists (graph edges, shingle frames, ...) must not
+        # accumulate across a 200-query sweep
+        release_caches()
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
         except Exception as e:
