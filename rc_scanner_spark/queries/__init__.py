@@ -103,6 +103,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "ann_recall_eval",
     "sketch_hll_intersect",
     "agg_weighted_median",
+    "embed_centroid_outliers",
     # rows-only pair last in the block: the driver records only a
     # weaker rows-only check for these, so oracle-backed queries get
     # the hash-checked prefix slots.

@@ -1050,3 +1050,103 @@ SQL_ANN_RECALL_EVAL = _sql_ann_recall_eval()
 
 
 QUERIES["ann_recall_eval"] = QuerySpec(q_ann_recall_eval, SQL_ANN_RECALL_EVAL)
+
+
+# --------------------------------------------------------------------
+# Embedding centroid-distance outlier diagnostics
+# --------------------------------------------------------------------
+
+
+def q_embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors unusually far from the corpus centroid (cosine more
+    than 2 sigma below the mean): the cheap isolation gate that
+    surfaces corrupted or out-of-domain vectors before they poison an
+    ANN index.  (A norm check is vacuous here — the embeddings are
+    unit-normalized — so the diagnostic is directional.)
+
+    Determinism: per-dim centroid means come from EXACT integer sums
+    (values snap to a 1e-6 grid first), cosine lands on a 1e-4
+    integer grid, and the mean/sd of that grid use exact integer
+    sums — the only doubles are identical divisions, so no engine
+    ulp can cross a flag boundary.
+
+    Scale: one posexplode aggregate for the centroid (rows = dims),
+    broadcast back; everything else is map-side + one single-row
+    stats aggregate."""
+    from ..functions.vectors import as_double_array, cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    dims = (
+        v.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.floor(F.col("x") * 1e6 + 0.5).cast("long")).alias("s6"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("pos", (F.col("s6") / F.col("n") / 1e6).alias("m"))
+    )
+    centroid = dims.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda r: r["m"],
+        ).alias("cv")
+    )
+    sims = v.crossJoin(F.broadcast(centroid)).select(
+        "vec_id",
+        F.floor(cosine(F.col("v"), F.col("cv")) * 10000 + 0.5)
+        .cast("long")
+        .alias("s4"),
+    )
+    stats = sims.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s4").alias("s1"),
+        F.sum(F.col("s4") * F.col("s4")).alias("s2"),
+    ).select(
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.col("s2") / F.col("n")
+            - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+        ).alias("sd"),
+    )
+    return (
+        sims.crossJoin(F.broadcast(stats))
+        .filter(F.col("s4") < F.col("mu") - 2 * F.col("sd"))
+        .select("vec_id", "s4")
+    )
+
+
+SQL_EMBED_CENTROID_OUTLIERS = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+dims AS (
+  SELECT pos,
+         sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) * 1.0
+             / count(*) / 1e6 AS m
+  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM v)
+  GROUP BY 1
+),
+c AS (SELECT array_agg(m ORDER BY pos) AS cv FROM dims),
+sims AS (
+  SELECT vec_id,
+         CAST(floor(list_cosine_similarity(v.v, c.cv) * 10000 + 0.5)
+              AS BIGINT) AS s4
+  FROM v CROSS JOIN c
+),
+stats AS (
+  SELECT sum(s4) * 1.0 / count(*) AS mu,
+         sqrt(sum(s4 * s4) * 1.0 / count(*)
+              - (sum(s4) * 1.0 / count(*)) * (sum(s4) * 1.0 / count(*)))
+             AS sd
+  FROM sims
+)
+SELECT sims.vec_id, sims.s4
+FROM sims CROSS JOIN stats
+WHERE sims.s4 < stats.mu - 2 * stats.sd
+"""
+
+
+QUERIES["embed_centroid_outliers"] = QuerySpec(
+    q_embed_centroid_outliers, SQL_EMBED_CENTROID_OUTLIERS
+)
