@@ -428,3 +428,63 @@ def test_pareto_frontier_matches_bruteforce(spark, pts, tmp_path_factory):
         if not dominated:
             want.add(i)
     assert got == want
+
+
+@given(
+    starts=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # day offset
+            st.integers(0, 23),         # hour
+            st.integers(0, 59),         # minute
+            st.integers(100, 104),      # user id (collisions likely)
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SLOW
+def test_concurrency_matches_bruteforce(spark, starts, tmp_path_factory):
+    """events_concurrency peak-per-day equals a brute-force minute
+    sweep over the same session intervals (30-min TTL from each
+    user's first event of the day, carry across midnight included)."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from rc_scanner_spark.queries import build_registry
+
+    tmp = tmp_path_factory.mktemp("conc")
+    rows = []
+    for i, (d, h, m, u) in enumerate(starts):
+        ts = f"2024-01-{d+1:02d} {h:02d}:{m:02d}:17"
+        rows.append((i, ts, u, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    got = {
+        r.day: r.peak_concurrency
+        for r in build_registry()["events_concurrency"].fn(spark, str(tmp)).collect()
+    }
+    # brute force: per (user, day) first event, truncate to minute,
+    # interval [t, t+30min); count active at every minute boundary.
+    firsts = {}
+    for _, ts, u, *_ in rows:
+        t = datetime.strptime(ts, "%Y-%m-%d %H:%M:%S")
+        key = (u, t.date())
+        if key not in firsts or t < firsts[key]:
+            firsts[key] = t
+    ivals = [
+        (t.replace(second=0), t.replace(second=0) + timedelta(minutes=30))
+        for t in firsts.values()
+    ]
+    lo = min(a for a, _ in ivals)
+    hi = max(b for _, b in ivals)
+    peak = defaultdict(int)
+    t = lo.replace(hour=0, minute=0)
+    while t <= hi:
+        n = sum(1 for a, b in ivals if a <= t < b)
+        day = t.strftime("%Y-%m-%d")
+        peak[day] = max(peak[day], n)
+        t += timedelta(minutes=1)
+    want = {d: n for d, n in peak.items() if d in got}
+    assert got == want
