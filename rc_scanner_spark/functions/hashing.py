@@ -1,0 +1,24 @@
+"""Engine-portable hashing: the md5-prefix-long trick shared by every
+portable twin (Count-Min buckets, Bloom positions, DSIR features,
+LSH planes, substring-span keys, uniform sampling).
+
+One definition so a change to the hash width or the hex-cast
+portability trick lands everywhere at once; the DuckDB twin of
+``md5_long(x)`` is ``CAST(concat('0x', substr(md5(x), 1, 15)) AS
+BIGINT)`` (60 bits — never sets the sign bit)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_long(col: Column) -> Column:
+    """60-bit non-negative long from md5(col) — identical in DuckDB
+    via the hex-prefix cast (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str) -> str:
+    """The DuckDB twin expression for ``md5_long``."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"

@@ -157,6 +157,29 @@ def _subvec(col, m: int):
     return F.slice(col, m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
 
 
+def _explode_subspaces(df, vec_col: str, out_field: str, *carry: str):
+    """One row per (carry..., m, subvector): the PQ subspace explode
+    shared by codebook build, encoding, and LUT construction (one
+    definition for the subspace geometry instead of six copies)."""
+    ex = df.select(
+        *carry,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        _subvec(F.col(vec_col), m).alias(out_field),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    )
+    return ex.select(
+        *carry, F.col("s.m").alias("m"), F.col(f"s.{out_field}").alias(out_field)
+    )
+
+
 def _l2(a, b):
     """Left-fold squared L2 distance (deterministic order)."""
     return F.aggregate(
@@ -209,20 +232,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     ).select(F.col("s.m").alias("m"), "code", F.col("s.cv").alias("cv"))
 
-    sub = v.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        _subvec(F.col("v"), m).alias("sv"),
-                    )
-                    for m in range(_PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    sub = _explode_subspaces(v, "v", "sv", "vec_id")
 
     # Encode: per (vector, subspace) argmin over the broadcast codebook.
     assigned = (
@@ -241,21 +251,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
     lut = (
-        queries.select(
-            "qid",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).alias("m"),
-                            _subvec(F.col("qv"), m).alias("qs"),
-                        )
-                        for m in range(_PQ_M)
-                    ]
-                )
-            ).alias("s"),
-        )
-        .select("qid", F.col("s.m").alias("m"), F.col("s.qs").alias("qs"))
+        _explode_subspaces(queries, "qv", "qs", "qid")
         .join(F.broadcast(cb_long), "m")
         .select(
             "qid",
@@ -361,14 +357,9 @@ _BLOOM_K = 3     # hash functions
 def _bloom_pos(j: int, key):
     """Engine-portable bit position: md5-derived 60-bit hash of
     'j:key' mod m (same trick as the Count-Min / portable-LSH twins)."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), key)), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % _BLOOM_M
-    )
+    from ..functions.hashing import md5_long
+
+    return md5_long(F.concat_ws(":", F.lit(str(j)), key)) % _BLOOM_M
 
 
 def _bloom_pos_sql(j: int, key_expr: str) -> str:
@@ -699,7 +690,13 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     quote-expansion and boilerplate-wrapping cases that symmetric
     Jaccard misses (a long B dilutes the union).  Same df-capped
     blocked shingle join as dedup_ngram_jaccard - candidates are
-    linear in shingle postings, never all-pairs."""
+    linear in shingle postings, never all-pairs.
+
+    Symmetric df-cap discipline (the ngram_jaccard precedent): capped
+    hot shingles are dropped from BOTH the candidate join AND the
+    per-doc denominator, so containment stays a true set ratio over
+    the surviving shingles — dividing capped intersections by the
+    uncapped count would systematically understate containment."""
     d = _t(spark, sf_dir, "documents")
     ws = words(F.col("text"))
     sh = F.array_distinct(
@@ -715,24 +712,23 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.size(ws) > 0, F.array(F.concat_ws(" ", ws)))
         .otherwise(F.array().cast("array<string>")),
     )
-    s = d.select("doc_id", sh.alias("sh")).withColumn("n_sh", F.size("sh"))
-    e = s.select("doc_id", "n_sh", F.explode("sh").alias("tok"))
+    s = d.select("doc_id", sh.alias("sh"))
+    e = s.select("doc_id", F.explode("sh").alias("tok"))
     df_ok = e.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _CONT_DF_CAP
     )
-    eb = e.join(df_ok.select("tok"), "tok")
-    a = eb.select(
-        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"), "tok"
-    )
+    from ..operators import dedup as _dedup
+
+    eb = _dedup._track_persist(e.join(df_ok.select("tok"), "tok"))
+    na_f = eb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    a = eb.select(F.col("doc_id").alias("id_a"), "tok")
     b = eb.select(F.col("doc_id").alias("id_b"), "tok")
     pairs = (
         a.join(b, "tok")
         .filter(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(
-            F.first("na").alias("na"),
-            F.count(F.lit(1)).alias("n_common"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(na_f, F.col("id_a") == F.col("doc_id"))
         .withColumn(
             "containment",
             F.round(F.col("n_common") / F.col("na"), 4),
@@ -757,22 +753,25 @@ s AS (
   FROM w
 ),
 e AS (
-  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS tok FROM s
+  SELECT doc_id, unnest(sh) AS tok FROM s
 ),
 df_ok AS (
   SELECT tok FROM e GROUP BY tok HAVING count(*) <= {_CONT_DF_CAP}
 ),
 eb AS (SELECT e.* FROM e JOIN df_ok USING (tok)),
+na_f AS (
+  SELECT doc_id, count(*) AS na FROM eb GROUP BY 1
+),
 pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         any_value(a.n_sh) AS na, count(*) AS n_common
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM eb a JOIN eb b USING (tok)
   WHERE a.doc_id != b.doc_id
   GROUP BY 1, 2
 )
-SELECT id_a, id_b, round(n_common * 1.0 / na, 4) AS containment
-FROM pairs
-WHERE round(n_common * 1.0 / na, 4) >= {_CONT_THRESHOLD}
+SELECT p.id_a, p.id_b,
+       round(p.n_common * 1.0 / n.na, 4) AS containment
+FROM pairs p JOIN na_f n ON n.doc_id = p.id_a
+WHERE round(p.n_common * 1.0 / n.na, 4) >= {_CONT_THRESHOLD}
 """
 
 
@@ -873,39 +872,19 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with("v", "cv", lambda x, y: x - y).alias("r"),
     )
 
-    pseeds = res.orderBy("id").limit(_PQ_K)
-    pcb_long = pseeds.select(
-        F.col("id").alias("code"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        _subvec(F.col("r"), m).alias("cv"),
-                    )
-                    for m in range(_PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select(F.col("s.m").alias("m"), "code", F.col("s.cv").alias("cv"))
+    # Seed the residual codebook SKIPPING the coarse-cell seed ids:
+    # those vectors are their own cell centroids, so their residuals
+    # are exactly zero — seeding from them degenerates half the
+    # codebook into identical all-zero entries (dead codes).
+    pseeds = (
+        res.filter(F.col("id") >= _IVFPQ_CELLS).orderBy("id").limit(_PQ_K)
+    )
+    pcb_long = _explode_subspaces(
+        pseeds.select(F.col("id").alias("code"), "r"), "r", "cv", "code"
+    )
 
     codes = (
-        res.select(
-            "id",
-            "cell",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).alias("m"),
-                            _subvec(F.col("r"), m).alias("sv"),
-                        )
-                        for m in range(_PQ_M)
-                    ]
-                )
-            ).alias("s"),
-        )
-        .select("id", "cell", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+        _explode_subspaces(res, "r", "sv", "id", "cell")
         .join(F.broadcast(pcb_long), "m")
         .withColumn(
             "d2",
@@ -935,22 +914,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lut = (
-        qprob.select(
-            "qid",
-            "cell",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).alias("m"),
-                            _subvec(F.col("rq"), m).alias("qs"),
-                        )
-                        for m in range(_PQ_M)
-                    ]
-                )
-            ).alias("s"),
-        )
-        .select("qid", "cell", F.col("s.m").alias("m"), F.col("s.qs").alias("qs"))
+        _explode_subspaces(qprob, "rq", "qs", "qid", "cell")
         .join(F.broadcast(pcb_long), "m")
         .select(
             "qid",
@@ -1008,7 +972,8 @@ res AS (
          [a.v[i] - c.cv[i] FOR i IN range(1, {dim} + 1)] AS r
   FROM {ivf_assign_name} a JOIN kc0 c USING (cell)
 ),
-pseeds AS (SELECT id, r FROM res ORDER BY id LIMIT {_PQ_K}),
+pseeds AS (SELECT id, r FROM res WHERE id >= {_IVFPQ_CELLS}
+           ORDER BY id LIMIT {_PQ_K}),
 pcb AS (SELECT id AS code, {sub_cases} FROM pseeds),
 cb AS ({cb_union}),
 subv AS (SELECT id, cell, {sub_cases} FROM res),
@@ -1074,12 +1039,9 @@ _DSIR_TOPN = 100
 def _dsir_bucket(tok):
     """Hashed n-gram feature bucket (md5-portable, like the Count-Min
     and Bloom twins)."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("dsir:"), tok)), 1, 15), 16, 10
-        ).cast("long")
-        % _DSIR_BUCKETS
-    )
+    from ..functions.hashing import md5_long
+
+    return md5_long(F.concat(F.lit("dsir:"), tok)) % _DSIR_BUCKETS
 
 
 def q_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -133,12 +133,9 @@ def _cm_bucket(depth: int, word):
     """Engine-portable Count-Min bucket: md5-derived 60-bit hash of
     'depth:word' mod width — the same trick as the portable LSH twins,
     so the DuckDB oracle replays the exact sketch."""
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(str(depth)), word)), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    return h % _CM_WIDTH
+    from ..functions.hashing import md5_long
+
+    return md5_long(F.concat_ws(":", F.lit(str(depth)), word)) % _CM_WIDTH
 
 
 def q_sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

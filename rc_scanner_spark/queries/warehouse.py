@@ -225,34 +225,38 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("t").alias("src"), F.col("u").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges = edges.join(deg, "src").repartition("src").persist()
-    try:
-        nodes = edges.select(F.col("src").alias("node")).distinct()
-        n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
-        ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-            "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    # Tracked persist: the returned DataFrame is lazy, so an unpersist
+    # in a finally block would drop the cache BEFORE the caller's
+    # first action ever materializes it (the cache would never help).
+    # The harnesses release tracked caches after consuming the result
+    # (bench per group, check_oracle per query).
+    from ..operators import dedup as _dedup
+
+    edges = _dedup._track_persist(edges.join(deg, "src").repartition("src"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
         )
-        for _ in range(_PR_ITERS):
-            contrib = (
-                edges.join(ranks.withColumnRenamed("node", "src"), "src")
-                .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
-                .groupBy("dst")
-                .agg(F.sum("c").alias("inflow"))
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    (1.0 - _PR_DAMPING) / F.col("n")
+                    + _PR_DAMPING * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
             )
-            ranks = (
-                nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-                .crossJoin(F.broadcast(n_nodes))
-                .select(
-                    "node",
-                    (
-                        (1.0 - _PR_DAMPING) / F.col("n")
-                        + _PR_DAMPING * F.coalesce(F.col("inflow"), F.lit(0.0))
-                    ).alias("rank"),
-                )
-            )
-        return ranks.select("node", F.round("rank", 6).alias("rank_r"))
-    finally:
-        edges.unpersist(blocking=False)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank_r"))
 
 
 def _pr_sql_iteration(prev: str, out: str) -> str:
@@ -335,57 +339,61 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = spark.createDataFrame(list(_BM25_QUERIES), ["query_id", "term"])
     term_arr = F.array(*[F.lit(t) for t in sorted({t for _, t in _BM25_QUERIES})])
 
-    words = d.select(
-        "doc_id", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("ws")
-    ).persist()
-    try:
-        dl = words.select("doc_id", F.size("ws").alias("dl"))
-        globals_ = dl.agg(
-            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    # Tracked persist (see q_graph_pagerank note: a finally-unpersist
+    # on a lazily-returned frame never lets the cache materialize).
+    from ..operators import dedup as _dedup
+
+    words = _dedup._track_persist(
+        d.select(
+            "doc_id",
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("ws"),
         )
-        tf = (
-            words.withColumn("hit", F.array_intersect("ws", term_arr))
-            .filter(F.size("hit") > 0)
-            .select("doc_id", F.explode("ws").alias("term"))
-            .join(F.broadcast(terms.select("term").distinct()), "term")
-            .groupBy("doc_id", "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = words.select("doc_id", F.size("ws").alias("dl"))
+    globals_ = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        words.withColumn("hit", F.array_intersect("ws", term_arr))
+        .filter(F.size("hit") > 0)
+        .select("doc_id", F.explode("ws").alias("term"))
+        .join(F.broadcast(terms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(terms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(globals_))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
         )
-        df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        scored = (
-            tf.join(F.broadcast(df_), "term")
-            .join(F.broadcast(terms), "term")
-            .join(dl, "doc_id")
-            .crossJoin(F.broadcast(globals_))
-            .select(
-                "query_id",
-                "doc_id",
-                (
-                    F.log(
-                        1.0
-                        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                    )
-                    * (F.col("tf") * (_BM25_K1 + 1))
-                    / (
-                        F.col("tf")
-                        + _BM25_K1
-                        * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-                    )
-                ).alias("s"),
-            )
-            .groupBy("query_id", "doc_id")
-            .agg(F.round(F.sum("s"), 4).alias("score_r"))
-        )
-        wq = Window.partitionBy("query_id").orderBy(
-            F.col("score_r").desc(), F.col("doc_id")
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(wq))
-            .filter(F.col("rank") <= _BM25_TOPK)
-            .select("query_id", "rank", "doc_id", "score_r")
-        )
-    finally:
-        words.unpersist(blocking=False)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("score_r"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score_r").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "rank", "doc_id", "score_r")
+    )
 
 
 def _bm25_terms_values() -> str:
@@ -571,7 +579,8 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_cohort")
     )
     ret = (
-        activity.join(F.broadcast(first), "user_id")
+        activity.join(first, "user_id")  # user-dim sized: co-partitioned
+        # shuffle join, never a broadcast (unbounded at scale)
         .select(
             "cohort_day",
             F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
