@@ -104,4 +104,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Silent non-convergence would return split components while
+        # the exact recursive-closure oracle merges them — fail loudly
+        # instead (a 25-hop-deep label chain means the iteration cap,
+        # not the data, chose the answer).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "iterations; raise max_iters for deeper label chains"
+        )
     return labels

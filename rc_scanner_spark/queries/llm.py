@@ -11,7 +11,7 @@ correctness is covered by pytest against brute-force ground truth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
@@ -112,7 +112,7 @@ SELECT id_a, id_b,
 FROM common
 JOIN counts ca ON ca.doc_id = id_a
 JOIN counts cb ON cb.doc_id = id_b
-WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.5
+WHERE round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) >= 0.5
 """
 
 
@@ -510,10 +510,12 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("embedding").cast("array<double>").alias("vv"),
     )
+    # Norms precompute PER SIDE before the join (|Q| + |V| folds, not
+    # one per joined pair) — the cosine_topk discipline.
+    q = q.withColumn("qn", norm(F.col("qv")))
+    v = v.withColumn("vn", norm(F.col("vv")))
     scored = (
         q.join(v, q["qlabel"] == v["label"])
-        .withColumn("qn", norm(F.col("qv")))
-        .withColumn("vn", norm(F.col("vv")))
         .select(
             "query_id",
             "vec_id",
@@ -666,9 +668,10 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the embedding table, reported as per-cluster size + mean
     cosine-to-centroid.  All-DataFrame iteration: assignment is a
     broadcast argmax (no vector shuffle); centroid recompute shuffles
-    only K x dim partial sums.  Iterative + float-order sensitive ->
-    no SQL oracle; ground truth is a numpy Lloyd run in
-    tests/test_similarity.py."""
+    only K x dim partial sums.  Oracle: an UNROLLED-Lloyd SQL twin
+    (SQL_CLUSTER_KMEANS) with every assignment decision made on
+    rounded values so both engines pick identical cells; numpy Lloyd
+    ground truth additionally in tests/test_similarity.py."""
     from ..operators.similarity import kmeans_refine
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1213,9 +1216,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means cluster the embeddings
     (k=8, 2 Lloyd iterations, deterministic seeds), prune within-cluster
     cosine >= 0.7 keeping the smallest id.  The pairwise step is
-    cluster-blocked — never |N|^2.  Lloyd iterations are not
-    SQL-expressible -> rows-only check; planted-duplicate ground truth
-    in tests/test_similarity.py."""
+    cluster-blocked — never |N|^2.  Oracle: unrolled-Lloyd CTEs
+    (SQL_DEDUP_SEMANTIC) with rounded decision floats; planted-
+    duplicate ground truth additionally in tests/test_similarity.py."""
     from ..operators.similarity import semantic_dedup
 
     return semantic_dedup(
@@ -1331,8 +1334,8 @@ def q_sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SAMPLE_WEIGHTED_MIX = """
 WITH b AS (
   SELECT doc_id, source,
-         CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 1000
-              WHEN CAST(substr(source, 4) AS INT) < 10 THEN 500
+         CASE WHEN TRY_CAST(substr(source, 4, 10) AS INT) < 5 THEN 1000
+              WHEN TRY_CAST(substr(source, 4, 10) AS INT) < 10 THEN 500
               ELSE 250 END AS rate_permille,
          CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 5))
               AS BIGINT) % 1000 AS bucket
@@ -2729,7 +2732,7 @@ SELECT id_a, id_b,
 FROM pairs
 JOIN counts ca ON ca.doc_id = id_a
 JOIN counts cb ON cb.doc_id = id_b
-WHERE n_shared * 1.0 / (ca.n_sh + cb.n_sh - n_shared) >= 0.5
+WHERE round(n_shared * 1.0 / (ca.n_sh + cb.n_sh - n_shared), 4) >= 0.5
 """
 
 
