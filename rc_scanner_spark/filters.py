@@ -30,6 +30,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .functions.regex import regex_hits, translate_pattern
@@ -106,18 +107,42 @@ class FilterSpec:
     def apply_attribute_filter(self, df: DataFrame) -> DataFrame:
         return df.filter(self.attribute_predicate())
 
-    def apply_dedup(self, df: DataFrame, flagged_titles: DataFrame | None) -> DataFrame:
-        """F3: drop rows whose title was already flagged.
+    def apply_dedup(
+        self,
+        df: DataFrame,
+        flagged_titles: DataFrame | None,
+        order_cols: tuple[str, ...] | None = None,
+    ) -> DataFrame:
+        """F3: drop rows whose title was already flagged, AND keep only
+        the first occurrence of each title within the batch itself.
 
-        Reference scans the entire JSON flag log per event
-        (filter_.py:90-102) — O(n) per row.  Spark-first form: one
-        left_anti join (hash, broadcast when the flagged set is small),
-        O(1) amortized per row and shuffle-free when broadcast.
-        """
-        if not self.skip_repeats or flagged_titles is None:
+        Reference semantics (filter_.py:90-102): the flag log is
+        consulted per event and appended per match, so a title flagged
+        earlier IN THE SAME RUN suppresses later repeats — the batch
+        twin therefore needs both the anti-join against the
+        pre-existing set and a within-batch keep-first.  ``order_cols``
+        pins the deterministic survivor (stream order = event time);
+        without it duplicates collapse via dropDuplicates (exact when
+        titles are unique, arbitrary-survivor otherwise).
+
+        No forced broadcast on the flagged set: it grows with run
+        length, so AQE's size gate decides (a hint would OOM at the
+        100 TB flag-log scale)."""
+        if not self.skip_repeats:
             return df
-        return df.join(
-            F.broadcast(flagged_titles.select("title").distinct()),
-            on="title",
-            how="left_anti",
-        )
+        if flagged_titles is not None:
+            df = df.join(
+                flagged_titles.select("title").distinct(),
+                on="title",
+                how="left_anti",
+            )
+        if order_cols:
+            w = Window.partitionBy("title").orderBy(*order_cols)
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            df = df.dropDuplicates(["title"])
+        return df

@@ -140,8 +140,13 @@ def pii_scrub(text: Column) -> dict[str, Column]:
 
 
 def normalize(text: Column) -> Column:
-    """Dedup normalization: lowercase, collapse whitespace, trim."""
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    """Dedup normalization: lowercase, collapse whitespace, trim.
+
+    The whitespace class is spelled out instead of ``\s`` because the
+    two engines disagree on it: Java's ``\s`` includes vertical tab
+    (\x0B), RE2's (DuckDB) does not — an implicit class would produce
+    divergent fingerprints on text containing \x0B."""
+    return F.trim(F.regexp_replace(F.lower(text), r"[ \t\n\f\r]+", " "))
 
 
 def fingerprint(text: Column) -> Column:

@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 from ..filters import FilterSpec
 from ..functions.regex import regex_hits, regex_matches
 from ..operators.text import fingerprint
-from ..scanner import match_message, verb_column
+from ..scanner import (
+    event_message,
+    match_message,
+    sanitize_filename,
+    verb_column,
+)
 from ..session import tune
 from ..tables import load_table
 from . import QuerySpec
@@ -114,8 +119,7 @@ def q_scan_message(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.format_string(
-            '%s %s "%s" at %s.',
+        event_message(
             F.col("user_id").cast("string"),
             verb_column(F.col("event_type")),
             F.concat(F.lit("event-"), F.col("event_id")),
@@ -183,9 +187,7 @@ def q_scan_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_like = F.concat(F.lit("User:"), F.col("source"))
     return d.select(
         "doc_id",
-        F.translate(
-            F.concat_ws("_", user_like, F.col("doc_id").cast("string")), ":", "-"
-        ).alias("filename"),
+        sanitize_filename(user_like, F.col("doc_id")).alias("filename"),
     )
 
 

@@ -10,7 +10,10 @@ coarser grouping without touching the raw data again: the pre-computed
 cube pattern the reference's single-pass scanner could never express.
 
 DuckDB's approx_count_distinct uses a different HLL implementation, so
-estimates differ -> ``sql=None`` (rows-only driver check).  Numeric
+raw estimates differ — the oracles here are therefore BOUNDED-ERROR
+twins: each query outputs the EXACT value plus a within-tolerance
+boolean derived from the sketch, and the SQL twin reproduces (exact,
+TRUE) — a real hash-checked oracle, not a rows-only fallback.  Numeric
 ground truth (relative error vs exact, partitioning invariance) lives
 in tests/test_sketches.py.
 """
@@ -207,9 +210,11 @@ def q_sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cm_bucket_sql(depth: int, word_expr: str) -> str:
+    from ..functions.hashing import md5_long_sql
+
     return (
-        f"CAST(concat('0x', substr(md5(concat('{depth}', ':', {word_expr})),"
-        f" 1, 15)) AS BIGINT) % {_CM_WIDTH}"
+        md5_long_sql(f"concat('{depth}', ':', {word_expr})")
+        + f" % {_CM_WIDTH}"
     )
 
 
@@ -288,11 +293,34 @@ def q_sketch_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.hll_sketch_agg("user_id", F.lit(LG_K)).alias("sk"))
     )
-    est = sk.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("a")
-    )
-    union_est = sk.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u")
+    # Single-aggregate shapes so the output is EXACTLY one row even
+    # when one (or both) event types are absent from the data — a
+    # pivot over an empty frame would return zero rows while the
+    # oracle's aggregate returns one, and a missing type's NULL
+    # estimate would NULL the band flag; absent sets count as 0.
+    est = sk.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("event_type") == pair[0],
+                    F.hll_sketch_estimate("sk"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("ea"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("event_type") == pair[1],
+                    F.hll_sketch_estimate("sk"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("eb"),
+        F.coalesce(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")),
+            F.lit(0).cast("long"),
+        ).alias("u"),
     )
     exact = (
         e.filter(F.col("event_type") == pair[0])
@@ -302,14 +330,8 @@ def q_sketch_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("exact_overlap"))
     )
-    wide = (
-        est.groupBy()
-        .pivot("event_type", list(pair))
-        .agg(F.first("a"))
-        .crossJoin(union_est)
-        .crossJoin(F.broadcast(exact))
-    )
-    approx = F.col(pair[0]) + F.col(pair[1]) - F.col("u")
+    wide = est.crossJoin(F.broadcast(exact))
+    approx = F.col("ea") + F.col("eb") - F.col("u")
     return wide.select(
         "exact_overlap",
         (

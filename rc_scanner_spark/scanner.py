@@ -99,6 +99,14 @@ def scan(
     # skips the event (scanner.py:215-218, 78-81) -> filter it out,
     # unless the threshold itself is disabled (then editcount is never
     # consulted; the reference still fetches it, we don't need to).
+    if spec.max_edits is not None and users is None:
+        # Silently flagging every over-threshold user would diverge
+        # from the reference (which always consults editcount when a
+        # threshold is set) — make the missing dimension an error.
+        raise ValueError(
+            f"filter {spec.name!r} sets max_edits={spec.max_edits} "
+            "but no users dimension was provided"
+        )
     if users is not None:
         df = df.join(F.broadcast(users), on="user", how="left")
         if spec.max_edits is not None:
@@ -107,8 +115,9 @@ def scan(
                 & spec.editcount_predicate(F.col("editcount"))
             )
 
-    # F3 — anti-join dedup (filter_.py:90-102).
-    df = spec.apply_dedup(df, flagged)
+    # F3 — anti-join dedup + within-batch keep-first in stream order
+    # (filter_.py:90-102: the flag log suppresses same-run repeats).
+    df = spec.apply_dedup(df, flagged, order_cols=("timestamp", "meta.id"))
 
     # S2 — the expensive enrichment, structurally after the cheap
     # filters (scanner.py:131-141 ordering).  Left join + race filter:
@@ -120,6 +129,13 @@ def scan(
             on=df["revision.new"] == revisions["revid"],
             how="left",
         ).drop("revid")
+        df = df.filter(F.col("text").isNotNull())
+    else:
+        # No revisions dimension = every text fetch "fails": per C1
+        # every event is a race skip, same as a missing revision row.
+        # Attaching NULL text (then the isNotNull filter) keeps the
+        # plan valid instead of crashing on an unresolved column.
+        df = df.withColumn("text", F.lit(None).cast("string"))
         df = df.filter(F.col("text").isNotNull())
 
     # F4 — regex hits.
