@@ -482,13 +482,21 @@ def q_agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     automatic in Spark — one shuffle on the two group keys)."""
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    # Money sums go through per-item integer cents -> exact bigint
+    # sums: a raw double sum + round(., 2) crosses cent-tie boundaries
+    # once groups are large (engine-dependent summation order; the
+    # join_inner_agg sf0.1 incident).
+    def cents_sum(col):
+        return F.sum(F.floor(col * 100 + 0.5).cast("long")) / 100.0
+
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            cents_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            cents_sum(disc_price).alias("sum_disc_price"),
+            cents_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -500,9 +508,12 @@ def q_agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_AGG_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+           AS sum_base_price,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) / 100.0 AS sum_disc_price,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(avg(l_discount), 4) AS avg_disc,
@@ -547,7 +558,9 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             F.col("e").alias("exact_parts"),
-            (F.abs(F.col("a") - F.col("e")) / F.col("e") <= 0.05).alias("approx_ok"),
+            # ~5 sigma of the rsd=0.02 sketch (0.05 was only ~2.5
+            # sigma — a percent-level tripwire on regenerated data)
+            (F.abs(F.col("a") - F.col("e")) / F.col("e") <= 0.10).alias("approx_ok"),
         )
     )
 

@@ -124,15 +124,21 @@ def q_tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(
+            # per-item integer cents -> exact bigint sum (the
+            # join_inner_agg sf0.1 cent-tie incident)
+            (
+                F.sum(F.floor(amount * 100 + 0.5).cast("long")) / 100.0
+            ).alias("sum_profit")
+        )
     )
 
 
 SQL_TPCH_Q9ISH = """
 SELECT n_name AS nation,
        CAST(year(l_shipdate) AS INTEGER) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 - l_tax)), 2)
-         AS sum_profit
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 - l_tax)
+                      * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -290,22 +296,22 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
-        # second-precision timestamp formatting: Spark and DuckDB
-        # disagree on fractional-second string casts; truncation is
-        # monotone so min/max are unaffected.
-        if c == "ts":
-            s = F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
-        elif c == "value":
-            # doubles render differently across engines (sci notation);
-            # fixed-point printf is engine-stable.
-            s = F.format_string("%.6f", F.col(c))
-        else:
-            s = F.col(c).cast("string")
+        # min/max run on the NATIVE column (string min/max would be
+        # lexicographic — '99.99' > '560.21'); only the RESULT is
+        # formatted, with engine-stable renderings: second-truncated
+        # timestamps and fixed-point printf for doubles.
+        def fmt(col, c=c):
+            if c == "ts":
+                return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+            if c == "value":
+                return F.format_string("%.6f", col)
+            return col.cast("string")
+
         aggs += [
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
             F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-            F.min(s).alias(f"{c}__min"),
-            F.max(s).alias(f"{c}__max"),
+            fmt(F.min(F.col(c))).alias(f"{c}__min"),
+            fmt(F.max(F.col(c))).alias(f"{c}__max"),
         ]
     one = e.agg(*aggs)
     stack_args = ", ".join(
@@ -325,21 +331,25 @@ SELECT '{c}' AS column_name,
        (SELECT count(*) FROM events) AS n_rows,
        CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-       min({s}) AS min_str,
-       max({s}) AS max_str
+       {smin} AS min_str,
+       {smax} AS max_str
 FROM events
 """
+
+
+def _profile_fmt(c: str, inner: str) -> str:
+    if c == "ts":
+        return f"strftime({inner}, '%Y-%m-%d %H:%M:%S')"
+    if c == "value":
+        return f"printf('%.6f', {inner})"
+    return f"CAST({inner} AS VARCHAR)"
+
 
 SQL_PROFILE_COLUMNS = " UNION ALL ".join(
     _PROFILE_COL_SQL.format(
         c=c,
-        s=(
-            "strftime(ts, '%Y-%m-%d %H:%M:%S')"
-            if c == "ts"
-            else "printf('%.6f', value)"
-            if c == "value"
-            else f"CAST({c} AS VARCHAR)"
-        ),
+        smin=_profile_fmt(c, f"min({c})"),
+        smax=_profile_fmt(c, f"max({c})"),
     )
     for c in ("event_id", "ts", "user_id", "event_type", "value")
 )
@@ -533,10 +543,11 @@ WITH d AS (
          CAST(least(9, floor(value / 100.0)) AS BIGINT) AS y
   FROM events
 )
-SELECT event_id, x, y,
-       ({_sql_interleave('x', 'y')}) AS zval,
-       ({_sql_interleave('x', 'y')}) >> 6 AS zbucket
-FROM d
+SELECT event_id, x, y, zval, zval >> 6 AS zbucket
+FROM (
+  SELECT event_id, x, y, ({_sql_interleave('x', 'y')}) AS zval
+  FROM d
+)
 """
 
 
