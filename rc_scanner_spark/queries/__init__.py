@@ -27,6 +27,17 @@ class QuerySpec:
     sql: Optional[str]
 
 
+def load_tuned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """tune() + load_table — the shared per-query table loader every
+    query module aliases as ``_t`` (one definition of the load/tune
+    contract instead of a copy per module)."""
+    from ..session import tune
+    from ..tables import load_table
+
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
 # Registry iteration order doubles as the external driver's
 # verification order (it oracle-checks a fixed-size ~50-entry prefix
 # per round).

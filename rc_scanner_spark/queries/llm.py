@@ -34,14 +34,10 @@ from ..operators.text import (
     token_count,
     words,
 )
-from ..session import tune
-from ..tables import load_table
-from . import QuerySpec
+from . import QuerySpec, load_tuned
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    tune(spark)
-    return load_table(spark, sf_dir, name)
+_t = load_tuned
 
 
 # --- deduplication ----------------------------------------------------------

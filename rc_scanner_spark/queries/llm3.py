@@ -26,14 +26,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.text import words
-from ..session import tune
-from ..tables import load_table
-from . import QuerySpec
+from . import QuerySpec, load_tuned
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    tune(spark)
-    return load_table(spark, sf_dir, name)
+_t = load_tuned
 
 
 # --------------------------------------------------------------------

@@ -16,14 +16,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.relational import asof_join, range_join, sessionize, topk_per_group
-from ..session import tune
-from ..tables import load_table
-from . import QuerySpec
+from . import QuerySpec, load_tuned
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    tune(spark)
-    return load_table(spark, sf_dir, name)
+_t = load_tuned
 
 
 # --- scans / filters / projections / scalar functions ----------------------

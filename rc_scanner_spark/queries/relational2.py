@@ -9,14 +9,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import tune
-from ..tables import load_table
-from . import QuerySpec
+from . import QuerySpec, load_tuned
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    tune(spark)
-    return load_table(spark, sf_dir, name)
+_t = load_tuned
 
 
 def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,15 +35,21 @@ def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated median (percentile_cont 0.5)."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
+        # floor(x*100+0.5)/100, not round(x, 2): the interpolated
+        # midpoint can land on a cent tie where the engines' round()
+        # semantics differ (the agg_percentile_approx precedent).
+        (
+            F.floor(F.percentile("o_totalprice", F.lit(0.5)) * 100 + 0.5)
+            / 100
+        ).alias("median_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 SQL_AGG_MEDIAN = """
 SELECT o_orderpriority,
-       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2)
-           AS median_price,
+       floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+             * 100 + 0.5) / 100 AS median_price,
        count(*) AS n
 FROM orders GROUP BY o_orderpriority
 """

@@ -7,14 +7,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import tune
-from ..tables import load_table
-from . import QuerySpec
+from . import QuerySpec, load_tuned
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    tune(spark)
-    return load_table(spark, sf_dir, name)
+_t = load_tuned
 
 
 def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,18 +120,25 @@ def salted_join(
     key: str,
     salt_buckets: int = 8,
 ) -> DataFrame:
-    """Skew-mitigated equi-join: the fact side gets a random-free,
-    deterministic salt (hash of a unique-ish column set mod N), the
-    dimension side is exploded N ways, and the join key becomes
-    (key, salt) — splitting one hot key's rows across N tasks.
+    """Skew-mitigated equi-join: the fact side gets a row-local salt
+    (monotonic id mod N), the dimension side is exploded N ways, and
+    the join key becomes (key, salt) — splitting one hot key's rows
+    across N tasks.
 
     The result is row-identical to ``facts.join(dim, key)``; only the
     physical distribution changes.  AQE's skew-join handles moderate
     skew automatically; explicit salting is for the pathological keys
     AQE cannot split (single-key hot partitions in non-sort-merge
     plans).
+
+    Salt = monotonically_increasing_id mod N: spreads even
+    byte-identical duplicate rows of a hot key (a row-content hash
+    would send every copy to ONE bucket — degenerate exactly in the
+    pathological case) and costs no per-row hashing of wide columns.
+    The id is partition-dependent, which is fine: the salt never
+    reaches the output, so results stay layout-invariant.
     """
-    salt = (F.xxhash64(*[F.col(c) for c in facts.columns]) % salt_buckets + salt_buckets) % salt_buckets
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     salted_facts = facts.withColumn("__salt", salt.cast("int"))
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

@@ -16,14 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import tune
-from ..tables import load_table
-from . import QuerySpec
+from . import QuerySpec, load_tuned
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    tune(spark)
-    return load_table(spark, sf_dir, name)
+_t = load_tuned
 
 
 # --- Q3: shipping priority (join + agg + deterministic top-k) --------
@@ -311,12 +307,22 @@ def q_tpch_q17ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     per outer row, which is the only shape that survives at scale."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     l = _t(spark, sf_dir, "lineitem")
-    pa = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+    # Semi-join the fact side to the filtered brand FIRST: the
+    # per-part average is identical (it aggregates all rows of each
+    # surviving part), but the aggregate input and the broadcast
+    # shrink by the brand selectivity (~1/25) — broadcasting averages
+    # for every part key in the table is OOM-scale at 100 TB.
+    lb = l.join(
+        F.broadcast(p.select("p_partkey")),
+        l.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    pa = lb.groupBy(F.col("l_partkey").alias("pk")).agg(
         (0.5 * F.avg("l_quantity")).alias("half_avg")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(pa), l.l_partkey == F.col("pk"))
+        lb.join(F.broadcast(p), lb.l_partkey == p.p_partkey)
+        .join(F.broadcast(pa), lb.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
@@ -359,7 +365,8 @@ def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TPCH_Q18ISH = """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
 FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
-      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+      FROM lineitem GROUP BY l_orderkey
+      HAVING round(sum(l_quantity), 2) > 300) big
 JOIN orders   ON big.l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 """

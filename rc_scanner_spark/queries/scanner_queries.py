@@ -21,14 +21,10 @@ from ..scanner import (
     sanitize_filename,
     verb_column,
 )
-from ..session import tune
-from ..tables import load_table
-from . import QuerySpec
+from . import QuerySpec, load_tuned
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    tune(spark)
-    return load_table(spark, sf_dir, name)
+_t = load_tuned
 
 
 # The filter-list patterns (analog of examples/filterlist.py:31-32) —

@@ -23,9 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import tune
-from ..tables import load_table
-from . import QuerySpec
+from . import QuerySpec, load_tuned
 
 # lgConfigK = 12 -> 4 KiB sketches, ~1.6% relative standard error:
 # small enough to broadcast thousands of group sketches, tight enough
@@ -33,9 +31,7 @@ from . import QuerySpec
 LG_K = 12
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    tune(spark)
-    return load_table(spark, sf_dir, name)
+_t = load_tuned
 
 
 def q_sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
