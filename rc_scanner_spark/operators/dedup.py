@@ -224,14 +224,18 @@ def minhash_signature_frame(
     corpora (or a stream batch vs its accumulated corpus) can
     near-dup-join WITHOUT re-reading any text.  Same hash basis as
     ``minhash_lsh_pairs``."""
+    # explode_outer: a doc with ZERO shingles (e.g. symbol-only text
+    # after scrubbing) still gets a sidecar row (n_sh=0, NULL mins) —
+    # a plain explode would silently drop it from the signature table,
+    # making the corpus and sidecar row sets diverge.
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.explode(hashed_word_shingles(F.col(text_col), shingle_k)).alias(
+        F.explode_outer(hashed_word_shingles(F.col(text_col), shingle_k)).alias(
             "shingle"
         ),
     )
     return sh.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_sh"),
+        F.count("shingle").alias("n_sh"),
         *[
             F.expr(f"min(xxhash64({seed}L, shingle)) AS h{seed}")
             for seed in range(num_hashes)

@@ -45,6 +45,10 @@ def asof_join(
     sort-merge-join + filter still beats a cross join).  Deterministic
     tie-break: latest right_ts, then largest right id column (first of
     right_cols) — callers should pass a unique column first.
+
+    The matched right timestamp is returned as the documented column
+    ``asof_matched_ts`` (NULL when no match); internal helper columns
+    are dropped.
     """
     lid = "__asof_lid"
     l = left.withColumn(lid, F.monotonically_increasing_id())
@@ -64,7 +68,8 @@ def asof_join(
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__rkey", lid)
+        .withColumn("asof_matched_ts", F.col("__rts"))
+        .drop("__rn", "__rkey", "__rts", lid)
     )
 
 
@@ -134,8 +139,11 @@ def pack_bins_bfd(
     """
     import pandas as pd
 
+    # the group column keeps its INPUT type (hardcoding string would
+    # make Arrow choke on an int-typed group key)
+    group_type = docs.schema[group_col].dataType.simpleString()
     out_schema = (
-        f"{group_col} string, {id_col} long, {tokens_col} long, "
+        f"{group_col} {group_type}, {id_col} long, {tokens_col} long, "
         "bin_id long, bin_fill_after double"
     )
 

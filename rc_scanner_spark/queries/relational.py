@@ -453,7 +453,9 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "click_event_id",
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("__rts"))).alias("gap_us"),
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_matched_ts"))
+        ).alias("gap_us"),
     )
 
 

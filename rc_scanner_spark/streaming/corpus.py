@@ -20,12 +20,54 @@ batch, not the corpus.
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.text import fingerprint
+
+
+def _has_partitions(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists and holds at least one batch_id=N
+    partition — probed through the Hadoop FileSystem API so it works
+    on ANY scheme (s3a://, hdfs://, file://), not just the driver's
+    local disk (an os.path check silently disables dedup on remote
+    storage)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    for st in fs.listStatus(hpath):
+        if st.getPath().getName().startswith("batch_id="):
+            return True
+    return False
+
+
+def _exact_dedup_against_corpus(
+    batch_df: DataFrame, batch_id: int, corpus_dir: str
+) -> DataFrame:
+    """Shared exact-dedup front half of both merge handlers: fp
+    column, within-batch keep-smallest-doc_id, anti-join against every
+    OTHER batch partition of the existing corpus (this batch's own
+    partition is excluded so a retry doesn't empty its own rewrite)."""
+    spark = batch_df.sparkSession
+    new = _with_fp(batch_df)
+    new = (
+        new.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if _has_partitions(spark, corpus_dir):
+        seen = (
+            spark.read.parquet(corpus_dir)
+            .filter(F.col("batch_id") != batch_id)
+            .select("fp")
+        )
+        new = new.join(seen, "fp", "left_anti")
+    return new
 
 CORPUS_COLS = ["doc_id", "text", "lang", "source", "fp"]
 
@@ -38,29 +80,7 @@ def merge_batch(batch_df: DataFrame, batch_id: int, corpus_dir: str) -> None:
     """foreachBatch handler: dedup within the batch (min doc_id wins),
     anti-join against the existing corpus fingerprints, write the
     survivors to this batch's own overwrite-safe partition."""
-    spark = batch_df.sparkSession
-    new = _with_fp(batch_df)
-    # within-batch dedup: deterministic survivor = smallest doc_id
-    new = (
-        new.withColumn(
-            "_rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
-        )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    if os.path.isdir(corpus_dir) and any(
-        e.startswith("batch_id=") for e in os.listdir(corpus_dir)
-    ):
-        # exclude this batch's OWN partition from the seen set: on a
-        # retry the previous attempt's output is already there, and
-        # anti-joining against it would empty the rewrite (partition
-        # pruning makes the filter free)
-        seen = (
-            spark.read.parquet(corpus_dir)
-            .filter(F.col("batch_id") != batch_id)
-            .select("fp")
-        )
-        new = new.join(seen, "fp", "left_anti")
+    new = _exact_dedup_against_corpus(batch_df, batch_id, corpus_dir)
     out = new.select(*CORPUS_COLS)
     out.write.mode("overwrite").parquet(f"{corpus_dir}/batch_id={batch_id}")
 
@@ -133,28 +153,10 @@ def merge_batch_neardup(
     )
 
     spark = batch_df.sparkSession
-    new = _with_fp(batch_df)
-    new = (
-        new.withColumn(
-            "_rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
-        )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    if os.path.isdir(corpus_dir) and any(
-        e.startswith("batch_id=") for e in os.listdir(corpus_dir)
-    ):
-        seen = (
-            spark.read.parquet(corpus_dir)
-            .filter(F.col("batch_id") != batch_id)
-            .select("fp")
-        )
-        new = new.join(seen, "fp", "left_anti")
+    new = _exact_dedup_against_corpus(batch_df, batch_id, corpus_dir)
 
     sig_new = minhash_signature_frame(new, num_hashes=NEAR_NUM_HASHES)
-    if os.path.isdir(sig_dir) and any(
-        e.startswith("batch_id=") for e in os.listdir(sig_dir)
-    ):
+    if _has_partitions(spark, sig_dir):
         sig_old = spark.read.parquet(sig_dir).filter(
             F.col("batch_id") != batch_id
         )
@@ -185,10 +187,21 @@ def merge_batch_neardup(
             dups.withColumnRenamed("doc_id", "id"), "id", "left_anti"
         )
 
-    new.select(*CORPUS_COLS).write.mode("overwrite").parquet(
-        f"{corpus_dir}/batch_id={batch_id}"
-    )
-    sig_new.write.mode("overwrite").parquet(f"{sig_dir}/batch_id={batch_id}")
+    # Both writes are actions on overlapping lineage (sig_new derives
+    # from new): persist across them so the dedup + LSH DAG runs once
+    # per batch, not once per sink.
+    new = new.persist()
+    sig_new = sig_new.persist()
+    try:
+        new.select(*CORPUS_COLS).write.mode("overwrite").parquet(
+            f"{corpus_dir}/batch_id={batch_id}"
+        )
+        sig_new.write.mode("overwrite").parquet(
+            f"{sig_dir}/batch_id={batch_id}"
+        )
+    finally:
+        new.unpersist(blocking=False)
+        sig_new.unpersist(blocking=False)
 
 
 def build_corpus_stream_neardup(

@@ -49,13 +49,23 @@ def build_pipeline(
     users: DataFrame | None = None,
     revisions: DataFrame | None = None,
 ) -> DataFrame:
-    """The streaming plan: F1 -> (S3+F2 stream-static join) -> F3
-    stateful dedup -> (S2 stream-static join) -> F4 -> P1-P5.
+    """The streaming plan: F1 -> (S3+F2 stream-static join) -> (S2
+    stream-static join) -> F4 -> F3 stateful dedup over MATCHED rows
+    -> P1-P5.  (Dedup intentionally runs AFTER the match filter: the
+    reference's flag log records matches only, so a non-matching event
+    of a title must not suppress later genuine matches.)
 
     ``users``/``revisions`` are static dimension frames -> these joins
     are stream-static (no state, re-planned per micro-batch; broadcast
     when small).
     """
+    if spec.max_edits is not None and users is None:
+        # Same contract as the batch twin (scanner.scan): a threshold
+        # without its dimension must error, not silently pass everyone.
+        raise ValueError(
+            f"filter {spec.name!r} sets max_edits={spec.max_edits} "
+            "but no users dimension was provided"
+        )
     df = changes.filter(spec.attribute_predicate())
     if users is not None:
         df = df.join(F.broadcast(users), on="user", how="left")
@@ -70,6 +80,12 @@ def build_pipeline(
             on=df["revision.new"] == F.col("__revid"),
             how="left",
         ).drop("__revid")
+        df = df.filter(F.col("text").isNotNull())
+    else:
+        # No revisions dimension = every text fetch "fails" (C1 race
+        # skip), same as the batch twin: attach NULL text so the plan
+        # stays valid instead of crashing on an unresolved column.
+        df = df.withColumn("text", F.lit(None).cast("string"))
         df = df.filter(F.col("text").isNotNull())
     df = df.withColumn("hits", spec.hits(F.col("text")))
     df = df.filter(F.size("hits") > 0)
@@ -176,16 +192,20 @@ def start_flaglog_sink(
     checkpoint_dir: str,
     query_name: str = "flaglog",
 ) -> StreamingQuery:
-    """K3 streaming sink: exactly-once JSON-lines append via
-    foreachBatch + checkpointing."""
+    """K3 streaming sink: exactly-once JSON-lines via foreachBatch +
+    checkpointing.  Each micro-batch OVERWRITES its own epoch=N
+    partition directory (the idempotent-foreachBatch recipe, same as
+    the corpus builder) — a plain append would double-write a batch
+    that is retried after the files land but before the checkpoint
+    commits."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         (
             batch_df.select(
                 "filter", "title", "user", "date", "filename", "match_message"
             )
-            .write.mode("append")
-            .json(out_dir)
+            .write.mode("overwrite")
+            .json(f"{out_dir}/epoch={epoch_id}")
         )
 
     return (
