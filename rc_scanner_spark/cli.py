@@ -73,16 +73,25 @@ def main(argv: list[str] | None = None) -> int:
             spark.readStream.schema(CHANGE_SCHEMA).json(args.input)
         )
         flagged = build_pipeline(changes, spec, users=users, revisions=revisions)
-        q = start_flaglog_sink(
-            flagged, paths.get("flaglog", args.out + "/flagged_changes"),
-            args.checkpoint,
-        )
+        if "flaglog" not in paths:
+            # LOG_LEVEL < 2: the flag log is not provisioned — match
+            # the batch path's sink gating instead of inventing a
+            # default output location.  (Console/revids/content sinks
+            # are batch-only; stream mode is the flag-log pipeline.)
+            raise SystemExit(
+                f"--stream needs log level >= 2 (flag log); got {spec.log_level}"
+            )
+        q = start_flaglog_sink(flagged, paths["flaglog"], args.checkpoint)
         q.awaitTermination()
         return 0
 
     changes = spark.read.schema(CHANGE_SCHEMA).json(args.input)
     flagged = scan(changes, spec, users=users, revisions=revisions,
                    verbose=args.verbose)
+    # One execution feeds up to four sinks (console + revids + flaglog
+    # + content files) — persist across them or the scan recomputes
+    # per action.
+    flagged = flagged.persist()
     # K1 console sink.  With -v the frame also carries non-matching
     # rows (hits empty) — those print their message line only, exactly
     # like the reference's verbose console (scanner.py:132-139); the
@@ -101,9 +110,10 @@ def main(argv: list[str] | None = None) -> int:
     if "revids" in paths:
         write_revid_log(matches, paths["revids"])
     if "flaglog" in paths:
-        write_flaglog(matches, paths["flaglog"])
+        write_flaglog(matches, paths["flaglog"], log_level=spec.log_level)
     if "changes" in paths and "text" in matches.columns:
         write_content_files(matches, paths["changes"])
+    flagged.unpersist(blocking=False)
     return 0
 
 

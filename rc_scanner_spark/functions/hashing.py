@@ -13,12 +13,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def md5_long(col: Column) -> Column:
-    """60-bit non-negative long from md5(col) — identical in DuckDB
-    via the hex-prefix cast (see module docstring)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+def md5_long(col: Column, n_hex: int = 15) -> Column:
+    """Non-negative long from the first ``n_hex`` md5 hex chars (60
+    bits at the default 15) — identical in DuckDB via the hex-prefix
+    cast (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, n_hex), 16, 10).cast("long")
 
 
-def md5_long_sql(expr: str) -> str:
+def md5_long_sql(expr: str, n_hex: int = 15) -> str:
     """The DuckDB twin expression for ``md5_long``."""
-    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+    return f"CAST(concat('0x', substr(md5({expr}), 1, {n_hex})) AS BIGINT)"

@@ -23,12 +23,18 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Python re flag -> Java inline-flag letter.
+# Python re flag -> Java inline-flag letter.  re.UNICODE maps to
+# Java's (?U) = UNICODE_CHARACTER_CLASS (which also implies
+# UNICODE_CASE): Python str patterns set UNICODE implicitly, so \w,
+# \b, \d and (?i) case folding are Unicode-aware — Java defaults to
+# ASCII classes, and silently dropping the flag (the old behavior)
+# missed matches on any non-ASCII text.  Java's lowercase (?u) is only
+# UNICODE_CASE and would NOT fix the character classes.
 _FLAG_LETTERS = (
     (re.IGNORECASE, "i"),
     (re.MULTILINE, "m"),
     (re.DOTALL, "s"),
-    (re.UNICODE, "u"),
+    (re.UNICODE, "U"),
     (re.VERBOSE, "x"),
 )
 
@@ -96,11 +102,10 @@ def translate_pattern(pattern: str | re.Pattern[str]) -> str:
     prefix = "".join(
         letter for flag, letter in _FLAG_LETTERS if flags & flag
     )
-    # re.compile() sets UNICODE implicitly on str patterns; Java regex is
-    # unicode-aware for literals already, so only emit it when explicit
-    # semantics matter (character classes).  Harmless either way; drop it
-    # to keep patterns clean unless the caller asked for more than U.
-    prefix = prefix.replace("u", "")
+    # NOTE: bare-string patterns (no compiled flags) pass through
+    # unchanged — their \w/\b stay Java-ASCII, a documented residual
+    # dialect gap; compile the pattern to opt into Python's Unicode
+    # class semantics.
     return f"(?{prefix}){pattern}" if prefix else pattern
 
 

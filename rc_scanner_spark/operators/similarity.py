@@ -387,20 +387,13 @@ def _portable_sign_bit(table: int, plane: int, dim: Column) -> Column:
     """Engine-portable Rademacher weight: bit 0 of md5-derived hash of
     'table:plane:dim' decides +1/-1 — replayable in any engine with
     md5 (the xxhash64 form stays the fast path)."""
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":", F.lit(str(table)), F.lit(str(plane)), dim.cast("string")
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    return h.bitwiseAND(F.lit(1))
+    from ..functions.hashing import md5_long
+
+    return md5_long(
+        F.concat_ws(
+            ":", F.lit(str(table)), F.lit(str(plane)), dim.cast("string")
+        )
+    ).bitwiseAND(F.lit(1))
 
 
 def lsh_ann_pairs_portable(

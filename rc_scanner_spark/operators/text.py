@@ -140,7 +140,7 @@ def pii_scrub(text: Column) -> dict[str, Column]:
 
 
 def normalize(text: Column) -> Column:
-    """Dedup normalization: lowercase, collapse whitespace, trim.
+    r"""Dedup normalization: lowercase, collapse whitespace, trim.
 
     The whitespace class is spelled out instead of ``\s`` because the
     two engines disagree on it: Java's ``\s`` includes vertical tab

@@ -88,30 +88,20 @@ def prepare_corpus(
 
     # 4. decontamination against the bench set (word 8-grams)
     if bench_docs is not None:
-        k = 8
-        def _shingles(col):
-            ws = words(col)
-            n = F.size(ws)
-            return F.array_distinct(
-                F.when(
-                    n >= k,
-                    F.transform(
-                        F.sequence(F.lit(1), n - (k - 1)),
-                        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ws, i, k))),
-                    ),
-                ).otherwise(
-                    F.when(n > 0, F.array(F.xxhash64(F.concat_ws(" ", ws)))).otherwise(
-                        F.array().cast("array<long>")
-                    )
-                )
-            )
+        # same hash basis as the dedup family (concat_ws over a slice
+        # equals array_join — identical strings, identical hashes)
+        from .operators.dedup import hashed_word_shingles
 
+        k = 8
         bench_sh = (
-            bench_docs.select(F.explode(_shingles(F.col("text"))).alias("sh"))
+            bench_docs.select(
+                F.explode(hashed_word_shingles(F.col("text"), k)).alias("sh")
+            )
             .distinct()
         )
         doc_sh = kept.select(
-            "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
+            "doc_id",
+            F.explode(hashed_word_shingles(F.col("text"), k)).alias("sh"),
         )
         contaminated = (
             doc_sh.join(F.broadcast(bench_sh), "sh")
@@ -121,16 +111,12 @@ def prepare_corpus(
         kept = kept.join(contaminated, "doc_id", "left_anti")
 
     # 5. deterministic split + per-source sequence packing
+    from .functions.hashing import md5_long
+
     bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
-                1,
-                5,
-            ),
-            16,
-            10,
-        ).cast("long")
+        md5_long(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string")), n_hex=5
+        )
         % 1000
     )
     split_col = F.when(bucket < val_permille, F.lit("val")).otherwise(F.lit("train"))

@@ -25,17 +25,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def write_flaglog(flagged: DataFrame, path: str) -> None:
-    """K3, canonical form: append JSON-lines of FlagLogEntry rows."""
+def write_flaglog(flagged: DataFrame, path: str, log_level: int = 2) -> None:
+    """K3, canonical form: append JSON-lines of FlagLogEntry rows.
+
+    Reference parity on the ``log`` struct (scanner.py:161-175): at
+    LOG_LEVEL 2 both paths are NULL; at level 3 ``folder`` is the
+    date partition directory and ``file`` the sanitized filename —
+    always populating ``file`` (the previous behavior) broke
+    byte-compatibility in both directions."""
+    if log_level >= 3 and "filename" in flagged.columns:
+        log_struct = F.struct(
+            F.concat(F.lit("changes/"), F.col("date")).alias("folder"),
+            F.col("filename").alias("file"),
+        )
+    else:
+        log_struct = F.struct(
+            F.lit(None).cast("string").alias("folder"),
+            F.lit(None).cast("string").alias("file"),
+        )
     entry = flagged.select(
         F.col("filter"),
         F.struct(
             *[F.col(c) for c in ("id", "type", "title", "user", "meta")]
         ).alias("change"),
-        F.struct(
-            F.col("folder").alias("folder") if "folder" in flagged.columns else F.lit(None).cast("string").alias("folder"),
-            F.col("filename").alias("file") if "filename" in flagged.columns else F.lit(None).cast("string").alias("file"),
-        ).alias("log"),
+        log_struct.alias("log"),
     )
     entry.write.mode("append").json(path)
 

@@ -16,6 +16,13 @@ Python DataSource *reader*, this is the *writer*
 Scale notes: one file per task (bounded by partition count — pair with
 ``coalesce``/compaction for file-count hygiene); the commit path
 touches filenames only, never data.
+
+LOCAL-FILESYSTEM COMMIT PROTOCOL: write()/commit()/abort() rename and
+remove with os.* paths, which requires driver and executors to share
+one filesystem (local mode, NFS).  A cluster deployment must write
+temps to shared storage and rename through the Hadoop FileSystem API
+(or use the built-in file sinks); this sink demonstrates the Python
+DataSource writer surface, not a distributed commit service.
 """
 
 from __future__ import annotations
@@ -61,7 +68,8 @@ class JsonlWriter(DataSourceWriter):
                 if m is not None and os.path.exists(m.temp_path):
                     os.remove(m.temp_path)
                 continue
-            final = m.temp_path.replace("_tmp-", "part-")
+            d, b = os.path.split(m.temp_path)
+            final = os.path.join(d, b.replace("_tmp-", "part-", 1))
             os.replace(m.temp_path, final)
 
     def abort(self, messages) -> None:

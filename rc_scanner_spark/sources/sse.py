@@ -95,15 +95,22 @@ class _LiveFeed:
         self._url = url
         self._timeout = timeout
         self._session = requests.Session()
-        self._events: list[dict] = []
+        # buffer entries are (change_dict, sse_event_id) so trim() can
+        # persist the id of the last COMMITTED event, not merely the
+        # last received one (persisting last-received would skip every
+        # uncommitted buffered event on the next restart)
+        self._events: list[tuple[dict, str | None]] = []
         self._lock = threading.Lock()
-        self._last_id: str | None = None
+        self._last_recv_id: str | None = None  # reconnect header
         self._base = 0
+        self._aligned = False
+        self._resumed = False
         self._idfile = idfile
         if idfile:
             try:
                 with open(idfile, "r", encoding="utf-8") as f:
-                    self._last_id = f.read().strip() or None
+                    self._last_recv_id = f.read().strip() or None
+                    self._resumed = self._last_recv_id is not None
             except OSError:
                 pass
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -115,8 +122,8 @@ class _LiveFeed:
         while True:
             try:
                 headers = {"Accept": "text/event-stream"}
-                if self._last_id:
-                    headers["Last-Event-ID"] = self._last_id
+                if self._last_recv_id:
+                    headers["Last-Event-ID"] = self._last_recv_id
                 resp = self._session.get(
                     self._url, stream=True, timeout=self._timeout, headers=headers
                 )
@@ -128,8 +135,8 @@ class _LiveFeed:
                     except (ValueError, TypeError):
                         continue  # C1: skip malformed, never die
                     with self._lock:
-                        self._events.append(obj)
-                        self._last_id = ev["id"] or self._last_id
+                        self._last_recv_id = ev["id"] or self._last_recv_id
+                        self._events.append((obj, self._last_recv_id))
             except Exception:
                 pass  # reconnect (C2 without the interactive prompt)
             time.sleep(1.0)  # backoff so a dead endpoint can't spin-loop
@@ -144,28 +151,39 @@ class _LiveFeed:
         with self._lock:
             s = max(start - self._base, 0)
             e = max(end - self._base, 0)
-            return self._events[s:e]
+            return [ev for ev, _id in self._events[s:e]]
 
     def fast_forward(self, offset: int) -> None:
-        """Restart handling: the checkpoint can be ahead of a fresh
-        buffer (offsets outlive the process, the buffer does not).
-        Skip the base forward so new events map to post-checkpoint
-        offsets; the Last-Event-ID re-subscription (``idfile``) is what
-        bounds the loss window to at-least-once."""
+        """Restart handling: checkpointed offsets outlive the process,
+        the buffer does not.  On the FIRST call after a resumed start
+        (idfile id found), the replayed events sitting at local
+        offsets 0..N are exactly the uncommitted tail, so the base
+        ALIGNS to the checkpoint offset — clearing them (the old
+        behavior) silently dropped every event the Last-Event-ID
+        replay had just recovered.  Without a resumption id there is
+        nothing to recover: skip forward and accept the documented
+        loss window."""
         with self._lock:
+            if not self._aligned:
+                self._aligned = True
+                if self._resumed and offset > self._base:
+                    self._base = offset
+                    return
             if offset > self._base + len(self._events):
                 self._events.clear()
                 self._base = offset
 
     def trim(self, upto: int) -> None:
         """Drop the committed prefix (global offsets < upto) and
-        persist the last seen SSE event id for restart resumption."""
+        persist the id of the last COMMITTED event for restart
+        resumption."""
+        last_id = None
         with self._lock:
             drop = min(max(upto - self._base, 0), len(self._events))
             if drop:
+                last_id = self._events[drop - 1][1]
                 del self._events[:drop]
                 self._base += drop
-            last_id = self._last_id
         if self._idfile and last_id:
             tmp = self._idfile + ".tmp"
             try:

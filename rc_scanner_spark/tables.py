@@ -61,7 +61,9 @@ def _spread(spark: SparkSession, df: DataFrame, path: str, name: str) -> DataFra
     # Planned scan partitions if Spark could split the file (it cannot
     # below a row group, so this over-estimates -> only abstain when
     # the file is large enough to split properly on its own).
-    max_part = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+    max_part = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
     if size >= max_part:
         return df
     # Local task overhead (~20-50 ms/stage/task) swamps the gain past
@@ -111,6 +113,20 @@ def _normalize_timestamps(df: DataFrame, name: str) -> DataFrame:
         if enc == "timestamp_ntz" and col not in _TS_COLUMNS.get(name, ()):
             df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
+
+
+_BYTE_UNITS = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+               "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse Spark byte-size config values ('134217728b', '128m',
+    '128MB', ...) — a bare int(rstrip('b')) crashes on unit suffixes."""
+    v = v.strip().lower()
+    i = len(v)
+    while i > 0 and not v[i - 1].isdigit():
+        i -= 1
+    return int(v[:i]) * _BYTE_UNITS[v[i:]]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -70,7 +70,7 @@ def test_cli_batch_mode(spark, tmp_path, capsys):
     )
     assert rc == 0
     out = capsys.readouterr().out
-    assert "***MATCH***" in out and "`(?i)userbox`" in out
+    assert "***MATCH***" in out and "`(?iU)userbox`" in out
     logged = spark.read.json(str(tmp_path / "logs/flagged_changes"))
     assert logged.count() == 4
 

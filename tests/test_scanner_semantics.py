@@ -115,8 +115,10 @@ def test_config_error_on_invalid_combo():
 
 
 def test_regex_flag_translation():
-    assert translate_pattern(re.compile("spark", re.I)) == "(?i)spark"
-    assert translate_pattern(re.compile("a.b", re.I | re.S)) == "(?is)a.b"
+    # compiled str patterns carry implicit re.UNICODE -> Java (?U)
+    # (UNICODE_CHARACTER_CLASS), matching Python's Unicode \w/\b/case
+    assert translate_pattern(re.compile("spark", re.I)) == "(?iU)spark"
+    assert translate_pattern(re.compile("a.b", re.I | re.S)) == "(?isU)a.b"
     assert translate_pattern(r"\bword\b") == r"\bword\b"
     with pytest.raises(RegexDialectError):
         translate_pattern(r"(?P<name>x)")

@@ -565,19 +565,27 @@ def test_sse_loopback_commit_trims_and_persists_id(tmp_path):
         assert len(feed.slice(4, 6)) == 2
         assert feed.size() == 6  # global offset unchanged by trim
         with open(idfile) as f:
-            assert f.read() == "5"
+            # id of the last COMMITTED event (offset 3) — NOT the last
+            # received one (5): resuming from the received id would
+            # skip the uncommitted events 4-5 forever on restart.
+            assert f.read() == "3"
     finally:
         srv.close()
 
-    # restart: fresh server, fresh reader -> resumes from persisted id
+    # restart: fresh server, fresh reader -> resumes from the last
+    # COMMITTED id, so the server replays the uncommitted tail (4, 5)
     srv2 = _LoopbackSSE(n_events=6)
     try:
         r2 = ChangeStreamReader(SCHEMA, {"url": srv2.url(), "idfile": idfile})
         assert _wait_for(lambda: len(srv2.seen_last_ids) > 0)
-        assert srv2.seen_last_ids[0] == "5"
-        # checkpoint ahead of the fresh buffer: fast-forward maps new
-        # events to post-checkpoint offsets
-        r2.partitions({"line": 6}, {"line": 6})
-        assert _wait_for(lambda: r2._feed.size() >= 6)
+        assert srv2.seen_last_ids[0] == "3"
+        # replayed events must ALIGN to the checkpoint offset, not be
+        # cleared: after the first partitions() call at lo=4 the
+        # buffered replay maps to global offsets 4.. and is readable.
+        assert _wait_for(lambda: r2._feed.size() >= 1)
+        r2.partitions({"line": 4}, {"line": 4})
+        assert _wait_for(lambda: r2._feed.size() >= 5)
+        replay = r2._feed.slice(4, 6)
+        assert len(replay) >= 1  # the recovered uncommitted events
     finally:
         srv2.close()
