@@ -48,7 +48,10 @@ def sentences_catalyst(text: Column) -> Column:
     return F.filter(
         F.transform(
             F.regexp_extract_all(text, F.lit(r"[^.!?]+[.!?]*"), 0),
-            lambda s: F.trim(s),
+            # full-whitespace strip to match the UDTF's str.strip():
+            # F.trim's default trims ONLY the space character, so
+            # newlines/tabs between sentences would diverge the twins
+            lambda s: F.regexp_replace(s, r"^\s+|\s+$", ""),
         ),
         lambda s: s != "",
     )
@@ -56,9 +59,15 @@ def sentences_catalyst(text: Column) -> Column:
 
 def split_sentences_lateral(spark, docs: DataFrame) -> DataFrame:
     """LATERAL-join the UDTF against a documents frame."""
+    import uuid
+
     register_udtfs(spark)
-    docs.createOrReplaceTempView("_udtf_docs")
+    # unique view name: a fixed one is clobbered by concurrent callers
+    view = f"_udtf_docs_{uuid.uuid4().hex[:8]}"
+    docs.createOrReplaceTempView(view)
+    # NOTE: the comma-LATERAL is an INNER join — docs whose text
+    # yields no sentences (NULL/empty) drop out of the output.
     return spark.sql(
-        "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_words "
-        "FROM _udtf_docs d, LATERAL split_sentences(d.text) s"
+        f"SELECT d.doc_id, s.sent_idx, s.sentence, s.n_words "
+        f"FROM {view} d, LATERAL split_sentences(d.text) s"
     )

@@ -53,9 +53,16 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> tuple[DataFrame, DataFrame
     ``violations``: one row per (failing row, failed rule) with the
     rule name — exploded from a compact array built map-side.
     """
+    # NULL-evaluating checks count as FAILURES: the contract says
+    # "check is True when the row PASSES", so anything not-True —
+    # including a NULL from un-guarded user rules — quarantines the
+    # row instead of silently passing it into clean.
     failed = F.array_compact(
         F.array(
-            *[F.when(~r.check, F.lit(r.name)) for r in rules]
+            *[
+                F.when(~F.coalesce(r.check, F.lit(False)), F.lit(r.name))
+                for r in rules
+            ]
         )
     )
     tagged = df.withColumn("_failed", failed)

@@ -42,18 +42,37 @@ def lookup_enrich(
     {key: value}; missing keys and raised per-batch exceptions become
     NULL (never a query failure).
     """
-    schema = ", ".join(
-        [f"{name} {dtype}" for name, dtype in df.dtypes] + [f"{out_col} {out_type}"]
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists in the frame")
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    # build the schema from the real StructType (a hand-joined DDL
+    # string breaks on names needing backticks); a FRESH StructType —
+    # StructType.add mutates the frame's cached schema in place
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, _parse_datatype_string(out_type))]
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            keys = pdf[key_col].dropna().unique().tolist()
+            raw_keys = pdf[key_col].dropna().unique().tolist()
+            # A nullable integer column reaches pandas as float64:
+            # fetching with 1.0 instead of 1 malforms every lookup
+            # (e.g. 'users/1.0/...' URLs) and C1 would hide the 404s
+            # as NULLs.  Normalize integral floats back to int for the
+            # fetch, and map results through the raw key so assignment
+            # still lines up with the column values.
+            norm = {
+                k: (int(k) if isinstance(k, float) and k.is_integer() else k)
+                for k in raw_keys
+            }
             try:
-                values = fetch(keys) or {}
+                values = fetch(list(dict.fromkeys(norm.values()))) or {}
             except Exception:
                 values = {}
-            yield pdf.assign(**{out_col: pdf[key_col].map(values)})
+            by_raw = {raw: values.get(nk) for raw, nk in norm.items()}
+            yield pdf.assign(**{out_col: pdf[key_col].map(by_raw)})
 
     return df.mapInPandas(op, schema=schema)
 

@@ -26,15 +26,23 @@ class BatchStats:
 
 @dataclass
 class ProgressCapture(StreamingQueryListener):
-    """Collects one BatchStats per completed micro-batch."""
+    """Collects one BatchStats per completed micro-batch.
+
+    ``query_id``: restrict capture to one query — a session-level
+    listener fires for EVERY stream on the session, so unfiltered
+    totals are polluted the moment a second query (or a leftover from
+    a previous test) runs."""
 
     batches: list[BatchStats] = field(default_factory=list)
+    query_id: str | None = None
 
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
         pass
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
+        if self.query_id is not None and str(p.id) != str(self.query_id):
+            return
         state_rows = None
         if p.stateOperators:
             state_rows = sum(op.numRowsTotal for op in p.stateOperators)

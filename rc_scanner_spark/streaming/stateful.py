@@ -1,5 +1,12 @@
 """Custom stateful streaming operator via applyInPandasWithState.
 
+STATE-GROWTH NOTE: per-user state stores the distinct-title list with
+NoTimeout — unbounded by design, mirroring the reference's
+never-expiring flag log.  A production deployment bounds it by storing
+64-bit title hashes instead of strings (8 bytes/entry), a cap with
+spill-to-count, or a state TTL; the exact-strings form is kept here
+because the tests assert exact distinct titles.
+
 The reference's only state is the flag log the dedup scans
 (filter_.py:90-102).  This generalizes it: an arbitrary per-key state
 machine over the change stream — here, a per-user activity tracker
@@ -40,8 +47,9 @@ def _track_user(
             if t not in seen:
                 seen.add(t)
                 titles.append(t)
-        if len(pdf):
-            last_offset = max(last_offset, int(pdf["offset"].max()))
+        mx = pdf["offset"].dropna().max() if len(pdf) else None
+        if mx is not None and not pd.isna(mx):
+            last_offset = max(last_offset, int(mx))
     state.update((n_events, titles, last_offset))
     yield pd.DataFrame(
         {
