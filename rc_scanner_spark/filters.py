@@ -125,17 +125,15 @@ class FilterSpec:
         without it duplicates collapse via dropDuplicates (exact when
         titles are unique, arbitrary-survivor otherwise).
 
-        No forced broadcast on the flagged set: it grows with run
-        length, so AQE's size gate decides (a hint would OOM at the
-        100 TB flag-log scale)."""
+        NOTE: in the full scan pipeline the within-batch keep-first
+        must run over *matched* rows only (the reference's flag log
+        holds matches); ``scan()`` therefore uses the split helpers
+        ``apply_flagged_anti_join`` + ``apply_match_keep_first``
+        instead of this all-rows form, which remains the standalone
+        dedup operator (exact when every row is a match candidate)."""
         if not self.skip_repeats:
             return df
-        if flagged_titles is not None:
-            df = df.join(
-                flagged_titles.select("title").distinct(),
-                on="title",
-                how="left_anti",
-            )
+        df = self.apply_flagged_anti_join(df, flagged_titles)
         if order_cols:
             w = Window.partitionBy("title").orderBy(*order_cols)
             df = (
@@ -146,3 +144,53 @@ class FilterSpec:
         else:
             df = df.dropDuplicates(["title"])
         return df
+
+    def apply_flagged_anti_join(
+        self, df: DataFrame, flagged_titles: DataFrame | None
+    ) -> DataFrame:
+        """F3a: drop titles already present in the flag log
+        (filter_.py:90-102, page_is_repeat).  Cheap, so it runs before
+        the expensive text join.
+
+        No forced broadcast on the flagged set: it grows with run
+        length, so AQE's size gate decides (a hint would OOM at the
+        100 TB flag-log scale)."""
+        if not self.skip_repeats or flagged_titles is None:
+            return df
+        return df.join(
+            flagged_titles.select("title").distinct(),
+            on="title",
+            how="left_anti",
+        )
+
+    def apply_match_keep_first(
+        self,
+        df: DataFrame,
+        matched: Column,
+        order_cols: tuple[str, ...],
+    ) -> DataFrame:
+        """F3b: within-batch suppression of repeat *matches* per title.
+
+        The reference's flag log records matches only (filter_.py:102
+        appends after the regex hit), so a non-matching event of a
+        title must NOT suppress a later genuine match — mirror of the
+        streaming twin's dedup-after-match (streaming/pipeline.py).
+        A running count of matches in stream order keeps: every
+        non-matching row (verbose output) and the FIRST matching row
+        per title; later matches of that title are dropped.
+
+        Scale: one window shuffle on title — same key cardinality as
+        the dedup itself; no driver state."""
+        if not self.skip_repeats:
+            return df
+        w = (
+            Window.partitionBy("title")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        run = F.sum(matched.cast("int")).over(w)
+        return (
+            df.withColumn("__nmatch", run)
+            .filter((~matched) | (F.col("__nmatch") == 1))
+            .drop("__nmatch")
+        )

@@ -67,7 +67,14 @@ def split_sentences_lateral(spark, docs: DataFrame) -> DataFrame:
     docs.createOrReplaceTempView(view)
     # NOTE: the comma-LATERAL is an INNER join — docs whose text
     # yields no sentences (NULL/empty) drop out of the output.
-    return spark.sql(
-        f"SELECT d.doc_id, s.sent_idx, s.sentence, s.n_words "
-        f"FROM {view} d, LATERAL split_sentences(d.text) s"
-    )
+    try:
+        return spark.sql(
+            f"SELECT d.doc_id, s.sent_idx, s.sentence, s.n_words "
+            f"FROM {view} d, LATERAL split_sentences(d.text) s"
+        )
+    finally:
+        # the analyzed plan holds its own reference to the view's
+        # child plan, so dropping the catalog entry immediately is
+        # safe — and prevents unbounded catalog growth in a
+        # long-lived session (one leak per call otherwise)
+        spark.catalog.dropTempView(view)

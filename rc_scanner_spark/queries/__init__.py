@@ -44,67 +44,17 @@ def load_tuned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _VERIFICATION_PRIORITY: tuple[str, ...] = (
     # Rotation ledger (driver checks a ~50-entry prefix per round):
-    #   r1: first 50 of the then-module order (the "r1-era" block below).
+    #   r1: first 50 of the then-module order (the "r1-era" block).
     #   r2+r3: scanner/LLM/TPC-H/SQL-API prefix (CORRECTNESS_r03.json).
-    #   r4: stale events rows + 45 never-checked (CORRECTNESS_r04.json,
-    #       50/50 green).
-    #   r5 (THIS ordering): 1-15 = the 13 oracle-backed queries that
-    #       have never had a driver row + the two r3 hash-fails fixed
-    #       in r4 (llm_prep_pipeline, tpch_q12ish) whose last driver
-    #       rows are failures; then new round-5 queries; then the
-    #       r1-era block (oldest driver evidence, re-verification).
-    # -- 1-15: never-driver-checked + fixed r3 hash-fails.
-    "ann_ivf_topk",
-    "multimodal_features",
-    "retrieval_rrf_fusion",
-    "select_token_budget",
-    "filter_source_blocklist",
-    "batch_length_buckets",
-    "sample_cluster_balanced",
-    "sketch_countmin_topk",
-    "events_rate_anomaly",
-    "event_transitions",
-    "profile_quality_by_source",
-    "dedup_pair_explain",
-    "dedup_rate_by_source",
-    "llm_prep_pipeline",
-    "tpch_q12ish",
-    # -- round-5 additions get driver rows on first rotation.
-    "embed_quantize_int8",
-    "ann_pq_topk",
-    "sketch_bloom_membership",
-    "dedup_keep_best",
-    "text_bigram_logprob",
-    "dedup_containment",
-    "sketch_quantile_bounded",
-    "select_dsir",
-    "ann_ivfpq_topk",
-    "sample_temperature_mix",
-    "events_gap_fill",
-    "events_retention_cohorts",
-    "basket_part_pairs",
-    "cdc_snapshot_diff",
-    "events_rolling_active_users",
-    "events_ewma_smooth",
-    "time_window_sliding",
-    "graph_triangle_count",
-    "dedup_substring_spans",
-    "select_pareto_frontier",
-    "source_overlap_matrix",
-    "agg_argmax",
-    "window_first_last",
-    "profile_key_skew",
-    "agg_group_quantiles",
-    "text_zipf_fit",
-    "sample_poisson_bootstrap",
-    "text_lang_mix",
-    "bootstrap_ci_mean",
-    "er_fuzzy_match",
-    "window_period_over_period",
-    "sample_uniform_k",
-    "events_cumulative_distinct",
-    "graph_link_prediction",
-    "event_conversion_latency",
+    #   r4: stale events rows + 45 never-checked (50/50 green).
+    #   r5: 15 never-checked/re-fixed + round-5 additions (50/50 green).
+    #   r6 (THIS ordering): 1-16 = the 16 entries with NO driver row
+    #       after r5 (10 oracle-backed first — hash-checked slots —
+    #       then 6 rows-only by design); 17-59 = the r1-era block
+    #       (oldest driver evidence, re-verification; ~34 fit the
+    #       r6 prefix, the spill heads the r7 prefix).  Cumulative
+    #       driver coverage after r6: 207/207.
+    # -- 1-10: never-driver-checked, oracle-backed.
     "events_concurrency",
     "agg_filtered",
     "split_leakage_safe",
@@ -115,11 +65,13 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sketch_hll_intersect",
     "agg_weighted_median",
     "embed_centroid_outliers",
-    # rows-only pair last in the block: the driver records only a
-    # weaker rows-only check for these, so oracle-backed queries get
-    # the hash-checked prefix slots.
+    # -- 11-16: never-driver-checked, rows-only by design.
     "multimodal_phash_neardup",
     "text_compression_ratio",
+    "pack_bins_bfd",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_bucketed",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -164,7 +116,57 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "scalar_subquery",
     "in_subquery",
     "limit_offset",
-    # -- r4-green prefix and r2/r3-green tail (most recent evidence).
+    # -- r3/r4/r5-green tail (most recent evidence).
+    "ann_ivf_topk",
+    "multimodal_features",
+    "retrieval_rrf_fusion",
+    "select_token_budget",
+    "filter_source_blocklist",
+    "batch_length_buckets",
+    "sample_cluster_balanced",
+    "sketch_countmin_topk",
+    "events_rate_anomaly",
+    "event_transitions",
+    "profile_quality_by_source",
+    "dedup_pair_explain",
+    "dedup_rate_by_source",
+    "llm_prep_pipeline",
+    "tpch_q12ish",
+    "embed_quantize_int8",
+    "ann_pq_topk",
+    "sketch_bloom_membership",
+    "dedup_keep_best",
+    "text_bigram_logprob",
+    "dedup_containment",
+    "sketch_quantile_bounded",
+    "select_dsir",
+    "ann_ivfpq_topk",
+    "sample_temperature_mix",
+    "events_gap_fill",
+    "events_retention_cohorts",
+    "basket_part_pairs",
+    "cdc_snapshot_diff",
+    "events_rolling_active_users",
+    "events_ewma_smooth",
+    "time_window_sliding",
+    "graph_triangle_count",
+    "dedup_substring_spans",
+    "select_pareto_frontier",
+    "source_overlap_matrix",
+    "agg_argmax",
+    "window_first_last",
+    "profile_key_skew",
+    "agg_group_quantiles",
+    "text_zipf_fit",
+    "sample_poisson_bootstrap",
+    "text_lang_mix",
+    "bootstrap_ci_mean",
+    "er_fuzzy_match",
+    "window_period_over_period",
+    "sample_uniform_k",
+    "events_cumulative_distinct",
+    "graph_link_prediction",
+    "event_conversion_latency",
     "join_asof",
     "window_lag_lead",
     "session_windows",
@@ -215,10 +217,6 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "graph_degree_stats",
     "cluster_kmeans",
     "dedup_semantic",
-    "pack_bins_bfd",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_lsh_bucketed",
     "scan_pipeline_full",
     "scan_attribute_filter",
     "scan_threshold_disabled",

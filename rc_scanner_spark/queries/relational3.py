@@ -119,11 +119,11 @@ def salted_join(
     dim: DataFrame,
     key: str,
     salt_buckets: int = 8,
+    salt_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
-    """Skew-mitigated equi-join: the fact side gets a row-local salt
-    (monotonic id mod N), the dimension side is exploded N ways, and
-    the join key becomes (key, salt) — splitting one hot key's rows
-    across N tasks.
+    """Skew-mitigated equi-join: the fact side gets a row-local salt,
+    the dimension side is exploded N ways, and the join key becomes
+    (key, salt) — splitting one hot key's rows across N tasks.
 
     The result is row-identical to ``facts.join(dim, key)``; only the
     physical distribution changes.  AQE's skew-join handles moderate
@@ -131,14 +131,29 @@ def salted_join(
     AQE cannot split (single-key hot partitions in non-sort-merge
     plans).
 
-    Salt = monotonically_increasing_id mod N: spreads even
-    byte-identical duplicate rows of a hot key (a row-content hash
-    would send every copy to ONE bucket — degenerate exactly in the
-    pathological case) and costs no per-row hashing of wide columns.
-    The id is partition-dependent, which is fine: the salt never
-    reaches the output, so results stay layout-invariant.
+    Salt derivation — two modes:
+
+    - ``salt_cols`` given (preferred): ``pmod(xxhash64(salt_cols), N)``
+      — fully DETERMINISTIC, so a map stage recomputed after a
+      shuffle-fetch failure re-derives identical salts and the
+      row-identical guarantee holds under stage retries.  Pass a
+      unique-ish discriminator (an event id, a rowid) so duplicate
+      rows of a hot key still spread; hashing only the discriminator
+      also avoids per-row hashing of wide payload columns.
+    - no ``salt_cols``: ``monotonically_increasing_id() mod N``.
+      Spreads even byte-identical duplicate rows, but the id is a
+      NONDETERMINISTIC partition-dependent counter: if a stage is
+      retried, re-executed rows can land in different salt buckets
+      than the first attempt — the classic lost/duplicated-rows hazard
+      of nondeterministic shuffle keys.  Acceptable for single-attempt
+      local runs; on a real cluster prefer ``salt_cols``.
     """
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    if salt_cols:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets)
+        )
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     salted_facts = facts.withColumn("__salt", salt.cast("int"))
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
@@ -155,7 +170,9 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("user_total"))
     )
-    joined = salted_join(ev, user_dim, key="user_id", salt_buckets=8)
+    joined = salted_join(
+        ev, user_dim, key="user_id", salt_buckets=8, salt_cols=("event_id",)
+    )
     return joined.groupBy("user_id", "user_total").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),

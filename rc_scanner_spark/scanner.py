@@ -115,9 +115,13 @@ def scan(
                 & spec.editcount_predicate(F.col("editcount"))
             )
 
-    # F3 — anti-join dedup + within-batch keep-first in stream order
-    # (filter_.py:90-102: the flag log suppresses same-run repeats).
-    df = spec.apply_dedup(df, flagged, order_cols=("timestamp", "meta.id"))
+    # F3a — anti-join against the pre-existing flag log (cheap, stays
+    # ahead of the expensive text join; filter_.py:90-102).  The
+    # within-batch keep-first (F3b) intentionally runs AFTER the F4
+    # match, over matched rows only — the flag log records matches, so
+    # a title's non-matching first event must not suppress its later
+    # genuine match (mirrors streaming/pipeline.py dedup-after-match).
+    df = spec.apply_flagged_anti_join(df, flagged)
 
     # S2 — the expensive enrichment, structurally after the cheap
     # filters (scanner.py:131-141 ordering).  Left join + race filter:
@@ -138,8 +142,12 @@ def scan(
         df = df.withColumn("text", F.lit(None).cast("string"))
         df = df.filter(F.col("text").isNotNull())
 
-    # F4 — regex hits.
+    # F4 — regex hits, then F3b within-batch keep-first over MATCHES
+    # in stream order (keeps all non-matching rows for verbose mode).
     df = df.withColumn("hits", spec.hits(F.col("text")))
+    df = spec.apply_match_keep_first(
+        df, F.size("hits") > 0, order_cols=("timestamp", "meta.id")
+    )
     if not verbose:
         df = df.filter(F.size("hits") > 0)
 

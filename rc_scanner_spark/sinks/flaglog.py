@@ -34,8 +34,17 @@ def write_flaglog(flagged: DataFrame, path: str, log_level: int = 2) -> None:
     always populating ``file`` (the previous behavior) broke
     byte-compatibility in both directions."""
     if log_level >= 3 and "filename" in flagged.columns:
+        # a frame carrying filename but not the date projection must
+        # degrade to a NULL folder, not fail analysis — derive the
+        # partition from meta.dt (P4, scanner.py:155) when available
+        if "date" in flagged.columns:
+            date_col = F.col("date")
+        elif "meta" in flagged.columns:
+            date_col = F.substring(F.col("meta.dt"), 1, 10)
+        else:
+            date_col = F.lit(None).cast("string")
         log_struct = F.struct(
-            F.concat(F.lit("changes/"), F.col("date")).alias("folder"),
+            F.concat(F.lit("changes/"), date_col).alias("folder"),
             F.col("filename").alias("file"),
         )
     else:

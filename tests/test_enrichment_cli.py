@@ -95,6 +95,30 @@ def test_flaglog_array_export(spark, tmp_path):
     assert {d["filter"] for d in data} == {"f1"}
 
 
+def test_flaglog_level3_without_date_column(spark, tmp_path):
+    """Level-3 gating: a frame carrying ``filename`` but not the
+    ``date`` projection must degrade (folder derived from meta.dt, or
+    NULL), not raise AnalysisException."""
+    from rc_scanner_spark.sinks.flaglog import write_flaglog
+    from rc_scanner_spark.schemas import CHANGE_SCHEMA
+    from tests.conftest import make_change
+
+    changes = spark.createDataFrame(
+        [make_change(1, "T1"), make_change(2, "T2")], CHANGE_SCHEMA
+    )
+    flagged = changes.withColumn("filter", F.lit("f1")).withColumn(
+        "filename", F.concat_ws("_", "user", F.col("revision.new").cast("string"))
+    )
+    path = tmp_path / "fl3"
+    write_flaglog(flagged, str(path), log_level=3)
+    logged = spark.read.json(str(path))
+    rows = logged.select("log.folder", "log.file").collect()
+    assert len(rows) == 2
+    # folder falls back to the meta.dt-derived partition
+    assert {r["folder"] for r in rows} == {"changes/2026-08-13"}
+    assert all(r["file"] for r in rows)
+
+
 def test_csv_json_source_roundtrip(spark, tmp_path):
     from rc_scanner_spark.tables import load_table
 

@@ -71,6 +71,44 @@ def test_full_scan_pipeline(spark, changes, users, revisions):
     assert titles == {"Alpha", "User:Colon:Name", "Beta"}
 
 
+def test_batch_dedup_only_suppresses_flagged_titles(spark, users):
+    """Batch twin of the streaming test: a title whose FIRST event does
+    not match must not suppress a later matching event for the same
+    title (reference filter_.py:90-102 dedups against the flag log,
+    which holds *matches* only).  A third matching event IS a true
+    repeat and is dropped."""
+    rows = [make_change(i + 1, "X") for i in range(3)]
+    changes = spark.createDataFrame(rows, CHANGE_SCHEMA)
+    revs = spark.createDataFrame(
+        [(1001, "nothing here"), (1002, "all about spark"),
+         (1003, "more spark stuff")],
+        "revid long, text string",
+    )
+    spec = FilterSpec(name="t", max_edits=None, **SPEC)
+    out = scan(changes, spec, users=users, revisions=revs).collect()
+    assert len(out) == 1
+    assert out[0]["title"] == "X"
+    # the survivor is the FIRST matching revision, not the first event
+    assert out[0]["revision"]["new"] == 1002
+
+
+def test_batch_dedup_verbose_keeps_nonmatch_of_deduped_title(spark, users):
+    """Verbose mode: the non-matching event of a title passes through
+    even when a later event of the same title matches; only repeat
+    MATCHES are suppressed."""
+    rows = [make_change(i + 1, "X") for i in range(3)]
+    changes = spark.createDataFrame(rows, CHANGE_SCHEMA)
+    revs = spark.createDataFrame(
+        [(1001, "nothing here"), (1002, "all about spark"),
+         (1003, "more spark stuff")],
+        "revid long, text string",
+    )
+    spec = FilterSpec(name="t", max_edits=None, **SPEC)
+    out = scan(changes, spec, users=users, revisions=revs, verbose=True).collect()
+    got = {(r["revision"]["new"], len(r["hits"])) for r in out}
+    assert got == {(1001, 0), (1002, 1)}
+
+
 def test_dedup_by_title_only(spark, changes, users, revisions):
     spec = FilterSpec(name="t", max_edits=None, **SPEC)
     flagged = spark.createDataFrame([("Alpha",)], "title string")
