@@ -74,28 +74,45 @@ def main() -> None:
     # not query compute, so it belongs in the warm-up with the rest.
     spark.sql("SELECT lower('MÜller straße 你好 Ω'), upper('ñoño')").collect()
 
-    timings: dict[str, float] = {}
-    total = 0.0
+    # Multi-sample: the whole suite runs SAMPLES times (outer loop), so
+    # each pass has exactly the single-shot cache semantics of rounds
+    # 1-5 (clear caches at share-group boundaries; the first near-dup
+    # family member pays the shared tokenization, the rest reuse it).
+    # Per-query median across passes collapses host-load jitter —
+    # untouched queries previously swung ±30% run-to-run, masking real
+    # regressions; min is reported as the low-noise floor.  The
+    # headline total stays ONE number: sum of per-query medians.
+    samples_env = os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3")
+    n_samples = max(1, int(samples_env))
     from rc_scanner_spark.operators.dedup import release_caches
 
-    for i, name in enumerate(HEADLINE):
-        # Each query is measured standalone: drop persisted frames the
-        # previous query left behind so cache memory/GC pressure from
-        # one query cannot distort the next.  EXCEPT within a share
-        # group: the near-dup family deliberately shares one persisted
-        # tokenization (operators/dedup.py shared_word_frame) — the
-        # production design materializes the token table once and fans
-        # every dedup algorithm out from it, so the bench models that:
-        # the first family member pays tokenization, the rest reuse it.
-        if not (i and _share_group(HEADLINE[i - 1]) == _share_group(name)):
-            spark.catalog.clearCache()
-            release_caches()
-        fn = registry[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_samples):
+        for i, name in enumerate(HEADLINE):
+            # Each query is measured standalone: drop persisted frames
+            # the previous query left behind so cache memory/GC
+            # pressure from one query cannot distort the next.  EXCEPT
+            # within a share group: the near-dup family deliberately
+            # shares one persisted tokenization (operators/dedup.py
+            # shared_word_frame) — the production design materializes
+            # the token table once and fans every dedup algorithm out
+            # from it, so the bench models that.
+            if not (i and _share_group(HEADLINE[i - 1]) == _share_group(name)):
+                spark.catalog.clearCache()
+                release_caches()
+            fn = registry[name].fn
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs[name].append(time.perf_counter() - t0)
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    timings = {name: round(_median(ts), 3) for name, ts in runs.items()}
+    mins = {name: round(min(ts), 3) for name, ts in runs.items()}
+    total = sum(_median(ts) for ts in runs.values())
 
     print(
         json.dumps(
@@ -104,6 +121,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": mins,
+                "samples": n_samples,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

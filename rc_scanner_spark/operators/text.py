@@ -54,16 +54,27 @@ def bpe_token_count(text: Column) -> Column:
 
 def quality_columns(text: Column) -> dict[str, Column]:
     """Quality-scoring signals: length, word stats, punctuation and
-    stopword ratios.  All ratios NULL-safe on empty documents."""
+    stopword ratios.  All ratios NULL-safe on empty documents.
+
+    Scans of ``text`` are fused to the minimum: counting punctuation
+    and non-space chars uses ``translate`` + length deltas (a plain
+    char-map pass, no regex engine) instead of
+    ``regexp_extract_all``-then-size, which materialized a match array
+    per row just to take its size.  Match-count equivalence is exact:
+    every punctuation char is one single-char match, and Java's ``\\s``
+    is precisely the 6-char class translated out below.  Only the
+    stopword count keeps a regex — its ``\\b`` boundaries (digit
+    adjacency!) are not reproducible from the split-token array."""
     n_chars = F.length(text)
     ws = words(text)
     n_words = F.size(ws)
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), 0))
+    n_punct = n_chars - F.length(F.translate(text, ".,;:!?", ""))
     n_stop = F.size(
         F.regexp_extract_all(F.lower(text), F.lit(LANG_MARKERS["en"]), 0)
     )
     nz = F.when(n_words > 0, n_words.cast("double"))
-    avg_word_len = F.length(F.regexp_replace(text, r"\s", "")) / nz
+    # Java \s == [ \t\n\x0B\f\r]
+    avg_word_len = F.length(F.translate(text, " \t\n\x0b\f\r", "")) / nz
     return {
         "n_chars": n_chars.cast("long"),
         "n_words": n_words.cast("long"),
@@ -73,16 +84,22 @@ def quality_columns(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(text: Column) -> Column:
-    """Composite [0,1]-ish quality score; weights are heuristic and
-    documented, determinism is what matters."""
-    q = quality_columns(text)
+def quality_score_from(q: dict[str, Column]) -> Column:
+    """Composite [0,1]-ish quality score from already-computed
+    ``quality_columns`` — callers that also project the signal columns
+    reuse them instead of re-deriving every ratio from raw text."""
     score = (
         F.least(q["n_words"] / F.lit(50.0), F.lit(1.0)) * 0.4
         + F.coalesce(q["stopword_ratio"], F.lit(0.0)) * 0.4
         + F.least(F.coalesce(q["punct_ratio"], F.lit(0.0)) * 5, F.lit(1.0)) * 0.2
     )
     return F.round(score, 4)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish quality score; weights are heuristic and
+    documented, determinism is what matters."""
+    return quality_score_from(quality_columns(text))
 
 
 def lang_scores(text: Column) -> dict[str, Column]:

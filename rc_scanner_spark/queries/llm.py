@@ -31,6 +31,7 @@ from ..operators.text import (
     normalize,
     quality_columns,
     quality_score,
+    quality_score_from,
     token_count,
     words,
 )
@@ -723,7 +724,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         q["punct_ratio"].alias("punct_ratio"),
         q["stopword_ratio"].alias("stopword_ratio"),
         q["avg_word_len"].alias("avg_word_len"),
-        quality_score(F.col("text")).alias("quality"),
+        # composed from the same column trees (no second derivation of
+        # the ratios from raw text; with the rounds shared, codegen CSE
+        # collapses the duplicates)
+        quality_score_from(q).alias("quality"),
     )
 
 
