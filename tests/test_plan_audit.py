@@ -12,7 +12,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from tools.audit_plans import _top_level_groups, global_windows
+from tools.audit_plans import _top_level_groups, cartesians, global_windows
 
 from .conftest import SF_SMOKE
 
@@ -27,12 +27,59 @@ ALLOWED_GLOBAL_WINDOWS = {
     # unshared centroid subtree (residual build, probe scoring, the
     # assignment inside ivf_assign) — every copy is an 8-row frame.
     "ann_ivfpq_topk": 7,
+    # recall eval composes the IVF arm twice (baseline + probe side):
+    # each copy's seed window runs directly above
+    # TakeOrderedAndProject(limit=16) — a 16-row frame at any scale.
+    "ann_recall_eval": 2,
     "cluster_kmeans": 1,
     "dedup_semantic": 3,
     "sample_cluster_balanced": 1,
     # token-budget selection: the cumulative window runs over the
     # quality-band aggregate (<= 10^4 + 1 rows; queries/llm.py).
     "select_token_budget": 1,
+}
+
+
+# Cartesian-shaped join nodes (CartesianProduct / BNLJ) that are
+# ALLOWED because one side is a broadcast scalar (a 1-row aggregate:
+# corpus totals, norms, thresholds) or a bounded frame (centroid seeds,
+# quantile cut arrays) — O(n*1) at any corpus size.  Counts pinned so a
+# new non-broadcast cartesian fails the build.
+ALLOWED_CARTESIANS = {
+    "agg_cohens_kappa": 3,       # 1-row totals x3 (marginals/agreement)
+    "agg_histogram": 1,          # broadcast min/max scalar for bin width
+    "ann_cosine_topk": 1,        # broadcast query vectors (documented baseline)
+    "ann_ivf_topk": 2,           # broadcast centroid seeds (limit 16)
+    "ann_ivfpq_topk": 4,         # centroid + PQ codebook seeds (limit 8)
+    "ann_recall_eval": 4,        # baseline + IVF sides share seed frames
+    "basket_part_pairs": 1,      # broadcast scalar total-baskets
+    "bootstrap_ci_mean": 1,      # broadcast replicate index array
+    "cluster_kmeans": 4,         # seed frame per unshared iteration subtree
+    "cross_join": 1,             # the cross-join operator itself (bounded dims)
+    "dedup_embedding_cosine": 1, # broadcast scalar norm threshold
+    "dedup_semantic": 9,         # centroid seeds across assign/score subtrees
+    "embed_centroid_outliers": 3,# broadcast global centroid (1 row)
+    "embed_quantize_int8": 1,    # broadcast global scale scalar
+    "events_concurrency": 1,     # broadcast minute-grid bounds scalar
+    "events_cumulative_distinct": 1,  # broadcast day-grid bounds
+    "events_ewma_smooth": 1,     # broadcast alpha-power scalar frame
+    "events_rolling_active_users": 1, # broadcast day-grid bounds
+    "graph_pagerank": 4,         # broadcast dangling-mass scalar per iter
+    "join_range_bands": 1,       # bounded bands dim (documented range join)
+    "retrieval_rrf_fusion": 2,   # broadcast query vectors x2 retrievers
+    "sample_cluster_balanced": 3,# centroid seeds
+    "sample_negatives": 1,       # broadcast positives-per-anchor scalar
+    "sample_stratified": 1,      # broadcast per-stratum rate frame
+    "sample_temperature_mix": 1, # broadcast source-weight scalar frame
+    "select_dsir": 1,            # broadcast corpus unigram totals scalar
+    "sketch_hll_intersect": 1,   # two 1-row sketch aggregates crossed
+    "sketch_hll_mergeable": 1,   # 1-row merged sketch x 1-row exact
+    "text_bigram_logprob": 1,    # broadcast corpus token total scalar
+    "text_bm25_topk": 1,         # broadcast avgdl scalar
+    "text_unigram_logprob": 1,   # broadcast corpus token total scalar
+    "tfidf_top_terms": 1,        # broadcast corpus doc-count scalar
+    "tpch_q22ish": 1,            # broadcast avg-acctbal scalar (per spec)
+    "window_ntile": 2,           # broadcast global row-count scalar
 }
 
 
@@ -58,14 +105,16 @@ def test_global_window_detector():
     assert global_windows("\n".join([part_only, order_only, part_order])) == 1
 
 
-def test_no_unbounded_global_windows(spark):
-    """Every registry query's physical plan: no global Window beyond
-    the pinned allowlist.  Plan construction only — no job runs except
-    the few queries that execute eagerly while building (k-means /
-    PageRank convergence loops), which are tiny at sf0.001."""
+def test_no_unbounded_global_windows_or_cartesians(spark):
+    """Every registry query's physical plan: no global Window and no
+    cartesian-shaped join beyond the pinned allowlists.  Plan
+    construction only — no job runs except the few queries that
+    execute eagerly while building (k-means / PageRank convergence
+    loops), which are tiny at sf0.001."""
     from rc_scanner_spark.queries import build_registry
 
-    bad: dict[str, int] = {}
+    bad_win: dict[str, int] = {}
+    bad_cart: dict[str, int] = {}
     for name, spec in sorted(build_registry().items()):
         df = spec.fn(spark, SF_SMOKE)
         plan = (
@@ -76,7 +125,13 @@ def test_no_unbounded_global_windows(spark):
         )
         g = global_windows(plan)
         if g != ALLOWED_GLOBAL_WINDOWS.get(name, 0):
-            bad[name] = g
-    assert not bad, (
-        f"unpartitioned Window outside allowlist (or allowlist drift): {bad}"
+            bad_win[name] = g
+        c = cartesians(plan)
+        if c != ALLOWED_CARTESIANS.get(name, 0):
+            bad_cart[name] = c
+    assert not bad_win, (
+        f"unpartitioned Window outside allowlist (or allowlist drift): {bad_win}"
+    )
+    assert not bad_cart, (
+        f"cartesian join outside allowlist (or allowlist drift): {bad_cart}"
     )

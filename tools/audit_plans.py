@@ -80,6 +80,15 @@ def global_windows(plan: str) -> int:
     return n
 
 
+def cartesians(plan: str) -> int:
+    """Count cartesian-shaped join nodes: CartesianProduct and
+    BroadcastNestedLoopJoin.  Each is O(n*m) row pairs — fatal at
+    100 TB unless one side is a broadcast scalar/bounded frame, so
+    every occurrence must sit on the pinned allowlist
+    (tests/test_plan_audit.py)."""
+    return plan.count("CartesianProduct") + plan.count("BroadcastNestedLoopJoin")
+
+
 def audit(plan: str) -> dict[str, int | bool]:
     return {
         "exchanges": len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
@@ -92,6 +101,7 @@ def audit(plan: str) -> dict[str, int | bool]:
         # executedPlan marks codegen'd operators with a "*(<id>)" prefix
         "wscg": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "gwin": global_windows(plan),
+        "cart": cartesians(plan),
     }
 
 
@@ -124,6 +134,8 @@ def main() -> None:
             flags.append("MANY-SHUFFLES")
         if a["gwin"]:
             flags.append("GLOBAL-WINDOW")
+        if a["cart"]:
+            flags.append("CARTESIAN")
         print(
             f"{name:28s} xchg={a['exchanges']:2d} bhj={a['bhj']} smj={a['smj']} "
             f"pushed={int(a['pushed'])} pyeval={a['pyeval']} arrow={a['arrow']} "
