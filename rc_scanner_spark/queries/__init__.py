@@ -72,6 +72,15 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_bucketed",
+    # -- 17-24: round-6 additions get driver rows on first rotation.
+    "join_interval_overlap",
+    "events_interval_union",
+    "agg_mode",
+    "join_bloom_pruned",
+    "agg_salted_twophase",
+    "sample_reservoir_group",
+    "window_time_range_rolling",
+    "text_rake_keywords",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -283,6 +292,7 @@ def build_registry() -> dict[str, QuerySpec]:
         sql_api,
         warehouse,
         warehouse2,
+        warehouse3,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -300,6 +310,7 @@ def build_registry() -> dict[str, QuerySpec]:
         sketches,
         warehouse,
         warehouse2,
+        warehouse3,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

@@ -65,6 +65,7 @@ ALLOWED_CARTESIANS = {
     "events_ewma_smooth": 1,     # broadcast alpha-power scalar frame
     "events_rolling_active_users": 1, # broadcast day-grid bounds
     "graph_pagerank": 4,         # broadcast dangling-mass scalar per iter
+    "join_bloom_pruned": 1,      # 1-row Bloom bit-words aggregate broadcast
     "join_range_bands": 1,       # bounded bands dim (documented range join)
     "retrieval_rrf_fusion": 2,   # broadcast query vectors x2 retrievers
     "sample_cluster_balanced": 3,# centroid seeds

@@ -1,0 +1,165 @@
+"""Planted-semantics tests for the round-6 warehouse3 batch.
+
+Every expectation is hand-computed on a tiny fixture written into
+tmp_path (same <name>.parquet convention as the sf dirs) — the oracle
+gate can't catch a semantic flaw mirrored into the SQL twin, these
+can.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from rc_scanner_spark.queries import build_registry
+
+REG = build_registry()
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / f"{name}.parquet"))
+
+
+def _ts(s):
+    return datetime.datetime.fromtimestamp(s, datetime.timezone.utc).replace(
+        tzinfo=None
+    )
+
+
+def test_join_interval_overlap_planted(spark, tmp_path):
+    d = datetime.datetime
+    rows = [
+        # cust 1: o1 [01-01, 01-02], o2 [01-02, 01-04] -> overlap 1 day
+        (1, 1, d(2020, 1, 1), 500.0),
+        (1, 2, d(2020, 1, 2), 1500.0),
+        # o3 [01-10, 01-11] -> disjoint from both
+        (1, 3, d(2020, 1, 10), 100.0),
+        # cust 2: alone -> no pairs
+        (2, 4, d(2020, 1, 1), 100.0),
+    ]
+    _write(spark, tmp_path, "orders", rows,
+           "o_custkey long, o_orderkey long, o_orderdate timestamp, o_totalprice double")
+    out = REG["join_interval_overlap"].fn(spark, str(tmp_path)).collect()
+    assert [(r.custkey, r.key_a, r.key_b, r.overlap_days) for r in out] == [
+        (1, 1, 2, 1)
+    ]
+
+
+def test_events_interval_union_planted(spark, tmp_path):
+    rows = [
+        # user 1: [1000,1060] + [1030,1060] merge; [2000,2120] separate
+        (1, 1, _ts(1000), 1.0),
+        (2, 1, _ts(1030), 0.5),
+        (3, 1, _ts(2000), 2.0),
+        # user 2: zero-length interval
+        (4, 2, _ts(500), 0.0),
+    ]
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, user_id long, ts timestamp, value double")
+    out = {
+        r.user_id: (r.covered_s, r.n_islands)
+        for r in REG["events_interval_union"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: (60 + 120, 2), 2: (0, 1)}
+
+
+def test_agg_mode_planted(spark, tmp_path):
+    rows = [
+        (1, 1, _ts(0), 0.0, "a"),
+        (2, 1, _ts(1), 0.0, "a"),
+        (3, 1, _ts(2), 0.0, "b"),
+        (4, 1, _ts(3), 0.0, "b"),  # tie a/b -> lexicographically larger 'b'
+        (5, 2, _ts(4), 0.0, "c"),
+    ]
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, user_id long, ts timestamp, value double, event_type string")
+    out = {
+        r.user_id: (r.mode_type, r.mode_cnt)
+        for r in REG["agg_mode"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: ("b", 2), 2: ("c", 1)}
+
+
+def test_join_bloom_pruned_planted(spark, tmp_path):
+    _write(spark, tmp_path, "part",
+           [(1, "B1", 50), (2, "B2", 10)],
+           "p_partkey long, p_brand string, p_size int")
+    _write(spark, tmp_path, "lineitem",
+           [(1, 10.0, 0.0), (1, 10.0, 0.0), (2, 99.0, 0.0), (3, 7.0, 0.0)],
+           "l_partkey long, l_extendedprice double, l_discount double")
+    out = REG["join_bloom_pruned"].fn(spark, str(tmp_path)).collect()
+    # only B1 survives the p_size >= 46 dim filter; bloom must not
+    # change the exact-join result
+    assert [(r.p_brand, r.n_items, r.revenue_cents) for r in out] == [
+        ("B1", 2, 2000)
+    ]
+
+
+def test_agg_salted_twophase_planted(spark, tmp_path):
+    rows = [
+        (1, 1, _ts(0), 1.25, "click"),
+        (2, 1, _ts(1), 2.00, "click"),
+        (3, 2, _ts(2), 3.50, "view"),
+    ]
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, user_id long, ts timestamp, value double, event_type string")
+    out = {
+        r.event_type: (r.n, r.value_cents)
+        for r in REG["agg_salted_twophase"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {"click": (2, 125 + 200), "view": (1, 350)}
+
+
+def test_sample_reservoir_group_planted(spark, tmp_path):
+    rows = [
+        (i, f"text {i}", ("en" if i < 7 else "de"), "s", 10) for i in range(10)
+    ]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string, n_chars long")
+    out = REG["sample_reservoir_group"].fn(spark, str(tmp_path)).collect()
+    got = {(r.lang, r.rk): r.doc_id for r in out}
+    # replay the portable hash order in python
+    def hv(doc_id):
+        return int(hashlib.md5(f"{doc_id}|res42".encode()).hexdigest()[:15], 16)
+
+    for lang, ids in (("en", range(0, 7)), ("de", range(7, 10))):
+        expect = sorted(ids, key=lambda i: (hv(i), i))[:5]
+        assert [got[(lang, k + 1)] for k in range(len(expect))] == expect
+    assert len(out) == 5 + 3
+
+
+def test_window_time_range_rolling_planted(spark, tmp_path):
+    rows = [
+        (1, 1, _ts(0), 1.0),
+        (2, 1, _ts(1800), 1.0),
+        (3, 1, _ts(3600), 1.0),   # frame [0, 3600] -> all three
+        (4, 1, _ts(7201), 1.0),   # frame [3601, 7201] -> itself only
+    ]
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, user_id long, ts timestamp, value double")
+    out = {
+        r.event_id: (r.n_1h, r.cents_1h)
+        for r in REG["window_time_range_rolling"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: (1, 100), 2: (2, 200), 3: (3, 300), 4: (1, 100)}
+
+
+def test_text_rake_keywords_planted(spark, tmp_path):
+    rows = [
+        (1, "the quick brown fox and quick brown fox", "en", "s", 10),
+        (2, "quick brown fox is here", "en", "s", 10),
+        (3, "a lazy dog", "en", "s", 10),
+    ]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string, n_chars long")
+    out = REG["text_rake_keywords"].fn(spark, str(tmp_path)).collect()
+    got = [(r.rk, r.phrase, r.df) for r in sorted(out, key=lambda r: r.rk)]
+    # "quick brown fox" appears in docs 1 and 2 (df=2, twice in doc 1
+    # but df counts distinct docs); "here" is single-word (dropped);
+    # "lazy dog" df=1
+    assert got == [(1, "quick brown fox", 2), (2, "lazy dog", 1)]
