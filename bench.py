@@ -105,10 +105,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs[name].append(time.perf_counter() - t0)
 
-    def _median(xs: list[float]) -> float:
-        s = sorted(xs)
-        n = len(s)
-        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    from statistics import median as _median
 
     timings = {name: round(_median(ts), 3) for name, ts in runs.items()}
     mins = {name: round(min(ts), 3) for name, ts in runs.items()}

@@ -175,9 +175,12 @@ class FilterSpec:
         appends after the regex hit), so a non-matching event of a
         title must NOT suppress a later genuine match — mirror of the
         streaming twin's dedup-after-match (streaming/pipeline.py).
-        A running count of matches in stream order keeps: every
-        non-matching row (verbose output) and the FIRST matching row
-        per title; later matches of that title are dropped.
+        Conversely, once a title HAS matched, the reference's
+        page_is_repeat (filter_.py:90-102) suppresses EVERY later
+        event of that title — matching or not, verbose or not
+        (scanner.py:136-139 returns before the verbose print).  Both
+        directions fall out of one rule: keep a row iff its title has
+        no match STRICTLY BEFORE it in stream order.
 
         Scale: one window shuffle on title — same key cardinality as
         the dedup itself; no driver state."""
@@ -186,11 +189,11 @@ class FilterSpec:
         w = (
             Window.partitionBy("title")
             .orderBy(*order_cols)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
-        run = F.sum(matched.cast("int")).over(w)
+        prior = F.sum(matched.cast("int")).over(w)
         return (
-            df.withColumn("__nmatch", run)
-            .filter((~matched) | (F.col("__nmatch") == 1))
-            .drop("__nmatch")
+            df.withColumn("__prior_matches", F.coalesce(prior, F.lit(0)))
+            .filter(F.col("__prior_matches") == 0)
+            .drop("__prior_matches")
         )

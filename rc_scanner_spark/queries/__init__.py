@@ -48,12 +48,13 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     #   r2+r3: scanner/LLM/TPC-H/SQL-API prefix (CORRECTNESS_r03.json).
     #   r4: stale events rows + 45 never-checked (50/50 green).
     #   r5: 15 never-checked/re-fixed + round-5 additions (50/50 green).
-    #   r6 (THIS ordering): 1-16 = the 16 entries with NO driver row
-    #       after r5 (10 oracle-backed first — hash-checked slots —
-    #       then 6 rows-only by design); 17-59 = the r1-era block
-    #       (oldest driver evidence, re-verification; ~34 fit the
-    #       r6 prefix, the spill heads the r7 prefix).  Cumulative
-    #       driver coverage after r6: 207/207.
+    #   r6 (THIS ordering): 1-10 = the 10 oracle-backed entries with
+    #       NO driver row after r5; 11-18 = the 8 round-6 additions
+    #       (oracle-backed); 19-24 = the 6 rows-only never-checked
+    #       entries; 25+ = the 43-entry r1-era block (oldest driver
+    #       evidence; ~26 fit the ~50-entry r6 prefix, the ~17-entry
+    #       spill heads the r7 prefix).  Cumulative driver coverage
+    #       after r6: 215/215.
     # -- 1-10: never-driver-checked, oracle-backed.
     "events_concurrency",
     "agg_filtered",
@@ -65,14 +66,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sketch_hll_intersect",
     "agg_weighted_median",
     "embed_centroid_outliers",
-    # -- 11-16: never-driver-checked, rows-only by design.
-    "multimodal_phash_neardup",
-    "text_compression_ratio",
-    "pack_bins_bfd",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_lsh_bucketed",
-    # -- 17-24: round-6 additions get driver rows on first rotation.
+    # -- 11-18: round-6 additions (oracle-backed) get driver rows on
+    #    first rotation; oracle-backed entries take hash-checked slots
+    #    ahead of rows-only ones.
     "join_interval_overlap",
     "events_interval_union",
     "agg_mode",
@@ -81,6 +77,13 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sample_reservoir_group",
     "window_time_range_rolling",
     "text_rake_keywords",
+    # -- 19-24: never-driver-checked, rows-only by design.
+    "multimodal_phash_neardup",
+    "text_compression_ratio",
+    "pack_bins_bfd",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_bucketed",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",

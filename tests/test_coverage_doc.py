@@ -19,7 +19,6 @@ COVERAGE = "/root/repo/COVERAGE.md"
 _SHORTHAND = {
     "setop_intersect_all": "`_all`",
     "setop_except_all": "`_all`",
-    "multimodal_frame_plan": "frame",
 }
 
 

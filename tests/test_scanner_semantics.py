@@ -93,14 +93,16 @@ def test_batch_dedup_only_suppresses_flagged_titles(spark, users):
 
 
 def test_batch_dedup_verbose_keeps_nonmatch_of_deduped_title(spark, users):
-    """Verbose mode: the non-matching event of a title passes through
-    even when a later event of the same title matches; only repeat
-    MATCHES are suppressed."""
-    rows = [make_change(i + 1, "X") for i in range(3)]
+    """Verbose mode, both directions of the flag-log rule: a
+    PRE-match non-matching event of a title passes through (the log
+    holds matches only), but every POST-match event — matching or not
+    — is suppressed (page_is_repeat returns before the verbose print,
+    scanner.py:136-139)."""
+    rows = [make_change(i + 1, "X") for i in range(4)]
     changes = spark.createDataFrame(rows, CHANGE_SCHEMA)
     revs = spark.createDataFrame(
         [(1001, "nothing here"), (1002, "all about spark"),
-         (1003, "more spark stuff")],
+         (1003, "more spark stuff"), (1004, "nothing again")],
         "revid long, text string",
     )
     spec = FilterSpec(name="t", max_edits=None, **SPEC)

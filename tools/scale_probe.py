@@ -66,6 +66,9 @@ def build_replicated(spark, sf_dir: str, out_dir: str, factor: int, tables):
 
 def main() -> int:
     args = sys.argv[1:]
+    if args and ("/" in args[0] or os.sep in args[0]) and not os.path.isdir(args[0]):
+        print(f"sf_dir does not exist: {args[0]}", file=sys.stderr)
+        return 2
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     rest = args[1:] if args and os.path.isdir(args[0]) else args
     factor = int(rest[0]) if rest and rest[0].isdigit() else 4
