@@ -139,6 +139,35 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation: per-user activity
+    sessions closed by a ``gap`` of inactivity (F.session_window — the
+    native streaming form whose batch twin is the gap-based
+    sessionization in queries/relational.py session_windows).
+
+    State per (user, open session) only; the watermark closes sessions
+    whose gap has provably expired, so state is bounded by active
+    users x watermark horizon — the scale contract a 100 TB stream
+    needs (the batch twin's window scan has no such bound)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def attribution_join(
     clicks: DataFrame,
     views: DataFrame,

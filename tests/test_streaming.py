@@ -18,6 +18,7 @@ from rc_scanner_spark.streaming.pipeline import (
     build_pipeline,
     read_change_stream,
     start_flaglog_sink,
+    session_counts,
     windowed_counts,
 )
 
@@ -123,6 +124,69 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     q.stop()
     got = spark.sql("SELECT count(*) AS n FROM win_out").first()["n"]
     assert got == expected
+
+
+def test_session_counts_matches_batch(spark, tmp_path):
+    """Streaming F.session_window sessions equal the batch
+    session_window aggregation on the same replayed events — and a
+    hand fixture pins the gap semantics (events 10 min apart merge
+    under a 30-min gap; a 2-hour jump opens a new session)."""
+    sf = "/root/testdata/sf0.001"
+    from rc_scanner_spark.tables import load_table
+
+    ev_batch = load_table(spark, sf, "events")
+    expected = (
+        ev_batch.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .count()
+    )
+    ev_batch.write.mode("overwrite").parquet(str(tmp_path / "sessstream"))
+    stream = (
+        spark.readStream.schema(ev_batch.schema)
+        .parquet(str(tmp_path / "sessstream"))
+    )
+    agg = session_counts(stream, watermark="10 minutes", gap="30 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) AS n FROM sess_out").first()["n"]
+    assert got == expected
+    # planted gap semantics on a hand fixture
+    import datetime as _dt
+
+    def ts(m):
+        return _dt.datetime(2026, 1, 1, 0, m)
+
+    rows = [(1, ts(0), 7, "click", 1.0, "{}"), (2, ts(10), 7, "click", 1.0, "{}"),
+            (3, ts(20), 7, "click", 1.0, "{}")]
+    rows.append((4, _dt.datetime(2026, 1, 1, 2, 30), 7, "click", 1.0, "{}"))
+    hand = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    hand.write.mode("overwrite").parquet(str(tmp_path / "sess2"))
+    stream2 = spark.readStream.schema(hand.schema).parquet(str(tmp_path / "sess2"))
+    q2 = (
+        session_counts(stream2, watermark="10 minutes", gap="30 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_hand")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess2"))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    hand_rows = spark.sql(
+        "SELECT n_events FROM sess_hand ORDER BY session_start"
+    ).collect()
+    assert [r.n_events for r in hand_rows] == [3, 1]
 
 
 def test_windowed_counts_sliding_matches_batch(spark, tmp_path):
