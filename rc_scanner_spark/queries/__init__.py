@@ -49,12 +49,12 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     #   r4: stale events rows + 45 never-checked (50/50 green).
     #   r5: 15 never-checked/re-fixed + round-5 additions (50/50 green).
     #   r6 (THIS ordering): 1-10 = the 10 oracle-backed entries with
-    #       NO driver row after r5; 11-18 = the 8 round-6 additions
-    #       (oracle-backed); 19-24 = the 6 rows-only never-checked
-    #       entries; 25+ = the 43-entry r1-era block (oldest driver
-    #       evidence; ~26 fit the ~50-entry r6 prefix, the ~17-entry
+    #       NO driver row after r5; 11-24 = the 14 round-6 additions
+    #       (oracle-backed); 25-30 = the 6 rows-only never-checked
+    #       entries; 31+ = the 43-entry r1-era block (oldest driver
+    #       evidence; ~20 fit the ~50-entry r6 prefix, the ~23-entry
     #       spill heads the r7 prefix).  Cumulative driver coverage
-    #       after r6: 215/215.
+    #       after r6: 221/221.
     # -- 1-10: never-driver-checked, oracle-backed.
     "events_concurrency",
     "agg_filtered",
@@ -77,7 +77,13 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sample_reservoir_group",
     "window_time_range_rolling",
     "text_rake_keywords",
-    # -- 19-24: never-driver-checked, rows-only by design.
+    "agg_ks_drift",
+    "agg_chi2_independence",
+    "agg_ttest_welch",
+    "text_jsd_sources",
+    "events_changepoint_cusum",
+    "join_asof_tolerance",
+    # -- rows-only never-driver-checked block (after all oracle-backed).
     "multimodal_phash_neardup",
     "text_compression_ratio",
     "pack_bins_bfd",
@@ -293,6 +299,7 @@ def build_registry() -> dict[str, QuerySpec]:
         scanner_queries,
         sketches,
         sql_api,
+        stats,
         warehouse,
         warehouse2,
         warehouse3,
@@ -311,6 +318,7 @@ def build_registry() -> dict[str, QuerySpec]:
         llm2,
         llm3,
         sketches,
+        stats,
         warehouse,
         warehouse2,
         warehouse3,

@@ -37,6 +37,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     # token-budget selection: the cumulative window runs over the
     # quality-band aggregate (<= 10^4 + 1 rows; queries/llm.py).
     "select_token_budget": 1,
+    # KS drift: the CDF window runs over the per-bin aggregate —
+    # bounded by the value-domain grid (~5k bins), not by row count.
+    "agg_ks_drift": 1,
 }
 
 
@@ -46,7 +49,9 @@ ALLOWED_GLOBAL_WINDOWS = {
 # quantile cut arrays) — O(n*1) at any corpus size.  Counts pinned so a
 # new non-broadcast cartesian fails the build.
 ALLOWED_CARTESIANS = {
+    "agg_chi2_independence": 1,  # 1-row grand-total broadcast
     "agg_cohens_kappa": 3,       # 1-row totals x3 (marginals/agreement)
+    "agg_ks_drift": 1,           # 1-row per-type totals broadcast
     "agg_histogram": 1,          # broadcast min/max scalar for bin width
     "ann_cosine_topk": 1,        # broadcast query vectors (documented baseline)
     "ann_ivf_topk": 2,           # broadcast centroid seeds (limit 16)
@@ -78,6 +83,7 @@ ALLOWED_CARTESIANS = {
     "text_bigram_logprob": 1,    # broadcast corpus token total scalar
     "text_bm25_topk": 1,         # broadcast avgdl scalar
     "text_unigram_logprob": 1,   # broadcast corpus token total scalar
+    "text_jsd_sources": 1,       # broadcast corpus-total scalar
     "tfidf_top_terms": 1,        # broadcast corpus doc-count scalar
     "tpch_q22ish": 1,            # broadcast avg-acctbal scalar (per spec)
     "window_ntile": 2,           # broadcast global row-count scalar
