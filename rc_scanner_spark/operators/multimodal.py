@@ -136,6 +136,33 @@ def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def audio_window_plan(
+    media_df: DataFrame, window: int = 1024, hop: int = 512
+) -> DataFrame:
+    """Audio analysis-window *plan*: expand (doc_id, n_samples) into
+    one row per STFT-style frame [start_sample, start_sample+window)
+    at the given hop — the audio twin of frame_sample_plan; pure
+    Catalyst (sequence+explode), the actual sample decode is the
+    stubbed codec step.  Clips shorter than one window yield no
+    frames (standard STFT drop-last semantics)."""
+    n_frames = (
+        ((F.col("n_samples") - window) / hop).cast("long") + 1
+    )
+    return (
+        media_df.filter(F.col("n_samples") >= window)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            (F.col("frame_idx") * hop).alias("start_sample"),
+            (F.col("frame_idx") * hop + window).alias("end_sample"),
+        )
+    )
+
+
 # --- perceptual-hash near-duplicate detection ------------------------------
 
 _PHASH_ROWS = 8

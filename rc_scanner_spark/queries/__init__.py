@@ -49,12 +49,12 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     #   r4: stale events rows + 45 never-checked (50/50 green).
     #   r5: 15 never-checked/re-fixed + round-5 additions (50/50 green).
     #   r6 (THIS ordering): 1-10 = the 10 oracle-backed entries with
-    #       NO driver row after r5; 11-24 = the 14 round-6 additions
-    #       (oracle-backed); 25-30 = the 6 rows-only never-checked
-    #       entries; 31+ = the 43-entry r1-era block (oldest driver
-    #       evidence; ~20 fit the ~50-entry r6 prefix, the ~23-entry
+    #       NO driver row after r5; 11-27 = the 17 round-6 additions
+    #       (oracle-backed); 28-33 = the 6 rows-only never-checked
+    #       entries; 34+ = the 43-entry r1-era block (oldest driver
+    #       evidence; ~17 fit the ~50-entry r6 prefix, the ~26-entry
     #       spill heads the r7 prefix).  Cumulative driver coverage
-    #       after r6: 221/221.
+    #       after r6: 224/224.
     # -- 1-10: never-driver-checked, oracle-backed.
     "events_concurrency",
     "agg_filtered",
@@ -83,6 +83,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "text_jsd_sources",
     "events_changepoint_cusum",
     "join_asof_tolerance",
+    "multimodal_audio_plan",
+    "text_bpe_pair_merges",
+    "sample_kcenter_coreset",
     # -- rows-only never-driver-checked block (after all oracle-backed).
     "multimodal_phash_neardup",
     "text_compression_ratio",

@@ -564,6 +564,245 @@ FROM ranked WHERE rk <= 15
 """
 
 
+# --------------------------------------------------------------------
+# audio analysis-window plan
+# --------------------------------------------------------------------
+
+
+def q_multimodal_audio_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame windowing plan (operators/multimodal.
+    audio_window_plan): (doc_id, n_samples) -> one row per 1024-sample
+    window at hop 512, pure sequence+explode.  Sample counts derived
+    deterministically from doc_id so the oracle can replay them; clips
+    shorter than one window drop out (STFT drop-last)."""
+    from ..operators.multimodal import audio_window_plan
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = d.select(
+        "doc_id",
+        ((F.col("doc_id") % 11) * 700 + 800).cast("long").alias("n_samples"),
+    )
+    return audio_window_plan(media, window=1024, hop=512)
+
+
+SQL_MULTIMODAL_AUDIO_PLAN = """
+WITH media AS (
+  SELECT doc_id, (doc_id % 11) * 700 + 800 AS n_samples
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id, unnest(range(0, (n_samples - 1024) // 512 + 1)) AS frame_idx,
+       unnest(range(0, (n_samples - 1024) // 512 + 1)) * 512 AS start_sample,
+       unnest(range(0, (n_samples - 1024) // 512 + 1)) * 512 + 1024 AS end_sample
+FROM media WHERE n_samples >= 1024
+"""
+
+
+# --------------------------------------------------------------------
+# BPE first-merge candidates
+# --------------------------------------------------------------------
+
+
+def q_text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction, round 1: the top-20 adjacent character
+    pairs across the corpus weighted by word frequency — exactly the
+    statistic the first BPE merge maximizes.  Deterministic tie-break:
+    pair ascending.
+
+    Scale: aggregate words first (word -> corpus count, one shuffle on
+    a vocabulary-sized frame), then explode each DISTINCT word's
+    character pairs (substring windows, no Python) weighted by its
+    count — pair volume is vocab x word length, independent of corpus
+    row count.  Top-20 via orderBy().limit() = distributed
+    TakeOrderedAndProject."""
+    from ..operators.text import words
+
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = wc.select(
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+SQL_TEXT_BPE_PAIR_MERGES = """
+WITH tok AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS word
+  FROM documents
+),
+wc AS (
+  SELECT word, count(*) AS cnt FROM tok GROUP BY word HAVING length(word) >= 2
+),
+pairs AS (
+  SELECT cnt, unnest(list_transform(range(1, length(word)),
+                                    i -> substr(word, CAST(i AS INT), 2))) AS pair
+  FROM wc
+)
+SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq
+FROM pairs GROUP BY pair
+ORDER BY freq DESC, pair ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------
+# greedy k-center coreset
+# --------------------------------------------------------------------
+
+
+def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (k=4, unrolled) over the embedding
+    table: start from the smallest vec_id, then three times pick the
+    point FARTHEST (cosine distance, 4-dec rounded, vec_id tie-break)
+    from the chosen set — the classic 2-approximation diversity
+    selection for eval-set construction (contrast
+    sample_cluster_balanced: density-balanced; this maximizes spread).
+    Output: each center's rank/id, how many points it covers (nearest
+    center by final distance, rank tie-break), and the coreset radius.
+
+    Scale: each round is one broadcast of a 1-row center frame + a
+    distributed TakeOrderedAndProject argmax — k rounds, k broadcast
+    cartesians (pinned), never a point-to-point pair join.  All
+    distances 4-dec rounded so the argmax ordering replays exactly in
+    the oracle."""
+    from ..functions.vectors import cosine
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def dist(center_vec):
+        return F.round(1 - cosine(F.col("embedding"), center_vec), 4)
+
+    c1 = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("c1_id"), F.col("embedding").alias("c1v")
+    )
+    d1 = e.crossJoin(F.broadcast(c1)).select(
+        "vec_id", "embedding", "c1_id", dist(F.col("c1v")).alias("dm1")
+    )
+    c2 = d1.orderBy(F.col("dm1").desc(), F.col("vec_id").asc()).limit(1).select(
+        F.col("vec_id").alias("c2_id"), F.col("embedding").alias("c2v")
+    )
+    d2 = d1.crossJoin(F.broadcast(c2)).select(
+        "vec_id", "embedding", "c1_id", "c2_id",
+        "dm1",
+        dist(F.col("c2v")).alias("d2"),
+    ).withColumn("dm2", F.least("dm1", "d2"))
+    c3 = d2.orderBy(F.col("dm2").desc(), F.col("vec_id").asc()).limit(1).select(
+        F.col("vec_id").alias("c3_id"), F.col("embedding").alias("c3v")
+    )
+    d3 = d2.crossJoin(F.broadcast(c3)).select(
+        "vec_id", "embedding", "c1_id", "c2_id", "c3_id",
+        "dm1", "d2", "dm2",
+        dist(F.col("c3v")).alias("d3"),
+    ).withColumn("dm3", F.least("dm2", "d3"))
+    c4 = d3.orderBy(F.col("dm3").desc(), F.col("vec_id").asc()).limit(1).select(
+        F.col("vec_id").alias("c4_id"), F.col("embedding").alias("c4v")
+    )
+    d4 = d3.crossJoin(F.broadcast(c4)).select(
+        "vec_id", "c1_id", "c2_id", "c3_id", "c4_id",
+        "dm1", "d2", "d3",
+        dist(F.col("c4v")).alias("d4"),
+    )
+    # nearest center rank: min distance, earlier rank wins ties
+    dmin = F.least("dm1", "d2", "d3", "d4")
+    rank = (
+        F.when(F.col("dm1") == dmin, 1)
+        .when(F.col("d2") == dmin, 2)
+        .when(F.col("d3") == dmin, 3)
+        .otherwise(4)
+    )
+    assigned = d4.select(
+        "c1_id", "c2_id", "c3_id", "c4_id",
+        rank.alias("center_rank"),
+        dmin.alias("dmin"),
+    )
+    return assigned.groupBy(
+        "center_rank", "c1_id", "c2_id", "c3_id", "c4_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.max(F.floor(F.col("dmin") * 1000000 + 0.5).cast("long")).alias(
+            "max_dist_ppm"
+        ),
+    ).select(
+        F.col("center_rank").cast("long").alias("center_rank"),
+        F.when(F.col("center_rank") == 1, F.col("c1_id"))
+        .when(F.col("center_rank") == 2, F.col("c2_id"))
+        .when(F.col("center_rank") == 3, F.col("c3_id"))
+        .otherwise(F.col("c4_id"))
+        .alias("center_id"),
+        "n_assigned",
+        "max_dist_ppm",
+    )
+
+
+SQL_SAMPLE_KCENTER_CORESET = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c1 AS (SELECT vec_id AS c1_id, v AS c1v FROM e ORDER BY vec_id LIMIT 1),
+d1 AS (
+  SELECT e.vec_id, e.v, c1_id,
+         round(1 - list_cosine_similarity(e.v, c1v), 4) AS dm1
+  FROM e, c1
+),
+c2 AS (SELECT vec_id AS c2_id, v AS c2v FROM d1
+       ORDER BY dm1 DESC, vec_id ASC LIMIT 1),
+d2 AS (
+  SELECT d1.*, c2_id,
+         round(1 - list_cosine_similarity(d1.v, c2v), 4) AS d2,
+         least(dm1, round(1 - list_cosine_similarity(d1.v, c2v), 4)) AS dm2
+  FROM d1, c2
+),
+c3 AS (SELECT vec_id AS c3_id, v AS c3v FROM d2
+       ORDER BY dm2 DESC, vec_id ASC LIMIT 1),
+d3 AS (
+  SELECT d2.*, c3_id,
+         round(1 - list_cosine_similarity(d2.v, c3v), 4) AS d3,
+         least(dm2, round(1 - list_cosine_similarity(d2.v, c3v), 4)) AS dm3
+  FROM d2, c3
+),
+c4 AS (SELECT vec_id AS c4_id, v AS c4v FROM d3
+       ORDER BY dm3 DESC, vec_id ASC LIMIT 1),
+d4 AS (
+  SELECT d3.*, c4_id,
+         round(1 - list_cosine_similarity(d3.v, c4v), 4) AS d4
+  FROM d3, c4
+),
+assigned AS (
+  SELECT c1_id, c2_id, c3_id, c4_id,
+         CASE WHEN dm1 = least(dm1, d2, d3, d4) THEN 1
+              WHEN d2 = least(dm1, d2, d3, d4) THEN 2
+              WHEN d3 = least(dm1, d2, d3, d4) THEN 3
+              ELSE 4 END AS center_rank,
+         least(dm1, d2, d3, d4) AS dmin
+  FROM d4
+)
+SELECT CAST(center_rank AS BIGINT) AS center_rank,
+       CASE WHEN center_rank = 1 THEN c1_id
+            WHEN center_rank = 2 THEN c2_id
+            WHEN center_rank = 3 THEN c3_id
+            ELSE c4_id END AS center_id,
+       count(*) AS n_assigned,
+       CAST(max(CAST(floor(dmin * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS max_dist_ppm
+FROM assigned GROUP BY center_rank, c1_id, c2_id, c3_id, c4_id
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "join_interval_overlap": QuerySpec(
         q_join_interval_overlap, SQL_JOIN_INTERVAL_OVERLAP
@@ -583,4 +822,13 @@ QUERIES: dict[str, QuerySpec] = {
         q_window_time_range_rolling, SQL_WINDOW_TIME_RANGE_ROLLING
     ),
     "text_rake_keywords": QuerySpec(q_text_rake_keywords, SQL_TEXT_RAKE_KEYWORDS),
+    "multimodal_audio_plan": QuerySpec(
+        q_multimodal_audio_plan, SQL_MULTIMODAL_AUDIO_PLAN
+    ),
+    "text_bpe_pair_merges": QuerySpec(
+        q_text_bpe_pair_merges, SQL_TEXT_BPE_PAIR_MERGES
+    ),
+    "sample_kcenter_coreset": QuerySpec(
+        q_sample_kcenter_coreset, SQL_SAMPLE_KCENTER_CORESET
+    ),
 }

@@ -35,6 +35,17 @@ def test_coverage_header_counts_match_registry():
     assert n_oracle == sum(1 for s in reg.values() if s.sql is not None)
 
 
+def test_readme_counts_match_registry():
+    reg = build_registry()
+    text = open("/root/repo/README.md", encoding="utf-8").read()
+    m = re.search(r"exposes all (\d+) queries; (\d+) carry a DuckDB", text)
+    assert m, "README correctness counts sentence missing/reformatted"
+    assert int(m.group(1)) == len(reg)
+    assert int(m.group(2)) == sum(1 for s in reg.values() if s.sql is not None)
+    m2 = re.search(r"the registry: (\d+) named queries", text)
+    assert m2 and int(m2.group(1)) == len(reg)
+
+
 def test_coverage_mentions_every_registry_query():
     reg = build_registry()
     text = open(COVERAGE, encoding="utf-8").read()

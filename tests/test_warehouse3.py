@@ -163,3 +163,43 @@ def test_text_rake_keywords_planted(spark, tmp_path):
     # but df counts distinct docs); "here" is single-word (dropped);
     # "lazy dog" df=1
     assert got == [(1, "quick brown fox", 2), (2, "lazy dog", 1)]
+
+
+def test_multimodal_audio_plan_planted(spark, tmp_path):
+    rows = [(0, "t", "en", "s", 1), (3, "t", "en", "s", 1), (1, "t", "en", "s", 1)]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string, n_chars long")
+    out = REG["multimodal_audio_plan"].fn(spark, str(tmp_path)).collect()
+    # doc 0: 800 samples < 1024 -> no frames; doc 1: filtered (not %3);
+    # doc 3: 2900 samples -> 4 frames at hop 512
+    got = sorted((r.doc_id, r.frame_idx, r.start_sample, r.end_sample) for r in out)
+    assert got == [(3, i, i * 512, i * 512 + 1024) for i in range(4)]
+
+
+def test_text_bpe_pair_merges_planted(spark, tmp_path):
+    rows = [(1, "abab ab", "en", "s", 1), (2, "ab", "en", "s", 1)]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string, n_chars long")
+    out = [(r.pair, r.freq) for r in
+           REG["text_bpe_pair_merges"].fn(spark, str(tmp_path)).collect()]
+    # wc: abab x1 (pairs ab, ba, ab), ab x2 (pair ab) -> ab: 2*1 + 2 = 4
+    assert out == [("ab", 4), ("ba", 1)]
+
+
+def test_sample_kcenter_coreset_planted(spark, tmp_path):
+    vecs = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 0),
+        (2, [0.7071, 0.7071], 0),
+        (3, [-1.0, 0.0], 0),
+        (4, [0.9848, 0.1736], 0),  # near v0
+    ]
+    _write(spark, tmp_path, "embeddings", vecs,
+           "vec_id long, embedding array<float>, label int")
+    out = {r.center_rank: (r.center_id, r.n_assigned, r.max_dist_ppm)
+           for r in REG["sample_kcenter_coreset"].fn(spark, str(tmp_path)).collect()}
+    # greedy: c1=0 (min id), c2=3 (antipode, d=2), c3=1 (d=1), c4=2
+    assert out[1][0] == 0 and out[2][0] == 3 and out[3][0] == 1 and out[4][0] == 2
+    # v4 assigns to center 1 (cos 0.9848 -> d=0.0152)
+    assert out[1][1] == 2 and out[1][2] == 15200
+    assert out[2][1] == 1 and out[3][1] == 1 and out[4][1] == 1
