@@ -74,8 +74,11 @@ ALLOWED_CARTESIANS = {
     "join_range_bands": 1,       # bounded bands dim (documented range join)
     "retrieval_rrf_fusion": 2,   # broadcast query vectors x2 retrievers
     "sample_cluster_balanced": 3,# centroid seeds
-    "sample_kcenter_coreset": 15,  # k=4 unrolled greedy: 1-row center
-                                   # frames broadcast per unshared subtree
+    "sample_kcenter_coreset": 15,  # k=4 unrolled greedy: the LAZY plan
+                                   # prints every 1-row center broadcast per
+                                   # subtree; at runtime the persisted round
+                                   # frames collapse it to 4 (verified by
+                                   # executed-plan audit)
     "sample_negatives": 1,       # broadcast positives-per-anchor scalar
     "sample_stratified": 1,      # broadcast per-stratum rate frame
     "sample_temperature_mix": 1, # broadcast source-weight scalar frame
