@@ -145,9 +145,10 @@ def audio_window_plan(
     Catalyst (sequence+explode), the actual sample decode is the
     stubbed codec step.  Clips shorter than one window yield no
     frames (standard STFT drop-last semantics)."""
-    n_frames = (
-        ((F.col("n_samples") - window) / hop).cast("long") + 1
-    )
+    # integer div (not float-divide-then-cast): for a non-power-of-two
+    # hop the double quotient can round across an integer boundary and
+    # emit one extra frame vs the oracle's exact // floor
+    n_frames = F.expr(f"(n_samples - {window}) div {hop}") + 1
     return (
         media_df.filter(F.col("n_samples") >= window)
         .select(

@@ -50,9 +50,16 @@ def q_agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     select_token_budget (allowlisted in tests/test_plan_audit.py).
     Integer ppm arithmetic throughout — max() is order-free."""
     ev = _t(spark, sf_dir, "events")
-    two = ev.filter(F.col("event_type").isin("click", "purchase")).select(
-        F.floor(F.col("value") * 10).cast("long").alias("bin"),
-        F.col("event_type").alias("t"),
+    # NULL values are excluded explicitly: a NULL bin would sort FIRST
+    # in Spark's window (NULLS FIRST default) but LAST in DuckDB,
+    # shifting every CDF prefix between the twins.
+    two = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.floor(F.col("value") * 10).cast("long").alias("bin"),
+            F.col("event_type").alias("t"),
+        )
     )
     per_bin = two.groupBy("bin").agg(
         F.sum(F.when(F.col("t") == "click", 1).otherwise(0)).alias("nc"),
@@ -67,9 +74,15 @@ def q_agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = per_bin.agg(
         F.sum("nc").alias("tc"), F.sum("np").alias("tp")
     )
+    # ppm scaling through DOUBLE floor, mirrored in the twin: integer
+    # cc * 1000000 would wrap Spark's long past ~9.2e12 cumulative rows
+    # (DuckDB's HUGEINT would not — a silent at-scale divergence);
+    # both engines take long->double->*1e6->/->floor with identical
+    # rounding at every step.
     gap = cum.crossJoin(F.broadcast(totals)).select(
         F.abs(
-            F.expr("cc * 1000000 div tc") - F.expr("cp * 1000000 div tp")
+            F.floor(F.col("cc") * F.lit(1000000.0) / F.col("tc")).cast("long")
+            - F.floor(F.col("cp") * F.lit(1000000.0) / F.col("tp")).cast("long")
         ).alias("g"),
         "tc",
         "tp",
@@ -84,7 +97,7 @@ def q_agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_AGG_KS_DRIFT = """
 WITH two AS (
   SELECT CAST(floor(value * 10) AS BIGINT) AS bin, event_type AS t
-  FROM events WHERE event_type IN ('click', 'purchase')
+  FROM events WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
 ),
 per_bin AS (
   SELECT bin,
@@ -101,7 +114,9 @@ cum AS (
   FROM per_bin
 ),
 tot AS (SELECT sum(nc) AS tc, sum(np) AS tp FROM per_bin)
-SELECT CAST(max(abs((cc * 1000000 // tc) - (cp * 1000000 // tp))) AS BIGINT) AS ks_ppm,
+SELECT CAST(max(abs(CAST(floor(CAST(cc AS DOUBLE) * 1000000.0 / tc) AS BIGINT)
+             - CAST(floor(CAST(cp AS DOUBLE) * 1000000.0 / tp) AS BIGINT)))
+            AS BIGINT) AS ks_ppm,
        CAST(max(tc) AS BIGINT) AS n_click,
        CAST(max(tp) AS BIGINT) AS n_purchase
 FROM cum, tot
@@ -134,14 +149,20 @@ def q_agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(col_tot, "dow")
         .crossJoin(F.broadcast(grand))
         .select(
+            # expected count computed double-first (cast r before the
+            # multiply, mirrored in the twin): integer r*c wraps
+            # Spark's long once both marginals pass ~3e9 rows, while
+            # DuckDB's HUGEINT marginals stay exact — double-first
+            # gives both engines the identical rounding path at any
+            # scale
             F.floor(
                 (
                     F.pow(
                         F.col("o")
-                        - F.col("r") * F.col("c") / F.col("n"),
+                        - F.col("r").cast("double") * F.col("c") / F.col("n"),
                         F.lit(2.0),
                     )
-                    / (F.col("r") * F.col("c") / F.col("n"))
+                    / (F.col("r").cast("double") * F.col("c") / F.col("n"))
                 )
                 * 1000000
                 + 0.5
@@ -170,7 +191,8 @@ rt AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY event_type),
 ct AS (SELECT dow, sum(o) AS c FROM cells GROUP BY dow),
 g AS (SELECT sum(o) AS n FROM cells),
 contrib AS (
-  SELECT CAST(floor(power(o - r * c / n, 2) / (r * c / n) * 1000000 + 0.5)
+  SELECT CAST(floor(power(o - CAST(r AS DOUBLE) * c / n, 2)
+                    / (CAST(r AS DOUBLE) * c / n) * 1000000 + 0.5)
               AS BIGINT) AS contrib_ppm,
          n
   FROM cells JOIN rt USING (event_type) JOIN ct USING (dow), g
@@ -204,8 +226,17 @@ def q_agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("s1"),
-            F.sum(F.col("x") * F.col("x")).alias("s2"),
+            # decimal sums stay EXACT where a long sum of squared cents
+            # would wrap past ~4e9 rows/group (DuckDB's HUGEINT side
+            # never wraps — the silent at-scale divergence class);
+            # the t formula below casts to double at one site on both
+            # engines, so the rounding paths stay identical
+            F.sum(F.col("x").cast("decimal(28,0)")).alias("s1"),
+            F.sum(
+                (F.col("x").cast("decimal(19,0)") * F.col("x")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("s2"),
         )
     )
     # pivot the two rows into one
@@ -217,14 +248,14 @@ def q_agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("t") == "purchase", F.col("s1"))).alias("sb1"),
         F.max(F.when(F.col("t") == "purchase", F.col("s2"))).alias("sb2"),
     )
-    ma = F.col("sa1") / F.col("na")
-    mb = F.col("sb1") / F.col("nb")
-    va = (F.col("sa2") - F.col("sa1") * F.col("sa1") / F.col("na")) / (
-        F.col("na") - 1
-    )
-    vb = (F.col("sb2") - F.col("sb1") * F.col("sb1") / F.col("nb")) / (
-        F.col("nb") - 1
-    )
+    sa1 = F.col("sa1").cast("double")
+    sa2 = F.col("sa2").cast("double")
+    sb1 = F.col("sb1").cast("double")
+    sb2 = F.col("sb2").cast("double")
+    ma = sa1 / F.col("na")
+    mb = sb1 / F.col("nb")
+    va = (sa2 - sa1 * sa1 / F.col("na")) / (F.col("na") - 1)
+    vb = (sb2 - sb1 * sb1 / F.col("nb")) / (F.col("nb") - 1)
     t_stat = (ma - mb) / F.sqrt(va / F.col("na") + vb / F.col("nb"))
     return one.select(
         F.floor(t_stat * 1000000 + 0.5).cast("long").alias("t_ppm"),
@@ -252,9 +283,9 @@ one AS (
   FROM m
 )
 SELECT CAST(floor(
-         (sa1 / na - sb1 / nb)
-         / sqrt(((sa2 - sa1 * sa1 / na) / (na - 1)) / na
-              + ((sb2 - sb1 * sb1 / nb) / (nb - 1)) / nb)
+         (CAST(sa1 AS DOUBLE) / na - CAST(sb1 AS DOUBLE) / nb)
+         / sqrt(((CAST(sa2 AS DOUBLE) - CAST(sa1 AS DOUBLE) * CAST(sa1 AS DOUBLE) / na) / (na - 1)) / na
+              + ((CAST(sb2 AS DOUBLE) - CAST(sb1 AS DOUBLE) * CAST(sb1 AS DOUBLE) / nb) / (nb - 1)) / nb)
          * 1000000 + 0.5) AS BIGINT) AS t_ppm,
        CAST(na AS BIGINT) AS n_click,
        CAST(nb AS BIGINT) AS n_purchase
