@@ -515,6 +515,107 @@ QUALIFY row_number() OVER (PARTITION BY p.event_id
 """
 
 
+# --------------------------------------------------------------------
+# lag-k autocorrelation of daily rates
+# --------------------------------------------------------------------
+
+
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k = 1, 2, 3) of the daily event count
+    series per type — the periodicity detector a rate monitor runs
+    before fitting a seasonal baseline.
+
+    Pearson r per (type, k) from exact moment sums: the (x_t, x_{t+k})
+    pairs come from k lag windows partitioned by type (days-per-type
+    bounds every frame), STACKed into (k, x, y) rows; sums are exact
+    decimals (daily counts at 1e13-row scale square past a long), and
+    the closed-form r is one double expression per engine, emitted as
+    integer ppm.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        F.col("n").alias("x"),
+        F.lag("n", 1).over(w).alias("y1"),
+        F.lag("n", 2).over(w).alias("y2"),
+        F.lag("n", 3).over(w).alias("y3"),
+    )
+    pairs = lagged.select(
+        "event_type",
+        F.expr(
+            "stack(3, 1, x, y1, 2, x, y2, 3, x, y3) AS (lag_k, x, y)"
+        ),
+    ).filter(F.col("y").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(28,0)")
+    m = pairs.groupBy("event_type", "lag_k").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum((dec("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((dec("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((dec("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    r = (md * sxy - sx * sy) / F.sqrt(
+        (md * sxx - sx * sx) * (md * syy - sy * sy)
+    )
+    return m.select(
+        "event_type",
+        F.col("lag_k").cast("long").alias("lag_k"),
+        F.floor(r * 1000000 + 0.5).cast("long").alias("r_ppm"),
+        F.col("m").alias("n_pairs"),
+    )
+
+
+SQL_EVENTS_AUTOCORR = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+),
+lagged AS (
+  SELECT event_type, n AS x,
+         lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+         lag(n, 2) OVER (PARTITION BY event_type ORDER BY day) AS y2,
+         lag(n, 3) OVER (PARTITION BY event_type ORDER BY day) AS y3
+  FROM daily
+),
+pairs AS (
+  SELECT event_type, 1 AS lag_k, x, y1 AS y FROM lagged WHERE y1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 2, x, y2 FROM lagged WHERE y2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 3, x, y3 FROM lagged WHERE y3 IS NOT NULL
+),
+m AS (
+  SELECT event_type, lag_k, count(*) AS m,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pairs GROUP BY event_type, lag_k
+)
+SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k,
+       CAST(floor(
+         (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         * 1000000 + 0.5) AS BIGINT) AS r_ppm,
+       m AS n_pairs
+FROM m
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "agg_ks_drift": QuerySpec(q_agg_ks_drift, SQL_AGG_KS_DRIFT),
     "agg_chi2_independence": QuerySpec(
@@ -528,4 +629,5 @@ QUERIES: dict[str, QuerySpec] = {
     "join_asof_tolerance": QuerySpec(
         q_join_asof_tolerance, SQL_JOIN_ASOF_TOLERANCE
     ),
+    "events_autocorr": QuerySpec(q_events_autocorr, SQL_EVENTS_AUTOCORR),
 }

@@ -814,6 +814,255 @@ FROM assigned GROUP BY center_rank, c1_id, c2_id, c3_id, c4_id
 
 
 
+# --------------------------------------------------------------------
+# RFM customer segmentation
+# --------------------------------------------------------------------
+
+
+def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer Recency (days since last order),
+    Frequency (order count), Monetary (cents) scored 1-5 against exact
+    quintile cut points, rolled up to segment sizes + revenue.
+
+    Scale: one per-customer aggregate (shuffle on custkey), ONE 1-row
+    exact-percentile aggregate for all 12 cut points (Spark
+    percentile == DuckDB quantile_cont, verified in earlier rounds),
+    broadcast back for the score comparison — no sort, no global
+    window, no per-customer ranking pass.  Score s = 1 + #cuts
+    strictly below the metric — deterministic for ties on cut points.
+    """
+    o = _t(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("ref_day"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("ref_day"), F.col("last_day"))
+            .cast("long")
+            .alias("recency_d"),
+            "freq",
+            "monetary_cents",
+        )
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    cuts = per_cust.agg(
+        F.percentile(F.col("recency_d"), qs).alias("rc"),
+        F.percentile(F.col("freq"), qs).alias("fc"),
+        F.percentile(F.col("monetary_cents"), qs).alias("mc"),
+    )
+
+    def score(metric, cut_arr):
+        s = F.lit(1)
+        for i in range(1, 5):
+            s = s + F.when(
+                metric > F.element_at(F.col(cut_arr), i), 1
+            ).otherwise(0)
+        return s
+
+    scored = per_cust.crossJoin(F.broadcast(cuts)).select(
+        score(F.col("recency_d"), "rc").alias("r_score"),
+        score(F.col("freq"), "fc").alias("f_score"),
+        score(F.col("monetary_cents"), "mc").alias("m_score"),
+        "monetary_cents",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").alias("segment_cents"),
+    )
+
+
+SQL_ORDERS_RFM_SEGMENTS = """
+WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+                        (SELECT ref_day FROM ref)) AS BIGINT) AS recency_d,
+         count(*) AS freq,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+cuts AS (
+  SELECT quantile_cont(recency_d, [0.2, 0.4, 0.6, 0.8]) AS rc,
+         quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fc,
+         quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS mc
+  FROM per_cust
+),
+scored AS (
+  SELECT 1 + CASE WHEN recency_d > rc[1] THEN 1 ELSE 0 END
+           + CASE WHEN recency_d > rc[2] THEN 1 ELSE 0 END
+           + CASE WHEN recency_d > rc[3] THEN 1 ELSE 0 END
+           + CASE WHEN recency_d > rc[4] THEN 1 ELSE 0 END AS r_score,
+         1 + CASE WHEN freq > fc[1] THEN 1 ELSE 0 END
+           + CASE WHEN freq > fc[2] THEN 1 ELSE 0 END
+           + CASE WHEN freq > fc[3] THEN 1 ELSE 0 END
+           + CASE WHEN freq > fc[4] THEN 1 ELSE 0 END AS f_score,
+         1 + CASE WHEN monetary_cents > mc[1] THEN 1 ELSE 0 END
+           + CASE WHEN monetary_cents > mc[2] THEN 1 ELSE 0 END
+           + CASE WHEN monetary_cents > mc[3] THEN 1 ELSE 0 END
+           + CASE WHEN monetary_cents > mc[4] THEN 1 ELSE 0 END AS m_score,
+         monetary_cents
+  FROM per_cust, cuts
+)
+SELECT r_score, f_score, m_score, count(*) AS n_customers,
+       CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+
+# --------------------------------------------------------------------
+# tf-idf cosine near-dup
+# --------------------------------------------------------------------
+
+
+def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical cosine near-dup: document pairs (same lang) whose
+    tf-idf vectors have cosine >= 0.8 — the sparse-vector sibling of
+    dedup_embedding_cosine (no embeddings needed) and the weighted
+    upgrade of n-gram Jaccard.
+
+    Exactness discipline: per-(doc, word) weights are integer-quantized
+    (floor(tf * ln((N+1)/(df+1)) * 1e4 + 0.5)) BEFORE any sum, so
+    norms and dot products are exact integer arithmetic — associativity
+    cannot drift them; the final cosine is one double expression over
+    three exact integers, emitted as ppm.
+
+    Scale: candidate pairs come from a postings join on (lang, word)
+    with a document-frequency cap (a word shared by m docs emits m^2
+    candidate rows — boilerplate words carry no near-dup signal; the
+    cap mirrors ngram_jaccard_pairs' blocking hygiene); the dot
+    product is then computed over ALL shared words of each candidate
+    pair via a pair-restricted verification join (the
+    minhash-verification pattern, operators/dedup.py) — so emitted
+    cosines are EXACT full-vector cosines; the cap only bounds which
+    pairs are DISCOVERED.  Replayed identically in the oracle."""
+    from ..operators.text import words
+
+    max_df = 100
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny action; at scale pass the catalog stat
+    tok = d.select(
+        "doc_id", "lang", F.explode(words(F.col("text"))).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "lang", "w").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("df"))
+    weighted = tf.join(df_, ["lang", "w"]).select(
+        "doc_id",
+        "lang",
+        "w",
+        "df",
+        F.floor(
+            F.col("tf")
+            * F.log((F.lit(float(n_docs)) + 1) / (F.col("df") + 1))
+            * 10000
+            + 0.5
+        )
+        .cast("long")
+        .alias("wq"),
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("wq") * F.col("wq")).alias("n2")
+    )
+    posts = weighted.filter(F.col("df") <= max_df).select(
+        "lang", "w", F.col("doc_id").alias("id"), F.col("wq").alias("q")
+    )
+    a = posts.alias("a")
+    b = posts.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    full = weighted.select("doc_id", "w", "wq")
+    fa = full.alias("fa")
+    fb = full.alias("fb")
+    dots = (
+        cand.join(fa, cand.id_a == F.col("fa.doc_id"))
+        .join(
+            fb,
+            (cand.id_b == F.col("fb.doc_id"))
+            & (F.col("fa.w") == F.col("fb.w")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("fa.wq") * F.col("fb.wq")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2"))
+    cos_ppm = F.floor(
+        F.col("dot")
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+        * 1000000
+        + 0.5
+    ).cast("long")
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos_ppm.alias("cos_ppm"))
+        .filter(F.col("cos_ppm") >= 800000)
+    )
+
+
+SQL_DEDUP_TFIDF_COSINE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, lang, w, count(*) AS tf FROM tok GROUP BY doc_id, lang, w
+),
+dfx AS (SELECT lang, w, count(*) AS df FROM tf GROUP BY lang, w),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+weighted AS (
+  SELECT doc_id, tf.lang, tf.w, df,
+         CAST(floor(tf * ln((CAST(n_docs AS DOUBLE) + 1) / (df + 1)) * 10000
+                    + 0.5) AS BIGINT) AS wq
+  FROM tf JOIN dfx USING (lang, w), nd
+),
+norms AS (SELECT doc_id, sum(wq * wq) AS n2 FROM weighted GROUP BY doc_id),
+posts AS (
+  SELECT lang, w, doc_id AS id, wq AS q FROM weighted WHERE df <= 100
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM posts a JOIN posts b
+    ON a.lang = b.lang AND a.w = b.w AND a.id < b.id
+),
+dots AS (
+  SELECT id_a, id_b, sum(fa.wq * fb.wq) AS dot
+  FROM cand
+  JOIN weighted fa ON fa.doc_id = cand.id_a
+  JOIN weighted fb ON fb.doc_id = cand.id_b AND fa.w = fb.w
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b,
+       CAST(floor(CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                  * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+FROM dots JOIN norms na ON na.doc_id = id_a
+          JOIN norms nb ON nb.doc_id = id_b
+WHERE CAST(floor(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                 * 1000000 + 0.5) AS BIGINT) >= 800000
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "join_interval_overlap": QuerySpec(
         q_join_interval_overlap, SQL_JOIN_INTERVAL_OVERLAP
@@ -841,5 +1090,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sample_kcenter_coreset": QuerySpec(
         q_sample_kcenter_coreset, SQL_SAMPLE_KCENTER_CORESET
+    ),
+    "orders_rfm_segments": QuerySpec(
+        q_orders_rfm_segments, SQL_ORDERS_RFM_SEGMENTS
+    ),
+    "dedup_tfidf_cosine": QuerySpec(
+        q_dedup_tfidf_cosine, SQL_DEDUP_TFIDF_COSINE
     ),
 }

@@ -72,6 +72,7 @@ ALLOWED_CARTESIANS = {
     "graph_pagerank": 4,         # broadcast dangling-mass scalar per iter
     "join_bloom_pruned": 1,      # 1-row Bloom bit-words aggregate broadcast
     "join_range_bands": 1,       # bounded bands dim (documented range join)
+    "orders_rfm_segments": 3,    # 1-row ref-date + quintile-cuts broadcasts
     "retrieval_rrf_fusion": 2,   # broadcast query vectors x2 retrievers
     "sample_cluster_balanced": 3,# centroid seeds
     "sample_kcenter_coreset": 15,  # k=4 unrolled greedy: the LAZY plan

@@ -149,3 +149,19 @@ def test_join_asof_tolerance_planted(spark, tmp_path):
     out = {r.event_id: (r.click_event_id, r.gap_us)
            for r in REG["join_asof_tolerance"].fn(spark, str(tmp_path)).collect()}
     assert out == {1: (2, 1800 * 1000000), 4: (None, None)}
+
+
+def test_events_autocorr_planted(spark, tmp_path):
+    d = datetime.datetime
+    # click daily counts over 5 days: 1, 2, 3, 4, 5 (perfectly linear
+    # -> lag-k autocorrelation of the available pairs == 1.0 for all k)
+    rows = []
+    eid = 0
+    for i, n in enumerate([1, 2, 3, 4, 5]):
+        for _ in range(n):
+            rows.append((eid, 1, d(2026, 8, 1 + i), 1.0, "click"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {r.lag_k: (r.r_ppm, r.n_pairs)
+           for r in REG["events_autocorr"].fn(spark, str(tmp_path)).collect()}
+    assert out == {1: (1000000, 4), 2: (1000000, 3), 3: (1000000, 2)}

@@ -203,3 +203,41 @@ def test_sample_kcenter_coreset_planted(spark, tmp_path):
     # v4 assigns to center 1 (cos 0.9848 -> d=0.0152)
     assert out[1][1] == 2 and out[1][2] == 15200
     assert out[2][1] == 1 and out[3][1] == 1 and out[4][1] == 1
+
+
+def test_orders_rfm_segments_planted(spark, tmp_path):
+    d = datetime.datetime
+    # 5 customers, strictly increasing frequency/monetary and strictly
+    # decreasing recency -> customer i lands in quintile i+1 for F and
+    # M, and (since later last-day = smaller recency) quintile 5-i for R
+    rows = []
+    key = 0
+    for cust in range(5):
+        for k in range(cust + 1):
+            rows.append((cust, key, d(2020, 1, 1 + cust), 1000.0 * (cust + 1)))
+            key += 1
+    _write(spark, tmp_path, "orders", rows,
+           "o_custkey long, o_orderkey long, o_orderdate timestamp, o_totalprice double")
+    out = {(r.r_score, r.f_score, r.m_score): (r.n_customers, r.segment_cents)
+           for r in REG["orders_rfm_segments"].fn(spark, str(tmp_path)).collect()}
+    # customer c: freq=c+1, monetary=(c+1)^2*100000 cents, recency=4-c days
+    # freq quintiles of [1..5]: cuts at 1.8,2.6,3.4,4.2 -> scores 1..5
+    # recency [4,3,2,1,0]: cuts 0.8,1.6,2.4,3.2 -> customer0 (rec 4) -> 5
+    expect = {}
+    for c in range(5):
+        expect[(5 - c, c + 1, c + 1)] = (1, (c + 1) * (c + 1) * 100000)
+    assert out == expect
+
+
+def test_dedup_tfidf_cosine_planted(spark, tmp_path):
+    # doc 1 and 2 share identical text (cosine 1.0); doc 3 disjoint
+    rows = [
+        (1, "alpha beta gamma delta", "en", "s", 10),
+        (2, "alpha beta gamma delta", "en", "s", 10),
+        (3, "omega sigma tau", "en", "s", 10),
+    ]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string, n_chars long")
+    out = [(r.id_a, r.id_b, r.cos_ppm)
+           for r in REG["dedup_tfidf_cosine"].fn(spark, str(tmp_path)).collect()]
+    assert out == [(1, 2, 1000000)]
