@@ -1063,6 +1063,190 @@ WHERE CAST(floor(CAST(dot AS DOUBLE)
 
 
 
+# --------------------------------------------------------------------
+# class-balanced downsampling
+# --------------------------------------------------------------------
+
+
+def q_sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling over the labeled embedding table:
+    every label keeps exactly min-class-size rows, chosen in portable
+    md5-hash order — the deterministic rebalancer for a skewed
+    training set (contrast sample_reservoir_group: fixed k; here the
+    budget is data-dependent).
+
+    Scale: one per-label count aggregate, the 1-row min broadcast
+    back, one window per label in hash order — no global sort; re-runs
+    are stable under any partitioning."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    kmin = e.groupBy("label").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n").alias("kmin")
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("|bal42"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("label").orderBy(hv.asc(), F.col("vec_id").asc())
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(kmin))
+        .filter(F.col("rk") <= F.col("kmin"))
+        .select(
+            "label",
+            F.col("rk").cast("long").alias("rk"),
+            "vec_id",
+        )
+    )
+
+
+SQL_SAMPLE_BALANCED_CLASSES = """
+WITH e AS (SELECT vec_id, label FROM embeddings),
+kmin AS (
+  SELECT min(n) AS kmin FROM (SELECT label, count(*) AS n FROM e GROUP BY label)
+),
+r AS (
+  SELECT label, vec_id,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY CAST(concat('0x', substr(md5(vec_id || '|bal42'), 1, 15))
+                         AS BIGINT),
+                    vec_id) AS rk
+  FROM e
+)
+SELECT label, CAST(rk AS BIGINT) AS rk, vec_id
+FROM r, kmin WHERE rk <= kmin
+"""
+
+
+# --------------------------------------------------------------------
+# label-separation diagnostics
+# --------------------------------------------------------------------
+
+
+def q_embed_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class diagnostics: per label, the mean cosine
+    of members to their label centroid (cohesion) and the cosine of
+    the label centroid to the GLOBAL centroid (separation proxy) —
+    the pre-training sanity check that labels occupy distinct
+    directions (a label whose centroid hugs the global centroid
+    carries no signal).
+
+    Determinism (the embed_centroid_outliers recipe): per-dim means
+    from exact integer sums on a 1e-6 grid, member cosines snapped to
+    a 1e-4 grid, cohesion as an exact integer mean (ppm via div) —
+    the only doubles are identical divisions on both engines.
+
+    Scale: one (label, dim) aggregate (rows = labels x dims),
+    centroids broadcast back as a small dimension; one 1-row global
+    centroid cross (pinned)."""
+    from ..functions.vectors import as_double_array, cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
+    )
+    grid = v.select(
+        "label", F.posexplode("v").alias("pos", "x")
+    ).select(
+        "label", "pos", F.floor(F.col("x") * 1e6 + 0.5).cast("long").alias("g6")
+    )
+    label_dims = grid.groupBy("label", "pos").agg(
+        F.sum("g6").alias("s6"), F.count(F.lit(1)).alias("n")
+    )
+    label_cent = label_dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("pos", (F.col("s6") / F.col("n") / 1e6).alias("m"))
+                )
+            ),
+            lambda r: r["m"],
+        ).alias("lcv")
+    )
+    global_cent = label_dims.groupBy("pos").agg(
+        F.sum("s6").alias("s6"), F.sum("n").alias("n")
+    ).groupBy().agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("pos", (F.col("s6") / F.col("n") / 1e6).alias("m"))
+                )
+            ),
+            lambda r: r["m"],
+        ).alias("gcv")
+    )
+    member_sims = v.join(F.broadcast(label_cent), "label").select(
+        "label",
+        F.floor(cosine(F.col("v"), F.col("lcv")) * 10000 + 0.5)
+        .cast("long")
+        .alias("s4"),
+    )
+    cohesion = member_sims.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.expr("sum(s4) * 100 div count(1)").alias("cohesion_ppm"),
+    )
+    separation = label_cent.crossJoin(F.broadcast(global_cent)).select(
+        "label",
+        F.floor(cosine(F.col("lcv"), F.col("gcv")) * 10000 + 0.5)
+        .cast("long")
+        .alias("sep_s4"),
+    )
+    return cohesion.join(separation, "label").select(
+        "label", "n_members", "cohesion_ppm",
+        (F.col("sep_s4") * 100).alias("centroid_vs_global_ppm"),
+    )
+
+
+SQL_EMBED_LABEL_SEPARATION = """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+grid AS (
+  SELECT label, generate_subscripts(v, 1) - 1 AS pos,
+         CAST(floor(unnest(v) * 1e6 + 0.5) AS BIGINT) AS g6
+  FROM v
+),
+label_dims AS (
+  SELECT label, pos, sum(g6) AS s6, count(*) AS n
+  FROM grid GROUP BY label, pos
+),
+label_cent AS (
+  SELECT label,
+         list(CAST(s6 AS DOUBLE) / n / 1e6 ORDER BY pos) AS lcv
+  FROM label_dims GROUP BY label
+),
+global_cent AS (
+  SELECT list(CAST(s6 AS DOUBLE) / n / 1e6 ORDER BY pos) AS gcv
+  FROM (SELECT pos, sum(s6) AS s6, sum(n) AS n
+        FROM label_dims GROUP BY pos)
+),
+member_sims AS (
+  SELECT v.label,
+         CAST(floor(list_cosine_similarity(v.v, lcv) * 10000 + 0.5)
+              AS BIGINT) AS s4
+  FROM v JOIN label_cent USING (label)
+),
+cohesion AS (
+  SELECT label, count(*) AS n_members,
+         sum(s4) * 100 // count(*) AS cohesion_ppm
+  FROM member_sims GROUP BY label
+),
+separation AS (
+  SELECT label,
+         CAST(floor(list_cosine_similarity(lcv, gcv) * 10000 + 0.5)
+              AS BIGINT) AS sep_s4
+  FROM label_cent, global_cent
+)
+SELECT label, n_members, CAST(cohesion_ppm AS BIGINT) AS cohesion_ppm,
+       CAST(sep_s4 * 100 AS BIGINT) AS centroid_vs_global_ppm
+FROM cohesion JOIN separation USING (label)
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "join_interval_overlap": QuerySpec(
         q_join_interval_overlap, SQL_JOIN_INTERVAL_OVERLAP
@@ -1096,5 +1280,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_tfidf_cosine": QuerySpec(
         q_dedup_tfidf_cosine, SQL_DEDUP_TFIDF_COSINE
+    ),
+    "sample_balanced_classes": QuerySpec(
+        q_sample_balanced_classes, SQL_SAMPLE_BALANCED_CLASSES
+    ),
+    "embed_label_separation": QuerySpec(
+        q_embed_label_separation, SQL_EMBED_LABEL_SEPARATION
     ),
 }

@@ -64,6 +64,7 @@ ALLOWED_CARTESIANS = {
     "dedup_embedding_cosine": 1, # broadcast scalar norm threshold
     "dedup_semantic": 9,         # centroid seeds across assign/score subtrees
     "embed_centroid_outliers": 3,# broadcast global centroid (1 row)
+    "embed_label_separation": 1, # 1-row global-centroid broadcast
     "embed_quantize_int8": 1,    # broadcast global scale scalar
     "events_concurrency": 1,     # broadcast minute-grid bounds scalar
     "events_cumulative_distinct": 1,  # broadcast day-grid bounds
@@ -75,6 +76,7 @@ ALLOWED_CARTESIANS = {
     "orders_rfm_segments": 3,    # 1-row ref-date + quintile-cuts broadcasts
     "retrieval_rrf_fusion": 2,   # broadcast query vectors x2 retrievers
     "sample_cluster_balanced": 3,# centroid seeds
+    "sample_balanced_classes": 1,  # 1-row min-class-size broadcast
     "sample_kcenter_coreset": 15,  # k=4 unrolled greedy: the LAZY plan
                                    # prints every 1-row center broadcast per
                                    # subtree; at runtime the persisted round

@@ -241,3 +241,39 @@ def test_dedup_tfidf_cosine_planted(spark, tmp_path):
     out = [(r.id_a, r.id_b, r.cos_ppm)
            for r in REG["dedup_tfidf_cosine"].fn(spark, str(tmp_path)).collect()]
     assert out == [(1, 2, 1000000)]
+
+
+def test_sample_balanced_classes_planted(spark, tmp_path):
+    # labels: 0 -> 4 members, 1 -> 2 members => kmin = 2 per label
+    vecs = [(i, [1.0, 0.0], 0) for i in range(4)] + [
+        (10, [0.0, 1.0], 1), (11, [0.0, 1.0], 1)]
+    _write(spark, tmp_path, "embeddings", vecs,
+           "vec_id long, embedding array<float>, label int")
+    out = REG["sample_balanced_classes"].fn(spark, str(tmp_path)).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r.label, []).append(r.vec_id)
+    assert len(by_label[0]) == 2 and len(by_label[1]) == 2
+
+    def hv(i):
+        return int(hashlib.md5(f"{i}|bal42".encode()).hexdigest()[:15], 16)
+
+    assert sorted(by_label[0]) == sorted(
+        sorted(range(4), key=lambda i: (hv(i), i))[:2]
+    )
+
+
+def test_embed_label_separation_planted(spark, tmp_path):
+    # label 0 members identical along x (cohesion 1.0); label 1 along y
+    # -> global centroid ~ (0.5, 0.5)/|.|; each label centroid at 45
+    # degrees from it -> centroid_vs_global equal for both labels
+    vecs = [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0),
+            (2, [0.0, 1.0], 1), (3, [0.0, 1.0], 1)]
+    _write(spark, tmp_path, "embeddings", vecs,
+           "vec_id long, embedding array<float>, label int")
+    out = {r.label: (r.n_members, r.cohesion_ppm, r.centroid_vs_global_ppm)
+           for r in REG["embed_label_separation"].fn(spark, str(tmp_path)).collect()}
+    assert out[0][0] == 2 and out[1][0] == 2
+    assert out[0][1] == 1000000 and out[1][1] == 1000000  # perfect cohesion
+    # cos(45 deg) = 0.7071 on the 1e-4 grid -> 707100 ppm
+    assert out[0][2] == out[1][2] == 707100
