@@ -1247,6 +1247,202 @@ FROM cohesion JOIN separation USING (label)
 
 
 
+# --------------------------------------------------------------------
+# cohort lifetime value
+# --------------------------------------------------------------------
+
+
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly-cohort lifetime value: customers grouped by first-order
+    month; per (cohort, months-since-first) the cumulative revenue per
+    cohort member so far — the monetary twin of the retention cohort
+    query (events_retention_cohorts tracks who comes back; this tracks
+    what they spend).
+
+    Scale: per-customer first-month via one aggregate (no window over
+    raw orders), join back on custkey (co-partitioned), monthly rollup,
+    then ONE cumulative window per cohort over month offsets —
+    months-per-cohort bounds every frame.  Money in integer cents;
+    per-member LTV via integer div."""
+    o = _t(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    first = om.groupBy("o_custkey").agg(F.min("ym").alias("cohort"))
+    sized = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    joined = om.join(first, "o_custkey")
+    monthly = joined.groupBy("cohort", "ym").agg(
+        F.sum("cents").alias("rev_cents")
+    )
+    # month offset = (year*12+month) delta — integer arithmetic on the
+    # yyyy-MM key, no date parsing ambiguity
+    def months(col):
+        return (
+            F.substring(col, 1, 4).cast("long") * 12
+            + F.substring(col, 6, 2).cast("long")
+        )
+
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("ym")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        monthly.withColumn(
+            "month_offset", months(F.col("ym")) - months(F.col("cohort"))
+        )
+        .withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .join(F.broadcast(sized), "cohort")
+        .select(
+            "cohort",
+            "month_offset",
+            "cum_cents",
+            "cohort_size",
+            F.expr("cum_cents div cohort_size").alias("ltv_cents_per_member"),
+        )
+    )
+
+
+SQL_ORDERS_COHORT_LTV = """
+WITH om AS (
+  SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS ym,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+first AS (SELECT o_custkey, min(ym) AS cohort FROM om GROUP BY o_custkey),
+sized AS (SELECT cohort, count(*) AS cohort_size FROM first GROUP BY cohort),
+monthly AS (
+  SELECT cohort, ym, CAST(sum(cents) AS BIGINT) AS rev_cents
+  FROM om JOIN first USING (o_custkey)
+  GROUP BY cohort, ym
+),
+cum AS (
+  SELECT cohort, ym, rev_cents,
+         (CAST(substr(ym, 1, 4) AS BIGINT) * 12
+            + CAST(substr(ym, 6, 2) AS BIGINT))
+         - (CAST(substr(cohort, 1, 4) AS BIGINT) * 12
+            + CAST(substr(cohort, 6, 2) AS BIGINT)) AS month_offset,
+         CAST(sum(rev_cents) OVER (
+           PARTITION BY cohort ORDER BY ym
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cents
+  FROM monthly
+)
+SELECT cohort, month_offset, cum_cents, cohort_size,
+       cum_cents // cohort_size AS ltv_cents_per_member
+FROM cum JOIN sized USING (cohort)
+"""
+
+
+# --------------------------------------------------------------------
+# deterministic A/B bucketing + sample-ratio-mismatch check
+# --------------------------------------------------------------------
+
+
+def q_events_ab_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic experiment assignment + health check: users
+    hash-bucket 50/50 into control/treatment (portable md5 — stable
+    across runs, engines and cluster sizes), per-variant conversion
+    (purchase share) in ppm, plus the sample-ratio-mismatch chi-square
+    (ppm) every A/B platform alarms on before reading the metric.
+
+    Scale: assignment is map-side; one per-variant aggregate; the SRM
+    statistic folds from the two variant counts in one closed-form
+    double expression."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|exp1"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1000),
+    )
+    assigned = ev.select(
+        F.when(bucket < 500, F.lit("control")).otherwise(F.lit("treatment")).alias(
+            "variant"
+        ),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+        "user_id",
+    )
+    per_variant = assigned.groupBy("variant").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("converted").alias("n_purchases"),
+    )
+    one = per_variant.groupBy().agg(
+        F.max(F.when(F.col("variant") == "control", F.col("n_users"))).alias("nc"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("n_users"))).alias(
+            "nt"
+        ),
+    )
+    # SRM chi-square vs the expected 50/50 user split
+    exp = (F.col("nc") + F.col("nt")) / 2.0
+    srm = F.floor(
+        (
+            F.pow(F.col("nc") - exp, F.lit(2.0)) / exp
+            + F.pow(F.col("nt") - exp, F.lit(2.0)) / exp
+        )
+        * 1000000
+        + 0.5
+    ).cast("long")
+    return (
+        per_variant.crossJoin(F.broadcast(one.select(srm.alias("srm_chi2_ppm"))))
+        .select(
+            "variant",
+            "n_users",
+            "n_events",
+            F.expr("n_purchases * 1000000 div n_events").alias(
+                "conversion_ppm"
+            ),
+            "srm_chi2_ppm",
+        )
+    )
+
+
+SQL_EVENTS_AB_BUCKETING = """
+WITH assigned AS (
+  SELECT CASE WHEN CAST(concat('0x', substr(md5(user_id || '|exp1'), 1, 15))
+                   AS BIGINT) % 1000 < 500
+              THEN 'control' ELSE 'treatment' END AS variant,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS converted,
+         user_id
+  FROM events
+),
+per_variant AS (
+  SELECT variant, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+         sum(converted) AS n_purchases
+  FROM assigned GROUP BY variant
+),
+one AS (
+  SELECT max(CASE WHEN variant = 'control' THEN n_users END) AS nc,
+         max(CASE WHEN variant = 'treatment' THEN n_users END) AS nt
+  FROM per_variant
+),
+srm AS (
+  SELECT CAST(floor(
+           (power(nc - (nc + nt) / 2.0, 2) / ((nc + nt) / 2.0)
+            + power(nt - (nc + nt) / 2.0, 2) / ((nc + nt) / 2.0))
+           * 1000000 + 0.5) AS BIGINT) AS srm_chi2_ppm
+  FROM one
+)
+SELECT variant, n_users, n_events,
+       CAST(n_purchases * 1000000 // n_events AS BIGINT) AS conversion_ppm,
+       srm_chi2_ppm
+FROM per_variant, srm
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "join_interval_overlap": QuerySpec(
         q_join_interval_overlap, SQL_JOIN_INTERVAL_OVERLAP
@@ -1286,5 +1482,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "embed_label_separation": QuerySpec(
         q_embed_label_separation, SQL_EMBED_LABEL_SEPARATION
+    ),
+    "orders_cohort_ltv": QuerySpec(q_orders_cohort_ltv, SQL_ORDERS_COHORT_LTV),
+    "events_ab_bucketing": QuerySpec(
+        q_events_ab_bucketing, SQL_EVENTS_AB_BUCKETING
     ),
 }

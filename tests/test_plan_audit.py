@@ -67,6 +67,7 @@ ALLOWED_CARTESIANS = {
     "embed_label_separation": 1, # 1-row global-centroid broadcast
     "embed_quantize_int8": 1,    # broadcast global scale scalar
     "events_concurrency": 1,     # broadcast minute-grid bounds scalar
+    "events_ab_bucketing": 1,    # 1-row SRM statistic broadcast
     "events_cumulative_distinct": 1,  # broadcast day-grid bounds
     "events_ewma_smooth": 1,     # broadcast alpha-power scalar frame
     "events_rolling_active_users": 1, # broadcast day-grid bounds

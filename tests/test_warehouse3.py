@@ -277,3 +277,60 @@ def test_embed_label_separation_planted(spark, tmp_path):
     assert out[0][1] == 1000000 and out[1][1] == 1000000  # perfect cohesion
     # cos(45 deg) = 0.7071 on the 1e-4 grid -> 707100 ppm
     assert out[0][2] == out[1][2] == 707100
+
+
+def test_orders_cohort_ltv_planted(spark, tmp_path):
+    d = datetime.datetime
+    rows = [
+        # cohort 2020-01: cust 1 (orders Jan $10, Mar $20), cust 2 (Jan $40)
+        (1, 1, d(2020, 1, 5), 10.0),
+        (1, 2, d(2020, 3, 5), 20.0),
+        (2, 3, d(2020, 1, 20), 40.0),
+        # cohort 2020-02: cust 3 (Feb $100)
+        (3, 4, d(2020, 2, 1), 100.0),
+    ]
+    _write(spark, tmp_path, "orders", rows,
+           "o_custkey long, o_orderkey long, o_orderdate timestamp, o_totalprice double")
+    out = {(r.cohort, r.month_offset): (r.cum_cents, r.cohort_size,
+                                        r.ltv_cents_per_member)
+           for r in REG["orders_cohort_ltv"].fn(spark, str(tmp_path)).collect()}
+    assert out == {
+        ("2020-01", 0): (5000, 2, 2500),
+        ("2020-01", 2): (7000, 2, 3500),
+        ("2020-02", 0): (10000, 1, 10000),
+    }
+
+
+def test_events_ab_bucketing_planted(spark, tmp_path):
+    # users 1..40, 3 events each; purchases only for even users
+    rows = []
+    eid = 0
+    for u in range(1, 41):
+        for k in range(3):
+            typ = "purchase" if (u % 2 == 0 and k == 0) else "click"
+            rows.append((eid, u, _ts(eid), 1.0, typ))
+            eid += 1
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, user_id long, ts timestamp, value double, event_type string")
+    out = {r.variant: r for r in
+           REG["events_ab_bucketing"].fn(spark, str(tmp_path)).collect()}
+
+    def variant(u):
+        h = int(hashlib.md5(f"{u}|exp1".encode()).hexdigest()[:15], 16)
+        return "control" if h % 1000 < 500 else "treatment"
+
+    exp = {"control": 0, "treatment": 0}
+    purchases = {"control": 0, "treatment": 0}
+    for u in range(1, 41):
+        exp[variant(u)] += 1
+        if u % 2 == 0:
+            purchases[variant(u)] += 1
+    for v in ("control", "treatment"):
+        assert out[v].n_users == exp[v]
+        assert out[v].n_events == exp[v] * 3
+        assert out[v].conversion_ppm == purchases[v] * 1000000 // (exp[v] * 3)
+    # SRM identical on both rows, matches the closed form
+    nc, nt = exp["control"], exp["treatment"]
+    e = (nc + nt) / 2.0
+    srm = math.floor(((nc - e) ** 2 / e + (nt - e) ** 2 / e) * 1e6 + 0.5)
+    assert out["control"].srm_chi2_ppm == out["treatment"].srm_chi2_ppm == srm
