@@ -20,7 +20,7 @@ in tests/test_sketches.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import QuerySpec, load_tuned
@@ -347,4 +347,95 @@ FROM a JOIN b USING (user_id)
 
 QUERIES["sketch_hll_intersect"] = QuerySpec(
     q_sketch_hll_intersect, SQL_SKETCH_HLL_INTERSECT
+)
+
+
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (k=64) per event type, built
+    on a PORTABLE md5-derived hash — unlike the HLL family (whose
+    xxhash-based internals need a bounded-error oracle), KMV's
+    estimate ((k-1) * M / h_k over hash space M = 16^15) replays
+    EXACTLY in any engine, so the oracle hash-matches the estimate
+    itself, alongside the exact distinct count and the error in ppm.
+
+    Mergeability (why a 100 TB pipeline keeps KMV summaries): the
+    union of two KMV sketches is the k smallest of the merged value
+    lists — same shape as this query's per-type build.
+
+    Scale: one (type, hash) distinct aggregate, one per-type window
+    over hash order (frame bounded: row_number stops mattering past
+    k), 1-row-per-type estimate arithmetic."""
+    k = 64
+    m_space = float(16 ** 15)
+    e = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|kmv"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashes = e.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = hashes.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+    per_type = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_k")
+    )
+    exact = hashes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise((k - 1) * (F.lit(m_space) / F.col("h_k")))
+    joined = per_type.join(exact, "event_type").select(
+        "event_type",
+        F.floor(est).cast("long").alias("est_distinct"),
+        "exact_distinct",
+    )
+    return joined.select(
+        "event_type",
+        "est_distinct",
+        "exact_distinct",
+        F.expr(
+            "abs(est_distinct - exact_distinct) * 1000000 div exact_distinct"
+        ).alias("err_ppm"),
+    )
+
+
+SQL_SKETCH_KMV_DISTINCT = """
+WITH hashes AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5(user_id || '|kmv'), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+kept AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM hashes
+),
+per_type AS (
+  SELECT event_type, count(*) AS n_kept, max(h) AS h_k
+  FROM kept WHERE rk <= 64 GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(*) AS exact_distinct FROM hashes GROUP BY event_type
+),
+j AS (
+  SELECT event_type,
+         CAST(floor(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                         ELSE 63 * (1152921504606846976.0 / h_k) END)
+              AS BIGINT) AS est_distinct,
+         exact_distinct
+  FROM per_type JOIN exact USING (event_type)
+)
+SELECT event_type, est_distinct, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       abs(est_distinct - exact_distinct) * 1000000 // exact_distinct AS err_ppm
+FROM j
+"""
+
+
+QUERIES["sketch_kmv_distinct"] = QuerySpec(
+    q_sketch_kmv_distinct, SQL_SKETCH_KMV_DISTINCT
 )

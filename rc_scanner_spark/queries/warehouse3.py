@@ -1443,6 +1443,66 @@ FROM per_variant, srm
 
 
 
+# --------------------------------------------------------------------
+# temporal holdout split with entity-leakage audit
+# --------------------------------------------------------------------
+
+
+def q_split_time_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split (train < 2024-01-24 <= test) with the
+    entity-leakage audit a time-split must ship with: how many USERS
+    appear on both sides (their test rows are not independent of
+    training — the temporal analog of split_leakage_safe's
+    fingerprint-straddle audit).
+
+    Scale: the split predicate is map-side (pushed to the scan); the
+    audit is one per-user two-sided aggregate + a 1-row count
+    broadcast onto the two summary rows."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = "2024-01-24"
+    side = F.when(F.col("ts") < F.lit(cutoff).cast("timestamp"), "train").otherwise(
+        "test"
+    )
+    tagged = ev.select(side.alias("split"), "user_id", "event_id")
+    per_side = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    straddle = (
+        tagged.groupBy("user_id")
+        .agg(F.count_distinct("split").alias("n_sides"))
+        .filter(F.col("n_sides") == 2)
+        .agg(F.count(F.lit(1)).alias("leaked_users"))
+    )
+    return per_side.crossJoin(F.broadcast(straddle)).select(
+        "split", "n_events", "n_users", "leaked_users"
+    )
+
+
+SQL_SPLIT_TIME_HOLDOUT = """
+WITH tagged AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-24' THEN 'train' ELSE 'test' END
+           AS split,
+         user_id, event_id
+  FROM events
+),
+per_side AS (
+  SELECT split, count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users
+  FROM tagged GROUP BY split
+),
+straddle AS (
+  SELECT count(*) AS leaked_users FROM (
+    SELECT user_id FROM tagged GROUP BY user_id
+    HAVING count(DISTINCT split) = 2
+  )
+)
+SELECT split, n_events, n_users, CAST(leaked_users AS BIGINT) AS leaked_users
+FROM per_side, straddle
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "join_interval_overlap": QuerySpec(
         q_join_interval_overlap, SQL_JOIN_INTERVAL_OVERLAP
@@ -1486,5 +1546,8 @@ QUERIES: dict[str, QuerySpec] = {
     "orders_cohort_ltv": QuerySpec(q_orders_cohort_ltv, SQL_ORDERS_COHORT_LTV),
     "events_ab_bucketing": QuerySpec(
         q_events_ab_bucketing, SQL_EVENTS_AB_BUCKETING
+    ),
+    "split_time_holdout": QuerySpec(
+        q_split_time_holdout, SQL_SPLIT_TIME_HOLDOUT
     ),
 }

@@ -88,6 +88,7 @@ ALLOWED_CARTESIANS = {
     "sample_temperature_mix": 1, # broadcast source-weight scalar frame
     "select_dsir": 1,            # broadcast corpus unigram totals scalar
     "sketch_hll_intersect": 1,   # two 1-row sketch aggregates crossed
+    "split_time_holdout": 1,     # 1-row leakage-count broadcast
     "sketch_hll_mergeable": 1,   # 1-row merged sketch x 1-row exact
     "text_bigram_logprob": 1,    # broadcast corpus token total scalar
     "text_bm25_topk": 1,         # broadcast avgdl scalar

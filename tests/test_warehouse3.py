@@ -334,3 +334,35 @@ def test_events_ab_bucketing_planted(spark, tmp_path):
     e = (nc + nt) / 2.0
     srm = math.floor(((nc - e) ** 2 / e + (nt - e) ** 2 / e) * 1e6 + 0.5)
     assert out["control"].srm_chi2_ppm == out["treatment"].srm_chi2_ppm == srm
+
+
+def test_split_time_holdout_planted(spark, tmp_path):
+    rows = [
+        (1, 1, datetime.datetime(2024, 1, 10), 1.0),   # train
+        (2, 1, datetime.datetime(2024, 1, 25), 1.0),   # test -> user 1 leaks
+        (3, 2, datetime.datetime(2024, 1, 5), 1.0),    # train only
+        (4, 3, datetime.datetime(2024, 1, 26), 1.0),   # test only
+    ]
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, user_id long, ts timestamp, value double")
+    out = {r.split: (r.n_events, r.n_users, r.leaked_users)
+           for r in REG["split_time_holdout"].fn(spark, str(tmp_path)).collect()}
+    assert out == {"train": (2, 2, 1), "test": (2, 2, 1)}
+
+
+def test_sketch_kmv_distinct_planted(spark, tmp_path):
+    # 30 distinct users per type -> below k=64, so the estimate falls
+    # back to the EXACT distinct count (err 0); plus one type with
+    # repeated users (distinct still counts once)
+    rows = []
+    eid = 0
+    for u in range(30):
+        rows.append((eid, u, _ts(eid), 1.0, "click")); eid += 1
+    for u in range(10):
+        for _ in range(3):
+            rows.append((eid, u, _ts(eid), 1.0, "view")); eid += 1
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, user_id long, ts timestamp, value double, event_type string")
+    out = {r.event_type: (r.est_distinct, r.exact_distinct, r.err_ppm)
+           for r in REG["sketch_kmv_distinct"].fn(spark, str(tmp_path)).collect()}
+    assert out == {"click": (30, 30, 0), "view": (10, 10, 0)}
