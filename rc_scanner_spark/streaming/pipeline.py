@@ -201,6 +201,43 @@ def attribution_join(
     ).select(F.col("k").alias(key), "click_id", "click_ts", "view_id", "view_ts")
 
 
+def attribution_join_outer(
+    clicks: DataFrame,
+    views: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    max_lag: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like attribution_join,
+    but clicks with NO view in the preceding ``max_lag`` are still
+    emitted (view columns NULL) once the watermark proves no match can
+    arrive — the unattributed-traffic report.
+
+    Outer stream-stream joins REQUIRE the event-time range condition
+    on the joined columns (Spark rejects the plan otherwise): it is
+    what lets the engine declare a left row unmatched at watermark
+    expiry instead of holding it forever.  State stays bounded by
+    watermark + lag on both sides, as in the inner form."""
+    c = clicks.select(
+        F.col(key).alias("k"),
+        F.col(ts_col).alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    v = views.select(
+        F.col(key).alias("vk"),
+        F.col(ts_col).alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("view_ts", watermark)
+    return c.join(
+        v,
+        F.expr(
+            f"k = vk AND view_ts >= click_ts - INTERVAL {max_lag} AND view_ts < click_ts"
+        ),
+        "leftOuter",
+    ).select(F.col("k").alias(key), "click_id", "click_ts", "view_id", "view_ts")
+
+
 def dedup_within_watermark(
     df: DataFrame,
     keys: list[str],

@@ -380,6 +380,67 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     assert expected > 0
 
 
+def test_stream_stream_attribution_join_outer(spark, tmp_path):
+    """LEFT OUTER stream-stream: matched rows equal the inner join's
+    batch ground truth; unmatched clicks (NULL view columns) appear
+    once the watermark proves no view can arrive, and every one of
+    them is genuinely matchless in the batch ground truth."""
+    from rc_scanner_spark.streaming.pipeline import attribution_join_outer
+    from rc_scanner_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    views_b = ev.filter(F.col("event_type") == "view")
+    inner_expected = (
+        clicks_b.alias("c")
+        .join(
+            views_b.alias("v"),
+            F.expr(
+                "c.user_id = v.user_id AND v.ts >= c.ts - INTERVAL 10 minutes"
+                " AND v.ts < c.ts"
+            ),
+        )
+        .count()
+    )
+    matchless = {
+        r.event_id
+        for r in clicks_b.alias("c")
+        .join(
+            views_b.alias("v"),
+            F.expr(
+                "c.user_id = v.user_id AND v.ts >= c.ts - INTERVAL 10 minutes"
+                " AND v.ts < c.ts"
+            ),
+            "left_anti",
+        )
+        .select("event_id")
+        .collect()
+    }
+    ev.write.mode("overwrite").parquet(str(tmp_path / "sso_ev"))
+    stream = spark.readStream.schema(ev.schema).parquet(str(tmp_path / "sso_ev"))
+    joined = attribution_join_outer(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "view"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sso"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT click_id, view_id FROM attrib_outer").collect()
+    matched = [r for r in rows if r.view_id is not None]
+    unmatched = [r for r in rows if r.view_id is None]
+    assert len(matched) == inner_expected
+    # watermark-released NULL rows: all genuinely matchless, and the
+    # month-long replay leaves plenty of old matchless clicks released
+    assert unmatched and all(r.click_id in matchless for r in unmatched)
+
+
 def test_dedup_within_watermark_drops_in_horizon_dupes(spark, tmp_path):
     from rc_scanner_spark.streaming.pipeline import dedup_within_watermark
     from rc_scanner_spark.tables import load_table
