@@ -1481,3 +1481,67 @@ SQL_AGG_WEIGHTED_MEDIAN = _sql_agg_weighted_median()
 QUERIES["agg_weighted_median"] = QuerySpec(
     q_agg_weighted_median, SQL_AGG_WEIGHTED_MEDIAN
 )
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core peeling on the co-purchase graph, 3 unrolled rounds:
+    repeatedly drop nodes of degree < 2 and recount on the induced
+    subgraph — the standard graph-cleanup pass before community /
+    centrality work (degree-1 tendrils distort both), and the bounded
+    fixed-round form of the iterative algorithm (like the unrolled
+    PageRank).  Output: survivors of round 3 with their final degree.
+
+    Scale: reuses the persisted support-pruned edge frame
+    (_copurchase_edges, shared with triangles / link prediction); each
+    round is one degree aggregate + two semi-joins shuffled on node id
+    — rounds are data-independent plan copies, no driver loop state."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).union(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+
+    cur = und
+    for _ in range(3):
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 2)
+            .select("u")
+        )
+        cur = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+        )
+    return (
+        cur.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("u").alias("part"), F.col("deg").cast("long").alias("deg"))
+    )
+
+
+SQL_GRAPH_KCORE = f"""
+WITH {_SQL_EDGES_CTE},
+und AS (
+  SELECT pa AS u, pb AS v FROM edges
+  UNION ALL SELECT pb, pa FROM edges
+),
+k1 AS (SELECT u FROM und GROUP BY u HAVING count(*) >= 2),
+u1 AS (
+  SELECT und.u, und.v FROM und
+  WHERE und.u IN (SELECT u FROM k1) AND und.v IN (SELECT u FROM k1)
+),
+k2 AS (SELECT u FROM u1 GROUP BY u HAVING count(*) >= 2),
+u2 AS (
+  SELECT u1.u, u1.v FROM u1
+  WHERE u1.u IN (SELECT u FROM k2) AND u1.v IN (SELECT u FROM k2)
+),
+k3 AS (SELECT u FROM u2 GROUP BY u HAVING count(*) >= 2),
+u3 AS (
+  SELECT u2.u, u2.v FROM u2
+  WHERE u2.u IN (SELECT u FROM k3) AND u2.v IN (SELECT u FROM k3)
+)
+SELECT u AS part, count(*) AS deg FROM u3 GROUP BY u
+"""
+
+
+QUERIES["graph_kcore"] = QuerySpec(q_graph_kcore, SQL_GRAPH_KCORE)

@@ -366,3 +366,24 @@ def test_sketch_kmv_distinct_planted(spark, tmp_path):
     out = {r.event_type: (r.est_distinct, r.exact_distinct, r.err_ppm)
            for r in REG["sketch_kmv_distinct"].fn(spark, str(tmp_path)).collect()}
     assert out == {"click": (30, 30, 0), "view": (10, 10, 0)}
+
+
+def test_graph_kcore_planted(spark, tmp_path):
+    """2-core peeling on a hand graph: a triangle with a tail — the
+    tail node (degree 1) and then nothing else peels; the triangle
+    survives with degree 2 each.  Edges are planted via lineitem
+    baskets (two co-purchases per pair to clear the support
+    threshold)."""
+    rows = []
+    ok = 0
+    # orders containing each pair twice -> support >= 2
+    for pair in [(1, 2), (2, 3), (1, 3), (3, 4)]:
+        for _ in range(2):
+            rows.append((ok, pair[0]))
+            rows.append((ok, pair[1]))
+            ok += 1
+    _write(spark, tmp_path, "lineitem", rows, "l_orderkey long, l_partkey long")
+    out = {r.part: r.deg for r in
+           REG["graph_kcore"].fn(spark, str(tmp_path)).collect()}
+    # node 4 (tail, deg 1) peels in round 1; 1-2-3 triangle survives
+    assert out == {1: 2, 2: 2, 3: 2}
