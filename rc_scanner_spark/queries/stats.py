@@ -565,9 +565,12 @@ def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
     syy = F.col("syy").cast("double")
-    r = (md * sxy - sx * sy) / F.sqrt(
-        (md * sxx - sx * sx) * (md * syy - sy * sy)
-    )
+    # zero-variance groups (constant daily counts, or a single pair)
+    # make the denominator exactly 0: guard to NULL explicitly — under
+    # Spark's default ANSI mode the bare division would THROW while
+    # DuckDB returns NULL (mirrored with NULLIF in the twin)
+    denom = F.sqrt((md * sxx - sx * sx) * (md * syy - sy * sy))
+    r = F.when(denom > 0, (md * sxy - sx * sy) / denom)
     return m.select(
         "event_type",
         F.col("lag_k").cast("long").alias("lag_k"),
@@ -605,10 +608,10 @@ SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k,
        CAST(floor(
          (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+         / NULLIF(sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
               * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
-                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0)
          * 1000000 + 0.5) AS BIGINT) AS r_ppm,
        m AS n_pairs
 FROM m

@@ -970,11 +970,18 @@ def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wq"),
     )
+    # decimal-exact sums of squared weights: wq can reach ~2e10 on
+    # pathological corpora, so a long wq*wq wraps (Spark ANSI throws,
+    # DuckDB HUGEINT computes) — the squared-sums at-scale class
     norms = weighted.groupBy("doc_id").agg(
-        F.sum(F.col("wq") * F.col("wq")).alias("n2")
+        F.sum(
+            (F.col("wq").cast("decimal(19,0)") * F.col("wq")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("n2")
     )
     posts = weighted.filter(F.col("df") <= max_df).select(
-        "lang", "w", F.col("doc_id").alias("id"), F.col("wq").alias("q")
+        "lang", "w", F.col("doc_id").alias("id")
     )
     a = posts.alias("a")
     b = posts.alias("b")
@@ -999,13 +1006,25 @@ def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("fa.w") == F.col("fb.w")),
         )
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("fa.wq") * F.col("fb.wq")).alias("dot"))
+        .agg(
+            F.sum(
+                (F.col("fa.wq").cast("decimal(19,0)") * F.col("fb.wq")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("dot")
+        )
     )
     na = norms.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2"))
+    # zero-norm guard (all-boilerplate docs whose weights quantize to
+    # 0): NULL instead of an ANSI divide-by-zero throw; DuckDB's
+    # division already yields NULL and both engines' >= filter then
+    # drops the pair
+    norm_prod = F.sqrt(F.col("na2").cast("double")) * F.sqrt(
+        F.col("nb2").cast("double")
+    )
     cos_ppm = F.floor(
-        F.col("dot")
-        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+        F.when(norm_prod > 0, F.col("dot").cast("double") / norm_prod)
         * 1000000
         + 0.5
     ).cast("long")
@@ -1036,7 +1055,7 @@ weighted AS (
 ),
 norms AS (SELECT doc_id, sum(wq * wq) AS n2 FROM weighted GROUP BY doc_id),
 posts AS (
-  SELECT lang, w, doc_id AS id, wq AS q FROM weighted WHERE df <= 100
+  SELECT lang, w, doc_id AS id FROM weighted WHERE df <= 100
 ),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -1186,7 +1205,13 @@ def q_embed_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cohesion = member_sims.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.expr("sum(s4) * 100 div count(1)").alias("cohesion_ppm"),
+        # mirrored double floor: long sum(s4)*100 wraps past ~9.2e12
+        # members while the twin's HUGEINT would not
+        F.floor(
+            F.sum("s4").cast("double") * 100.0 / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("cohesion_ppm"),
     )
     separation = label_cent.crossJoin(F.broadcast(global_cent)).select(
         "label",
@@ -1231,7 +1256,8 @@ member_sims AS (
 ),
 cohesion AS (
   SELECT label, count(*) AS n_members,
-         sum(s4) * 100 // count(*) AS cohesion_ppm
+         CAST(floor(CAST(sum(s4) AS DOUBLE) * 100.0 / count(*)) AS BIGINT)
+             AS cohesion_ppm
   FROM member_sims GROUP BY label
 ),
 separation AS (
@@ -1240,7 +1266,7 @@ separation AS (
               AS BIGINT) AS sep_s4
   FROM label_cent, global_cent
 )
-SELECT label, n_members, CAST(cohesion_ppm AS BIGINT) AS cohesion_ppm,
+SELECT label, n_members, cohesion_ppm,
        CAST(sep_s4 * 100 AS BIGINT) AS centroid_vs_global_ppm
 FROM cohesion JOIN separation USING (label)
 """
@@ -1269,7 +1295,6 @@ def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
-        F.col("o_orderdate").cast("date").alias("od"),
     )
     first = om.groupBy("o_custkey").agg(F.min("ym").alias("cohort"))
     sized = first.groupBy("cohort").agg(
@@ -1401,9 +1426,14 @@ def q_events_ab_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variant",
             "n_users",
             "n_events",
-            F.expr("n_purchases * 1000000 div n_events").alias(
-                "conversion_ppm"
-            ),
+            # mirrored double floor: an integer n_purchases * 1e6
+            # wraps past ~9.2e12 purchases (ANSI throw) while the
+            # twin's HUGEINT would not
+            F.floor(
+                F.col("n_purchases") * F.lit(1000000.0) / F.col("n_events")
+            )
+            .cast("long")
+            .alias("conversion_ppm"),
             "srm_chi2_ppm",
         )
     )
@@ -1436,7 +1466,8 @@ srm AS (
   FROM one
 )
 SELECT variant, n_users, n_events,
-       CAST(n_purchases * 1000000 // n_events AS BIGINT) AS conversion_ppm,
+       CAST(floor(CAST(n_purchases AS DOUBLE) * 1000000.0 / n_events)
+            AS BIGINT) AS conversion_ppm,
        srm_chi2_ppm
 FROM per_variant, srm
 """
@@ -1463,7 +1494,7 @@ def q_split_time_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     side = F.when(F.col("ts") < F.lit(cutoff).cast("timestamp"), "train").otherwise(
         "test"
     )
-    tagged = ev.select(side.alias("split"), "user_id", "event_id")
+    tagged = ev.select(side.alias("split"), "user_id")
     per_side = tagged.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
@@ -1483,7 +1514,7 @@ SQL_SPLIT_TIME_HOLDOUT = """
 WITH tagged AS (
   SELECT CASE WHEN ts < TIMESTAMP '2024-01-24' THEN 'train' ELSE 'test' END
            AS split,
-         user_id, event_id
+         user_id
   FROM events
 ),
 per_side AS (

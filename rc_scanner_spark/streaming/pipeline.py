@@ -175,6 +175,7 @@ def attribution_join(
     ts_col: str = "ts",
     watermark: str = "30 minutes",
     max_lag: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (the ad-attribution shape): each
     click matches the same user's views in the preceding ``max_lag``.
@@ -182,6 +183,9 @@ def attribution_join(
     Both sides carry watermarks, so the join state store evicts rows
     older than watermark + lag — bounded state at any scale.  The join
     key + time-range condition shuffles both streams on ``key`` once.
+    The event-time range condition is also what makes ``how='left
+    outer'`` legal: it lets the engine declare a left row unmatched at
+    watermark expiry instead of holding it forever.
     """
     c = clicks.select(
         F.col(key).alias("k"),
@@ -198,6 +202,7 @@ def attribution_join(
         F.expr(
             f"k = vk AND view_ts >= click_ts - INTERVAL {max_lag} AND view_ts < click_ts"
         ),
+        how,
     ).select(F.col("k").alias(key), "click_id", "click_ts", "view_id", "view_ts")
 
 
@@ -209,33 +214,14 @@ def attribution_join_outer(
     watermark: str = "30 minutes",
     max_lag: str = "10 minutes",
 ) -> DataFrame:
-    """LEFT OUTER stream-stream interval join: like attribution_join,
-    but clicks with NO view in the preceding ``max_lag`` are still
-    emitted (view columns NULL) once the watermark proves no match can
-    arrive — the unattributed-traffic report.
-
-    Outer stream-stream joins REQUIRE the event-time range condition
-    on the joined columns (Spark rejects the plan otherwise): it is
-    what lets the engine declare a left row unmatched at watermark
-    expiry instead of holding it forever.  State stays bounded by
-    watermark + lag on both sides, as in the inner form."""
-    c = clicks.select(
-        F.col(key).alias("k"),
-        F.col(ts_col).alias("click_ts"),
-        F.col("event_id").alias("click_id"),
-    ).withWatermark("click_ts", watermark)
-    v = views.select(
-        F.col(key).alias("vk"),
-        F.col(ts_col).alias("view_ts"),
-        F.col("event_id").alias("view_id"),
-    ).withWatermark("view_ts", watermark)
-    return c.join(
-        v,
-        F.expr(
-            f"k = vk AND view_ts >= click_ts - INTERVAL {max_lag} AND view_ts < click_ts"
-        ),
-        "leftOuter",
-    ).select(F.col("k").alias(key), "click_id", "click_ts", "view_id", "view_ts")
+    """LEFT OUTER attribution join: clicks with NO view in the
+    preceding ``max_lag`` are still emitted (view columns NULL) once
+    the watermark proves no match can arrive — the
+    unattributed-traffic report.  Thin delegate so inner and outer
+    semantics can never drift."""
+    return attribution_join(
+        clicks, views, key, ts_col, watermark, max_lag, how="leftOuter"
+    )
 
 
 def dedup_within_watermark(
