@@ -49,12 +49,12 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     #   r4: stale events rows + 45 never-checked (50/50 green).
     #   r5: 15 never-checked/re-fixed + round-5 additions (50/50 green).
     #   r6 (THIS ordering): 1-10 = the 10 oracle-backed entries with
-    #       NO driver row after r5; 11-37 = the 27 round-6 additions
-    #       (oracle-backed); 38-43 = the 6 rows-only never-checked
-    #       entries; 44+ = the 43-entry r1-era block (oldest driver
-    #       evidence; ~7 fit the ~50-entry r6 prefix, the ~36-entry
+    #       NO driver row after r5; 11-39 = the 29 round-6 additions
+    #       (oracle-backed); 40-45 = the 6 rows-only never-checked
+    #       entries; 46+ = the 43-entry r1-era block (oldest driver
+    #       evidence; ~5 fit the ~50-entry r6 prefix, the ~38-entry
     #       spill heads the r7 prefix).  Cumulative driver coverage
-    #       after r6: 234/234.
+    #       after r6: 236/236.
     # -- 1-10: never-driver-checked, oracle-backed.
     "events_concurrency",
     "agg_filtered",
@@ -96,6 +96,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sketch_kmv_distinct",
     "split_time_holdout",
     "graph_kcore",
+    "multimodal_tiles_plan",
+    "dedup_winnowing",
     # -- rows-only never-driver-checked block (after all oracle-backed).
     "multimodal_phash_neardup",
     "text_compression_ratio",

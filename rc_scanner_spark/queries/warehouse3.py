@@ -1534,6 +1534,186 @@ FROM per_side, straddle
 
 
 
+# --------------------------------------------------------------------
+# image tiling plan (ViT patch grid)
+# --------------------------------------------------------------------
+
+
+def q_multimodal_tiles_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image tiling plan: expand (doc_id, width, height) into one row
+    per 32x32 patch — the ViT-preprocessing twin of the video frame
+    and audio window plans; pure double sequence+explode, the pixel
+    decode stays behind the stubbed codec.  Partial edge tiles are
+    dropped (floor grid), matching center-crop preprocessing.
+    Dimensions derive deterministically from doc_id so the oracle
+    replays them."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    media = d.select(
+        "doc_id",
+        ((F.col("doc_id") % 7) * 40 + 64).cast("long").alias("width"),
+        ((F.col("doc_id") % 5) * 40 + 64).cast("long").alias("height"),
+    )
+    tile = 32
+    nx = F.expr(f"width div {tile}")
+    ny = F.expr(f"height div {tile}")
+    return (
+        media.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), nx - 1)).alias("tile_x"),
+            ny.alias("__ny"),
+        )
+        .select(
+            "doc_id",
+            "tile_x",
+            F.explode(F.sequence(F.lit(0), F.col("__ny") - 1)).alias("tile_y"),
+        )
+        .select(
+            "doc_id",
+            "tile_x",
+            "tile_y",
+            (F.col("tile_x") * tile).alias("px"),
+            (F.col("tile_y") * tile).alias("py"),
+        )
+    )
+
+
+SQL_MULTIMODAL_TILES_PLAN = """
+WITH media AS (
+  SELECT doc_id, (doc_id % 7) * 40 + 64 AS width,
+         (doc_id % 5) * 40 + 64 AS height
+  FROM documents WHERE doc_id % 4 = 0
+),
+tx AS (
+  SELECT doc_id, height, unnest(range(0, width // 32)) AS tile_x
+  FROM media
+)
+SELECT doc_id, tile_x, unnest(range(0, height // 32)) AS tile_y,
+       tile_x * 32 AS px, unnest(range(0, height // 32)) * 32 AS py
+FROM tx
+"""
+
+
+# --------------------------------------------------------------------
+# winnowing fingerprints (MOSS-style)
+# --------------------------------------------------------------------
+
+
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash
+    every word 5-gram, slide a window of 4 consecutive hashes, keep
+    each window's MINIMUM — the selected fingerprints are guaranteed
+    to include at least one hash from every 4-gram-of-5-grams span,
+    so any sufficiently long shared passage shares a fingerprint.
+    Docs are then paired by shared (lang, fingerprint) with a
+    document-frequency cap (the ngram_jaccard blocking hygiene) and
+    scored by shared-fingerprint count.
+
+    Portable hashes (md5-derived) so the whole mechanism — selection
+    minima included — replays exactly in the oracle.
+
+    Scale: everything up to the fingerprint set is map-side array
+    HOFs (shingle hashes, window minima via slice+array_min); one
+    distinct per (doc, fingerprint), one capped self-join on the
+    fingerprint key — the same posting-join shape as the other
+    blocked dedups."""
+    from ..operators.text import words
+
+    window = 4
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select("doc_id", "lang", words(F.col("text")).alias("ws")).filter(
+        F.size("ws") >= 5 + window - 1
+    )
+    grams = ws.select(
+        "doc_id",
+        "lang",
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 4),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("ws"), i),
+                            F.element_at(F.col("ws"), i + 1),
+                            F.element_at(F.col("ws"), i + 2),
+                            F.element_at(F.col("ws"), i + 3),
+                            F.element_at(F.col("ws"), i + 4),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ).alias("hs"),
+    )
+    fps = grams.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("hs") - (window - 1)),
+                lambda i: F.array_min(F.slice(F.col("hs"), i, window)),
+            )
+        ).alias("fp"),
+    ).distinct()
+    df_ = fps.groupBy("lang", "fp").agg(F.count(F.lit(1)).alias("df"))
+    posts = fps.join(df_.filter(F.col("df") <= 50), ["lang", "fp"]).select(
+        "lang", "fp", F.col("doc_id").alias("id")
+    )
+    a = posts.alias("a")
+    b = posts.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
+
+
+SQL_DEDUP_WINNOWING = """
+WITH ws AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+ok AS (SELECT * FROM ws WHERE len(ws) >= 8),
+grams AS (
+  SELECT doc_id, lang,
+         list_transform(range(1, len(ws) - 3),
+           i -> CAST(concat('0x', substr(md5(
+                  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                  || ws[i+3] || ' ' || ws[i+4]), 1, 15)) AS BIGINT)) AS hs
+  FROM ok
+),
+fps AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(list_transform(range(1, len(hs) - 2),
+                               i -> list_min(hs[i:i+3]))) AS fp
+  FROM grams
+),
+dfx AS (SELECT lang, fp, count(*) AS df FROM fps GROUP BY lang, fp),
+posts AS (
+  SELECT fps.lang, fps.fp, doc_id AS id
+  FROM fps JOIN dfx ON fps.lang = dfx.lang AND fps.fp = dfx.fp
+  WHERE df <= 50
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_fps
+FROM posts a JOIN posts b
+  ON a.lang = b.lang AND a.fp = b.fp AND a.id < b.id
+GROUP BY a.id, b.id
+HAVING count(*) >= 3
+"""
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "join_interval_overlap": QuerySpec(
         q_join_interval_overlap, SQL_JOIN_INTERVAL_OVERLAP
@@ -1581,4 +1761,8 @@ QUERIES: dict[str, QuerySpec] = {
     "split_time_holdout": QuerySpec(
         q_split_time_holdout, SQL_SPLIT_TIME_HOLDOUT
     ),
+    "multimodal_tiles_plan": QuerySpec(
+        q_multimodal_tiles_plan, SQL_MULTIMODAL_TILES_PLAN
+    ),
+    "dedup_winnowing": QuerySpec(q_dedup_winnowing, SQL_DEDUP_WINNOWING),
 }

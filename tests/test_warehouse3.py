@@ -387,3 +387,58 @@ def test_graph_kcore_planted(spark, tmp_path):
            REG["graph_kcore"].fn(spark, str(tmp_path)).collect()}
     # node 4 (tail, deg 1) peels in round 1; 1-2-3 triangle survives
     assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_multimodal_tiles_plan_planted(spark, tmp_path):
+    rows = [(4, "t", "en", "s", 1), (1, "t", "en", "s", 1)]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string, n_chars long")
+    out = REG["multimodal_tiles_plan"].fn(spark, str(tmp_path)).collect()
+    # doc 4: width (4%7)*40+64 = 224 -> 7 tiles; height (4%5)*40+64 =
+    # 224 -> 7 tiles; doc 1 filtered (not %4)
+    got = {(r.tile_x, r.tile_y, r.px, r.py) for r in out}
+    assert len(out) == 49
+    assert (0, 0, 0, 0) in got and (6, 6, 192, 192) in got
+
+
+def _winnow_fps(text):
+    """Python replay of the winnowing selection (5-gram md5 hashes,
+    window-4 minima, distinct)."""
+    ws = [w for w in __import__("re").split(r"[^a-z]+", text.lower()) if w]
+    if len(ws) < 8:
+        return set()
+    hs = [
+        int(hashlib.md5(" ".join(ws[i:i + 5]).encode()).hexdigest()[:15], 16)
+        for i in range(len(ws) - 4)
+    ]
+    return {min(hs[i:i + 4]) for i in range(len(hs) - 3)}
+
+
+def test_dedup_winnowing_planted(spark, tmp_path):
+    # docs 1 and 2 share a 30-word passage -> many shared selected
+    # fingerprints; doc 3 disjoint.  Expectations come from an exact
+    # python replay of the selection, not a guess.
+    passage = " ".join(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+        * 3
+    )
+    texts = {
+        1: passage + " extra one two three four",
+        2: passage + " other tail five six seven",
+        3: "completely different words everywhere around here today now ok",
+    }
+    rows = [(i, t, "en", "s", 10) for i, t in texts.items()]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string, n_chars long")
+    out = {(r.id_a, r.id_b): r.shared_fps for r in
+           REG["dedup_winnowing"].fn(spark, str(tmp_path)).collect()}
+    fps = {i: _winnow_fps(t) for i, t in texts.items()}
+    expect = {}
+    for a in (1, 2, 3):
+        for b in (1, 2, 3):
+            if a < b:
+                shared = len(fps[a] & fps[b])
+                if shared >= 3:
+                    expect[(a, b)] = shared
+    assert (1, 2) in expect, "fixture must produce a sharing pair"
+    assert out == expect
