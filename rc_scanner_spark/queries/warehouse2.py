@@ -1493,8 +1493,15 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: reuses the persisted support-pruned edge frame
     (_copurchase_edges, shared with triangles / link prediction); each
-    round is one degree aggregate + two semi-joins shuffled on node id
-    — rounds are data-independent plan copies, no driver loop state."""
+    round is one degree aggregate + two semi-joins shuffled on node
+    id.  Each round's survivor frame is persisted (tracked — released
+    via operators/dedup.release_caches): round i+1 references round i
+    THREE times (the edge set plus both semi-join sides derive from
+    it), so without the persist the lazy plan triples per round (3^k
+    copies of the base scan — measured 46 s at sf0.1 unpersisted vs
+    ~4 s persisted)."""
+    from ..operators import dedup as _dedup
+
     edges = _copurchase_edges(spark, sf_dir)
     und = edges.select(
         F.col("pa").alias("u"), F.col("pb").alias("v")
@@ -1508,7 +1515,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("deg") >= 2)
             .select("u")
         )
-        cur = (
+        cur = _dedup._track_persist(
             cur.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
         )
