@@ -98,6 +98,10 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "graph_kcore",
     "multimodal_tiles_plan",
     "dedup_winnowing",
+    "seq_global_row_number",
+    "events_theilsen_trend",
+    "profile_benford",
+    "embed_random_projection",
     # -- rows-only never-driver-checked block (after all oracle-backed).
     "multimodal_phash_neardup",
     "text_compression_ratio",
@@ -318,6 +322,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse,
         warehouse2,
         warehouse3,
+        warehouse4,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -337,6 +342,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse,
         warehouse2,
         warehouse3,
+        warehouse4,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

@@ -1,0 +1,326 @@
+"""Round-6 batch 10: scalable global sequence assignment, Theil-Sen
+robust trend, Benford first-digit profiling, and Johnson-Lindenstrauss
+random projection.
+
+Why these belong in a 100 TB training-data engine:
+
+* ``seq_global_row_number`` — assigning a global contiguous sequence
+  (shard ids, stable sample ids, resumable cursor positions) is a
+  classic scale trap: the naive ``row_number() OVER (ORDER BY ...)``
+  plans a SINGLE-partition window — one task sorts the entire corpus.
+  The two-phase form here (per-bucket counts -> tiny cumulative-offset
+  frame -> partitioned row_number + offset) keeps every stage
+  distributed; only the per-bucket COUNT aggregate (one row per day)
+  ever converges to one task.
+* ``events_theilsen_trend`` — the median-of-pairwise-slopes estimator
+  is the standard outlier-robust replacement for OLS trend on noisy
+  event volumes.  The pair fan-out is bounded per group (days^2 per
+  event_type, ~4k pairs at 90 days) regardless of raw event count,
+  because pairs are formed on the per-day AGGREGATE, never on events.
+* ``profile_benford`` — first-significant-digit distribution vs the
+  Benford expectation is a cheap corpus-wide fraud / synthetic-data
+  screen; one map-side digit extraction plus a 9-row aggregate.
+* ``embed_random_projection`` — JL projection compresses wide float
+  embeddings (64-d here) to a few dimensions before ANN candidate
+  generation / coarse clustering; a pure map-side dot product against
+  a broadcast-literal matrix — zero shuffles at any corpus size.
+
+Engine-parity notes (the reason for the integer-first output forms):
+money goes through integer cents, shares through integer ppm with
+truncating ``div``/``//``; the Benford digit is taken from the DECIMAL
+STRING of the integer-cents value (``floor(log10())`` on doubles
+mis-bins exact powers of ten); the JL matrix is Python-precomputed and
+embedded as identical ``m/1000000.0`` literals on both sides, and both
+sides sum the 64 products in identical left-to-right IEEE order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import QuerySpec, load_tuned
+
+_t = load_tuned
+
+
+# --------------------------------------------------------------------
+# scalable global row numbering (two-phase, no global sort window)
+# --------------------------------------------------------------------
+
+
+def q_seq_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global contiguous sequence over events ordered by (ts,
+    event_id) WITHOUT a single-partition window.
+
+    Phase 1: count rows per day (distributed aggregate).
+    Phase 2: cumulative offset per day — a window over the ~O(days)
+    aggregate frame (bounded cardinality; allowlisted in
+    tests/test_plan_audit.py).
+    Phase 3: broadcast the day->offset map back and take
+    ``row_number()`` partitioned BY DAY plus the day's offset.
+
+    The oracle is the naive global ``row_number() OVER (ORDER BY ts,
+    event_id)`` — the rewrite must be value-identical while keeping
+    the big sort partitioned.  (ts, event_id) is a total order because
+    event_id is unique."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", F.to_date("ts").alias("day")
+    )
+    per_day = ev.groupBy("day").agg(F.count(F.lit(1)).alias("day_n"))
+    w_off = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_day.select(
+        "day",
+        F.coalesce(F.sum("day_n").over(w_off), F.lit(0)).alias("day_offset"),
+    )
+    w_day = Window.partitionBy("day").orderBy("ts", "event_id")
+    return (
+        ev.join(F.broadcast(offsets), "day")
+        .select(
+            "event_id",
+            (F.row_number().over(w_day) + F.col("day_offset"))
+            .cast("bigint")
+            .alias("seq"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_SEQ_GLOBAL_ROW_NUMBER = """
+SELECT event_id,
+       CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS seq
+FROM events
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------
+# Theil-Sen robust trend per event_type
+# --------------------------------------------------------------------
+
+
+def q_events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope of daily event volume per event_type: the
+    MEDIAN of all pairwise slopes (n_b - n_a) / (day_b - day_a) over
+    distinct day pairs.  Robust to single-day outliers that wreck an
+    OLS fit.
+
+    Scale: pairs form on the per-(type, day) aggregate — at most
+    days-choose-2 pairs per type (~4k at 90 days) however many raw
+    events exist; the self-join carries the event_type equi key so the
+    day inequality is a residual predicate, never a cartesian.  Slope
+    division is double/double (day gap > 0 by the join condition —
+    no ANSI divide-by-zero path); the median is exact
+    (Spark ``median`` == DuckDB ``median`` == quantile_cont(0.5)),
+    reported as truncation-stable integer ppm."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slope = (F.col("b.n") - F.col("a.n")).cast("double") / F.datediff(
+        F.col("b.day"), F.col("a.day")
+    ).cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .select(F.col("a.event_type").alias("event_type"), slope.alias("slope"))
+        .groupBy("event_type")
+        .agg(
+            F.floor(F.median("slope") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("slope_ppm"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_THEILSEN_TREND = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type AS event_type,
+       CAST(floor(median(CAST(b.n - a.n AS DOUBLE)
+                         / CAST(b.day - a.day AS DOUBLE)) * 1000000.0
+                  + 0.5) AS BIGINT) AS slope_ppm,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM daily a
+JOIN daily b ON a.event_type = b.event_type AND a.day < b.day
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# Benford first-digit profile
+# --------------------------------------------------------------------
+
+# Expected Benford share per first digit, integer ppm, precomputed in
+# Python and embedded as identical literals on both sides (libm log10
+# is not guaranteed bit-identical across engines).
+_BENFORD_PPM: dict[int, int] = {
+    d: int(math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5))
+    for d in range(1, 10)
+}
+
+
+def q_profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of o_totalprice vs the
+    Benford expectation, as integer-ppm deviations.
+
+    The digit comes from the decimal STRING of the exact integer-cents
+    value — ``floor(log10(x))`` on doubles mis-bins exact powers of
+    ten (log10(1000.) can evaluate to 2.999...), and string rendering
+    of a BIGINT is engine-exact.  Shares are truncating integer ppm.
+
+    Scale: one map-side digit extraction, a 9-row aggregate, and a
+    1-row grand-total broadcast (allowlisted cartesian) — O(n) scan,
+    O(1) result."""
+    expected = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    per = (
+        _t(spark, sf_dir, "orders")
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    )
+    total = per.agg(F.sum("obs").alias("n_total"))
+    obs_ppm = F.expr("(obs * 1000000) div n_total")
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "obs",
+            obs_ppm.cast("bigint").alias("obs_ppm"),
+            expected[F.col("digit")].cast("bigint").alias("expected_ppm"),
+            (obs_ppm - expected[F.col("digit")])
+            .cast("bigint")
+            .alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {ppm}" for d, ppm in _BENFORD_PPM.items()
+) + " END"
+
+SQL_PROFILE_BENFORD = f"""
+WITH per AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM orders GROUP BY 1
+), tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM per)
+SELECT digit, obs,
+       CAST((obs * 1000000) // n_total AS BIGINT) AS obs_ppm,
+       CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm,
+       CAST((obs * 1000000) // n_total - ({_BENFORD_CASE}) AS BIGINT)
+         AS dev_ppm
+FROM per, tot
+ORDER BY digit
+"""
+
+
+# --------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection
+# --------------------------------------------------------------------
+
+_JL_IN_DIM = 64
+_JL_OUT_DIM = 8
+
+
+def _jl_matrix() -> list[list[int]]:
+    """Deterministic projection matrix in integer micro-units:
+    m[i][j] = (md5("rp_<i>_<j>") mod 2000001) - 1000000, i.e. uniform
+    in [-1e6, 1e6].  Python-precomputed so BOTH engines receive the
+    same ``m/1000000.0`` double literals — no in-engine hash or RNG
+    parity surface at all."""
+    return [
+        [
+            int(hashlib.md5(f"rp_{i}_{j}".encode()).hexdigest()[:15], 16)
+            % 2000001
+            - 1000000
+            for j in range(_JL_OUT_DIM)
+        ]
+        for i in range(_JL_IN_DIM)
+    ]
+
+
+def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project the 64-d float embedding to 8 dims with a fixed random
+    +-uniform matrix (Johnson-Lindenstrauss): out_j = sum_i emb[i] *
+    m[i][j].  The compressed vectors feed coarse clustering / ANN
+    candidate generation at a fraction of the shuffle width.
+
+    Scale: the matrix is a driver-side literal (64x8 ints) folded into
+    the projected expressions — a pure map-side transform with NO
+    shuffle, no UDF, and whole-stage codegen over the 512 multiply-adds.
+
+    Parity: both sides evaluate the SAME left-to-right chain
+    ``cast(emb[i] as double) * (m/1000000.0) + ...`` — identical IEEE
+    operation order — then snap to integer micro-units."""
+    m = _jl_matrix()
+    emb = _t(spark, sf_dir, "embeddings")
+    cols = []
+    for j in range(_JL_OUT_DIM):
+        terms = [
+            F.element_at("embedding", i + 1).cast("double")
+            * F.lit(m[i][j] / 1000000.0)
+            for i in range(_JL_IN_DIM)
+        ]
+        acc = reduce(lambda x, y: x + y, terms)
+        cols.append(
+            F.floor(acc * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias(f"p{j}")
+        )
+    return emb.select("vec_id", *cols).orderBy("vec_id")
+
+
+def _jl_sql() -> str:
+    m = _jl_matrix()
+    outs = []
+    for j in range(_JL_OUT_DIM):
+        chain = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * ({m[i][j]} / 1000000.0)"
+            for i in range(_JL_IN_DIM)
+        )
+        outs.append(
+            f"CAST(floor(({chain}) * 1000000.0 + 0.5) AS BIGINT) AS p{j}"
+        )
+    cols = ",\n       ".join(outs)
+    return f"SELECT vec_id,\n       {cols}\nFROM embeddings\nORDER BY vec_id"
+
+
+SQL_EMBED_RANDOM_PROJECTION = _jl_sql()
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "seq_global_row_number": QuerySpec(
+        q_seq_global_row_number, SQL_SEQ_GLOBAL_ROW_NUMBER
+    ),
+    "events_theilsen_trend": QuerySpec(
+        q_events_theilsen_trend, SQL_EVENTS_THEILSEN_TREND
+    ),
+    "profile_benford": QuerySpec(q_profile_benford, SQL_PROFILE_BENFORD),
+    "embed_random_projection": QuerySpec(
+        q_embed_random_projection, SQL_EMBED_RANDOM_PROJECTION
+    ),
+}

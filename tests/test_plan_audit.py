@@ -40,6 +40,11 @@ ALLOWED_GLOBAL_WINDOWS = {
     # KS drift: the CDF window runs over the per-bin aggregate —
     # bounded by the value-domain grid (~5k bins), not by row count.
     "agg_ks_drift": 1,
+    # two-phase global sequence: the cumulative-offset window runs
+    # over the per-DAY count aggregate (one row per day — O(days) at
+    # any corpus size); the corpus-sized row_number stays partitioned
+    # by day.  This bounded window is the entire point of the rewrite.
+    "seq_global_row_number": 1,
 }
 
 
@@ -97,6 +102,7 @@ ALLOWED_CARTESIANS = {
     "tfidf_top_terms": 1,        # broadcast corpus doc-count scalar
     "tpch_q22ish": 1,            # broadcast avg-acctbal scalar (per spec)
     "window_ntile": 2,           # broadcast global row-count scalar
+    "profile_benford": 1,        # 1-row grand-total broadcast
 }
 
 

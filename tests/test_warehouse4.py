@@ -1,0 +1,121 @@
+"""Planted-semantics tests for the round-6 warehouse4 batch
+(global sequence, Theil-Sen trend, Benford profile, JL projection).
+
+Hand-computed tiny fixtures — the oracle gate can't catch a semantic
+flaw mirrored into the SQL twin, these can.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import math
+
+from rc_scanner_spark.queries import build_registry
+from rc_scanner_spark.queries.warehouse4 import _jl_matrix, _BENFORD_PPM
+
+REG = build_registry()
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / f"{name}.parquet"))
+
+
+def test_seq_global_row_number_planted(spark, tmp_path):
+    d = datetime.datetime
+    rows = [
+        # day 1: tie at 10:00 broken by event_id (1 before 3), then 11:00
+        (3, d(2020, 1, 1, 10, 0)),
+        (1, d(2020, 1, 1, 10, 0)),
+        (2, d(2020, 1, 1, 11, 0)),
+        # day 2: ts order (5 at 01:00 precedes 4 at 02:00) beats id order
+        (5, d(2020, 1, 2, 1, 0)),
+        (4, d(2020, 1, 2, 2, 0)),
+    ]
+    _write(spark, tmp_path, "events", rows, "event_id long, ts timestamp")
+    out = REG["seq_global_row_number"].fn(spark, str(tmp_path)).collect()
+    assert {(r.event_id, r.seq) for r in out} == {
+        (1, 1),
+        (3, 2),
+        (2, 3),
+        (5, 4),
+        (4, 5),
+    }
+
+
+def test_events_theilsen_trend_planted(spark, tmp_path):
+    d = datetime.datetime
+    rows = []
+    # type A daily counts: day1=1, day2=3, day3=2
+    # pair slopes: (d1,d2)=2.0, (d1,d3)=0.5, (d2,d3)=-1.0 -> median 0.5
+    eid = 0
+    for day, n in [(1, 1), (2, 3), (3, 2)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, d(2020, 1, day, 12, 0), "A"))
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, event_type string",
+    )
+    out = REG["events_theilsen_trend"].fn(spark, str(tmp_path)).collect()
+    assert [(r.event_type, r.slope_ppm, r.n_pairs) for r in out] == [
+        ("A", 500000, 3)
+    ]
+
+
+def test_profile_benford_planted(spark, tmp_path):
+    rows = [
+        (1, 10.00),    # cents 1000   -> digit 1
+        (2, 25.50),    # cents 2550   -> digit 2
+        (3, 999.995),  # cents 100000 -> digit 1 (round-half-up at cents)
+        (4, 3.00),     # cents 300    -> digit 3
+    ]
+    _write(spark, tmp_path, "orders", rows, "o_orderkey long, o_totalprice double")
+    out = REG["profile_benford"].fn(spark, str(tmp_path)).collect()
+    got = [(r.digit, r.obs, r.obs_ppm, r.expected_ppm, r.dev_ppm) for r in out]
+    assert got == [
+        (1, 2, 500000, 301030, 198970),
+        (2, 1, 250000, 176091, 73909),
+        (3, 1, 250000, 124939, 125061),
+    ]
+    # the embedded expectation table matches a fresh computation
+    assert _BENFORD_PPM[1] == 301030
+    assert _BENFORD_PPM == {
+        k: int(math.floor(math.log10(1 + 1 / k) * 1e6 + 0.5))
+        for k in range(1, 10)
+    }
+
+
+def test_embed_random_projection_planted(spark, tmp_path):
+    # e0 unit vector picks out matrix row 0; zero vector -> all zeros
+    e0 = [1.0] + [0.0] * 63
+    z = [0.0] * 64
+    _write(
+        spark, tmp_path, "embeddings",
+        [(1, e0, "a"), (2, z, "b")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    out = REG["embed_random_projection"].fn(spark, str(tmp_path)).collect()
+    m = _jl_matrix()
+    exp_row0 = [
+        int(math.floor((m[0][j] / 1000000.0) * 1000000.0 + 0.5))
+        for j in range(8)
+    ]
+    assert [out[0][f"p{j}"] for j in range(8)] == exp_row0
+    assert [out[1][f"p{j}"] for j in range(8)] == [0] * 8
+
+
+def test_jl_matrix_deterministic_and_centered():
+    m = _jl_matrix()
+    assert len(m) == 64 and all(len(r) == 8 for r in m)
+    # derivation pinned: md5-based, no RNG state
+    expect00 = (
+        int(hashlib.md5(b"rp_0_0").hexdigest()[:15], 16) % 2000001 - 1000000
+    )
+    assert m[0][0] == expect00
+    flat = [x for r in m for x in r]
+    assert all(-1000000 <= x <= 1000000 for x in flat)
+    # roughly centered (uniform over [-1e6, 1e6]; loose sanity bound)
+    assert abs(sum(flat) / len(flat)) < 200000
