@@ -109,6 +109,11 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_bucketed",
+    # -- batch-11 additions (post-prefix; head the r7 rotation).
+    "agg_incremental_merge",
+    "events_dow_seasonality",
+    "text_keyword_tagging",
+    "embed_pca_variance",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",

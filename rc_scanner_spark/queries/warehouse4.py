@@ -312,6 +312,249 @@ def _jl_sql() -> str:
 SQL_EMBED_RANDOM_PROJECTION = _jl_sql()
 
 
+# --------------------------------------------------------------------
+# incremental aggregate maintenance (mergeable partial states)
+# --------------------------------------------------------------------
+
+
+def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: per-type stats kept as MERGEABLE
+    partial states (count, sum, min, max in integer cents) over a
+    historical snapshot (day < max_day - 7) and a delta batch (the
+    last week), then MERGED — sum of counts/sums, min of mins, max of
+    maxes — instead of rescanning history.  The oracle is the full
+    recompute over all events; the merge must be value-identical.
+
+    This is the foundation of not re-reading 100 TB of history every
+    day: only algebraic/mergeable aggregates (no exact median here)
+    can be maintained this way, and avg is DERIVED from (sum, count)
+    after the merge, never stored.
+
+    Scale: each partial is one hash aggregate over its slice; the
+    merge aggregates 2x|types| partial rows.  The cutoff is a 1-row
+    broadcast (allowlisted; appears twice in the lazy plan — once per
+    branch)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    cutoff = ev.agg(F.date_sub(F.max("day"), 7).alias("cutoff"))
+    tagged = ev.crossJoin(F.broadcast(cutoff))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("cents").alias("ps"),
+            F.min("cents").alias("pmn"),
+            F.max("cents").alias("pmx"),
+        )
+
+    snap = partial(tagged.filter(F.col("day") < F.col("cutoff")))
+    delta = partial(tagged.filter(F.col("day") >= F.col("cutoff")))
+    return (
+        snap.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_events"),
+            F.sum("ps").cast("bigint").alias("sum_cents"),
+            F.min("pmn").cast("bigint").alias("min_cents"),
+            F.max("pmx").cast("bigint").alias("max_cents"),
+        )
+        .withColumn("avg_cents", F.expr("sum_cents div n_events").cast("bigint"))
+        .orderBy("event_type")
+    )
+
+
+SQL_AGG_INCREMENTAL_MERGE = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents,
+       CAST(CAST(sum(cents) AS BIGINT) // count(*) AS BIGINT) AS avg_cents
+FROM c
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# day-of-week seasonality profile
+# --------------------------------------------------------------------
+
+
+def q_events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week volume profile per event_type: share of the type's
+    events landing on each weekday (0=Monday), with ppm deviation from
+    the uniform 1/7 expectation — the quick screen for weekly
+    seasonality before any windowed model.
+
+    Parity: Spark ``weekday()`` (Mon=0) == DuckDB ``isodow - 1``.
+    Scale: one map-side weekday extraction and a (type x 7) aggregate;
+    the per-type total comes from a window PARTITIONED by type over
+    the tiny aggregate."""
+    per = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.weekday(F.to_date("ts")).alias("dow"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    share = F.expr("(n * 1000000) div tot")
+    return (
+        per.withColumn("tot", F.sum("n").over(w))
+        .select(
+            "event_type",
+            "dow",
+            F.col("n").cast("bigint").alias("n"),
+            share.cast("bigint").alias("share_ppm"),
+            (share - F.lit(142857)).cast("bigint").alias("dev_ppm"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+SQL_EVENTS_DOW_SEASONALITY = """
+WITH per AS (
+  SELECT event_type, isodow(CAST(ts AS DATE)) - 1 AS dow,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, dow, CAST(n AS BIGINT) AS n,
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY event_type)
+            AS BIGINT) AS share_ppm,
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY event_type)
+            - 142857 AS BIGINT) AS dev_ppm
+FROM per
+ORDER BY event_type, dow
+"""
+
+
+# --------------------------------------------------------------------
+# broadcast-dictionary keyword tagging
+# --------------------------------------------------------------------
+
+_TAG_KEYWORDS = ("hash", "join", "merge", "spark", "stream", "window")
+
+
+def q_text_keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary tagging: document frequency and total occurrences of
+    a fixed keyword list over the corpus — the primitive behind topic
+    tagging / blocklist screening with curated vocabularies.
+
+    Scale: tokenize map-side (the registry's standard ``[a-z]+``
+    tokenizer), explode, and equi-join the token stream against the
+    BROADCAST keyword dim — the corpus-sized side never shuffles for
+    the join; only the final (keyword) aggregate does, with at most
+    |dict| groups.  A real deployment swaps the literal list for a
+    broadcast-read dictionary table; the plan is identical."""
+    tok = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    kw = spark.createDataFrame([(k,) for k in _TAG_KEYWORDS], "keyword string")
+    return (
+        tok.join(F.broadcast(kw), tok.w == kw.keyword)
+        .groupBy("keyword")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("doc_freq"),
+            F.count(F.lit(1)).cast("bigint").alias("occurrences"),
+        )
+        .orderBy("keyword")
+    )
+
+
+SQL_TEXT_KEYWORD_TAGGING = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), kw(keyword) AS (
+  VALUES {", ".join(f"('{k}')" for k in _TAG_KEYWORDS)}
+)
+SELECT keyword,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+       CAST(count(*) AS BIGINT) AS occurrences
+FROM tok JOIN kw ON w = keyword
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# PCA eigenspectrum of the embedding covariance (rows-only)
+# --------------------------------------------------------------------
+
+
+def q_embed_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explained-variance spectrum of the embedding covariance: the
+    top-8 eigenvalue shares (ppm) that decide how hard embeddings can
+    be compressed (PCA whitening / dim reduction) before ANN.
+
+    Architecture (MLlib RowMatrix's gramian pattern, re-expressed on
+    the DataFrame API): one Arrow-batched ``mapInPandas`` pass emits a
+    PER-PARTITION partial (X^T X gram, column sums, count) — a single
+    64x64 float64 matrix per partition regardless of partition size —
+    and the driver reduces the <= num_partitions bounded partials and
+    runs the 64x64 ``eigh`` locally.  The O(n) work is fully
+    distributed; only O(partitions * d^2) floats ever reach the
+    driver, at 100 TB exactly as at 1 GB.
+
+    Rows-only (no SQL twin): eigendecomposition is not
+    SQL-expressible; the planted test replays the spectrum with numpy
+    on a hand-built fixture."""
+    import numpy as np
+    import pandas as pd
+
+    d = _JL_IN_DIM
+    emb = _t(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partial(batches):
+        G = np.zeros((d, d))
+        s = np.zeros(d)
+        n = 0
+        for pdf in batches:
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            G += M.T @ M
+            s += M.sum(axis=0)
+            n += M.shape[0]
+        if n:
+            yield pd.DataFrame(
+                {"g": [G.ravel().tolist()], "s": [s.tolist()], "n": [n]}
+            )
+
+    parts = emb.mapInPandas(
+        gram_partial, "g array<double>, s array<double>, n long"
+    ).collect()  # bounded: one row per non-empty partition
+    G = np.zeros((d, d))
+    s = np.zeros(d)
+    n = 0
+    for r in parts:
+        G += np.array(r["g"]).reshape(d, d)
+        s += np.array(r["s"])
+        n += r["n"]
+    mu = s / n
+    cov = G / n - np.outer(mu, mu)
+    ev = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(ev.sum())
+    shares = [int(math.floor(float(v) / total * 1e6 + 0.5)) for v in ev[:8]]
+    rows = []
+    cum = 0
+    for i, ppm in enumerate(shares):
+        cum += ppm
+        rows.append((i, ppm, cum))
+    return spark.createDataFrame(
+        rows, "component int, evr_ppm bigint, cum_ppm bigint"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "seq_global_row_number": QuerySpec(
         q_seq_global_row_number, SQL_SEQ_GLOBAL_ROW_NUMBER
@@ -323,4 +566,14 @@ QUERIES: dict[str, QuerySpec] = {
     "embed_random_projection": QuerySpec(
         q_embed_random_projection, SQL_EMBED_RANDOM_PROJECTION
     ),
+    "agg_incremental_merge": QuerySpec(
+        q_agg_incremental_merge, SQL_AGG_INCREMENTAL_MERGE
+    ),
+    "events_dow_seasonality": QuerySpec(
+        q_events_dow_seasonality, SQL_EVENTS_DOW_SEASONALITY
+    ),
+    "text_keyword_tagging": QuerySpec(
+        q_text_keyword_tagging, SQL_TEXT_KEYWORD_TAGGING
+    ),
+    "embed_pca_variance": QuerySpec(q_embed_pca_variance, None),
 }

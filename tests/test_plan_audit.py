@@ -103,6 +103,7 @@ ALLOWED_CARTESIANS = {
     "tpch_q22ish": 1,            # broadcast avg-acctbal scalar (per spec)
     "window_ntile": 2,           # broadcast global row-count scalar
     "profile_benford": 1,        # 1-row grand-total broadcast
+    "agg_incremental_merge": 2,  # 1-row cutoff broadcast, once per branch
 }
 
 

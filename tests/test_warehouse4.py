@@ -107,6 +107,95 @@ def test_embed_random_projection_planted(spark, tmp_path):
     assert [out[1][f"p{j}"] for j in range(8)] == [0] * 8
 
 
+def test_agg_incremental_merge_planted(spark, tmp_path):
+    d = datetime.datetime
+    # max day = Jan 10 -> cutoff Jan 3: A straddles the cutoff,
+    # B is snapshot-only, C is delta-only — the merge must cover all.
+    rows = [
+        (1, d(2020, 1, 1, 1), "A", 1.00),   # snap
+        (2, d(2020, 1, 2, 1), "A", 2.50),   # snap
+        (3, d(2020, 1, 9, 1), "A", 0.25),   # delta
+        (4, d(2020, 1, 1, 1), "B", 10.00),  # snap only
+        (5, d(2020, 1, 10, 1), "C", 4.00),  # delta only
+    ]
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    out = REG["agg_incremental_merge"].fn(spark, str(tmp_path)).collect()
+    got = [
+        (r.event_type, r.n_events, r.sum_cents, r.min_cents, r.max_cents,
+         r.avg_cents)
+        for r in out
+    ]
+    assert got == [
+        ("A", 3, 375, 25, 250, 125),
+        ("B", 1, 1000, 1000, 1000, 1000),
+        ("C", 1, 400, 400, 400, 400),
+    ]
+
+
+def test_events_dow_seasonality_planted(spark, tmp_path):
+    d = datetime.datetime
+    # 2020-01-06 is a Monday (dow 0), 2020-01-07 Tuesday (dow 1)
+    rows = [
+        (1, d(2020, 1, 6, 1), "A"),
+        (2, d(2020, 1, 6, 2), "A"),
+        (3, d(2020, 1, 6, 3), "A"),
+        (4, d(2020, 1, 7, 1), "A"),
+    ]
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, event_type string",
+    )
+    out = REG["events_dow_seasonality"].fn(spark, str(tmp_path)).collect()
+    assert [(r.event_type, r.dow, r.n, r.share_ppm, r.dev_ppm) for r in out] == [
+        ("A", 0, 3, 750000, 607143),
+        ("A", 1, 1, 250000, 107143),
+    ]
+
+
+def test_text_keyword_tagging_planted(spark, tmp_path):
+    rows = [
+        (1, "spark JOIN spark table"),   # spark x2 (1 doc), join x1
+        (2, "join the stream"),          # join x1, stream x1
+        (3, "nothing relevant here"),
+    ]
+    _write(spark, tmp_path, "documents", rows, "doc_id long, text string")
+    out = REG["text_keyword_tagging"].fn(spark, str(tmp_path)).collect()
+    assert [(r.keyword, r.doc_freq, r.occurrences) for r in out] == [
+        ("join", 2, 2),
+        ("spark", 1, 2),
+        ("stream", 1, 1),
+    ]
+
+
+def test_embed_pca_variance_planted(spark, tmp_path):
+    # axis-0 spread 2x the axis-1 spread: eigenvalues 2.0 and 0.5,
+    # all other components zero -> shares 800000 / 200000 ppm.
+    def vec(i, v):
+        out = [0.0] * 64
+        out[i] = v
+        return out
+
+    rows = [
+        (1, vec(0, 2.0), "a"),
+        (2, vec(0, -2.0), "a"),
+        (3, vec(1, 1.0), "b"),
+        (4, vec(1, -1.0), "b"),
+    ]
+    _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label string",
+    )
+    out = REG["embed_pca_variance"].fn(spark, str(tmp_path)).collect()
+    got = [(r.component, r.evr_ppm, r.cum_ppm) for r in out]
+    assert got[0] == (0, 800000, 800000)
+    assert got[1] == (1, 200000, 1000000)
+    assert all(ppm == 0 for _, ppm, _ in got[2:])
+    assert len(got) == 8
+
+
 def test_jl_matrix_deterministic_and_centered():
     m = _jl_matrix()
     assert len(m) == 64 and all(len(r) == 8 for r in m)
