@@ -201,7 +201,12 @@ def q_profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
     )
     total = per.agg(F.sum("obs").alias("n_total"))
-    obs_ppm = F.expr("(obs * 1000000) div n_total")
+    # double-first ppm: obs * 1000000 as BIGINT wraps past ~9.2e12 rows
+    # (the silent at-scale divergence class) — mirrored floor(double)
+    # on both sides instead.
+    obs_ppm = F.floor(
+        F.col("obs").cast("double") * F.lit(1000000.0) / F.col("n_total")
+    )
     return (
         per.crossJoin(F.broadcast(total))
         .select(
@@ -229,10 +234,11 @@ WITH per AS (
   FROM orders GROUP BY 1
 ), tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM per)
 SELECT digit, obs,
-       CAST((obs * 1000000) // n_total AS BIGINT) AS obs_ppm,
+       CAST(floor(CAST(obs AS DOUBLE) * 1000000.0 / n_total) AS BIGINT)
+         AS obs_ppm,
        CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm,
-       CAST((obs * 1000000) // n_total - ({_BENFORD_CASE}) AS BIGINT)
-         AS dev_ppm
+       CAST(floor(CAST(obs AS DOUBLE) * 1000000.0 / n_total)
+            - ({_BENFORD_CASE}) AS BIGINT) AS dev_ppm
 FROM per, tot
 ORDER BY digit
 """
@@ -405,7 +411,10 @@ def q_events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     w = Window.partitionBy("event_type")
-    share = F.expr("(n * 1000000) div tot")
+    # double-first ppm: n * 1000000 as BIGINT wraps past ~9.2e12 rows.
+    share = F.floor(
+        F.col("n").cast("double") * F.lit(1000000.0) / F.col("tot")
+    )
     return (
         per.withColumn("tot", F.sum("n").over(w))
         .select(
@@ -426,9 +435,11 @@ WITH per AS (
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, dow, CAST(n AS BIGINT) AS n,
-       CAST((n * 1000000) // sum(n) OVER (PARTITION BY event_type)
+       CAST(floor(CAST(n AS DOUBLE) * 1000000.0
+                  / sum(n) OVER (PARTITION BY event_type))
             AS BIGINT) AS share_ppm,
-       CAST((n * 1000000) // sum(n) OVER (PARTITION BY event_type)
+       CAST(floor(CAST(n AS DOUBLE) * 1000000.0
+                  / sum(n) OVER (PARTITION BY event_type))
             - 142857 AS BIGINT) AS dev_ppm
 FROM per
 ORDER BY event_type, dow
