@@ -50,11 +50,11 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     #   r5: 15 never-checked/re-fixed + round-5 additions (50/50 green).
     #   r6 (THIS ordering): 1-10 = the 10 oracle-backed entries with
     #       NO driver row after r5; 11-39 = the 29 round-6 additions
-    #       (oracle-backed); 40-45 = the 6 rows-only never-checked
-    #       entries; 46+ = the 43-entry r1-era block (oldest driver
-    #       evidence; ~5 fit the ~50-entry r6 prefix, the ~38-entry
-    #       spill heads the r7 prefix).  Cumulative driver coverage
-    #       after r6: 236/236.
+    #       (oracle-backed); 40-43 = the 4 batch-10 additions
+    #       (oracle-backed); 44-49 = the 6 rows-only never-checked
+    #       entries; 50 = the first r1-era entry — the 50-slot prefix
+    #       is exactly full.  51-54 = the 4 batch-11 additions (head
+    #       the r7 prefix with the r1-era block behind them).
     # -- 1-10: never-driver-checked, oracle-backed.
     "events_concurrency",
     "agg_filtered",
@@ -109,7 +109,13 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_bucketed",
-    # -- batch-11 additions (post-prefix; head the r7 rotation).
+    # -- batch-11 additions: deliberately AFTER the rows-only block
+    #    even though three are oracle-backed — the 50-slot r6 prefix
+    #    is already exactly full (10 never-checked + 29 r6 + 4
+    #    batch-10 + 6 rows-only + 1 r1-era), and the six rows-only
+    #    entries above have waited since r5 for their first driver
+    #    row.  These four are sweep-verified locally and head the r7
+    #    rotation.
     "agg_incremental_merge",
     "events_dow_seasonality",
     "text_keyword_tagging",

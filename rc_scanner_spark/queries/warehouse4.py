@@ -67,9 +67,15 @@ def q_seq_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the naive global ``row_number() OVER (ORDER BY ts,
     event_id)`` — the rewrite must be value-identical while keeping
     the big sort partitioned.  (ts, event_id) is a total order because
-    event_id is unique."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "ts", F.to_date("ts").alias("day")
+    event_id is unique.  Rows with a NULL ts are excluded on BOTH
+    sides (a NULL day would silently fall out of the inner
+    day-offset join while the naive window numbers it — engines also
+    disagree on NULL sort position, so sequencing undated rows is
+    undefined here by contract)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "ts", F.to_date("ts").alias("day"))
     )
     per_day = ev.groupBy("day").agg(F.count(F.lit(1)).alias("day_n"))
     w_off = Window.orderBy("day").rowsBetween(
@@ -96,6 +102,7 @@ SQL_SEQ_GLOBAL_ROW_NUMBER = """
 SELECT event_id,
        CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS seq
 FROM events
+WHERE ts IS NOT NULL
 ORDER BY event_id
 """
 
@@ -356,8 +363,16 @@ def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("pmx"),
         )
 
+    # NULL-day rows must land in exactly one branch or the merge !=
+    # full-recompute contract breaks (day < cutoff AND day >= cutoff
+    # are both NULL for them); they go to the delta with the other
+    # not-yet-snapshotted rows.
     snap = partial(tagged.filter(F.col("day") < F.col("cutoff")))
-    delta = partial(tagged.filter(F.col("day") >= F.col("cutoff")))
+    delta = partial(
+        tagged.filter(
+            F.col("day").isNull() | (F.col("day") >= F.col("cutoff"))
+        )
+    )
     return (
         snap.unionByName(delta)
         .groupBy("event_type")
@@ -544,6 +559,7 @@ def q_embed_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = emb.mapInPandas(
         gram_partial, "g array<double>, s array<double>, n long"
     ).collect()  # bounded: one row per non-empty partition
+    out_schema = "component int, evr_ppm bigint, cum_ppm bigint"
     G = np.zeros((d, d))
     s = np.zeros(d)
     n = 0
@@ -551,19 +567,24 @@ def q_embed_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         G += np.array(r["g"]).reshape(d, d)
         s += np.array(r["s"])
         n += r["n"]
+    if n == 0:  # empty table: no spectrum
+        return spark.createDataFrame([], out_schema)
     mu = s / n
     cov = G / n - np.outer(mu, mu)
     ev = np.linalg.eigvalsh(cov)[::-1]  # descending
     total = float(ev.sum())
-    shares = [int(math.floor(float(v) / total * 1e6 + 0.5)) for v in ev[:8]]
+    if total <= 0.0:  # constant embeddings: zero variance everywhere
+        shares = [0] * 8
+    else:
+        shares = [
+            int(math.floor(float(v) / total * 1e6 + 0.5)) for v in ev[:8]
+        ]
     rows = []
     cum = 0
     for i, ppm in enumerate(shares):
         cum += ppm
         rows.append((i, ppm, cum))
-    return spark.createDataFrame(
-        rows, "component int, evr_ppm bigint, cum_ppm bigint"
-    )
+    return spark.createDataFrame(rows, out_schema)
 
 
 QUERIES: dict[str, QuerySpec] = {

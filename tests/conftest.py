@@ -56,3 +56,10 @@ def write_changes_jsonl(path: str, changes: list[dict]) -> None:
     with open(path, "w", encoding="utf-8") as f:
         for c in changes:
             f.write(json.dumps(c) + "\n")
+
+def write_fixture(spark, tmp_path, name, rows, schema):
+    """Shared planted-test fixture writer: one <name>.parquet per
+    table, same layout convention as the sf dirs."""
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / f"{name}.parquet"))

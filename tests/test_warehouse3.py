@@ -19,10 +19,9 @@ from rc_scanner_spark.queries import build_registry
 REG = build_registry()
 
 
-def _write(spark, tmp_path, name, rows, schema):
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(str(tmp_path / f"{name}.parquet"))
+from tests.conftest import write_fixture
+
+_write = write_fixture
 
 
 def _ts(s):

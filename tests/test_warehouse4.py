@@ -17,10 +17,9 @@ from rc_scanner_spark.queries.warehouse4 import _jl_matrix, _BENFORD_PPM
 REG = build_registry()
 
 
-def _write(spark, tmp_path, name, rows, schema):
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(str(tmp_path / f"{name}.parquet"))
+from tests.conftest import write_fixture
+
+_write = write_fixture
 
 
 def test_seq_global_row_number_planted(spark, tmp_path):
@@ -33,6 +32,8 @@ def test_seq_global_row_number_planted(spark, tmp_path):
         # day 2: ts order (5 at 01:00 precedes 4 at 02:00) beats id order
         (5, d(2020, 1, 2, 1, 0)),
         (4, d(2020, 1, 2, 2, 0)),
+        # NULL ts: excluded from sequencing by contract (both sides)
+        (9, None),
     ]
     _write(spark, tmp_path, "events", rows, "event_id long, ts timestamp")
     out = REG["seq_global_row_number"].fn(spark, str(tmp_path)).collect()
@@ -117,6 +118,7 @@ def test_agg_incremental_merge_planted(spark, tmp_path):
         (3, d(2020, 1, 9, 1), "A", 0.25),   # delta
         (4, d(2020, 1, 1, 1), "B", 10.00),  # snap only
         (5, d(2020, 1, 10, 1), "C", 4.00),  # delta only
+        (6, None, "C", 1.00),               # NULL ts -> delta branch
     ]
     _write(
         spark, tmp_path, "events", rows,
@@ -131,7 +133,7 @@ def test_agg_incremental_merge_planted(spark, tmp_path):
     assert got == [
         ("A", 3, 375, 25, 250, 125),
         ("B", 1, 1000, 1000, 1000, 1000),
-        ("C", 1, 400, 400, 400, 400),
+        ("C", 2, 500, 100, 400, 250),
     ]
 
 
