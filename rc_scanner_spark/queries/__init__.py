@@ -120,6 +120,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "events_dow_seasonality",
     "text_keyword_tagging",
     "embed_pca_variance",
+    "graph_label_propagation",
+    "text_inverted_index",
+    "split_kfold",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",

@@ -587,6 +587,254 @@ def q_embed_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out_schema)
 
 
+# --------------------------------------------------------------------
+# synchronous label propagation (community detection)
+# --------------------------------------------------------------------
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities on the shared co-purchase graph:
+    labels start as the node id; each of 3 SYNCHRONOUS rounds
+    reassigns every node the MODE of its neighbors' labels (ties ->
+    smallest label, making the sweep fully deterministic — vanilla
+    async LPA is order-dependent and unreproducible at scale).
+    Output: per-community size and smallest member after round 3.
+
+    Distinct from connected components (operators/graph.py): CC's
+    min-label converges to one label per component; mode-propagation
+    splits dense components into internally-well-connected communities.
+
+    Scale: the edge frame is the persisted support-pruned
+    _copurchase_edges (shared with triangles / k-core / link
+    prediction); each round is one join + one (node, label) aggregate
+    + one argmax aggregate, all shuffled on node id.  The mode-argmax
+    is an AGGREGATE (max of (count, -label) structs), not a per-node
+    window, on both sides.  Each round references the previous labels
+    exactly once, so the lazy plan grows linearly — no per-round
+    persist needed (contrast graph_kcore's 3-reference rounds)."""
+    from .warehouse2 import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).union(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    labels = und.select(F.col("u"), F.col("u").alias("lbl")).distinct()
+    for _ in range(3):
+        nb = und.join(
+            labels.withColumnRenamed("u", "v"), "v"
+        ).select("u", "lbl")
+        labels = (
+            nb.groupBy("u", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
+                ).alias("best")
+            )
+            .select("u", (-F.col("best.nl")).alias("lbl"))
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("u").alias("min_member"),
+        )
+        .orderBy("community")
+    )
+
+
+def _lpa_round_sql(prev: str, name: str) -> str:
+    return f"""{name} AS (
+  SELECT u, -(max({{'c': c, 'nl': -lbl}}).nl) AS lbl FROM (
+    SELECT nb.u AS u, l.lbl AS lbl, count(*) AS c
+    FROM und nb JOIN {prev} l ON nb.v = l.u
+    GROUP BY 1, 2
+  ) GROUP BY u
+)"""
+
+
+def _lpa_sql() -> str:
+    from .warehouse2 import _SQL_EDGES_CTE
+
+    return f"""
+WITH {_SQL_EDGES_CTE},
+und AS (
+  SELECT pa AS u, pb AS v FROM edges
+  UNION ALL SELECT pb, pa FROM edges
+),
+l0 AS (SELECT DISTINCT u, u AS lbl FROM und),
+{_lpa_round_sql('l0', 'l1')},
+{_lpa_round_sql('l1', 'l2')},
+{_lpa_round_sql('l2', 'l3')}
+SELECT lbl AS community,
+       CAST(count(*) AS BIGINT) AS n_members,
+       min(u) AS min_member
+FROM l3
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+SQL_GRAPH_LABEL_PROPAGATION = _lpa_sql()
+
+
+# --------------------------------------------------------------------
+# inverted-index build (posting lists)
+# --------------------------------------------------------------------
+
+
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index over the corpus: per term, document
+    frequency, total term frequency, and the top-3 posting heads
+    (highest tf, doc_id tiebreak) rendered as a deterministic
+    "doc:tf" string — the build step behind BM25 / retrieval serving.
+
+    Scale: tokenize-explode map-side, one (term, doc) aggregate, then
+    a term-partitioned top-k window on the AGGREGATED postings (never
+    raw tokens) and one final per-term aggregate — every shuffle is
+    keyed on the term, and posting heads are capped at k=3 so the
+    result stays O(vocab)."""
+    tf = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z]+"), 0
+                )
+            ).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    heads = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("rn"), F.concat_ws(
+                            ":", F.col("doc_id").cast("string"),
+                            F.col("tf").cast("string")).alias("s")))
+                    ),
+                    lambda x: x.getField("s"),
+                ),
+                ",",
+            ).alias("top_docs")
+        )
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+    )
+    return stats.join(heads, "term").orderBy("term")
+
+
+SQL_TEXT_INVERTED_INDEX = """
+WITH tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+  ) GROUP BY 1, 2
+), ranked AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id ASC) AS rn
+  FROM tf
+)
+SELECT t.term AS term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(t.tf) AS BIGINT) AS total_tf,
+       (SELECT string_agg(concat(CAST(r.doc_id AS VARCHAR), ':',
+                                 CAST(r.tf AS VARCHAR)), ',' ORDER BY r.rn)
+        FROM ranked r WHERE r.rn <= 3 AND r.term = t.term) AS top_docs
+FROM tf t
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# deterministic k-fold cross-validation folds
+# --------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+def q_split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold CV structure: every document lands in
+    fold = md5(doc_id) mod 5 (a pure function of the key — stable
+    across runs, engines, and re-ingests, like sample_hash_split),
+    and each output row describes one fold's TEST slice vs its TRAIN
+    complement: doc counts and char volumes on both sides.
+
+    Scale: one map-side fold assignment and a 5-row aggregate; the
+    train-side numbers are derived from the broadcast grand total
+    minus the fold's own partials — no second scan, no self-join."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(_KFOLD_K),
+        ).cast("int").alias("fold"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    per = d.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("test_docs"),
+        F.sum("n_chars").alias("test_chars"),
+    )
+    tot = per.agg(
+        F.sum("test_docs").alias("all_docs"),
+        F.sum("test_chars").alias("all_chars"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            F.col("test_docs").cast("bigint").alias("test_docs"),
+            F.col("test_chars").cast("bigint").alias("test_chars"),
+            (F.col("all_docs") - F.col("test_docs"))
+            .cast("bigint")
+            .alias("train_docs"),
+            (F.col("all_chars") - F.col("test_chars"))
+            .cast("bigint")
+            .alias("train_chars"),
+        )
+        .orderBy("fold")
+    )
+
+
+SQL_SPLIT_KFOLD = f"""
+WITH d AS (
+  SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_KFOLD_K} AS INT) AS fold,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+), per AS (
+  SELECT fold, count(*) AS test_docs, sum(n_chars) AS test_chars
+  FROM d GROUP BY 1
+), tot AS (
+  SELECT sum(test_docs) AS all_docs, sum(test_chars) AS all_chars FROM per
+)
+SELECT fold,
+       CAST(test_docs AS BIGINT) AS test_docs,
+       CAST(test_chars AS BIGINT) AS test_chars,
+       CAST(all_docs - test_docs AS BIGINT) AS train_docs,
+       CAST(all_chars - test_chars AS BIGINT) AS train_chars
+FROM per, tot
+ORDER BY fold
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "seq_global_row_number": QuerySpec(
         q_seq_global_row_number, SQL_SEQ_GLOBAL_ROW_NUMBER
@@ -608,4 +856,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_text_keyword_tagging, SQL_TEXT_KEYWORD_TAGGING
     ),
     "embed_pca_variance": QuerySpec(q_embed_pca_variance, None),
+    "graph_label_propagation": QuerySpec(
+        q_graph_label_propagation, SQL_GRAPH_LABEL_PROPAGATION
+    ),
+    "text_inverted_index": QuerySpec(
+        q_text_inverted_index, SQL_TEXT_INVERTED_INDEX
+    ),
+    "split_kfold": QuerySpec(q_split_kfold, SQL_SPLIT_KFOLD),
 }

@@ -104,6 +104,7 @@ ALLOWED_CARTESIANS = {
     "window_ntile": 2,           # broadcast global row-count scalar
     "profile_benford": 1,        # 1-row grand-total broadcast
     "agg_incremental_merge": 2,  # 1-row cutoff broadcast, once per branch
+    "split_kfold": 1,            # 1-row grand-total broadcast
 }
 
 

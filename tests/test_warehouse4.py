@@ -198,6 +198,72 @@ def test_embed_pca_variance_planted(spark, tmp_path):
     assert len(got) == 8
 
 
+def test_graph_label_propagation_planted(spark, tmp_path):
+    # Components: triangle {1,2,3} + pendant 4 -> all converge to 1;
+    # triangle {10,11,12} -> 10; star+edge {20..23} -> 20, where the
+    # round-2/3 updates of node 20 exercise a GENUINE mode win
+    # (label 20 outvotes 21 two-to-one), not just the min tie-break.
+    edges = [
+        (1, 2), (1, 3), (2, 3), (3, 4),
+        (10, 11), (10, 12), (11, 12),
+        (20, 21), (20, 22), (20, 23), (21, 22),
+    ]
+    rows = []
+    okey = 0
+    for a, b in edges:  # each pair co-occurs in 2 orders (support >= 2)
+        for _ in range(2):
+            okey += 1
+            rows.append((okey, a))
+            rows.append((okey, b))
+    _write(
+        spark, tmp_path, "lineitem", rows, "l_orderkey long, l_partkey long"
+    )
+    out = REG["graph_label_propagation"].fn(spark, str(tmp_path)).collect()
+    assert [(r.community, r.n_members, r.min_member) for r in out] == [
+        (1, 4, 1),
+        (10, 3, 10),
+        (20, 4, 20),
+    ]
+
+
+def test_text_inverted_index_planted(spark, tmp_path):
+    rows = [
+        (1, "a a b"),
+        (2, "a b b b"),
+        (3, "c"),
+    ]
+    _write(spark, tmp_path, "documents", rows, "doc_id long, text string")
+    out = REG["text_inverted_index"].fn(spark, str(tmp_path)).collect()
+    assert [(r.term, r.df, r.total_tf, r.top_docs) for r in out] == [
+        ("a", 2, 3, "1:2,2:1"),
+        ("b", 2, 4, "2:3,1:1"),
+        ("c", 1, 1, "3:1"),
+    ]
+
+
+def test_split_kfold_planted(spark, tmp_path):
+    rows = [(i, 10 * i) for i in range(1, 21)]
+    _write(spark, tmp_path, "documents", rows, "doc_id long, n_chars long")
+    out = REG["split_kfold"].fn(spark, str(tmp_path)).collect()
+    # replay the fold assignment in pure python
+    folds = {}
+    for i, nc in rows:
+        f = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 5
+        folds.setdefault(f, [0, 0])
+        folds[f][0] += 1
+        folds[f][1] += nc
+    all_docs = sum(v[0] for v in folds.values())
+    all_chars = sum(v[1] for v in folds.values())
+    got = {
+        r.fold: (r.test_docs, r.test_chars, r.train_docs, r.train_chars)
+        for r in out
+    }
+    assert got == {
+        f: (n, c, all_docs - n, all_chars - c)
+        for f, (n, c) in folds.items()
+    }
+
+
 def test_jl_matrix_deterministic_and_centered():
     m = _jl_matrix()
     assert len(m) == 64 and all(len(r) == 8 for r in m)
