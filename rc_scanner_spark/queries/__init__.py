@@ -119,10 +119,10 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "agg_incremental_merge",
     "events_dow_seasonality",
     "text_keyword_tagging",
-    "embed_pca_variance",
     "graph_label_propagation",
     "text_inverted_index",
     "split_kfold",
+    "embed_pca_variance",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",

@@ -692,9 +692,12 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: tokenize-explode map-side, one (term, doc) aggregate, then
     a term-partitioned top-k window on the AGGREGATED postings (never
-    raw tokens) and one final per-term aggregate — every shuffle is
-    keyed on the term, and posting heads are capped at k=3 so the
-    result stays O(vocab)."""
+    raw tokens) and ONE final per-term aggregate producing df,
+    total_tf, and the heads together (``collect_list`` drops the
+    NULLs of ``when(rn <= 3)``, so the heads cap rides the same pass
+    as the full-posting stats — no stats/heads rejoin, no duplicated
+    tf subtree).  Every shuffle is keyed on the term, and posting
+    heads are capped at k=3 so the result stays O(vocab)."""
     tf = (
         _t(spark, sf_dir, "documents")
         .select(
@@ -711,29 +714,33 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("term").orderBy(
         F.col("tf").desc(), F.col("doc_id").asc()
     )
-    heads = (
+    head = F.when(
+        F.col("rn") <= 3,
+        F.struct(
+            F.col("rn"),
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.col("tf").cast("string"),
+            ).alias("s"),
+        ),
+    )
+    return (
         tf.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
         .groupBy("term")
         .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
             F.array_join(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("rn"), F.concat_ws(
-                            ":", F.col("doc_id").cast("string"),
-                            F.col("tf").cast("string")).alias("s")))
-                    ),
+                    F.array_sort(F.collect_list(head)),
                     lambda x: x.getField("s"),
                 ),
                 ",",
-            ).alias("top_docs")
+            ).alias("top_docs"),
         )
+        .orderBy("term")
     )
-    stats = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df"),
-        F.sum("tf").cast("bigint").alias("total_tf"),
-    )
-    return stats.join(heads, "term").orderBy("term")
 
 
 SQL_TEXT_INVERTED_INDEX = """
