@@ -122,6 +122,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "graph_label_propagation",
     "text_inverted_index",
     "split_kfold",
+    "embed_pair_distance_hist",
     "embed_pca_variance",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",

@@ -842,6 +842,124 @@ ORDER BY fold
 """
 
 
+# --------------------------------------------------------------------
+# pair-distance histogram (similarity threshold calibration)
+# --------------------------------------------------------------------
+
+_PDH_BUCKETS = 64
+
+
+def q_embed_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine histogram over a DETERMINISTIC sample of embedding
+    pairs: vectors land in md5(vec_id) mod 64 buckets, pairs form only
+    within a bucket (id_a < id_b), and each pair's cosine falls into a
+    twentieth-width bin.  This is the calibration curve behind every
+    near-dup threshold choice (SemDeDup, dedup_embedding_cosine): the
+    distribution tells you where "near-duplicate" separates from
+    "background" — and checking the DISTRIBUTION is exactly the audit
+    that caught the df-capped tfidf-cosine underestimate the mirrored
+    oracle was blind to.
+
+    Scale: the pair fan-out is (N/B)^2 per bucket; B is a constant 64
+    here (fine to ~1e5 vectors), and a deployment sizes B ~ N/k to
+    hold the per-bucket group at k vectors — the same knob as every
+    blocked self-join in the dedup family.  Norms are computed
+    map-side BEFORE the join; zero-norm vectors are excluded on both
+    sides (ANSI-safe, no 0/0).
+
+    Parity: dot products and norms are the same left-to-right
+    64-term IEEE chains on both engines (the JL-projection pattern);
+    the bin edge is floor(cos * 20) on bit-identical doubles."""
+    dot_self = reduce(
+        lambda x, y: x + y,
+        [
+            F.element_at("embedding", i + 1).cast("double")
+            * F.element_at("embedding", i + 1).cast("double")
+            for i in range(_JL_IN_DIM)
+        ],
+    )
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(_PDH_BUCKETS),
+        ).alias("bucket"),
+        F.sqrt(dot_self).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    a = v.alias("a")
+    b = v.alias("b")
+    dot_ab = reduce(
+        lambda x, y: x + y,
+        [
+            F.element_at(F.col("a.embedding"), i + 1).cast("double")
+            * F.element_at(F.col("b.embedding"), i + 1).cast("double")
+            for i in range(_JL_IN_DIM)
+        ],
+    )
+    cos = dot_ab / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    per = pairs.select(
+        F.floor(cos * F.lit(20.0)).cast("int").alias("bin")
+    ).groupBy("bin").agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    tot = per.agg(F.sum("n_pairs").alias("n_total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_pairs",
+            F.floor(
+                F.col("n_pairs").cast("double")
+                * F.lit(1000000.0)
+                / F.col("n_total")
+            ).cast("bigint").alias("share_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _pdh_sql() -> str:
+    self_chain = " + ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) * CAST(embedding[{i + 1}] AS DOUBLE)"
+        for i in range(_JL_IN_DIM)
+    )
+    ab_chain = " + ".join(
+        f"CAST(a.embedding[{i + 1}] AS DOUBLE) * CAST(b.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(_JL_IN_DIM)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_PDH_BUCKETS} AS bucket,
+         sqrt({self_chain}) AS nrm
+  FROM embeddings
+), vf AS (SELECT * FROM v WHERE nrm > 0),
+per AS (
+  SELECT CAST(floor(({ab_chain}) / (a.nrm * b.nrm) * 20.0) AS INT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM vf a JOIN vf b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  GROUP BY 1
+), tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total FROM per)
+SELECT bin, n_pairs,
+       CAST(floor(CAST(n_pairs AS DOUBLE) * 1000000.0 / n_total) AS BIGINT)
+         AS share_ppm
+FROM per, tot
+ORDER BY bin
+"""
+
+
+SQL_EMBED_PAIR_DISTANCE_HIST = _pdh_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "seq_global_row_number": QuerySpec(
         q_seq_global_row_number, SQL_SEQ_GLOBAL_ROW_NUMBER
@@ -870,4 +988,7 @@ QUERIES: dict[str, QuerySpec] = {
         q_text_inverted_index, SQL_TEXT_INVERTED_INDEX
     ),
     "split_kfold": QuerySpec(q_split_kfold, SQL_SPLIT_KFOLD),
+    "embed_pair_distance_hist": QuerySpec(
+        q_embed_pair_distance_hist, SQL_EMBED_PAIR_DISTANCE_HIST
+    ),
 }

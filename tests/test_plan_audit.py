@@ -105,6 +105,7 @@ ALLOWED_CARTESIANS = {
     "profile_benford": 1,        # 1-row grand-total broadcast
     "agg_incremental_merge": 2,  # 1-row cutoff broadcast, once per branch
     "split_kfold": 1,            # 1-row grand-total broadcast
+    "embed_pair_distance_hist": 1,  # 1-row pair-total broadcast
 }
 
 

@@ -264,6 +264,44 @@ def test_split_kfold_planted(spark, tmp_path):
     }
 
 
+def test_embed_pair_distance_hist_planted(spark, tmp_path):
+    # find three ids in the SAME md5-mod-64 bucket, plus a zero vector
+    # (same bucket) that must be excluded by the norm filter
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 64
+
+    ids = []
+    i = 1
+    target = bucket(1)
+    while len(ids) < 4:
+        if bucket(i) == target:
+            ids.append(i)
+        i += 1
+
+    def vec(axis, v=1.0):
+        out = [0.0] * 64
+        if axis is not None:
+            out[axis] = v
+        return out
+
+    rows = [
+        (ids[0], vec(0), "a"),       # e0
+        (ids[1], vec(0), "a"),       # e0 again -> cos 1 with ids[0]
+        (ids[2], vec(1), "b"),       # e1 -> cos 0 with both
+        (ids[3], vec(None), "z"),    # zero vector -> excluded
+    ]
+    _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label string",
+    )
+    out = REG["embed_pair_distance_hist"].fn(spark, str(tmp_path)).collect()
+    # pairs: (e0,e0) cos=1 -> bin 20; (e0,e1) x2 cos=0 -> bin 0
+    assert [(r.bin, r.n_pairs, r.share_ppm) for r in out] == [
+        (0, 2, 666666),
+        (20, 1, 333333),
+    ]
+
+
 def test_jl_matrix_deterministic_and_centered():
     m = _jl_matrix()
     assert len(m) == 64 and all(len(r) == 8 for r in m)
