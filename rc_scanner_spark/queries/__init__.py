@@ -124,6 +124,12 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "split_kfold",
     "embed_pair_distance_hist",
     "embed_pca_variance",
+    # -- batch-13 additions (r7 rotation head with the batch-11 block).
+    "basket_association_rules",
+    "agg_gini",
+    "stats_mann_whitney",
+    "text_ttr_segments",
+    "multimodal_shard_manifest",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -338,6 +344,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse2,
         warehouse3,
         warehouse4,
+        warehouse5,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -358,6 +365,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse2,
         warehouse3,
         warehouse4,
+        warehouse5,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

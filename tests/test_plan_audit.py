@@ -45,6 +45,10 @@ ALLOWED_GLOBAL_WINDOWS = {
     # any corpus size); the corpus-sized row_number stays partitioned
     # by day.  This bounded window is the entire point of the rewrite.
     "seq_global_row_number": 1,
+    # Mann-Whitney: the cumulative-offset window runs over the
+    # per-BUCKET aggregate (<= 512 rows by construction); the
+    # corpus-sized tie-group running sum stays partitioned by bucket.
+    "stats_mann_whitney": 1,
 }
 
 
@@ -63,6 +67,10 @@ ALLOWED_CARTESIANS = {
     "ann_ivfpq_topk": 4,         # centroid + PQ codebook seeds (limit 8)
     "ann_recall_eval": 4,        # baseline + IVF sides share seed frames
     "basket_part_pairs": 1,      # broadcast scalar total-baskets
+    "basket_association_rules": 1,  # broadcast scalar total-baskets
+    # broadcast min/max bounds scalar; the tie-group frame that embeds
+    # it is referenced twice in the lazy plan (bucket offsets + ranks)
+    "stats_mann_whitney": 2,
     "bootstrap_ci_mean": 1,      # broadcast replicate index array
     "cluster_kmeans": 4,         # seed frame per unshared iteration subtree
     "cross_join": 1,             # the cross-join operator itself (bounded dims)
