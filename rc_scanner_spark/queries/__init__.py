@@ -130,6 +130,11 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "stats_mann_whitney",
     "text_ttr_segments",
     "multimodal_shard_manifest",
+    # -- batch-14 additions.
+    "orders_survival_km",
+    "events_holt_linear",
+    "text_vocab_oov",
+    "graph_reach_2hop",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -345,6 +350,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse3,
         warehouse4,
         warehouse5,
+        warehouse6,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -366,6 +372,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse3,
         warehouse4,
         warehouse5,
+        warehouse6,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

@@ -49,6 +49,11 @@ ALLOWED_GLOBAL_WINDOWS = {
     # per-BUCKET aggregate (<= 512 rows by construction); the
     # corpus-sized tie-group running sum stays partitioned by bucket.
     "stats_mann_whitney": 1,
+    # Kaplan-Meier: all three unpartitioned windows (at-risk suffix
+    # sum, running integer log-sum, died-out running max) run over
+    # the DISTINCT-DURATION aggregate — bounded by the calendar span
+    # (O(days)), not by customer or order count.
+    "orders_survival_km": 3,
 }
 
 
@@ -71,6 +76,10 @@ ALLOWED_CARTESIANS = {
     # broadcast min/max bounds scalar; the tie-group frame that embeds
     # it is referenced twice in the lazy plan (bucket offsets + ranks)
     "stats_mann_whitney": 2,
+    # broadcast last-order-date scalar (censoring horizon)
+    "orders_survival_km": 1,
+    # day-spine explode x distinct-type frame (days x types, bounded)
+    "events_holt_linear": 1,
     "bootstrap_ci_mean": 1,      # broadcast replicate index array
     "cluster_kmeans": 4,         # seed frame per unshared iteration subtree
     "cross_join": 1,             # the cross-join operator itself (bounded dims)
