@@ -135,6 +135,11 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "events_holt_linear",
     "text_vocab_oov",
     "graph_reach_2hop",
+    # -- batch-15 additions.
+    "stats_ols_group",
+    "events_growth_accounting",
+    "events_top_paths",
+    "stats_wilson_ci",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -351,6 +356,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse4,
         warehouse5,
         warehouse6,
+        warehouse7,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -373,6 +379,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse4,
         warehouse5,
         warehouse6,
+        warehouse7,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

@@ -80,6 +80,9 @@ ALLOWED_CARTESIANS = {
     "orders_survival_km": 1,
     # day-spine explode x distinct-type frame (days x types, bounded)
     "events_holt_linear": 1,
+    # broadcast max-week scalar; the per-week frame embedding it is
+    # referenced twice in the lazy plan (report + churn self-join)
+    "events_growth_accounting": 2,
     "bootstrap_ci_mean": 1,      # broadcast replicate index array
     "cluster_kmeans": 4,         # seed frame per unshared iteration subtree
     "cross_join": 1,             # the cross-join operator itself (bounded dims)
