@@ -140,6 +140,10 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "events_growth_accounting",
     "events_top_paths",
     "stats_wilson_ci",
+    # -- batch-16 additions.
+    "sample_gumbel_topk",
+    "embed_dim_truncation_fidelity",
+    "text_pmi_cooccur",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -357,6 +361,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse5,
         warehouse6,
         warehouse7,
+        warehouse8,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -380,6 +385,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse5,
         warehouse6,
         warehouse7,
+        warehouse8,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

@@ -83,6 +83,8 @@ ALLOWED_CARTESIANS = {
     # broadcast max-week scalar; the per-week frame embedding it is
     # referenced twice in the lazy plan (report + churn self-join)
     "events_growth_accounting": 2,
+    # broadcast corpus-token-total scalar (PMI denominator)
+    "text_pmi_cooccur": 1,
     "bootstrap_ci_mean": 1,      # broadcast replicate index array
     "cluster_kmeans": 4,         # seed frame per unshared iteration subtree
     "cross_join": 1,             # the cross-join operator itself (bounded dims)
