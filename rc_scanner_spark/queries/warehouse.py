@@ -627,14 +627,12 @@ _BASKET_MAX_ORDER = 20
 _BASKET_MIN_SUPPORT = 3
 
 
-def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent part co-occurrence within orders: pair support and
-    lift over the lineitem fact.  Pair generation is the order-keyed
-    self-join — quadratic ONLY in per-order item count, which is
-    capped (orders above 20 distinct parts are skipped, the standard
-    basket-mining guard), so candidates stay linear in order count at
-    any scale.  Lift's marginals come from one part-keyed aggregate.
-    Output: pairs with support >= 3 (pa < pb)."""
+def capped_baskets(spark: SparkSession, sf_dir: str, max_order: int):
+    """Shared capped-basket builder for the market-basket family
+    (pair mining here, directed rules in warehouse5): returns
+    (all distinct (order, part) rows, the subset restricted to
+    baskets with <= max_order distinct parts).  One definition of
+    the capping rule instead of a copy per query."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -643,10 +641,34 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = (
         li.groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("sz"))
-        .filter(F.col("sz") <= _BASKET_MAX_ORDER)
+        .filter(F.col("sz") <= max_order)
         .select("l_orderkey")
     )
-    li2 = li.join(ok, "l_orderkey")
+    return li, li.join(ok, "l_orderkey")
+
+
+def basket_cte_sql(max_order: int) -> str:
+    """The DuckDB twin of :func:`capped_baskets`: li / ok / li2 CTE
+    bodies (callers embed inside ``WITH``)."""
+    return f"""li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+ok AS (
+  SELECT l_orderkey FROM li GROUP BY 1
+  HAVING count(*) <= {max_order}
+),
+li2 AS (SELECT li.* FROM li JOIN ok USING (l_orderkey))"""
+
+
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part co-occurrence within orders: pair support and
+    lift over the lineitem fact.  Pair generation is the order-keyed
+    self-join — quadratic ONLY in per-order item count, which is
+    capped (orders above 20 distinct parts are skipped, the standard
+    basket-mining guard), so candidates stay linear in order count at
+    any scale.  Lift's marginals come from one part-keyed aggregate.
+    Output: pairs with support >= 3 (pa < pb)."""
+    li, li2 = capped_baskets(spark, sf_dir, _BASKET_MAX_ORDER)
     a = li2.select("l_orderkey", F.col("l_partkey").alias("pa"))
     b = li2.select("l_orderkey", F.col("l_partkey").alias("pb"))
     pairs = (
@@ -684,14 +706,7 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_BASKET_PART_PAIRS = f"""
-WITH li AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-ok AS (
-  SELECT l_orderkey FROM li GROUP BY 1
-  HAVING count(*) <= {_BASKET_MAX_ORDER}
-),
-li2 AS (SELECT li.* FROM li JOIN ok USING (l_orderkey)),
+WITH {basket_cte_sql(_BASKET_MAX_ORDER)},
 pairs AS (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
   FROM li2 a JOIN li2 b USING (l_orderkey)

@@ -73,19 +73,15 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the single-row basket total is a broadcast scalar.
     Confidence/lift are double-first floors — ``support * 1e6`` as a
     bigint product would overflow past ~9.2e12 support at design
-    scale and throw under ANSI."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    ok = (
-        li.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .filter(F.col("sz") <= _RULE_MAX_ORDER)
-        .select("l_orderkey")
-    )
-    li2 = li.join(ok, "l_orderkey")
+    scale and throw under ANSI.
+
+    Marginals and the basket total are counted over the SAME capped
+    universe (li2) the pair support is mined from — mixing universes
+    deflates confidence for parts that mostly occur in over-cap
+    baskets (review-round fix, r6)."""
+    from .warehouse import capped_baskets
+
+    _li, li2 = capped_baskets(spark, sf_dir, _RULE_MAX_ORDER)
     a = li2.select("l_orderkey", F.col("l_partkey").alias("pa"))
     b = li2.select("l_orderkey", F.col("l_partkey").alias("pb"))
     pairs = (
@@ -95,8 +91,8 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _RULE_MIN_SUPPORT)
     )
-    marg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
-    tot = li.agg(F.countDistinct("l_orderkey").alias("tot"))
+    marg = li2.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = li2.agg(F.countDistinct("l_orderkey").alias("tot"))
     conf = F.floor(
         F.col("support").cast("double") * 1000000.0
         / F.col("na").cast("double")
@@ -136,13 +132,11 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_BASKET_ASSOCIATION_RULES = f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-ok AS (
-  SELECT l_orderkey FROM li GROUP BY 1
-  HAVING count(*) <= {_RULE_MAX_ORDER}
-),
-li2 AS (SELECT li.* FROM li JOIN ok USING (l_orderkey)),
+def _rules_sql() -> str:
+    from .warehouse import basket_cte_sql
+
+    return f"""
+WITH {basket_cte_sql(_RULE_MAX_ORDER)},
 pairs AS (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
   FROM li2 a JOIN li2 b USING (l_orderkey)
@@ -150,8 +144,8 @@ pairs AS (
   GROUP BY 1, 2
   HAVING count(*) >= {_RULE_MIN_SUPPORT}
 ),
-marg AS (SELECT l_partkey, count(*) AS n_orders FROM li GROUP BY 1),
-tot AS (SELECT count(DISTINCT l_orderkey) AS tot FROM li),
+marg AS (SELECT l_partkey, count(*) AS n_orders FROM li2 GROUP BY 1),
+tot AS (SELECT count(DISTINCT l_orderkey) AS tot FROM li2),
 scored AS (
   SELECT p.pa, p.pb, p.support,
          CAST(floor(CAST(p.support AS DOUBLE) * 1000000.0
@@ -173,6 +167,9 @@ WHERE confidence_ppm >= {_RULE_MIN_CONF_PPM}
 ORDER BY lift_ppm DESC, pa, pb
 LIMIT 50
 """
+
+
+SQL_BASKET_ASSOCIATION_RULES = _rules_sql()
 
 
 # --------------------------------------------------------------------
@@ -280,7 +277,14 @@ def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     to doubles — one identical left-to-right chain on both engines,
     with the all-values-tied degenerate case guarded (when/NULLIF).
 
-    Output (1 row): n_a, n_b, u2_a (= 2*U_A), tie_term, z_milli."""
+    Output (1 row): n_a, n_b, u2_a (= 2*U_A), tie_term, z_milli.
+
+    Design-scale bound: the tie correction sums t^3 - t in
+    decimal(38,0)/HUGEINT, which overflows (with an explicit ANSI
+    throw, never silently) once a SINGLE tied value exceeds ~4.5e12
+    rows — a fully-degenerate near-constant metric at the 1e13-row
+    design point.  A rank test on such a column is meaningless, so
+    the loud failure is the intended behavior."""
     ev = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin(_MW_GROUP_A, _MW_GROUP_B))
@@ -368,10 +372,14 @@ def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("n_a") + 1).cast("decimal(38,0)")
         ).cast("decimal(38,0)")
     )
-    sigma2 = (
-        n1d * n2d / 12.0
-        * ((nd + 1.0) - F.col("tie").cast("double") / (nd * (nd - 1.0)))
-    )
+    # nd == 1 would make the tie fraction 0/0 (ANSI throw); guard the
+    # denominator — the z is NULL in that degenerate case anyway
+    # because n1*n2 = 0 forces sigma2 to 0.
+    tie_frac = F.when(
+        nd > 1.0,
+        F.col("tie").cast("double") / (nd * (nd - 1.0)),
+    ).otherwise(F.lit(0.0))
+    sigma2 = n1d * n2d / 12.0 * ((nd + 1.0) - tie_frac)
     z = F.when(
         sigma2 > 0.0,
         F.floor(
@@ -424,9 +432,12 @@ SELECT n_a, n_b,
          / NULLIF(2.0 * sqrt(
              CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
              * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
-                - CAST(tie AS DOUBLE)
-                  / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-                     * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))
+                - CASE WHEN n_a + n_b > 1 THEN
+                    CAST(tie AS DOUBLE)
+                    / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                       * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                          - 1.0))
+                  ELSE 0.0 END)
            ), 0.0)
          * 1000.0) AS BIGINT) AS z_milli
 FROM agg

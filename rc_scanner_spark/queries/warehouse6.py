@@ -361,15 +361,22 @@ def q_text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (never a global sort of the corpus); the
     per-doc scoring left-joins the exploded token stream against the
     BROADCAST vocabulary — the corpus side never shuffles for the
-    join, and the final rollup partitions by doc_id."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), "[^a-z]+"),
-                lambda x: x != F.lit(""),
-            )
-        ).alias("tok"),
+    join, and the final rollup partitions by doc_id.  The exploded
+    stream feeds BOTH the vocab build and the scoring join, so it is
+    persisted through the tracked-cache mechanism (released by
+    bench/check_oracle) instead of tokenizing the corpus twice."""
+    from ..operators.dedup import _track_persist
+
+    docs = _track_persist(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("tok"),
+        )
     )
     vocab = (
         docs.groupBy("tok")

@@ -237,11 +237,14 @@ def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_resurrected").alias("n_resurrected"),
         F.sum("churns_next").alias("churn_out"),
     )
-    churn = per_wk.select(
+    churn = per_wk.filter(F.col("churn_out") > 0).select(
         (F.col("wk") + 1).alias("wk"), F.col("churn_out").alias("n_churned")
     )
+    # FULL join: a week can carry churn with zero actives (everyone
+    # went dark) — a left join would silently drop those churn counts
+    # (review-round fix, r6).
     return (
-        per_wk.join(churn, "wk", "left")
+        per_wk.join(churn, "wk", "full_outer")
         .select(
             "wk",
             F.date_format(
@@ -251,10 +254,10 @@ def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "yyyy-MM-dd",
             ).alias("week_start"),
-            "n_active",
-            "n_new",
-            "n_retained",
-            "n_resurrected",
+            F.coalesce("n_active", F.lit(0)).alias("n_active"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
             F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
         )
         .orderBy("wk")
@@ -293,16 +296,18 @@ per_wk AS (
          sum(churns_next) AS churn_out
   FROM states GROUP BY 1
 )
-SELECT p.wk AS wk,
-       strftime(DATE '{_WK_EPOCH}' + CAST(p.wk * 7 AS INT), '%Y-%m-%d')
+SELECT COALESCE(p.wk, c.wk) AS wk,
+       strftime(DATE '{_WK_EPOCH}'
+                + CAST(COALESCE(p.wk, c.wk) * 7 AS INT), '%Y-%m-%d')
          AS week_start,
-       CAST(p.n_active AS BIGINT) AS n_active,
-       CAST(p.n_new AS BIGINT) AS n_new,
-       CAST(p.n_retained AS BIGINT) AS n_retained,
-       CAST(p.n_resurrected AS BIGINT) AS n_resurrected,
+       CAST(COALESCE(p.n_active, 0) AS BIGINT) AS n_active,
+       CAST(COALESCE(p.n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(p.n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(COALESCE(p.n_resurrected, 0) AS BIGINT) AS n_resurrected,
        CAST(COALESCE(c.churn_out, 0) AS BIGINT) AS n_churned
 FROM per_wk p
-LEFT JOIN (SELECT wk + 1 AS wk, churn_out FROM per_wk) c ON c.wk = p.wk
+FULL JOIN (SELECT wk + 1 AS wk, churn_out FROM per_wk
+           WHERE churn_out > 0) c ON c.wk = p.wk
 ORDER BY wk
 """
 

@@ -256,22 +256,39 @@ def q_text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the token total is a broadcast scalar; top-k plans as
     TakeOrderedAndProject.  The ln argument builds double-first
     (c_ab * T as a bigint product would pass 2^63 at design scale)."""
-    toks_arr = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower(F.col("text")), "[^a-z]+"),
-            lambda x: x != F.lit(""),
-        ).alias("t"),
+    from ..operators.dedup import _track_persist
+
+    # the token-array frame feeds both the unigram aggregate and the
+    # bigram explode — persist it (tracked, released by bench/
+    # check_oracle) instead of tokenizing the corpus twice
+    toks_arr = _track_persist(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: x != F.lit(""),
+            ).alias("t"),
+        )
     )
-    uni = toks_arr.select(F.explode("t").alias("tok"))
-    cnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    tot = uni.agg(F.count(F.lit(1)).alias("t_total"))
+    cnt = (
+        toks_arr.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # corpus token total = sum of the vocabulary-sized unigram counts
+    # (no third tokenize pass over documents)
+    tot = cnt.agg(F.sum("c").alias("t_total"))
+    # sequence(1, 0) is a DESCENDING range under ANSI (and
+    # element_at(t, 0) throws) — guard docs with < 2 tokens
     bi = toks_arr.select(
         F.explode(
             F.expr(
-                "transform(sequence(1, size(t) - 1),"
+                "CASE WHEN size(t) >= 2 THEN"
+                " transform(sequence(1, size(t) - 1),"
                 " i -> struct(element_at(t, i) AS ta,"
                 " element_at(t, i + 1) AS tb))"
+                " ELSE CAST(array() AS array<struct<ta:string,tb:string>>)"
+                " END"
             )
         ).alias("bg")
     ).select("bg.ta", "bg.tb")
@@ -315,7 +332,7 @@ WITH arrs AS (
 ),
 uni AS (SELECT unnest(t) AS tok FROM arrs),
 cnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
-tot AS (SELECT count(*) AS t_total FROM uni),
+tot AS (SELECT sum(c) AS t_total FROM cnt),
 pos AS (
   SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p
   FROM arrs

@@ -159,3 +159,39 @@ def test_multimodal_shard_manifest_planted(spark, tmp_path):
         ("s", 1): (2, 1100, 3, 4),
         ("t", 0): (1, 50, 9, 9),
     }
+
+
+def test_stats_mann_whitney_single_row_guard(spark, tmp_path):
+    import datetime
+
+    d = datetime.datetime(2020, 1, 1)
+    rows = [(1, d, "click", 5.0)]  # n = 1: tie fraction would be 0/0
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    [r] = REG["stats_mann_whitney"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_a, r.n_b, r.z_milli) == (1, 0, None)
+
+
+def test_basket_association_rules_capped_universe(spark, tmp_path):
+    # pa's marginal must count CAPPED baskets only: pa appears in one
+    # capped basket (with pb) and one over-cap basket (21 items) —
+    # confidence must be 2/2 = 100%, not 2/3.
+    rows = []
+    for o in (1, 2):  # two capped baskets {1, 2}
+        rows += [(o, 1), (o, 2)]
+    rows += [(3, 1), (3, 2)]  # third capped basket for support 3
+    rows += [(9, 1)] + [(9, 100 + i) for i in range(21)]  # over-cap
+    _write(
+        spark, tmp_path, "lineitem", rows,
+        "l_orderkey long, l_partkey long",
+    )
+    out = {
+        (r.pa, r.pb): r.confidence_ppm
+        for r in REG["basket_association_rules"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[(1, 2)] == 1_000_000  # 3 of 3 capped pa-baskets
+    assert out[(2, 1)] == 1_000_000

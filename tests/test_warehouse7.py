@@ -136,3 +136,32 @@ def test_stats_wilson_ci_planted(spark, tmp_path):
     }
     # sanity: the s interval actually brackets 750000 ppm
     assert out["s"][2] < 750000 < out["s"][3]
+
+
+def test_events_growth_accounting_churn_only_week(spark, tmp_path):
+    import datetime as _dt
+
+    d = _dt.datetime
+    # everyone active in week W, nobody in W+1, one user returns W+2:
+    # the W+1 row must still appear carrying the churn count.
+    rows = [
+        (1, 1, d(2020, 1, 6)),
+        (2, 2, d(2020, 1, 7)),
+        (3, 1, d(2020, 1, 20)),
+    ]
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r.wk: (r.n_active, r.n_churned)
+        for r in REG["events_growth_accounting"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    wk0 = (_dt.date(2020, 1, 6) - _dt.date(1970, 1, 5)).days // 7
+    assert out == {
+        wk0: (2, 0),
+        wk0 + 1: (0, 2),   # churn-only week survives the join
+        wk0 + 2: (1, 0),
+    }

@@ -113,3 +113,21 @@ def test_text_pmi_cooccur_planted(spark, tmp_path):
         ("x", "z"): (5, pmi_xy),
         ("w", "w"): (5, pmi_ww),
     }
+
+
+def test_text_pmi_cooccur_short_docs_guard(spark, tmp_path):
+    # docs with 0 and 1 tokens must not blow up the bigram transform
+    rows = [
+        (1, "1234 !!!", "s"),       # 0 tokens
+        (2, "solo", "s"),           # 1 token
+        *[(10 + i, "a b", "s") for i in range(5)],
+    ]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.ta, r.tb): r.n_ab
+        for r in REG["text_pmi_cooccur"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {("a", "b"): 5}
