@@ -144,6 +144,10 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sample_gumbel_topk",
     "embed_dim_truncation_fidelity",
     "text_pmi_cooccur",
+    # -- batch-17 additions.
+    "orders_abc_classification",
+    "sketch_hll_sliding",
+    "profile_partition_checksums",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -362,6 +366,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse6,
         warehouse7,
         warehouse8,
+        warehouse9,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -386,6 +391,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse6,
         warehouse7,
         warehouse8,
+        warehouse9,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:
