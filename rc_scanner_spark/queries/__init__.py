@@ -148,6 +148,11 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "orders_abc_classification",
     "sketch_hll_sliding",
     "profile_partition_checksums",
+    # -- batch-18 additions.
+    "events_forecast_backtest",
+    "graph_local_bridges",
+    "multimodal_augmentation_plan",
+    "text_code_detection",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -367,6 +372,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse7,
         warehouse8,
         warehouse9,
+        warehouse10,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -392,6 +398,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse7,
         warehouse8,
         warehouse9,
+        warehouse10,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

@@ -85,6 +85,10 @@ ALLOWED_CARTESIANS = {
     "events_growth_accounting": 2,
     # broadcast corpus-token-total scalar (PMI denominator)
     "text_pmi_cooccur": 1,
+    # day-spine explode x distinct-type frame (days x types, bounded);
+    # the filled frame embedding it is referenced twice in the lazy
+    # plan (actual + lag-7 predictor sides of the backtest self-join)
+    "events_forecast_backtest": 2,
     "bootstrap_ci_mean": 1,      # broadcast replicate index array
     "cluster_kmeans": 4,         # seed frame per unshared iteration subtree
     "cross_join": 1,             # the cross-join operator itself (bounded dims)
