@@ -153,6 +153,10 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "graph_local_bridges",
     "multimodal_augmentation_plan",
     "text_code_detection",
+    # -- batch-19 additions.
+    "graph_hits_bipartite",
+    "filter_rejection_funnel",
+    "events_local_peaks",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -373,6 +377,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse8,
         warehouse9,
         warehouse10,
+        warehouse11,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -399,6 +404,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse8,
         warehouse9,
         warehouse10,
+        warehouse11,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

@@ -89,6 +89,8 @@ ALLOWED_CARTESIANS = {
     # the filled frame embedding it is referenced twice in the lazy
     # plan (actual + lag-7 predictor sides of the backtest self-join)
     "events_forecast_backtest": 2,
+    # the same day-spine explode x distinct-type frame (bounded)
+    "events_local_peaks": 1,
     "bootstrap_ci_mean": 1,      # broadcast replicate index array
     "cluster_kmeans": 4,         # seed frame per unshared iteration subtree
     "cross_join": 1,             # the cross-join operator itself (bounded dims)
