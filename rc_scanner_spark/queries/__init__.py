@@ -157,6 +157,10 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "graph_hits_bipartite",
     "filter_rejection_funnel",
     "events_local_peaks",
+    # -- batch-20 additions.
+    "orders_ship_latency_by_priority",
+    "text_ngram_coverage_curve",
+    "events_max_drawdown",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -378,6 +382,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse9,
         warehouse10,
         warehouse11,
+        warehouse12,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -405,6 +410,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse9,
         warehouse10,
         warehouse11,
+        warehouse12,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

@@ -49,6 +49,10 @@ ALLOWED_GLOBAL_WINDOWS = {
     # per-BUCKET aggregate (<= 512 rows by construction); the
     # corpus-sized tie-group running sum stays partitioned by bucket.
     "stats_mann_whitney": 1,
+    # coverage curve: the rank/cumsum window runs over the TOKEN
+    # VOCABULARY aggregate — bounded by distinct token types, not by
+    # corpus rows (the corpus collapses to (token, count) first).
+    "text_ngram_coverage_curve": 1,
     # Kaplan-Meier: all three unpartitioned windows (at-risk suffix
     # sum, running integer log-sum, died-out running max) run over
     # the DISTINCT-DURATION aggregate — bounded by the calendar span
@@ -91,6 +95,10 @@ ALLOWED_CARTESIANS = {
     "events_forecast_backtest": 2,
     # the same day-spine explode x distinct-type frame (bounded)
     "events_local_peaks": 1,
+    # the same day-spine explode x distinct-type frame (bounded)
+    "events_max_drawdown": 1,
+    # broadcast totals scalar + broadcast k-checkpoint literal list
+    "text_ngram_coverage_curve": 2,
     "bootstrap_ci_mean": 1,      # broadcast replicate index array
     "cluster_kmeans": 4,         # seed frame per unshared iteration subtree
     "cross_join": 1,             # the cross-join operator itself (bounded dims)
