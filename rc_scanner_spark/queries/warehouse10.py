@@ -38,7 +38,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import QuerySpec, load_tuned
-from .warehouse2 import _SQL_EDGES_CTE, _copurchase_edges
+from .warehouse2 import (
+    _SQL_EDGES_CTE,
+    SQL_DAY_SPINE_CTE,
+    _copurchase_edges,
+)
 
 _t = load_tuned
 
@@ -59,19 +63,9 @@ def q_events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: raw events collapse to the (type, day) spine immediately;
     the predictor is a self-join of that bounded frame on (type,
     day-7); the MAE floors a double built from exact integer sums."""
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    bounds = ev.agg(
-        F.to_date(F.min("ts")).alias("mn"), F.to_date(F.max("ts")).alias("mx")
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("mn", "mx")).alias("day")
-    ).crossJoin(ev.select("event_type").distinct())
-    filled = spine.join(daily, ["event_type", "day"], "left").select(
-        "event_type", "day", F.coalesce("cnt", F.lit(0)).alias("cnt")
-    )
+    from .warehouse2 import filled_day_spine
+
+    filled = filled_day_spine(spark, sf_dir)
     pred = filled.select(
         "event_type",
         F.date_add("day", _FB_LAG).alias("day"),
@@ -104,27 +98,7 @@ def q_events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_FORECAST_BACKTEST = f"""
-WITH bounds AS (
-  SELECT CAST(min(ts) AS DATE) AS mn, CAST(max(ts) AS DATE) AS mx
-  FROM events
-),
-spine AS (
-  SELECT t.event_type, d.day
-  FROM (SELECT DISTINCT event_type FROM events) t
-  CROSS JOIN (
-    SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
-    FROM bounds
-  ) d
-),
-daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
-  FROM events GROUP BY 1, 2
-),
-filled AS (
-  SELECT s.event_type, s.day, COALESCE(d.cnt, 0) AS cnt
-  FROM spine s LEFT JOIN daily d
-    ON d.event_type = s.event_type AND d.day = s.day
-),
+WITH {SQL_DAY_SPINE_CTE},
 scored AS (
   SELECT a.event_type, abs(a.cnt - p.cnt) AS abs_err
   FROM filled a JOIN filled p

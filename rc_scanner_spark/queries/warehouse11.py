@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from . import QuerySpec, load_tuned
 from .warehouse import basket_cte_sql, capped_baskets
+from .warehouse2 import SQL_DAY_SPINE_CTE
 
 _t = load_tuned
 
@@ -61,7 +62,13 @@ def q_graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket frame (shared builder with the market-basket family);
     integer-exact (no normalization -> no float accumulation-order
     surface); top-k plans as TakeOrderedAndProject."""
+    from ..operators.dedup import _track_persist
+
     _li, li2 = capped_baskets(spark, sf_dir, _HITS_MAX_ORDER)
+    # li2 feeds three consumers (a1 scan, h1 join, a2 join) — persist
+    # (tracked, released by bench/check_oracle) instead of rebuilding
+    # the distinct+cap frame three times
+    li2 = _track_persist(li2)
     a1 = li2.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("a1"))
     h1 = (
         li2.join(a1, "l_partkey")
@@ -127,10 +134,13 @@ def q_filter_rejection_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", "n_chars", F.md5("text").alias("th")
     )
-    surv = (
+    # when/otherwise (not a bool cast): NULL lang must count as a
+    # NON-survivor 0, not a NULL the window sum would skip silently
+    surv = F.when(
         (F.col("n_chars") >= _FUNNEL_MIN_CHARS)
-        & F.col("lang").isin(*_FUNNEL_LANGS)
-    ).cast("int")
+        & F.col("lang").isin(*_FUNNEL_LANGS),
+        1,
+    ).otherwise(0)
     wdup = Window.partitionBy("th").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -139,7 +149,14 @@ def q_filter_rejection_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rule = (
         F.when(F.col("n_chars") < _FUNNEL_MIN_CHARS, "1_too_short")
-        .when(~F.col("lang").isin(*_FUNNEL_LANGS), "2_non_target_lang")
+        # NULL lang must FAIL the language gate: a bare NOT IN yields
+        # NULL (not true) and would let the doc fall through to pass
+        # (review-round fix, r6)
+        .when(
+            F.col("lang").isNull()
+            | ~F.col("lang").isin(*_FUNNEL_LANGS),
+            "2_non_target_lang",
+        )
         .when(F.col("surv_rank") > 1, "3_exact_dup")
         .otherwise("4_pass")
     )
@@ -166,7 +183,8 @@ WITH flagged AS (
 )
 SELECT source,
        CASE WHEN n_chars < {_FUNNEL_MIN_CHARS} THEN '1_too_short'
-            WHEN lang NOT IN ({_langs_sql}) THEN '2_non_target_lang'
+            WHEN lang IS NULL OR lang NOT IN ({_langs_sql})
+              THEN '2_non_target_lang'
             WHEN surv_rank > 1 THEN '3_exact_dup'
             ELSE '4_pass' END AS rule,
        CAST(count(*) AS BIGINT) AS n_docs
@@ -187,19 +205,9 @@ def q_events_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: events collapse to the bounded (type, day) spine first;
     lag/lead windows partition by event type."""
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    bounds = ev.agg(
-        F.to_date(F.min("ts")).alias("mn"), F.to_date(F.max("ts")).alias("mx")
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("mn", "mx")).alias("day")
-    ).crossJoin(ev.select("event_type").distinct())
-    filled = spine.join(daily, ["event_type", "day"], "left").select(
-        "event_type", "day", F.coalesce("cnt", F.lit(0)).alias("cnt")
-    )
+    from .warehouse2 import filled_day_spine
+
+    filled = filled_day_spine(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("day")
     peaks = (
         filled.withColumn("prev", F.lag("cnt").over(w))
@@ -218,28 +226,7 @@ def q_events_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
-SQL_EVENTS_LOCAL_PEAKS = """
-WITH bounds AS (
-  SELECT CAST(min(ts) AS DATE) AS mn, CAST(max(ts) AS DATE) AS mx
-  FROM events
-),
-spine AS (
-  SELECT t.event_type, d.day
-  FROM (SELECT DISTINCT event_type FROM events) t
-  CROSS JOIN (
-    SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
-    FROM bounds
-  ) d
-),
-daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
-  FROM events GROUP BY 1, 2
-),
-filled AS (
-  SELECT s.event_type, s.day, COALESCE(d.cnt, 0) AS cnt
-  FROM spine s LEFT JOIN daily d
-    ON d.event_type = s.event_type AND d.day = s.day
-),
+SQL_EVENTS_LOCAL_PEAKS = "WITH " + SQL_DAY_SPINE_CTE + """,
 lagged AS (
   SELECT event_type, day, cnt,
          lag(cnt) OVER w AS prev, lead(cnt) OVER w AS nxt

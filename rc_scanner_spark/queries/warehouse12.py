@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import QuerySpec, load_tuned
+from .warehouse2 import SQL_DAY_SPINE_CTE
 
 _t = load_tuned
 
@@ -152,9 +153,13 @@ def q_text_ngram_coverage_curve(
         .select(
             "k",
             F.least(F.col("k"), F.col("n_vocab")).alias("n_vocab_used"),
-            F.expr("CAST((cum * 1000000) DIV t_total AS BIGINT)").alias(
-                "coverage_ppm"
-            ),
+            # double-first on BOTH sides: cum * 1e6 as BIGINT throws
+            # ARITHMETIC_OVERFLOW under ANSI past ~9.2e12 cumulative
+            # tokens (review-round fix, r6)
+            F.expr(
+                "CAST(floor(CAST(cum AS DOUBLE) * 1000000.0"
+                " / CAST(t_total AS DOUBLE)) AS BIGINT)"
+            ).alias("coverage_ppm"),
         )
     )
     return at_k.orderBy("k")
@@ -180,7 +185,8 @@ tot AS (SELECT sum(c) AS t_total, count(*) AS n_vocab FROM vocab),
 ks(k) AS (VALUES {_ks_sql})
 SELECT ks.k,
        CAST(least(ks.k, t.n_vocab) AS BIGINT) AS n_vocab_used,
-       CAST((r.cum * 1000000) // t.t_total AS BIGINT) AS coverage_ppm
+       CAST(floor(CAST(r.cum AS DOUBLE) * 1000000.0
+                  / CAST(t.t_total AS DOUBLE)) AS BIGINT) AS coverage_ppm
 FROM ks
 CROSS JOIN tot t
 JOIN ranked r ON r.rn = least(ks.k, t.n_vocab)
@@ -202,19 +208,9 @@ def q_events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: events collapse to the bounded (type, day) spine; the
     running max and the argmin pick are per-type windows/aggregates
     — integer exact end-to-end."""
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    bounds = ev.agg(
-        F.to_date(F.min("ts")).alias("mn"), F.to_date(F.max("ts")).alias("mx")
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("mn", "mx")).alias("day")
-    ).crossJoin(ev.select("event_type").distinct())
-    filled = spine.join(daily, ["event_type", "day"], "left").select(
-        "event_type", "day", F.coalesce("cnt", F.lit(0)).alias("cnt")
-    )
+    from .warehouse2 import filled_day_spine
+
+    filled = filled_day_spine(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -243,28 +239,7 @@ def q_events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-SQL_EVENTS_MAX_DRAWDOWN = """
-WITH bounds AS (
-  SELECT CAST(min(ts) AS DATE) AS mn, CAST(max(ts) AS DATE) AS mx
-  FROM events
-),
-spine AS (
-  SELECT t.event_type, d.day
-  FROM (SELECT DISTINCT event_type FROM events) t
-  CROSS JOIN (
-    SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
-    FROM bounds
-  ) d
-),
-daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
-  FROM events GROUP BY 1, 2
-),
-filled AS (
-  SELECT s.event_type, s.day, COALESCE(d.cnt, 0) AS cnt
-  FROM spine s LEFT JOIN daily d
-    ON d.event_type = s.event_type AND d.day = s.day
-),
+SQL_EVENTS_MAX_DRAWDOWN = "WITH " + SQL_DAY_SPINE_CTE + """,
 dd AS (
   SELECT event_type, day, cnt,
          max(cnt) OVER (PARTITION BY event_type ORDER BY day

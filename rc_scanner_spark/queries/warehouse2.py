@@ -207,6 +207,54 @@ _EWMA_DECAY = 0.7
 _EWMA_HORIZON = 7  # trailing days contributing (j = 0..6)
 
 
+def filled_day_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled (event_type, day, cnt) daily-count spine over the
+    full calendar span — the shared builder for every time-series op
+    (EWMA, Holt, backtest, peaks, drawdown).  The spine explode is
+    bounded (days x types); the broadcast bounds scalar is the one
+    cartesian."""
+    from . import load_tuned
+
+    ev = load_tuned(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("mn"), F.to_date(F.max("ts")).alias("mx")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("day")
+    ).crossJoin(ev.select("event_type").distinct())
+    return spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+
+
+# the DuckDB twin of filled_day_spine: bounds/spine/daily/filled CTE
+# bodies (callers embed inside WITH and read from `filled`)
+SQL_DAY_SPINE_CTE = """bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS mn, CAST(max(ts) AS DATE) AS mx
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, d.day
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+    FROM bounds
+  ) d
+),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+filled AS (
+  SELECT s.event_type, s.day, COALESCE(d.cnt, 0) AS cnt
+  FROM spine s LEFT JOIN daily d
+    ON d.event_type = s.event_type AND d.day = s.day
+)"""
+
+
 def q_events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Finite-horizon EWMA of daily event counts per event_type:
     ewma(d) = sum_j decay^j * count(d-j) / sum_j decay^j over the

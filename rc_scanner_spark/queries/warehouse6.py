@@ -236,20 +236,10 @@ def q_events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.  The DuckDB twin is a recursive CTE evaluating the
     IDENTICAL literal arithmetic in the identical order, so the milli
     floors match bit-exactly."""
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    bounds = ev.agg(
-        F.to_date(F.min("ts")).alias("mn"), F.to_date(F.max("ts")).alias("mx")
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("mn", "mx")).alias("day")
-    ).crossJoin(ev.select("event_type").distinct())
-    filled = spine.join(daily, ["event_type", "day"], "left").select(
-        "event_type",
-        "day",
-        F.coalesce("cnt", F.lit(0)).cast("double").alias("y"),
+    from .warehouse2 import filled_day_spine
+
+    filled = filled_day_spine(spark, sf_dir).select(
+        "event_type", "day", F.col("cnt").cast("double").alias("y")
     )
     series = filled.groupBy("event_type").agg(
         F.expr(
@@ -290,44 +280,30 @@ def q_events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _holt_sql() -> str:
+    from .warehouse2 import SQL_DAY_SPINE_CTE as spine_cte_
+
     a, g = _HOLT_ALPHA, _HOLT_BETA
+    spine_cte = spine_cte_
     lnew = f"({a} * s.y + (1.0 - {a}) * (r.l + r.b))"
     return f"""
-WITH RECURSIVE bounds AS (
-  SELECT CAST(min(ts) AS DATE) AS mn, CAST(max(ts) AS DATE) AS mx
-  FROM events
+WITH RECURSIVE {spine_cte},
+fidx AS (
+  SELECT event_type, day, CAST(cnt AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY day) AS idx
+  FROM filled
 ),
-spine AS (
-  SELECT t.event_type, d.day
-  FROM (SELECT DISTINCT event_type FROM events) t
-  CROSS JOIN (
-    SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
-    FROM bounds
-  ) d
-),
-daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
-  FROM events GROUP BY 1, 2
-),
-filled AS (
-  SELECT s.event_type, s.day,
-         CAST(COALESCE(d.cnt, 0) AS DOUBLE) AS y,
-         row_number() OVER (PARTITION BY s.event_type
-                            ORDER BY s.day) AS idx
-  FROM spine s LEFT JOIN daily d
-    ON d.event_type = s.event_type AND d.day = s.day
-),
-n AS (SELECT event_type, max(idx) AS n_days FROM filled GROUP BY 1),
+n AS (SELECT event_type, max(idx) AS n_days FROM fidx GROUP BY 1),
 r AS (
   SELECT f1.event_type, 1 AS t, f1.y AS l, f2.y - f1.y AS b
-  FROM filled f1 JOIN filled f2
+  FROM fidx f1 JOIN fidx f2
     ON f2.event_type = f1.event_type AND f2.idx = 2
   WHERE f1.idx = 1
   UNION ALL
   SELECT r.event_type, r.t + 1,
          {lnew},
          {g} * ({lnew} - r.l) + (1.0 - {g}) * r.b
-  FROM r JOIN filled s
+  FROM r JOIN fidx s
     ON s.event_type = r.event_type AND s.idx = r.t + 1
   WHERE r.t + 1 <= (SELECT n_days FROM n WHERE n.event_type = r.event_type)
 )

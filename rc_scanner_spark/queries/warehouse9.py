@@ -228,12 +228,20 @@ def q_profile_partition_checksums(
     modular sum catches duplicated/dropped rows that XOR cancels.
 
     Scale: one map-side hash + one grouped aggregate; nothing
-    shuffles except the per-source reduction."""
+    shuffles except the per-source reduction.
+
+    The chr(1) separator (spelled as the ESCAPE "\\x01", never a raw
+    byte — an invisible literal invites a parity-breaking "fix")
+    disambiguates (1, "2x") from (12, "x"); NULL text hashes as ''
+    by explicit contract on both sides (Spark concat NULL-propagates
+    where DuckDB concat treats NULL as '')."""
     h = F.conv(
         F.substring(
             F.md5(
-                F.concat_ws(
-                    "", F.col("doc_id").cast("string"), F.col("text")
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("\x01"),
+                    F.coalesce(F.col("text"), F.lit("")),
                 )
             ),
             1,
@@ -263,7 +271,7 @@ SQL_PROFILE_PARTITION_CHECKSUMS = f"""
 WITH hashed AS (
   SELECT source,
          CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
-                chr(1), text)), 1, 15)) AS BIGINT) AS h
+                chr(1), COALESCE(text, ''))), 1, 15)) AS BIGINT) AS h
   FROM documents
 )
 SELECT source, CAST(count(*) AS BIGINT) AS n_rows,

@@ -102,3 +102,21 @@ def test_events_local_peaks_planted(spark, tmp_path):
         for r in REG["events_local_peaks"].fn(spark, str(tmp_path)).collect()
     ]
     assert out == [("A", "2020-01-02", 3)]
+
+
+def test_filter_rejection_funnel_null_lang(spark, tmp_path):
+    # NULL lang must fail the language gate, not fall through to pass
+    long = "y" * 150
+    rows = [(1, long, None, "s", 150)]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {
+        (r.source, r.rule): r.n_docs
+        for r in REG["filter_rejection_funnel"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out == {("s", "2_non_target_lang"): 1}

@@ -112,3 +112,19 @@ def test_profile_partition_checksums_planted(spark, tmp_path):
         .collect()
     }
     assert out2 == out
+
+
+def test_profile_partition_checksums_null_text(spark, tmp_path):
+    import hashlib as _hl
+
+    rows = [(1, None, "s")]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, source string",
+    )
+    [r] = REG["profile_partition_checksums"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    # NULL text hashes as '' by explicit contract on both engines
+    h = int(_hl.md5("1\x01".encode()).hexdigest()[:15], 16)
+    assert (r.n_rows, r.xor_checksum) == (1, h)
