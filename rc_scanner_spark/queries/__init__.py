@@ -161,6 +161,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "orders_ship_latency_by_priority",
     "text_ngram_coverage_curve",
     "events_max_drawdown",
+    # -- batch-21 additions.
+    "llm_prep_pipeline_v2",
+    "profile_dataset_card",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -383,6 +386,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse10,
         warehouse11,
         warehouse12,
+        warehouse13,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -411,6 +415,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse10,
         warehouse11,
         warehouse12,
+        warehouse13,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:
