@@ -164,6 +164,10 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     # -- batch-21 additions.
     "llm_prep_pipeline_v2",
     "profile_dataset_card",
+    # -- batch-22 additions.
+    "dedup_minhash_accuracy",
+    "events_dow_hour_heatmap",
+    "orders_interarrival_cv",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -387,6 +391,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse11,
         warehouse12,
         warehouse13,
+        warehouse14,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -416,6 +421,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse11,
         warehouse12,
         warehouse13,
+        warehouse14,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

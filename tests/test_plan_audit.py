@@ -89,6 +89,8 @@ ALLOWED_CARTESIANS = {
     "events_growth_accounting": 2,
     # broadcast corpus-token-total scalar (PMI denominator)
     "text_pmi_cooccur": 1,
+    # broadcast 1-row event-total scalar (heatmap share denominator)
+    "events_dow_hour_heatmap": 1,
     # day-spine explode x distinct-type frame (days x types, bounded);
     # the filled frame embedding it is referenced twice in the lazy
     # plan (actual + lag-7 predictor sides of the backtest self-join)
