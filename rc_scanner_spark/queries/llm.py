@@ -284,6 +284,24 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the DuckDB twin of operators.dedup.word_shingles (k = 3): w/s CTE
+# bodies shared by every portable-MinHash oracle (llm.py,
+# warehouse14.py) — one copy of the verified shingle idiom.
+SQL_WORD_SHINGLES_CTE_K3 = """w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_distinct([array_to_string(words[i:i+2], ' ')
+                                  FOR i IN range(1, len(words) - 1)])
+              WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+              ELSE [] END AS sh
+  FROM w
+)"""
+
+
 def _sql_minhash_portable(num_hashes: int = 16, bands: int = 4) -> str:
     rpb = num_hashes // bands
 
@@ -305,20 +323,9 @@ def _sql_minhash_portable(num_hashes: int = 16, bands: int = 4) -> str:
         )
         for b in range(bands)
     )
+    _ws = SQL_WORD_SHINGLES_CTE_K3
     return f"""
-WITH w AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
-  FROM documents
-),
-s AS (
-  SELECT doc_id,
-         CASE WHEN len(words) >= 3
-              THEN list_distinct([array_to_string(words[i:i+2], ' ')
-                                  FOR i IN range(1, len(words) - 1)])
-              WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
-              ELSE [] END AS sh
-  FROM w
-),
+WITH {_ws},
 e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
 sig AS (
   SELECT doc_id, count(*) AS n_sh,

@@ -61,6 +61,8 @@ def q_llm_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_ok",
         F.when(F.col("lang").isin(*_V2_LANGS), 1).otherwise(0),
     )
+    from ..operators.dedup import _track_persist
+
     wdup = Window.partitionBy("th").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -75,6 +77,12 @@ def q_llm_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("surv_rank") == 1)
         ).cast("int"),
     )
+    # surv feeds the dedup count + the sample; sampled feeds the
+    # sample count + the shard count — persist both (tracked,
+    # released by bench/check_oracle) so the documents scan and the
+    # md5 window run once, not ~4x across the funnel legs
+    # (review-round fix, r6)
+    surv = _track_persist(surv)
     u = (
         F.conv(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
@@ -92,6 +100,7 @@ def q_llm_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("es_key_nano"), "doc_id")
         .limit(_V2_SAMPLE_K)
     )
+    sampled = _track_persist(sampled)
     wsh = (
         Window.partitionBy("source")
         .orderBy("doc_id")
@@ -197,9 +206,12 @@ def q_profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-aggregated; the dup rate derives from count - distinct
     text hashes — no join, no window."""
     docs = _t(spark, sf_dir, "documents")
+    # explicit whitespace class on BOTH sides: Java \s and RE2 \s
+    # disagree on vertical tab (U+000B), so neither \s+ nor \S+ is
+    # engine-neutral (review-round fix, r6)
     toks = F.size(
-        F.filter(
-            F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[^ \t\n\x0B\f\r]+"), F.lit(0)
         )
     )
     agg = docs.agg(
@@ -220,20 +232,22 @@ def q_profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("p50d") * 1000.0).cast("bigint").alias(
             "p50_chars_milli"
         ),
-        F.floor(
-            F.col("total_chars").cast("double")
-            * 1000.0
-            / F.col("n_docs").cast("double")
-        )
-        .cast("bigint")
-        .alias("mean_chars_milli"),
-        F.floor(
-            (F.col("n_docs") - F.col("n_distinct_texts")).cast("double")
-            * 1000000.0
-            / F.col("n_docs").cast("double")
-        )
-        .cast("bigint")
-        .alias("dup_rate_ppm"),
+        F.when(
+            F.col("n_docs") > 0,
+            F.floor(
+                F.col("total_chars").cast("double")
+                * 1000.0
+                / F.col("n_docs").cast("double")
+            ).cast("bigint"),
+        ).alias("mean_chars_milli"),
+        F.when(
+            F.col("n_docs") > 0,
+            F.floor(
+                (F.col("n_docs") - F.col("n_distinct_texts")).cast("double")
+                * 1000000.0
+                / F.col("n_docs").cast("double")
+            ).cast("bigint"),
+        ).alias("dup_rate_ppm"),
     )
 
 
@@ -243,7 +257,8 @@ WITH agg AS (
          CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
          CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
          CAST(sum(n_chars) AS BIGINT) AS total_chars,
-         CAST(sum(length(regexp_extract_all(text, '\\S+')) ) AS BIGINT)
+         CAST(sum(length(regexp_extract_all(text,
+                '[^ \t\n\x0B\f\r]+'))) AS BIGINT)
            AS total_tokens,
          CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
          quantile_cont(n_chars, 0.5) AS p50d
@@ -251,11 +266,14 @@ WITH agg AS (
 )
 SELECT n_docs, n_sources, n_langs, total_chars, total_tokens,
        CAST(floor(p50d * 1000.0) AS BIGINT) AS p50_chars_milli,
-       CAST(floor(CAST(total_chars AS DOUBLE) * 1000.0
-                  / CAST(n_docs AS DOUBLE)) AS BIGINT)
-         AS mean_chars_milli,
-       CAST(floor(CAST(n_docs - n_distinct_texts AS DOUBLE) * 1000000.0
-                  / CAST(n_docs AS DOUBLE)) AS BIGINT) AS dup_rate_ppm
+       CASE WHEN n_docs > 0 THEN
+         CAST(floor(CAST(total_chars AS DOUBLE) * 1000.0
+                    / CAST(n_docs AS DOUBLE)) AS BIGINT)
+       END AS mean_chars_milli,
+       CASE WHEN n_docs > 0 THEN
+         CAST(floor(CAST(n_docs - n_distinct_texts AS DOUBLE) * 1000000.0
+                    / CAST(n_docs AS DOUBLE)) AS BIGINT)
+       END AS dup_rate_ppm
 FROM agg
 """
 

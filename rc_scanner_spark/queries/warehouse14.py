@@ -44,11 +44,6 @@ _MA_BUCKETS = 32
 _MA_SHINGLE_K = 3
 
 
-def _ph(arg):
-    """Portable md5-60bit hash of a string column expression."""
-    return F.conv(F.substring(F.md5(arg), 1, 15), 16, 10).cast("bigint")
-
-
 def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-vs-exact-Jaccard error profile over deterministic
     md5-bucket pair samples: per true-Jaccard decile band, the pair
@@ -60,41 +55,43 @@ def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     within md5 buckets ((N/B)^2 fan-out, B the blocking knob); the
     exact-intersection join is bucket-restricted to the same pair
     set.  Integer milli end-to-end."""
-    w = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower(F.col("text")), "[^a-z]+"),
-            lambda x: x != F.lit(""),
-        ).alias("words"),
+    from ..operators.dedup import (
+        _portable_hash64,
+        _track_persist,
+        word_shingles,
     )
-    sh = w.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("words") >= _MA_SHINGLE_K,
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, size(words) -"
-                        f" {_MA_SHINGLE_K - 1}), i -> array_join("
-                        f"slice(words, i, {_MA_SHINGLE_K}), ' '))"
+
+    # shared builders: word_shingles is the verified k-gram idiom the
+    # whole MinHash family uses; _portable_hash64 the md5-60bit twin.
+    # sh feeds sig + both sides of the exact-intersection join and
+    # sig feeds both pair sides — persist both (tracked, released by
+    # bench/check_oracle) instead of re-running the shingle explode
+    # 3x and the 16-min aggregate 2x.
+    sh = _track_persist(
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                word_shingles(F.col("text"), _MA_SHINGLE_K)
+            ).alias("shingle"),
+        )
+        .withColumn(
+            "bucket",
+            _portable_hash64(F.col("doc_id").cast("string")) % _MA_BUCKETS,
+        )
+    )
+    sig = _track_persist(
+        sh.groupBy("doc_id", "bucket").agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            *[
+                F.min(
+                    _portable_hash64(
+                        F.concat(F.lit(f"{s}:"), F.col("shingle"))
                     )
-                ),
-            )
-            .when(
-                F.size("words") > 0,
-                F.array(F.array_join("words", " ")),
-            )
-            .otherwise(F.expr("CAST(array() AS array<string>)"))
-        ).alias("shingle"),
-    ).withColumn("bucket", _ph(F.col("doc_id").cast("string")) % _MA_BUCKETS)
-    sig = sh.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("n_sh"),
-        *[
-            F.min(
-                _ph(F.concat(F.lit(f"{s}:"), F.col("shingle")))
-            ).alias(f"h{s}")
-            for s in range(_MA_PERMS)
-        ],
+                ).alias(f"h{s}")
+                for s in range(_MA_PERMS)
+            ],
+        )
     )
     a, b = sig.alias("a"), sig.alias("b")
     matches = sum(
@@ -162,21 +159,10 @@ def _ma_sql() -> str:
         f"CASE WHEN a.h{s} = b.h{s} THEN 1 ELSE 0 END"
         for s in range(_MA_PERMS)
     )
-    k = _MA_SHINGLE_K
+    from .llm import SQL_WORD_SHINGLES_CTE_K3 as _ws
+
     return f"""
-WITH w AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
-  FROM documents
-),
-s AS (
-  SELECT doc_id,
-         CASE WHEN len(words) >= {k}
-              THEN list_distinct([array_to_string(words[i:i+{k - 1}], ' ')
-                                  FOR i IN range(1, len(words) - {k - 2})])
-              WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
-              ELSE [] END AS sh
-  FROM w
-),
+WITH {_ws},
 e AS (
   SELECT doc_id,
          {ph("CAST(doc_id AS VARCHAR)")} % {_MA_BUCKETS} AS bucket,
@@ -229,11 +215,15 @@ def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         F.weekday("ts").alias("dow"), F.hour("ts").alias("hour")
     )
-    tot = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    # ONE events scan: the denominator is a window over the <=168-row
+    # cell aggregate, not a second pass (review-round fix, r6)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
         ev.groupBy("dow", "hour")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .crossJoin(F.broadcast(tot))
+        .withColumn("n_total", F.sum("n_events").over(w_all))
         .select(
             "dow",
             "hour",
@@ -251,15 +241,15 @@ def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_DOW_HOUR_HEATMAP = """
-WITH ev AS (
-  SELECT isodow(ts) - 1 AS dow, hour(ts) AS hour FROM events
-),
-tot AS (SELECT count(*) AS n_total FROM ev)
-SELECT ev.dow, ev.hour, CAST(count(*) AS BIGINT) AS n_events,
-       CAST(floor(CAST(count(*) AS DOUBLE) * 1000000.0
-                  / CAST(t.n_total AS DOUBLE)) AS BIGINT) AS share_ppm
-FROM ev CROSS JOIN tot t
-GROUP BY ev.dow, ev.hour, t.n_total ORDER BY dow, hour
+WITH cells AS (
+  SELECT isodow(ts) - 1 AS dow, hour(ts) AS hour, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT dow, hour, CAST(n_events AS BIGINT) AS n_events,
+       CAST(floor(CAST(n_events AS DOUBLE) * 1000000.0
+                  / CAST(sum(n_events) OVER () AS DOUBLE)) AS BIGINT)
+         AS share_ppm
+FROM cells ORDER BY dow, hour
 """
 
 
@@ -303,7 +293,11 @@ def q_orders_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n_gaps").cast("double")
     sg = F.col("sg").cast("double")
     sgg = F.col("sgg").cast("double")
-    cv = F.sqrt((nd * sgg - sg * sg) / (nd * nd)) / (sg / nd)
+    # greatest(.., 0): double rounding past 2^53 can land the
+    # mathematically-zero variance a few ulps negative
+    cv = F.sqrt(
+        F.greatest((nd * sgg - sg * sg) / (nd * nd), F.lit(0.0))
+    ) / (sg / nd)
     return m.select(
         "c_mktsegment",
         "n_gaps",
@@ -339,9 +333,9 @@ SELECT c_mktsegment, n_gaps,
        CAST(sg AS BIGINT) AS total_gap_days,
        CASE WHEN CAST(sg AS DOUBLE) > 0.0 THEN
          CAST(floor(
-           sqrt((CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+           sqrt(GREATEST((CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
                  - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
-                / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+                / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)), 0.0))
            / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
            * 1000.0) AS BIGINT)
        END AS cv_milli

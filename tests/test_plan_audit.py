@@ -49,6 +49,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     # per-BUCKET aggregate (<= 512 rows by construction); the
     # corpus-sized tie-group running sum stays partitioned by bucket.
     "stats_mann_whitney": 1,
+    # heatmap: the share-denominator window runs over the <=168-row
+    # (dow, hour) cell aggregate — bounded by the calendar grid.
+    "events_dow_hour_heatmap": 1,
     # coverage curve: the rank/cumsum window runs over the TOKEN
     # VOCABULARY aggregate — bounded by distinct token types, not by
     # corpus rows (the corpus collapses to (token, count) first).
@@ -89,8 +92,6 @@ ALLOWED_CARTESIANS = {
     "events_growth_accounting": 2,
     # broadcast corpus-token-total scalar (PMI denominator)
     "text_pmi_cooccur": 1,
-    # broadcast 1-row event-total scalar (heatmap share denominator)
-    "events_dow_hour_heatmap": 1,
     # day-spine explode x distinct-type frame (days x types, bounded);
     # the filled frame embedding it is referenced twice in the lazy
     # plan (actual + lag-7 predictor sides of the backtest self-join)
