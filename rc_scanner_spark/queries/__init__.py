@@ -168,6 +168,10 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_accuracy",
     "events_dow_hour_heatmap",
     "orders_interarrival_cv",
+    # -- batch-23 additions.
+    "scd2_consistency_audit",
+    "orders_revenue_bridge",
+    "embed_exact_dup_vectors",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -392,6 +396,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse12,
         warehouse13,
         warehouse14,
+        warehouse15,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -422,6 +427,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse12,
         warehouse13,
         warehouse14,
+        warehouse15,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

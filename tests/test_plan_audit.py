@@ -85,6 +85,8 @@ ALLOWED_CARTESIANS = {
     "stats_mann_whitney": 2,
     # broadcast last-order-date scalar (censoring horizon)
     "orders_survival_km": 1,
+    # broadcast period-midpoint date scalar (1 row)
+    "orders_revenue_bridge": 1,
     # day-spine explode x distinct-type frame (days x types, bounded)
     "events_holt_linear": 1,
     # broadcast max-week scalar; the per-week frame embedding it is
