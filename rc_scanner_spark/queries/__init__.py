@@ -172,6 +172,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "scd2_consistency_audit",
     "orders_revenue_bridge",
     "embed_exact_dup_vectors",
+    # -- batch-24 additions.
+    "sample_quota_hamilton",
+    "agg_winsorized_mean",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -397,6 +400,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse13,
         warehouse14,
         warehouse15,
+        warehouse16,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -428,6 +432,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse13,
         warehouse14,
         warehouse15,
+        warehouse16,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

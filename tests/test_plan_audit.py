@@ -49,6 +49,10 @@ ALLOWED_GLOBAL_WINDOWS = {
     # per-BUCKET aggregate (<= 512 rows by construction); the
     # corpus-sized tie-group running sum stays partitioned by bucket.
     "stats_mann_whitney": 1,
+    # Hamilton quotas: the remainder rank and leftover-sum windows
+    # run over the per-SOURCE aggregate — bounded by source
+    # cardinality, not corpus rows.
+    "sample_quota_hamilton": 2,
     # heatmap: the share-denominator window runs over the <=168-row
     # (dow, hour) cell aggregate — bounded by the calendar grid.
     "events_dow_hour_heatmap": 1,
@@ -87,6 +91,8 @@ ALLOWED_CARTESIANS = {
     "orders_survival_km": 1,
     # broadcast period-midpoint date scalar (1 row)
     "orders_revenue_bridge": 1,
+    # broadcast corpus doc-total scalar (quota denominator)
+    "sample_quota_hamilton": 1,
     # day-spine explode x distinct-type frame (days x types, bounded)
     "events_holt_linear": 1,
     # broadcast max-week scalar; the per-week frame embedding it is
