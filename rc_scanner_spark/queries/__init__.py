@@ -175,6 +175,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     # -- batch-24 additions.
     "sample_quota_hamilton",
     "agg_winsorized_mean",
+    # -- batch-25 additions.
+    "text_char_entropy",
+    "events_threshold_suggest",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -401,6 +404,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse14,
         warehouse15,
         warehouse16,
+        warehouse17,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -433,6 +437,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse14,
         warehouse15,
         warehouse16,
+        warehouse17,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:
