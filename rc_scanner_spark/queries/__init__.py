@@ -178,6 +178,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     # -- batch-25 additions.
     "text_char_entropy",
     "events_threshold_suggest",
+    # -- batch-26 additions.
+    "graph_degree_assortativity",
+    "text_word_length_profile",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -405,6 +408,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse15,
         warehouse16,
         warehouse17,
+        warehouse18,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -438,6 +442,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse15,
         warehouse16,
         warehouse17,
+        warehouse18,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:
