@@ -181,6 +181,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     # -- batch-26 additions.
     "graph_degree_assortativity",
     "text_word_length_profile",
+    # -- batch-27 additions.
+    "text_hapax_ratio",
+    "orders_status_mix_by_month",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
     "filter_membership",
     "filter_null_threshold",
@@ -409,6 +412,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse16,
         warehouse17,
         warehouse18,
+        warehouse19,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -443,6 +447,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse16,
         warehouse17,
         warehouse18,
+        warehouse19,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:
