@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from rc_scanner_spark.queries import build_registry
@@ -83,7 +84,17 @@ def main() -> None:
     # regressions; min is reported as the low-noise floor.  The
     # headline total stays ONE number: sum of per-query medians.
     samples_env = os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3")
-    n_samples = max(1, int(samples_env))
+    try:
+        n_samples = max(1, int(samples_env))
+    except ValueError:
+        # Operator-facing env knob: a typo should degrade to the
+        # default with a visible warning, not a bare traceback.
+        print(
+            f"warning: SPARK_GRAFT_BENCH_SAMPLES={samples_env!r} is not "
+            "an integer; falling back to 3",
+            file=sys.stderr,
+        )
+        n_samples = 3
     from rc_scanner_spark.operators.dedup import release_caches
 
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}

@@ -117,9 +117,10 @@ tot AS (SELECT sum(nc) AS tc, sum(np) AS tp FROM per_bin)
 SELECT CAST(max(abs(CAST(floor(CAST(cc AS DOUBLE) * 1000000.0 / tc) AS BIGINT)
              - CAST(floor(CAST(cp AS DOUBLE) * 1000000.0 / tp) AS BIGINT)))
             AS BIGINT) AS ks_ppm,
-       CAST(max(tc) AS BIGINT) AS n_click,
-       CAST(max(tp) AS BIGINT) AS n_purchase
+       CAST(tc AS BIGINT) AS n_click,
+       CAST(tp AS BIGINT) AS n_purchase
 FROM cum, tot
+GROUP BY tc, tp
 """
 
 
@@ -254,9 +255,19 @@ def q_agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb2 = F.col("sb2").cast("double")
     ma = sa1 / F.col("na")
     mb = sb1 / F.col("nb")
-    va = (sa2 - sa1 * sa1 / F.col("na")) / (F.col("na") - 1)
-    vb = (sb2 - sb1 * sb1 / F.col("nb")) / (F.col("nb") - 1)
-    t_stat = (ma - mb) / F.sqrt(va / F.col("na") + vb / F.col("nb"))
+    # Zero-denominator guards (ADVICE r6): a one-row group makes
+    # (n-1) = 0 and identical values make the pooled variance exactly
+    # 0 — under ANSI mode Spark throws where DuckDB yields NULL/inf,
+    # so both degenerate cases yield a NULL t_ppm on BOTH engines
+    # (mirrored CASE/NULLIF in the twin; events_autocorr idiom).
+    va = F.when(
+        F.col("na") > 1, (sa2 - sa1 * sa1 / F.col("na")) / (F.col("na") - 1)
+    )
+    vb = F.when(
+        F.col("nb") > 1, (sb2 - sb1 * sb1 / F.col("nb")) / (F.col("nb") - 1)
+    )
+    se2 = va / F.col("na") + vb / F.col("nb")
+    t_stat = F.when(se2 > 0, (ma - mb) / F.sqrt(se2))
     return one.select(
         F.floor(t_stat * 1000000 + 0.5).cast("long").alias("t_ppm"),
         F.col("na").alias("n_click"),
@@ -281,15 +292,20 @@ one AS (
          max(CASE WHEN t = 'purchase' THEN s1 END) AS sb1,
          max(CASE WHEN t = 'purchase' THEN s2 END) AS sb2
   FROM m
+),
+stat AS (
+  SELECT na, nb,
+         CAST(sa1 AS DOUBLE) / na - CAST(sb1 AS DOUBLE) / nb AS md,
+         CASE WHEN na > 1 THEN (CAST(sa2 AS DOUBLE) - CAST(sa1 AS DOUBLE) * CAST(sa1 AS DOUBLE) / na) / (na - 1) END / na
+       + CASE WHEN nb > 1 THEN (CAST(sb2 AS DOUBLE) - CAST(sb1 AS DOUBLE) * CAST(sb1 AS DOUBLE) / nb) / (nb - 1) END / nb AS se2
+  FROM one
 )
 SELECT CAST(floor(
-         (CAST(sa1 AS DOUBLE) / na - CAST(sb1 AS DOUBLE) / nb)
-         / sqrt(((CAST(sa2 AS DOUBLE) - CAST(sa1 AS DOUBLE) * CAST(sa1 AS DOUBLE) / na) / (na - 1)) / na
-              + ((CAST(sb2 AS DOUBLE) - CAST(sb1 AS DOUBLE) * CAST(sb1 AS DOUBLE) / nb) / (nb - 1)) / nb)
-         * 1000000 + 0.5) AS BIGINT) AS t_ppm,
+         CASE WHEN se2 > 0 THEN md / sqrt(se2) * 1000000 + 0.5 END
+       ) AS BIGINT) AS t_ppm,
        CAST(na AS BIGINT) AS n_click,
        CAST(nb AS BIGINT) AS n_purchase
-FROM one
+FROM stat
 """
 
 

@@ -145,8 +145,15 @@ def scan(
     # F4 — regex hits, then F3b within-batch keep-first over MATCHES
     # in stream order (keeps all non-matching rows for verbose mode).
     df = df.withColumn("hits", spec.hits(F.col("text")))
+    # revision.new is a final deterministic tiebreaker: two events of
+    # one title can share (timestamp, meta.id) in replayed/merged
+    # feeds, and without a total order the keep-first window could
+    # flip which tied row survives between runs (filters.py
+    # apply_match_keep_first docstring).
     df = spec.apply_match_keep_first(
-        df, F.size("hits") > 0, order_cols=("timestamp", "meta.id")
+        df,
+        F.size("hits") > 0,
+        order_cols=("timestamp", "meta.id", "revision.new"),
     )
     if not verbose:
         df = df.filter(F.size("hits") > 0)

@@ -86,6 +86,61 @@ def test_agg_ttest_welch_planted(spark, tmp_path):
     assert (r.t_ppm, r.n_click, r.n_purchase) == (1000000, 2, 2)
 
 
+def _oracle_df(tmp_path, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    # the fixture writer produces a directory of part files (Spark
+    # layout), so glob inside it
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def test_agg_ttest_welch_degenerate_null_not_throw(spark, tmp_path):
+    # ADVICE r6: a one-row group makes (n-1) = 0 and identical values
+    # make the pooled variance exactly 0 — both must yield NULL t_ppm
+    # on BOTH engines instead of an ANSI-mode throw.
+    rows = [
+        (1, 1, _ts(0), 1.0, "click"),
+        (2, 1, _ts(1), 1.0, "click"),
+        (3, 1, _ts(2), 1.0, "purchase"),  # nb = 1
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    r = REG["agg_ttest_welch"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.t_ppm, r.n_click, r.n_purchase) == (None, 2, 1)
+    o = _oracle_df(tmp_path, REG["agg_ttest_welch"].sql)
+    assert len(o) == 1 and o["t_ppm"].isna().all()
+
+    # zero pooled variance with both groups >= 2 rows
+    rows = [
+        (1, 1, _ts(0), 1.0, "click"),
+        (2, 1, _ts(1), 1.0, "click"),
+        (3, 1, _ts(2), 2.0, "purchase"),
+        (4, 1, _ts(3), 2.0, "purchase"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    r = REG["agg_ttest_welch"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.t_ppm, r.n_click, r.n_purchase) == (None, 2, 2)
+    o = _oracle_df(tmp_path, REG["agg_ttest_welch"].sql)
+    assert len(o) == 1 and o["t_ppm"].isna().all()
+
+
+def test_agg_ks_drift_empty_input_zero_rows_both_engines(spark, tmp_path):
+    # ADVICE r6: with zero click/purchase rows the twin previously
+    # emitted one all-NULL row (global aggregate) while Spark's
+    # groupBy emitted zero — both must emit zero.
+    rows = [(1, 1, _ts(0), 1.0, "view")]  # no click/purchase rows
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    assert REG["agg_ks_drift"].fn(spark, str(tmp_path)).count() == 0
+    assert len(_oracle_df(tmp_path, REG["agg_ks_drift"].sql)) == 0
+
+
 def test_text_jsd_sources_planted(spark, tmp_path):
     rows = [
         (1, "aa bb", "en", "A", 5),
