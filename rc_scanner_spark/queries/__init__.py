@@ -48,143 +48,77 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     #   r2+r3: scanner/LLM/TPC-H/SQL-API prefix (CORRECTNESS_r03.json).
     #   r4: stale events rows + 45 never-checked (50/50 green).
     #   r5: 15 never-checked/re-fixed + round-5 additions (50/50 green).
-    #   r6 (THIS ordering): 1-10 = the 10 oracle-backed entries with
-    #       NO driver row after r5; 11-39 = the 29 round-6 additions
-    #       (oracle-backed); 40-43 = the 4 batch-10 additions
-    #       (oracle-backed); 44-49 = the 6 rows-only never-checked
-    #       entries; 50 = the first r1-era entry — the 50-slot prefix
-    #       is exactly full.  51-54 = the 4 batch-11 additions (head
-    #       the r7 prefix with the r1-era block behind them).
-    # -- 1-10: never-driver-checked, oracle-backed.
-    "events_concurrency",
-    "agg_filtered",
-    "split_leakage_safe",
-    "join_null_safe",
-    "dedup_cluster_size_hist",
-    "events_mad_anomaly",
-    "ann_recall_eval",
-    "sketch_hll_intersect",
-    "agg_weighted_median",
-    "embed_centroid_outliers",
-    # -- 11-18: round-6 additions (oracle-backed) get driver rows on
-    #    first rotation; oracle-backed entries take hash-checked slots
-    #    ahead of rows-only ones.
-    "join_interval_overlap",
-    "events_interval_union",
-    "agg_mode",
-    "join_bloom_pruned",
-    "agg_salted_twophase",
-    "sample_reservoir_group",
-    "window_time_range_rolling",
-    "text_rake_keywords",
-    "agg_ks_drift",
-    "agg_chi2_independence",
-    "agg_ttest_welch",
-    "text_jsd_sources",
-    "events_changepoint_cusum",
-    "join_asof_tolerance",
-    "multimodal_audio_plan",
-    "text_bpe_pair_merges",
-    "sample_kcenter_coreset",
-    "events_autocorr",
-    "orders_rfm_segments",
-    "dedup_tfidf_cosine",
-    "sample_balanced_classes",
-    "embed_label_separation",
-    "orders_cohort_ltv",
-    "events_ab_bucketing",
-    "sketch_kmv_distinct",
-    "split_time_holdout",
-    "graph_kcore",
-    "multimodal_tiles_plan",
-    "dedup_winnowing",
-    "seq_global_row_number",
-    "events_theilsen_trend",
-    "profile_benford",
-    "embed_random_projection",
-    # -- rows-only never-driver-checked block (after all oracle-backed).
-    "multimodal_phash_neardup",
-    "text_compression_ratio",
-    "pack_bins_bfd",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_lsh_bucketed",
-    # -- batch-11 additions: deliberately AFTER the rows-only block
-    #    even though three are oracle-backed — the 50-slot r6 prefix
-    #    is already exactly full (10 never-checked + 29 r6 + 4
-    #    batch-10 + 6 rows-only + 1 r1-era), and the six rows-only
-    #    entries above have waited since r5 for their first driver
-    #    row.  These four are sweep-verified locally and head the r7
-    #    rotation.
-    "agg_incremental_merge",
+    #   r6: 43 never-checked oracle-backed + 6 rows-only + 1 spill
+    #       (44 full-green + 6 rows-only-by-design, CORRECTNESS_r06).
+    #   r7 (THIS ordering): the 51 oracle-backed entries with NO driver
+    #       row through r6 (round-6 batches 11-27 minus the r6-sampled
+    #       agg_incremental_merge and minus rows-only embed_pca_variance)
+    #       — closes cumulative driver coverage at >=292/293.  Rows-only
+    #       (sql=None) entries are EXCLUDED from the prefix: each already
+    #       has its one driver row, and re-sampling burns a hash-checked
+    #       slot on an `err: no_oracle` print.  Enforced by
+    #       tests/test_rotation_ledger.py against the newest committed
+    #       CORRECTNESS_r*.json.
+    #   Drain schedule (r8+): the r1-era block directly below the prefix
+    #       is next — by end of r8 no entry's newest driver row should
+    #       predate r4.  Registry additions are capped at ~20/round so
+    #       the 50-row window can keep converging.
     "events_dow_seasonality",
     "text_keyword_tagging",
     "graph_label_propagation",
     "text_inverted_index",
     "split_kfold",
     "embed_pair_distance_hist",
-    "embed_pca_variance",
-    # -- batch-13 additions (r7 rotation head with the batch-11 block).
     "basket_association_rules",
     "agg_gini",
     "stats_mann_whitney",
     "text_ttr_segments",
     "multimodal_shard_manifest",
-    # -- batch-14 additions.
     "orders_survival_km",
     "events_holt_linear",
     "text_vocab_oov",
     "graph_reach_2hop",
-    # -- batch-15 additions.
     "stats_ols_group",
     "events_growth_accounting",
     "events_top_paths",
     "stats_wilson_ci",
-    # -- batch-16 additions.
     "sample_gumbel_topk",
     "embed_dim_truncation_fidelity",
     "text_pmi_cooccur",
-    # -- batch-17 additions.
     "orders_abc_classification",
     "sketch_hll_sliding",
     "profile_partition_checksums",
-    # -- batch-18 additions.
     "events_forecast_backtest",
     "graph_local_bridges",
     "multimodal_augmentation_plan",
     "text_code_detection",
-    # -- batch-19 additions.
     "graph_hits_bipartite",
     "filter_rejection_funnel",
     "events_local_peaks",
-    # -- batch-20 additions.
     "orders_ship_latency_by_priority",
     "text_ngram_coverage_curve",
     "events_max_drawdown",
-    # -- batch-21 additions.
     "llm_prep_pipeline_v2",
     "profile_dataset_card",
-    # -- batch-22 additions.
     "dedup_minhash_accuracy",
     "events_dow_hour_heatmap",
     "orders_interarrival_cv",
-    # -- batch-23 additions.
     "scd2_consistency_audit",
     "orders_revenue_bridge",
     "embed_exact_dup_vectors",
-    # -- batch-24 additions.
     "sample_quota_hamilton",
     "agg_winsorized_mean",
-    # -- batch-25 additions.
     "text_char_entropy",
     "events_threshold_suggest",
-    # -- batch-26 additions.
     "graph_degree_assortativity",
     "text_word_length_profile",
-    # -- batch-27 additions.
     "text_hapax_ratio",
     "orders_status_mix_by_month",
-    # -- r1-era block: oldest driver rows (CORRECTNESS_r01), re-verify.
+    # -- rows-only, never hash-checkable; its weaker rows-only driver
+    #    row lands whenever the window spills past the 51 above.
+    "embed_pca_variance",
+    # -- r1-era block: oldest driver rows (CORRECTNESS_r01), the r8
+    #    drain target.
     "filter_membership",
     "filter_null_threshold",
     "filter_threshold_inclusive",
@@ -377,6 +311,58 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sql_api_revenue",
     "sql_api_top_customers",
     "sql_api_window",
+    # -- r6-sampled block (CORRECTNESS_r06): the newest driver evidence
+    #    in the repo — last in line for re-verification.
+    "events_concurrency",
+    "agg_filtered",
+    "split_leakage_safe",
+    "join_null_safe",
+    "dedup_cluster_size_hist",
+    "events_mad_anomaly",
+    "ann_recall_eval",
+    "sketch_hll_intersect",
+    "agg_weighted_median",
+    "embed_centroid_outliers",
+    "join_interval_overlap",
+    "events_interval_union",
+    "agg_mode",
+    "join_bloom_pruned",
+    "agg_salted_twophase",
+    "sample_reservoir_group",
+    "window_time_range_rolling",
+    "text_rake_keywords",
+    "agg_ks_drift",
+    "agg_chi2_independence",
+    "agg_ttest_welch",
+    "text_jsd_sources",
+    "events_changepoint_cusum",
+    "join_asof_tolerance",
+    "multimodal_audio_plan",
+    "text_bpe_pair_merges",
+    "sample_kcenter_coreset",
+    "events_autocorr",
+    "orders_rfm_segments",
+    "dedup_tfidf_cosine",
+    "sample_balanced_classes",
+    "embed_label_separation",
+    "orders_cohort_ltv",
+    "events_ab_bucketing",
+    "sketch_kmv_distinct",
+    "split_time_holdout",
+    "graph_kcore",
+    "multimodal_tiles_plan",
+    "dedup_winnowing",
+    "seq_global_row_number",
+    "events_theilsen_trend",
+    "profile_benford",
+    "embed_random_projection",
+    "multimodal_phash_neardup",
+    "text_compression_ratio",
+    "pack_bins_bfd",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_bucketed",
+    "agg_incremental_merge",
 )
 
 

