@@ -960,8 +960,15 @@ def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality filter -> exact dedup (min-id survivor per fingerprint) ->
     per-language corpus stats.
 
-    Shuffle count at any scale: exactly two (fingerprint dedup window,
-    final language aggregate); everything upstream is scan-fused."""
+    Shuffle count at any scale: exactly two (fingerprint dedup
+    aggregate, final language aggregate); everything upstream is
+    scan-fused.  The dedup is min(struct(doc_id, ...)) — doc_id leads
+    the struct and is unique, so the min IS the min-doc_id survivor
+    row — rather than a row_number window: the hash aggregate gets
+    map-side partial aggregation and skips the window's per-partition
+    sort entirely (A/B r7: identical rows, ~8% faster warm at sf0.1,
+    and the far better shape at 100 TB where sorting every shuffle
+    partition dominates)."""
     d = _t(spark, sf_dir, "documents")
     enriched = d.select(
         "doc_id",
@@ -970,9 +977,14 @@ def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).cast("long").alias("n_tokens"),
         fingerprint(F.col("text")).alias("fp"),
     ).filter(F.col("quality") >= 0.35)
-    w = Window.partitionBy("fp").orderBy("doc_id")
     survivors = (
-        enriched.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        enriched.groupBy("fp")
+        .agg(
+            F.min(
+                F.struct("doc_id", "lang_pred", "quality", "n_tokens")
+            ).alias("s")
+        )
+        .select("s.*")
     )
     return survivors.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
