@@ -117,6 +117,14 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     # -- rows-only, never hash-checkable; its weaker rows-only driver
     #    row lands whenever the window spills past the 51 above.
     "embed_pca_variance",
+    # -- batch-28 additions (round 7, capped per the drain schedule):
+    #    never driver-sampled, oracle-backed — they queue behind the
+    #    prefix and head the r8 rotation with the spill above.
+    "text_lang_confusion",
+    "embed_centroid_drift",
+    "graph_clustering_coefficient",
+    "agg_theil_index",
+    "select_mix_planner",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), the r8
     #    drain target.
     "filter_membership",
@@ -399,6 +407,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse17,
         warehouse18,
         warehouse19,
+        warehouse20,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -434,6 +443,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse17,
         warehouse18,
         warehouse19,
+        warehouse20,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

@@ -153,6 +153,8 @@ ALLOWED_CARTESIANS = {
     "agg_incremental_merge": 2,  # 1-row cutoff broadcast, once per branch
     "split_kfold": 1,            # 1-row grand-total broadcast
     "embed_pair_distance_hist": 1,  # 1-row pair-total broadcast
+    # broadcast 1-row source-count scalar (uniform-share denominator)
+    "select_mix_planner": 1,
 }
 
 
