@@ -125,6 +125,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "graph_clustering_coefficient",
     "agg_theil_index",
     "select_mix_planner",
+    # -- batch-29 additions.
+    "profile_quality_dup_calibration",
+    "events_error_pchart",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), the r8
     #    drain target.
     "filter_membership",
@@ -408,6 +411,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse18,
         warehouse19,
         warehouse20,
+        warehouse21,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -444,6 +448,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse18,
         warehouse19,
         warehouse20,
+        warehouse21,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

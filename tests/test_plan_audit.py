@@ -155,6 +155,8 @@ ALLOWED_CARTESIANS = {
     "embed_pair_distance_hist": 1,  # 1-row pair-total broadcast
     # broadcast 1-row source-count scalar (uniform-share denominator)
     "select_mix_planner": 1,
+    # broadcast 1-row corpus error-rate totals (p-chart center line)
+    "events_error_pchart": 1,
 }
 
 
