@@ -79,13 +79,21 @@ def q_agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (DuckDB's HUGEINT would not — a silent at-scale divergence);
     # both engines take long->double->*1e6->/->floor with identical
     # rounding at every step.
-    gap = cum.crossJoin(F.broadcast(totals)).select(
-        F.abs(
-            F.floor(F.col("cc") * F.lit(1000000.0) / F.col("tc")).cast("long")
-            - F.floor(F.col("cp") * F.lit(1000000.0) / F.col("tp")).cast("long")
-        ).alias("g"),
-        "tc",
-        "tp",
+    # One-sided guard (review r7): with rows of only one type the other
+    # total is 0 and the ppm division throws under ANSI while DuckDB
+    # returns a row — a KS statistic needs BOTH samples, so one-sided
+    # input yields zero rows on both engines (WHERE mirrored in twin).
+    gap = (
+        cum.crossJoin(F.broadcast(totals))
+        .filter((F.col("tc") > 0) & (F.col("tp") > 0))
+        .select(
+            F.abs(
+                F.floor(F.col("cc") * F.lit(1000000.0) / F.col("tc")).cast("long")
+                - F.floor(F.col("cp") * F.lit(1000000.0) / F.col("tp")).cast("long")
+            ).alias("g"),
+            "tc",
+            "tp",
+        )
     )
     return gap.groupBy("tc", "tp").agg(F.max("g").alias("ks_ppm")).select(
         F.col("ks_ppm"),
@@ -120,6 +128,7 @@ SELECT CAST(max(abs(CAST(floor(CAST(cc AS DOUBLE) * 1000000.0 / tc) AS BIGINT)
        CAST(tc AS BIGINT) AS n_click,
        CAST(tp AS BIGINT) AS n_purchase
 FROM cum, tot
+WHERE tc > 0 AND tp > 0
 GROUP BY tc, tp
 """
 

@@ -360,8 +360,14 @@ def q_agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
         ).alias("cents")
     )
-    seg = spend.join(cust, spend.o_custkey == cust.c_custkey).select(
-        "segment", "cents"
+    # Theil is defined over POSITIVE incomes: a zero-cents customer
+    # would make F.log(0) NULL on Spark (term silently dropped while n
+    # still counts it) and throw on DuckDB — exclude on both sides
+    # (review r7).
+    seg = (
+        spend.filter(F.col("cents") > 0)
+        .join(cust, spend.o_custkey == cust.c_custkey)
+        .select("segment", "cents")
     )
     tot = seg.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
@@ -394,6 +400,7 @@ WITH spend AS (
 seg AS (
   SELECT c_mktsegment AS segment, cents
   FROM spend JOIN customer ON c_custkey = o_custkey
+  WHERE cents > 0
 ),
 tot AS (
   SELECT segment, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
@@ -468,10 +475,10 @@ def q_select_mix_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SELECT_MIX_PLANNER = f"""
 WITH per_src AS (
   SELECT source,
-         CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
-           AS tokens_available
+         CAST(sum(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')))
+              AS BIGINT) AS tokens_available
   FROM documents GROUP BY 1
-  HAVING sum(len(regexp_extract_all(text, '\\S+'))) > 0
+  HAVING sum(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'))) > 0
 ),
 nsrc AS (SELECT count(*) AS n_sources FROM per_src)
 SELECT source, tokens_available,

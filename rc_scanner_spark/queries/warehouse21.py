@@ -31,10 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.text import fingerprint, quality_score
+from ..operators.text import LANG_MARKERS, fingerprint, quality_score
 from . import QuerySpec, load_tuned
 
 _t = load_tuned
+_M = LANG_MARKERS
 
 
 # --------------------------------------------------------------------
@@ -82,13 +83,15 @@ def q_profile_quality_dup_calibration(
     )
 
 
-# the m/r/quality CTEs mirror SQL_TEXT_QUALITY (the driver-green chain)
-SQL_PROFILE_QUALITY_DUP_CALIBRATION = """
+# the m/q CTEs mirror SQL_TEXT_QUALITY (the driver-green chain); the
+# stopword marker interpolates LANG_MARKERS['en'] so the twin follows
+# the Spark side if the marker set ever changes (review r7)
+SQL_PROFILE_QUALITY_DUP_CALIBRATION = f"""
 WITH m AS (
   SELECT doc_id, text,
          CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
          len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-         len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to)\\b')) AS n_stop
+         len(regexp_extract_all(lower(text), '{_M["en"]}')) AS n_stop
   FROM documents
 ),
 q AS (

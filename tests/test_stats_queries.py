@@ -141,6 +141,19 @@ def test_agg_ks_drift_empty_input_zero_rows_both_engines(spark, tmp_path):
     assert len(_oracle_df(tmp_path, REG["agg_ks_drift"].sql)) == 0
 
 
+def test_agg_ks_drift_one_sided_zero_rows_both_engines(spark, tmp_path):
+    # review r7: purchase rows but ZERO click rows previously threw
+    # DIVIDE_BY_ZERO on Spark (ANSI) while DuckDB returned a row —
+    # a KS statistic needs both samples, so one-sided input is empty.
+    rows = [
+        (1, 1, _ts(0), 1.0, "purchase"),
+        (2, 1, _ts(1), 2.0, "purchase"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    assert REG["agg_ks_drift"].fn(spark, str(tmp_path)).count() == 0
+    assert len(_oracle_df(tmp_path, REG["agg_ks_drift"].sql)) == 0
+
+
 def test_text_jsd_sources_planted(spark, tmp_path):
     rows = [
         (1, "aa bb", "en", "A", 5),

@@ -126,6 +126,64 @@ def test_agg_theil_index_planted(spark, tmp_path):
     assert out["BUILD"] == (1, 0)
 
 
+def _oracle_docs_df(tmp_path, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def test_agg_theil_index_zero_spend_excluded(spark, tmp_path):
+    # review r7: a zero-cents customer made Spark's F.log(0) NULL
+    # (term dropped, n still counted — wrong Theil) while DuckDB's
+    # ln(0) threw.  Zero spenders are excluded on both sides.
+    orows = [
+        (1, 1, "O", 100.0, "1995-01-01", "1-URGENT"),
+        (2, 2, "O", 0.0, "1995-01-02", "1-URGENT"),
+    ]
+    _write(
+        spark, tmp_path, "orders", orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    )
+    crows = [
+        (1, "c1", 0, 0.0, "AUTO"),
+        (2, "c2", 0, 0.0, "AUTO"),
+    ]
+    _write(
+        spark, tmp_path, "customer", crows,
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    out = {
+        r.segment: (r.n_customers, r.theil_ppb)
+        for r in REG["agg_theil_index"].fn(spark, str(tmp_path)).collect()
+    }
+    # only the positive spender remains -> single-customer Theil == 0
+    assert out == {"AUTO": (1, 0)}
+
+
+def test_select_mix_planner_vertical_tab_parity(spark, tmp_path):
+    # review r7: the twin tokenized with RE2 '\\S+', which unlike Java
+    # \\s+ does NOT split on vertical tab (U+000B) — token counts
+    # diverged on any corpus containing \x0B.  Both sides must agree.
+    rows = [(1, "alpha\x0bbeta gamma", "en", "A", 16)]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    spark_rows = (
+        REG["select_mix_planner"].fn(spark, str(tmp_path)).collect()
+    )
+    assert spark_rows[0].tokens_available == 3
+    odf = _oracle_docs_df(tmp_path, REG["select_mix_planner"].sql)
+    assert int(odf["tokens_available"][0]) == 3
+
+
 def test_select_mix_planner_planted(spark, tmp_path):
     rows = [
         (1, " ".join(["w"] * 10), "en", "A", 20),      # 10 tokens
