@@ -34,22 +34,35 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the latest right row
-    with the same key and right_ts <= left_ts.
+    """As-of join: for each left row, the single best right row with
+    the same key under ``direction``:
 
-    Implementation: equi-join on the key + window pick of the max
-    right_ts.  This shuffles both sides once on ``key`` and is robust
-    to many matches per key; when the per-key match fan-out is huge,
-    pre-aggregate the right side into time buckets first (the
-    sort-merge-join + filter still beats a cross join).  Deterministic
-    tie-break: latest right_ts, then largest right id column (first of
-    right_cols) — callers should pass a unique column first.
+    * ``backward`` (default) — the latest right_ts <= left_ts;
+    * ``nearest`` — the smallest |right_ts - left_ts| within
+      ``tolerance`` (REQUIRED for nearest: an unbounded nearest match
+      would force unbounded join fan-out); an equidistant
+      before/after pair resolves to the BACKWARD row (pandas
+      merge_asof semantics), then the smallest right id column.
+
+    Implementation: equi-join on the key + window pick.  This shuffles
+    both sides once on ``key`` and is robust to many matches per key;
+    when the per-key match fan-out is huge, pre-aggregate the right
+    side into time buckets first (the sort-merge-join + filter still
+    beats a cross join).  Deterministic tie-break: backward — latest
+    right_ts then largest right id; nearest — smallest |gap|, earlier
+    right_ts (the backward one), then smallest right id — callers
+    should pass a unique column first in ``right_cols``.
 
     The matched right timestamp is returned as the documented column
     ``asof_matched_ts`` (NULL when no match); internal helper columns
     are dropped.
     """
+    if direction not in ("backward", "nearest"):
+        raise ValueError(f"unsupported asof direction {direction!r}")
+    if direction == "nearest" and tolerance is None:
+        raise ValueError("nearest as-of requires a tolerance bound")
     lid = "__asof_lid"
     l = left.withColumn(lid, F.monotonically_increasing_id())
     r = right.select(
@@ -57,14 +70,31 @@ def asof_join(
         F.col(right_ts).alias("__rts"),
         *[F.col(c) for c in right_cols],
     )
-    cond = (F.col(key) == F.col("__rkey")) & (F.col("__rts") <= F.col(left_ts))
-    if tolerance is not None:
-        cond = cond & (F.col("__rts") >= F.col(left_ts) - tolerance)
+    cond = F.col(key) == F.col("__rkey")
+    if direction == "backward":
+        cond = cond & (F.col("__rts") <= F.col(left_ts))
+        if tolerance is not None:
+            cond = cond & (F.col("__rts") >= F.col(left_ts) - tolerance)
+        order = [
+            F.col("__rts").desc_nulls_last(),
+            *[F.col(c).desc_nulls_last() for c in right_cols[:1]],
+        ]
+    else:
+        cond = (
+            cond
+            & (F.col("__rts") >= F.col(left_ts) - tolerance)
+            & (F.col("__rts") <= F.col(left_ts) + tolerance)
+        )
+        gap = F.abs(
+            F.unix_micros(F.col("__rts")) - F.unix_micros(F.col(left_ts))
+        )
+        order = [
+            gap.asc_nulls_last(),
+            F.col("__rts").asc_nulls_last(),
+            *[F.col(c).asc_nulls_last() for c in right_cols[:1]],
+        ]
     joined = l.join(r, on=cond, how="left")
-    w = Window.partitionBy(lid).orderBy(
-        F.col("__rts").desc_nulls_last(),
-        *[F.col(c).desc_nulls_last() for c in right_cols[:1]],
-    )
+    w = Window.partitionBy(lid).orderBy(*order)
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -128,6 +128,10 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     # -- batch-29 additions.
     "profile_quality_dup_calibration",
     "events_error_pchart",
+    # -- batch-30 additions.
+    "join_asof_nearest",
+    "text_script_mix",
+    "events_bounce_rate",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), the r8
     #    drain target.
     "filter_membership",
@@ -412,6 +416,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse19,
         warehouse20,
         warehouse21,
+        warehouse22,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -449,6 +454,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse19,
         warehouse20,
         warehouse21,
+        warehouse22,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:
