@@ -880,7 +880,7 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TEXT_TOKEN_COUNT = f"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS INTEGER) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INTEGER) AS n_bpe_tokens
 FROM documents
 """
@@ -1034,7 +1034,7 @@ qual AS (
 ),
 base AS (
   SELECT d.doc_id, lang_pred, quality,
-         CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(d.text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
          substring(md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))), 1, 16)
              AS fp
   FROM documents d
@@ -1496,8 +1496,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PACK_SEQUENCES = r"""
 WITH t AS (
   SELECT doc_id, source,
-         len(regexp_extract_all(text, '\S+')) AS n_tokens,
-         sum(len(regexp_extract_all(text, '\S+')))
+         len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS n_tokens,
+         sum(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')))
              OVER (PARTITION BY source ORDER BY doc_id
                    ROWS UNBOUNDED PRECEDING) AS end_offset
   FROM documents
@@ -1827,7 +1827,7 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor — emitted as per-rule booleans plus the conjunction, so
     downstream can both filter and audit WHY a doc failed."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"[^ \t\n\x0B\f\r]+"), 0)
     n_tok = F.size(toks)
     letters = words(F.col("text"))
     n_letter_words = F.size(letters)
@@ -1869,7 +1869,7 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_GOPHER_RULES = r"""
 WITH t AS (
   SELECT doc_id,
-         len(regexp_extract_all(text, '\S+')) AS n_tok,
+         len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS n_tok,
          regexp_extract_all(lower(text), '[a-z]+') AS letters,
          len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
          len(regexp_extract_all(lower(text),
@@ -2361,7 +2361,7 @@ WITH q AS (
          len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
          len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
          len(regexp_extract_all(lower(text), '{_M["en"]}')) AS n_stop,
-         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens
   FROM documents
 ),
 m AS (
@@ -2501,9 +2501,9 @@ def q_batch_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_BATCH_LENGTH_BUCKETS = f"""
 WITH t AS (
-  SELECT least(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT),
+  SELECT least(CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT),
                {_BUCKET_CAP}) AS n_tokens,
-         least(greatest(CAST(ceil(CAST(len(regexp_extract_all(text, '\\S+'))
+         least(greatest(CAST(ceil(CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'))
                                        AS BIGINT) / {_BUCKET_STEP}.0)
                              * {_BUCKET_STEP} AS BIGINT),
                         {_BUCKET_STEP}), {_BUCKET_CAP}) AS bucket_len
