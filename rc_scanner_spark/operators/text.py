@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 
 WORD_RE = "[a-z]+"
 # BPE-ish tokenizer: letter runs, digit runs, or single non-space symbol.
-BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+# The whitespace complement is spelled out because the pattern is shared
+# verbatim with the DuckDB twin and Java \s includes vertical tab
+# (U+000B) while RE2 \s does not (review r7 — same class as the \S+
+# tokenizer sweep).
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 PUNCT_RE = "[.,;:!?]"
 
 # Marker stopwords per language for the n-gram/stopword heuristic

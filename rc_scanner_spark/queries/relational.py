@@ -994,8 +994,12 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SESSION_WINDOWS = """
-WITH g AS (
+# Shared 30-minute-gap sessionization CTE — the DuckDB twin of
+# operators/relational.sessionize(gap_seconds=1800, tiebreak event_id).
+# Reused by SQL_SESSION_WINDOWS here and warehouse22's bounce rate so
+# a gap-rule change edits ONE block (the warehouse2._SQL_EDGES_CTE
+# convention); ``s`` exposes (user_id, value, ts, session_id).
+SQL_SESSIONIZE_CTE = """g AS (
   SELECT user_id, event_id, value, ts,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
@@ -1004,12 +1008,15 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
-  SELECT user_id, value,
+  SELECT user_id, value, ts,
          CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS session_id
   FROM g
-)
+)"""
+
+SQL_SESSION_WINDOWS = f"""
+WITH {SQL_SESSIONIZE_CTE}
 SELECT user_id, session_id, count(*) AS n_events,
        round(sum(value), 2) AS total_value
 FROM s GROUP BY user_id, session_id

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..operators.relational import asof_join, sessionize
 from . import QuerySpec, load_tuned
+from .relational import SQL_SESSIONIZE_CTE
 
 _t = load_tuned
 
@@ -102,6 +103,12 @@ QUALIFY row_number() OVER (
 # --------------------------------------------------------------------
 
 
+def _class_count_translate(chars: str) -> F.Column:
+    """Finite-set char-class count: translate is a plain char-map pass,
+    no regex engine — the quality_columns idiom (operators/text.py)."""
+    return F.length("text") - F.length(F.translate(F.col("text"), chars, ""))
+
+
 def _class_count(pat: str) -> F.Column:
     return F.length("text") - F.length(F.regexp_replace(F.col("text"), pat, ""))
 
@@ -114,15 +121,19 @@ def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: counts are length-minus-replace deltas (one regex pass per
     class, no match-array materialization), summed map-side into one
     source aggregate."""
+    import string
+
     d = _t(spark, sf_dir, "documents")
     per_doc = d.select(
         "source",
         F.length("text").cast("long").alias("n"),
-        _class_count("[A-Za-z]").cast("long").alias("latin"),
-        _class_count("[0-9]").cast("long").alias("digit"),
-        # engine-neutral whitespace class (Java \s vs RE2 \s disagree
-        # on U+000B — spelled out on both sides)
-        _class_count("[ \t\n\x0B\f\r]").cast("long").alias("space"),
+        # finite classes count via translate (one char-map pass, no
+        # regex engine); only the CJK RANGE needs a regex.  The
+        # whitespace set is the engine-neutral explicit list (Java \s
+        # vs RE2 \s disagree on U+000B).
+        _class_count_translate(string.ascii_letters).cast("long").alias("latin"),
+        _class_count_translate(string.digits).cast("long").alias("digit"),
+        _class_count_translate(" \t\n\x0B\f\r").cast("long").alias("space"),
         _class_count("[一-鿿]").cast("long").alias("cjk"),
     )
     agg = per_doc.groupBy("source").agg(
@@ -250,22 +261,8 @@ def q_events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EVENTS_BOUNCE_RATE = """
-WITH g AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-              THEN 1 ELSE 0 END AS ns
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-s AS (
-  SELECT user_id, ts,
-         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS BIGINT) AS session_id
-  FROM g
-),
+SQL_EVENTS_BOUNCE_RATE = f"""
+WITH {SQL_SESSIONIZE_CTE},
 sessions AS (
   SELECT user_id, session_id, count(*) AS n_events, min(ts) AS start_ts
   FROM s GROUP BY 1, 2

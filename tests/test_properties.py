@@ -488,3 +488,33 @@ def test_concurrency_matches_bruteforce(spark, starts, tmp_path_factory):
         t += timedelta(minutes=1)
     want = {d: n for d, n in peak.items() if d in got}
     assert got == want
+
+
+def test_bpe_and_ws_token_counts_engine_neutral_on_vertical_tab(spark, tmp_path):
+    """review r7: Java and RE2 disagree on whether U+000B is \\s — both
+    token legs of text_token_count must count identically on both
+    engines for \\x0B-bearing text (BPE_RE and the ws tokenizer now
+    spell the whitespace set explicitly)."""
+    import duckdb
+
+    from rc_scanner_spark.queries import build_registry
+    from tests.conftest import write_fixture
+
+    reg = build_registry()
+    rows = [(1, "a\x0bb .c", "en", "A", 6)]
+    write_fixture(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    [r] = reg["text_token_count"].fn(spark, str(tmp_path)).collect()
+    # ws tokens: 'a', 'b', '.c' (vertical tab splits); bpe tokens:
+    # 'a', 'b', '.', 'c' (the \x0B is whitespace, NOT a symbol token)
+    assert (r.n_ws_tokens, r.n_bpe_tokens) == (3, 4)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    o = con.execute(reg["text_token_count"].sql).df()
+    con.close()
+    assert (int(o["n_ws_tokens"][0]), int(o["n_bpe_tokens"][0])) == (3, 4)

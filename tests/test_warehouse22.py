@@ -64,6 +64,22 @@ def test_text_script_mix_planted(spark, tmp_path):
     }
 
 
+def test_text_script_mix_degenerate_empty_source(spark, tmp_path):
+    # review r7 convention: every statistic needs its zero-denominator
+    # planted case.  A source with only empty/NULL text contributes
+    # zero characters and must be EXCLUDED (not divide by zero / not
+    # emit a NULL-share row) on the Spark side.
+    rows = [
+        (1, "", "en", "E", 0),
+        (2, None, "en", "E", 0),
+        (3, "ok", "en", "A", 2),
+    ]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    out = {r.source for r in
+           REG["text_script_mix"].fn(spark, str(tmp_path)).collect()}
+    assert out == {"A"}
+
+
 def test_events_bounce_rate_planted(spark, tmp_path):
     d = datetime.datetime
     rows = [
