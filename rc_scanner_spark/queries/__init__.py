@@ -132,6 +132,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "join_asof_nearest",
     "text_script_mix",
     "events_bounce_rate",
+    # -- batch-31 additions.
+    "multimodal_pair_integrity",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), the r8
     #    drain target.
     "filter_membership",
@@ -417,6 +419,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse20,
         warehouse21,
         warehouse22,
+        warehouse23,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -455,6 +458,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse20,
         warehouse21,
         warehouse22,
+        warehouse23,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:
