@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import re
+import subprocess
 from pathlib import Path
 
 from rc_scanner_spark.queries import _VERIFICATION_PRIORITY, build_registry
@@ -32,8 +33,24 @@ PREFIX_SLOTS = 50
 
 
 def _newest_correctness() -> dict:
+    # Only COMMITTED correctness files count: the driver writes the new
+    # round's file to disk before it lands in git, and the rotation is
+    # the NEXT round's first job — an untracked fresh file must not
+    # redden the suite mid-verification.
+    try:
+        tracked = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.split()
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        tracked = None  # not a git checkout: fall back to disk
     files = sorted(
-        REPO.glob("CORRECTNESS_r*.json"),
+        (REPO / f for f in tracked)
+        if tracked is not None
+        else REPO.glob("CORRECTNESS_r*.json"),
         key=lambda p: int(re.search(r"r(\d+)", p.stem).group(1)),
     )
     assert files, "no CORRECTNESS_r*.json committed"
