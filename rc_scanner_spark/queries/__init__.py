@@ -134,6 +134,11 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "events_bounce_rate",
     # -- batch-31 additions.
     "multimodal_pair_integrity",
+    # -- batch-32 additions.
+    "agg_bayes_shrunken_rates",
+    "events_anomaly_seasonal_adjusted",
+    "text_tokenizer_fertility",
+    "embed_dup_consistency",
     # -- r1-era block: oldest driver rows (CORRECTNESS_r01), the r8
     #    drain target.
     "filter_membership",
@@ -420,6 +425,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse21,
         warehouse22,
         warehouse23,
+        warehouse24,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -459,6 +465,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse21,
         warehouse22,
         warehouse23,
+        warehouse24,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

@@ -157,6 +157,8 @@ ALLOWED_CARTESIANS = {
     "select_mix_planner": 1,
     # broadcast 1-row corpus error-rate totals (p-chart center line)
     "events_error_pchart": 1,
+    # broadcast 1-row corpus pass-rate totals (shrinkage prior)
+    "agg_bayes_shrunken_rates": 1,
 }
 
 
