@@ -766,6 +766,41 @@ FROM r
 """
 
 
+def sql_quality_ctes(extra_cols: str = "", with_fp: bool = False) -> str:
+    """Shared DuckDB twin of ``operators/text.quality_score``: an
+    ``m``/``q`` CTE pair where ``q`` exposes (doc_id, quality[, fp]
+    [, extra_cols]).  Every twin that gates or bands on the composite
+    quality score builds from THIS block (the SQL_WORD_SHINGLES_CTE_K3
+    convention) instead of copying it — a weight or marker change then
+    edits one site.  SQL_TEXT_QUALITY above stays standalone because it
+    also exports the intermediate ratio columns."""
+    ec = f", {extra_cols}" if extra_cols else ""
+    fp = (
+        ",\n         substring(md5(trim(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g'))), 1, 16) AS fp"
+        if with_fp
+        else ""
+    )
+    return f"""m AS (
+  SELECT doc_id{ec}, text,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '{_M["en"]}')) AS n_stop
+  FROM documents
+),
+q AS (
+  SELECT doc_id{ec},
+         round(least(n_words / 50.0, 1.0) * 0.4
+               + coalesce(round(n_stop / CASE WHEN n_words > 0
+                                              THEN CAST(n_words AS DOUBLE) END, 4),
+                          0.0) * 0.4
+               + least(coalesce(round(n_punct / CASE WHEN n_words > 0
+                                                     THEN CAST(n_words AS DOUBLE) END, 4),
+                                0.0) * 5, 1.0) * 0.2, 4) AS quality{fp}
+  FROM m
+)"""
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals for corpus filtering: duplicate
     2-gram fraction, distinct-token ratio, and the most-frequent

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..operators.text import LANG_MARKERS, fingerprint, quality_score
 from . import QuerySpec, load_tuned
+from .llm import sql_quality_ctes
 
 _t = load_tuned
 _M = LANG_MARKERS
@@ -83,30 +84,10 @@ def q_profile_quality_dup_calibration(
     )
 
 
-# the m/q CTEs mirror SQL_TEXT_QUALITY (the driver-green chain); the
-# stopword marker interpolates LANG_MARKERS['en'] so the twin follows
-# the Spark side if the marker set ever changes (review r7)
+# quality gate + fingerprint come from the SHARED llm.sql_quality_ctes
+# block (review r7: this chain existed in five copies; now one site)
 SQL_PROFILE_QUALITY_DUP_CALIBRATION = f"""
-WITH m AS (
-  SELECT doc_id, text,
-         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
-         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-         len(regexp_extract_all(lower(text), '{_M["en"]}')) AS n_stop
-  FROM documents
-),
-q AS (
-  SELECT doc_id,
-         round(least(n_words / 50.0, 1.0) * 0.4
-               + coalesce(round(n_stop / CASE WHEN n_words > 0
-                                              THEN CAST(n_words AS DOUBLE) END, 4),
-                          0.0) * 0.4
-               + least(coalesce(round(n_punct / CASE WHEN n_words > 0
-                                                     THEN CAST(n_words AS DOUBLE) END, 4),
-                                0.0) * 5, 1.0) * 0.2, 4) AS quality,
-         substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
-             AS fp
-  FROM m
-),
+WITH {sql_quality_ctes(with_fp=True)},
 base AS (
   SELECT doc_id, CAST(floor(quality * 20) AS BIGINT) AS band, fp FROM q
 ),

@@ -18,14 +18,16 @@ Why these belong in a 100 TB training-data engine:
   allocation for multilingual training.
 * ``embed_dup_consistency`` — for exact-duplicate documents (same
   normalized fingerprint), the cosine between the pair's embeddings,
-  banded: duplicate text with dissimilar embeddings means the
-  embedding job and the dedup disagree about the corpus.
+  summarized in one always-present audit row: duplicate text with
+  dissimilar embeddings means the embedding job and the dedup disagree
+  about the corpus.
 
 Engine-parity notes: exact integer counts; one-float-chain ppm floors;
 residual medians/MADs via the exact percentile/quantile_cont idiom;
 dup pairs are CONSECUTIVE ids within a fingerprint group (lead() over
 the fp partition — linear in group size, never all-pairs); cosine
-snaps to 1e-4 before the 0.1-wide banding DIV.
+snaps to 1e-4 (NULL for zero-norm vectors, guard mirrored in the
+twin) before the fixed 0.9/0.5 high/low thresholds.
 
 Reference scope note: the reference engine (scanner.py:120-175) has no
 analytics surface; extends SURVEY.md §2.B's aggregation / events /
@@ -38,9 +40,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double_array, cosine
-from ..operators.text import bpe_token_count, fingerprint, quality_score
+from ..operators.text import BPE_RE, bpe_token_count, fingerprint, quality_score
 from . import QuerySpec, load_tuned
-from .llm import _M
+from .llm import sql_quality_ctes
 
 _t = load_tuned
 
@@ -93,28 +95,11 @@ def q_agg_bayes_shrunken_rates(
 
 
 SQL_AGG_BAYES_SHRUNKEN_RATES = f"""
-WITH m AS (
-  SELECT source,
-         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
-         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-         len(regexp_extract_all(lower(text), '{_M["en"]}')) AS n_stop
-  FROM documents
-),
-gated AS (
-  SELECT source,
-         CASE WHEN round(least(n_words / 50.0, 1.0) * 0.4
-               + coalesce(round(n_stop / CASE WHEN n_words > 0
-                                              THEN CAST(n_words AS DOUBLE) END, 4),
-                          0.0) * 0.4
-               + least(coalesce(round(n_punct / CASE WHEN n_words > 0
-                                                     THEN CAST(n_words AS DOUBLE) END, 4),
-                                0.0) * 5, 1.0) * 0.2, 4) >= {_QUALITY_GATE}
-              THEN 1 ELSE 0 END AS p
-  FROM m
-),
+WITH {sql_quality_ctes(extra_cols="source")},
 per_src AS (
-  SELECT source, count(*) AS n_docs, sum(p) AS n_pass
-  FROM gated GROUP BY 1
+  SELECT source, count(*) AS n_docs,
+         sum(CASE WHEN quality >= {_QUALITY_GATE} THEN 1 ELSE 0 END) AS n_pass
+  FROM q GROUP BY 1
 ),
 tot AS (SELECT sum(n_docs) AS nn, sum(n_pass) AS kk FROM per_src)
 SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
@@ -143,7 +128,7 @@ def q_events_anomaly_seasonal_adjusted(
     daily = ev.groupBy(
         "event_type",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
-        F.weekday(F.to_date(F.date_format("ts", "yyyy-MM-dd"))).alias("dow"),
+        F.weekday(F.to_date("ts")).alias("dow"),
     ).agg(F.count(F.lit(1)).alias("n"))
     dow_mean = daily.groupBy("event_type", "dow").agg(
         F.avg("n").alias("mu")
@@ -246,10 +231,7 @@ def q_text_tokenizer_fertility(
 
 # BPE_RE is interpolated from the shared constant so the twin follows
 # the Spark side (operators/text.py) if the tokenizer ever changes.
-def _sql_text_tokenizer_fertility() -> str:
-    from ..operators.text import BPE_RE
-
-    return f"""
+SQL_TEXT_TOKENIZER_FERTILITY = f"""
 WITH per_doc AS (
   SELECT lang, CAST(length(text) AS BIGINT) AS c,
          CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS t
@@ -330,9 +312,14 @@ pairs AS (
   QUALIFY id_b IS NOT NULL
 ),
 scored AS (
-  SELECT CAST(floor(list_cosine_similarity(ea.embedding::DOUBLE[],
-                                           eb.embedding::DOUBLE[])
-                    * 10000 + 0.5) AS BIGINT) AS s4
+  SELECT CASE WHEN list_dot_product(ea.embedding::DOUBLE[],
+                                    ea.embedding::DOUBLE[]) != 0
+               AND list_dot_product(eb.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[]) != 0
+              THEN CAST(floor(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                                     eb.embedding::DOUBLE[])
+                              * 10000 + 0.5) AS BIGINT)
+         END AS s4
   FROM pairs
   JOIN embeddings ea ON ea.vec_id = id_a
   JOIN embeddings eb ON eb.vec_id = id_b
@@ -357,7 +344,7 @@ QUERIES: dict[str, QuerySpec] = {
         SQL_EVENTS_ANOMALY_SEASONAL_ADJUSTED,
     ),
     "text_tokenizer_fertility": QuerySpec(
-        q_text_tokenizer_fertility, _sql_text_tokenizer_fertility()
+        q_text_tokenizer_fertility, SQL_TEXT_TOKENIZER_FERTILITY
     ),
     "embed_dup_consistency": QuerySpec(
         q_embed_dup_consistency, SQL_EMBED_DUP_CONSISTENCY

@@ -122,6 +122,33 @@ def test_embed_dup_consistency_planted(spark, tmp_path):
     )
 
 
+def test_embed_dup_consistency_zero_norm_null_both_engines(spark, tmp_path):
+    # review r7: a zero-vector member of a dup pair must yield a NULL
+    # cosine (not NaN / not a DuckDB cast error) on BOTH engines.
+    import duckdb
+
+    docs = [(1, "same", "en", "A", 4), (2, "same", "en", "A", 4)]
+    _write(spark, tmp_path, "documents", docs, DOC_SCHEMA)
+    vecs = [(1, [0.0] * 64, 0), (2, [1.0] + [0.0] * 63, 0)]
+    _write(
+        spark, tmp_path, "embeddings", vecs,
+        "vec_id long, embedding array<float>, label long",
+    )
+    [r] = REG["embed_dup_consistency"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_pairs, r.n_high, r.n_low, r.min_s4, r.max_s4) == (
+        1, 0, 0, None, None
+    )
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    o = con.execute(REG["embed_dup_consistency"].sql).df()
+    con.close()
+    assert int(o["n_pairs"][0]) == 1 and o["min_s4"].isna().all()
+
+
 def test_embed_dup_consistency_no_dups_one_zero_row(spark, tmp_path):
     docs = [(1, "aa", "en", "A", 2), (2, "bb", "en", "A", 2)]
     _write(spark, tmp_path, "documents", docs, DOC_SCHEMA)
