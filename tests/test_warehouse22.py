@@ -47,6 +47,131 @@ def test_join_asof_nearest_planted(spark, tmp_path):
     }
 
 
+def test_join_asof_nearest_matches_pandas_merge_asof(spark, tmp_path):
+    """Reference-semantics check: the nearest-direction as-of join must
+    reproduce pandas merge_asof(direction='nearest') — including its
+    equidistant-resolves-backward tie rule — on a seeded random
+    fixture (unique click timestamps per user so the secondary id
+    tie-break never engages and the comparison is exact)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for user in range(1, 21):
+        seen = set()
+        for _ in range(rng.randint(1, 12)):
+            t = rng.randint(0, 50000)
+            while t in seen:
+                t = rng.randint(0, 50000)
+            seen.add(t)
+            eid += 1
+            rows.append((eid, user, _ts(t), 0.0, "click"))
+        for _ in range(rng.randint(1, 6)):
+            t = rng.randint(0, 50000)
+            while t in seen:  # keep purchase ts distinct from clicks:
+                t = rng.randint(0, 50000)  # a 0-gap pair is trivially
+            seen.add(t)  # nearest and exercises nothing
+            eid += 1
+            rows.append((eid, user, _ts(t), 0.0, "purchase"))
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r.event_id: r.click_event_id
+        for r in REG["join_asof_nearest"].fn(spark, str(tmp_path)).collect()
+    }
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "value", "event_type"]
+    )
+    p = (
+        pdf[pdf.event_type == "purchase"]
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    c = (
+        pdf[pdf.event_type == "click"]
+        .rename(columns={"event_id": "click_event_id", "ts": "click_ts"})
+        .sort_values("click_ts")
+        .reset_index(drop=True)
+    )
+    ref = pd.merge_asof(
+        p,
+        c[["user_id", "click_event_id", "click_ts"]],
+        left_on="ts",
+        right_on="click_ts",
+        by="user_id",
+        tolerance=pd.Timedelta(hours=1),
+        direction="nearest",
+    )
+    expect = {
+        int(r.event_id): (None if pd.isna(r.click_event_id)
+                          else int(r.click_event_id))
+        for r in ref.itertuples()
+    }
+    assert got == expect
+
+
+def test_join_asof_tolerance_matches_pandas_merge_asof(spark, tmp_path):
+    """Same reference check for the BACKWARD tolerance-bounded as-of
+    (stats.py join_asof_tolerance) — pandas merge_asof(direction=
+    'backward', tolerance=1h) is the authority."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for user in range(1, 21):
+        seen = set()
+        for kind, count in (("click", rng.randint(1, 12)),
+                            ("purchase", rng.randint(1, 6))):
+            for _ in range(count):
+                t = rng.randint(0, 50000)
+                while t in seen:
+                    t = rng.randint(0, 50000)
+                seen.add(t)
+                eid += 1
+                rows.append((eid, user, _ts(t), 0.0, kind))
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r.event_id: r.click_event_id
+        for r in REG["join_asof_tolerance"].fn(spark, str(tmp_path)).collect()
+    }
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "value", "event_type"]
+    )
+    p = (
+        pdf[pdf.event_type == "purchase"]
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    c = (
+        pdf[pdf.event_type == "click"]
+        .rename(columns={"event_id": "click_event_id", "ts": "click_ts"})
+        .sort_values("click_ts")
+        .reset_index(drop=True)
+    )
+    ref = pd.merge_asof(
+        p,
+        c[["user_id", "click_event_id", "click_ts"]],
+        left_on="ts",
+        right_on="click_ts",
+        by="user_id",
+        tolerance=pd.Timedelta(hours=1),
+        direction="backward",
+    )
+    expect = {
+        int(r.event_id): (None if pd.isna(r.click_event_id)
+                          else int(r.click_event_id))
+        for r in ref.itertuples()
+    }
+    assert got == expect
+
+
 def test_text_script_mix_planted(spark, tmp_path):
     rows = [
         (1, "ab1 你", "en", "A", 5),  # 2 latin, 1 digit, 1 space, 1 CJK
