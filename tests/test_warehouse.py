@@ -160,3 +160,52 @@ def test_basket_pairs_invariants(spark):
     assert all(r["pa"] < r["pb"] for r in rows)
     assert all(r["support"] >= _BASKET_MIN_SUPPORT for r in rows)
     assert all(r["lift"] > 0 for r in rows)
+
+
+def test_pagerank_matches_python_power_iteration(spark, tmp_path):
+    """Exact replay: the distributed PageRank must reproduce a plain
+    Python power iteration (same damping, iteration count, uniform
+    init, rank/outdeg contributions) on a planted 2-user x 2-type
+    bipartite graph, to the 6-decimal output rounding."""
+    import datetime
+
+    from rc_scanner_spark.queries.warehouse import _PR_DAMPING, _PR_ITERS
+    from tests.conftest import write_fixture
+
+    d = datetime.datetime
+    # user 1 -> {click, view}; user 2 -> {click}
+    rows = [
+        (1, 1, d(2026, 8, 1), 1.0, "click"),
+        (2, 1, d(2026, 8, 1), 1.0, "view"),
+        (3, 2, d(2026, 8, 1), 1.0, "click"),
+        (4, 2, d(2026, 8, 2), 1.0, "click"),  # duplicate edge: distinct()
+    ]
+    write_fixture(
+        spark, tmp_path, "events", rows,
+        "event_id long, user_id long, ts timestamp, value double, "
+        "event_type string",
+    )
+    got = {
+        r.node: r.rank_r
+        for r in q_graph_pagerank(spark, str(tmp_path)).collect()
+    }
+
+    edges = {
+        "u:1": ["t:click", "t:view"],
+        "u:2": ["t:click"],
+        "t:click": ["u:1", "u:2"],
+        "t:view": ["u:1"],
+    }
+    nodes = sorted(edges)
+    rank = {v: 1.0 / len(nodes) for v in nodes}
+    for _ in range(_PR_ITERS):
+        inflow = {v: 0.0 for v in nodes}
+        for src, dsts in edges.items():
+            for dst in dsts:
+                inflow[dst] += rank[src] / len(dsts)
+        rank = {
+            v: (1.0 - _PR_DAMPING) / len(nodes) + _PR_DAMPING * inflow[v]
+            for v in nodes
+        }
+    expect = {v: round(rank[v], 6) for v in nodes}
+    assert got == pytest.approx(expect, abs=2e-6)
