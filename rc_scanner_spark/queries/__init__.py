@@ -48,343 +48,334 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     #   r2+r3: scanner/LLM/TPC-H/SQL-API prefix (CORRECTNESS_r03.json).
     #   r4: stale events rows + 45 never-checked (50/50 green).
     #   r5: 15 never-checked/re-fixed + round-5 additions (50/50 green).
-    #   r6: 43 never-checked oracle-backed + 6 rows-only + 1 spill
-    #       (44 full-green + 6 rows-only-by-design, CORRECTNESS_r06).
-    #   r7 (THIS ordering): the 51 oracle-backed entries with NO driver
-    #       row through r6 (round-6 batches 11-27 minus the r6-sampled
-    #       agg_incremental_merge and minus rows-only embed_pca_variance)
-    #       — closes cumulative driver coverage at >=292/293.  Rows-only
-    #       (sql=None) entries are EXCLUDED from the prefix: each already
-    #       has its one driver row, and re-sampling burns a hash-checked
-    #       slot on an `err: no_oracle` print.  Enforced by
-    #       tests/test_rotation_ledger.py against the newest committed
-    #       CORRECTNESS_r*.json.
-    #   Drain schedule (r8+): the r1-era block directly below the prefix
-    #       is next — by end of r8 no entry's newest driver row should
-    #       predate r4.  Registry additions are capped at ~20/round so
-    #       the 50-row window can keep converging.
-    "events_dow_seasonality",
-    "text_keyword_tagging",
-    "graph_label_propagation",
-    "text_inverted_index",
-    "split_kfold",
-    "embed_pair_distance_hist",
-    "basket_association_rules",
-    "agg_gini",
-    "stats_mann_whitney",
-    "text_ttr_segments",
-    "multimodal_shard_manifest",
-    "orders_survival_km",
-    "events_holt_linear",
-    "text_vocab_oov",
-    "graph_reach_2hop",
-    "stats_ols_group",
-    "events_growth_accounting",
-    "events_top_paths",
-    "stats_wilson_ci",
-    "sample_gumbel_topk",
-    "embed_dim_truncation_fidelity",
-    "text_pmi_cooccur",
-    "orders_abc_classification",
-    "sketch_hll_sliding",
-    "profile_partition_checksums",
-    "events_forecast_backtest",
-    "graph_local_bridges",
-    "multimodal_augmentation_plan",
-    "text_code_detection",
-    "graph_hits_bipartite",
-    "filter_rejection_funnel",
-    "events_local_peaks",
-    "orders_ship_latency_by_priority",
-    "text_ngram_coverage_curve",
-    "events_max_drawdown",
-    "llm_prep_pipeline_v2",
-    "profile_dataset_card",
-    "dedup_minhash_accuracy",
-    "events_dow_hour_heatmap",
-    "orders_interarrival_cv",
-    "scd2_consistency_audit",
-    "orders_revenue_bridge",
-    "embed_exact_dup_vectors",
-    "sample_quota_hamilton",
-    "agg_winsorized_mean",
-    "text_char_entropy",
-    "events_threshold_suggest",
-    "graph_degree_assortativity",
-    "text_word_length_profile",
-    "text_hapax_ratio",
-    "orders_status_mix_by_month",
-    # -- rows-only, never hash-checkable; its weaker rows-only driver
-    #    row lands whenever the window spills past the 51 above.
-    "embed_pca_variance",
-    # -- batch-28 additions (round 7, capped per the drain schedule):
-    #    never driver-sampled, oracle-backed — they queue behind the
-    #    prefix and head the r8 rotation with the spill above.
-    "text_lang_confusion",
-    "embed_centroid_drift",
-    "graph_clustering_coefficient",
-    "agg_theil_index",
-    "select_mix_planner",
-    # -- batch-29 additions.
-    "profile_quality_dup_calibration",
-    "events_error_pchart",
-    # -- batch-30 additions.
-    "join_asof_nearest",
-    "text_script_mix",
-    "events_bounce_rate",
-    # -- batch-31 additions.
-    "multimodal_pair_integrity",
-    # -- batch-32 additions.
-    "agg_bayes_shrunken_rates",
-    "events_anomaly_seasonal_adjusted",
-    "text_tokenizer_fertility",
-    "embed_dup_consistency",
-    # -- r1-era block: oldest driver rows (CORRECTNESS_r01), the r8
-    #    drain target.
-    "filter_membership",
-    "filter_null_threshold",
-    "filter_threshold_inclusive",
-    "proj_string",
-    "proj_datetime",
-    "proj_math",
-    "json_extract",
-    "array_ops",
-    "map_lookup",
-    "join_inner_agg",
-    "join_left_count",
-    "join_semi",
-    "join_anti",
-    "join_broadcast_dims",
-    "join_range_bands",
-    "agg_tpch_q1",
-    "agg_distinct",
-    "agg_stats",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "window_rank_topk",
-    "window_running_sum",
-    "window_ntile",
-    "window_range_frame",
-    "sort_topk_global",
-    "setop_union",
-    "setop_intersect",
-    "setop_except",
-    "pivot",
-    "correlated_subquery",
-    "agg_having",
-    "agg_median",
-    "window_percent_rank",
-    "regexp_extract_group",
-    "posexplode_tokens",
-    "cross_join",
-    "union_by_name",
-    "setop_intersect_all",
-    "setop_except_all",
-    "scalar_subquery",
-    "in_subquery",
-    "limit_offset",
-    # -- r3/r4/r5-green tail (most recent evidence).
-    "ann_ivf_topk",
-    "multimodal_features",
-    "retrieval_rrf_fusion",
-    "select_token_budget",
-    "filter_source_blocklist",
-    "batch_length_buckets",
-    "sample_cluster_balanced",
-    "sketch_countmin_topk",
-    "events_rate_anomaly",
-    "event_transitions",
-    "profile_quality_by_source",
-    "dedup_pair_explain",
-    "dedup_rate_by_source",
-    "llm_prep_pipeline",
-    "tpch_q12ish",
-    "embed_quantize_int8",
-    "ann_pq_topk",
-    "sketch_bloom_membership",
-    "dedup_keep_best",
-    "text_bigram_logprob",
-    "dedup_containment",
-    "sketch_quantile_bounded",
-    "select_dsir",
-    "ann_ivfpq_topk",
-    "sample_temperature_mix",
-    "events_gap_fill",
-    "events_retention_cohorts",
-    "basket_part_pairs",
-    "cdc_snapshot_diff",
-    "events_rolling_active_users",
-    "events_ewma_smooth",
-    "time_window_sliding",
-    "graph_triangle_count",
-    "dedup_substring_spans",
-    "select_pareto_frontier",
-    "source_overlap_matrix",
-    "agg_argmax",
-    "window_first_last",
-    "profile_key_skew",
-    "agg_group_quantiles",
-    "text_zipf_fit",
-    "sample_poisson_bootstrap",
-    "text_lang_mix",
-    "bootstrap_ci_mean",
-    "er_fuzzy_match",
-    "window_period_over_period",
-    "sample_uniform_k",
-    "events_cumulative_distinct",
-    "graph_link_prediction",
-    "event_conversion_latency",
-    "join_asof",
-    "window_lag_lead",
-    "session_windows",
-    "time_window_tumbling",
-    "date_arithmetic",
-    "decontaminate",
-    "dedup_cc_clusters",
-    "pack_sequences",
-    "merge_upsert",
-    "scd2_user_state",
-    "graph_pagerank",
-    "text_bm25_topk",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "ann_lsh_portable",
-    "unpivot",
-    "join_salted_skew",
-    "join_full_outer",
-    "join_right_outer",
-    "agg_corr",
-    "agg_string_collect",
-    "dedup_paragraph",
-    "text_pii_scrub",
-    "sample_weighted_mix",
-    "sql_api_recursive_cte",
-    "sql_api_exists",
-    "sql_api_lateral",
-    "text_chunk_overlap",
-    "sample_stratified",
-    "profile_columns",
-    "event_funnel",
-    "text_unigram_logprob",
-    "agg_histogram",
-    "cluster_zorder",
-    "variant_shred",
-    "dedup_prefix_jaccard",
-    "sample_negatives",
-    "agg_cohens_kappa",
-    "sample_interleave_shards",
-    "text_readability",
-    "agg_source_entropy",
-    "text_ngram_novelty",
-    "text_gopher_rules",
-    "text_html_strip",
-    "ann_filtered_topk",
-    "sql_api_group_by_all",
-    "contract_violations",
-    "graph_degree_stats",
-    "cluster_kmeans",
-    "dedup_semantic",
-    "scan_pipeline_full",
-    "scan_attribute_filter",
-    "scan_threshold_disabled",
-    "scan_regex_hits",
-    "scan_dedup_first",
-    "scan_api_route",
-    "scan_verb",
-    "scan_message",
-    "scan_match_message",
-    "scan_date_partition",
-    "scan_filename",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_incremental",
-    "ann_cosine_topk",
-    "text_lang_id",
-    "text_quality",
-    "text_repetition",
-    "text_token_count",
-    "text_fingerprint",
-    "tfidf_top_terms",
-    "sample_hash_split",
-    "multimodal_frame_plan",
-    "multimodal_binary_meta",
-    "sketch_hll_mergeable",
-    "sketch_hll_daily_rollup",
-    "agg_approx_distinct",
-    "agg_percentile_approx",
-    "tpch_q3ish",
-    "tpch_q4ish",
-    "tpch_q5ish",
-    "tpch_q6",
-    "tpch_q7ish",
-    "tpch_q8ish",
-    "tpch_q9ish",
-    "tpch_q10ish",
-    "tpch_q13ish",
-    "tpch_q14ish",
-    "tpch_q15ish",
-    "tpch_q16ish",
-    "tpch_q17ish",
-    "tpch_q18ish",
-    "tpch_q19ish",
-    "tpch_q22ish",
-    "sql_api_revenue",
-    "sql_api_top_customers",
-    "sql_api_window",
-    # -- r6-sampled block (CORRECTNESS_r06): the newest driver evidence
-    #    in the repo — last in line for re-verification.
-    "events_concurrency",
-    "agg_filtered",
-    "split_leakage_safe",
-    "join_null_safe",
-    "dedup_cluster_size_hist",
-    "events_mad_anomaly",
-    "ann_recall_eval",
-    "sketch_hll_intersect",
-    "agg_weighted_median",
-    "embed_centroid_outliers",
-    "join_interval_overlap",
-    "events_interval_union",
-    "agg_mode",
-    "join_bloom_pruned",
-    "agg_salted_twophase",
-    "sample_reservoir_group",
-    "window_time_range_rolling",
-    "text_rake_keywords",
-    "agg_ks_drift",
-    "agg_chi2_independence",
-    "agg_ttest_welch",
-    "text_jsd_sources",
-    "events_changepoint_cusum",
-    "join_asof_tolerance",
-    "multimodal_audio_plan",
-    "text_bpe_pair_merges",
-    "sample_kcenter_coreset",
-    "events_autocorr",
-    "orders_rfm_segments",
-    "dedup_tfidf_cosine",
-    "sample_balanced_classes",
-    "embed_label_separation",
-    "orders_cohort_ltv",
-    "events_ab_bucketing",
-    "sketch_kmv_distinct",
-    "split_time_holdout",
-    "graph_kcore",
-    "multimodal_tiles_plan",
-    "dedup_winnowing",
-    "seq_global_row_number",
-    "events_theilsen_trend",
-    "profile_benford",
-    "embed_random_projection",
-    "multimodal_phash_neardup",
-    "text_compression_ratio",
-    "pack_bins_bfd",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_lsh_bucketed",
-    "agg_incremental_merge",
+    #   r6: 43 never-checked oracle-backed + 6 rows-only + 1 spill.
+    #   r7: the 51 oracle-backed entries with no driver row through r6
+    #       (CORRECTNESS_r07: 50/50 full hash-green, zero slot burns).
+    #   r8 (THIS ordering, emitted by tools/rotate_prefix.py --slots 50):
+    #       the 16 oracle-backed never-sampled entries (batches 28-32 +
+    #       orders_status_mix_by_month) followed by 34 of the 43 r1-era
+    #       stale rows, alphabetical.  Rows-only (sql=None) entries stay
+    #       out of the prefix (each already has its one driver row);
+    #       embed_pca_variance (never sampled, rows-only by design) sits
+    #       at position 51 so it lands only if the window spills.
+    #   Drain schedule (r9): the remaining 9 r1-era rows head the next
+    #       rotation -- setop_intersect_all, setop_union,
+    #       sort_topk_global, union_by_name, window_ntile,
+    #       window_percent_rank, window_range_frame, window_rank_topk,
+    #       window_running_sum -- followed by the oldest r3 rows.  After
+    #       r9 no entry's newest driver row predates r4.  Registry
+    #       additions stay capped at ~20/round so the 50-row window
+    #       keeps converging.  Enforced by tests/test_rotation_ledger.py
+    #       against the newest committed CORRECTNESS_r*.json.
+    "orders_status_mix_by_month",  # never
+    "text_lang_confusion",  # never
+    "embed_centroid_drift",  # never
+    "graph_clustering_coefficient",  # never
+    "agg_theil_index",  # never
+    "select_mix_planner",  # never
+    "profile_quality_dup_calibration",  # never
+    "events_error_pchart",  # never
+    "join_asof_nearest",  # never
+    "text_script_mix",  # never
+    "events_bounce_rate",  # never
+    "multimodal_pair_integrity",  # never
+    "agg_bayes_shrunken_rates",  # never
+    "events_anomaly_seasonal_adjusted",  # never
+    "text_tokenizer_fertility",  # never
+    "embed_dup_consistency",  # never
+    "agg_cube",  # green r1
+    "agg_distinct",  # green r1
+    "agg_grouping_sets",  # green r1
+    "agg_having",  # green r1
+    "agg_median",  # green r1
+    "agg_rollup",  # green r1
+    "agg_stats",  # green r1
+    "agg_tpch_q1",  # green r1
+    "array_ops",  # green r1
+    "correlated_subquery",  # green r1
+    "cross_join",  # green r1
+    "filter_membership",  # green r1
+    "filter_null_threshold",  # green r1
+    "filter_threshold_inclusive",  # green r1
+    "in_subquery",  # green r1
+    "join_anti",  # green r1
+    "join_broadcast_dims",  # green r1
+    "join_inner_agg",  # green r1
+    "join_left_count",  # green r1
+    "join_range_bands",  # green r1
+    "join_semi",  # green r1
+    "json_extract",  # green r1
+    "limit_offset",  # green r1
+    "map_lookup",  # green r1
+    "pivot",  # green r1
+    "posexplode_tokens",  # green r1
+    "proj_datetime",  # green r1
+    "proj_math",  # green r1
+    "proj_string",  # green r1
+    "regexp_extract_group",  # green r1
+    "scalar_subquery",  # green r1
+    "setop_except",  # green r1
+    "setop_except_all",  # green r1
+    "setop_intersect",  # green r1
+    # ---- entries below are outside the 50-slot prefix ----
+    "embed_pca_variance",  # never
+    "setop_intersect_all",  # green r1
+    "setop_union",  # green r1
+    "sort_topk_global",  # green r1
+    "union_by_name",  # green r1
+    "window_ntile",  # green r1
+    "window_percent_rank",  # green r1
+    "window_range_frame",  # green r1
+    "window_rank_topk",  # green r1
+    "window_running_sum",  # green r1
+    "agg_approx_distinct",  # green r3
+    "agg_percentile_approx",  # green r3
+    "ann_cosine_topk",  # green r3
+    "dedup_embedding_cosine",  # green r3
+    "dedup_exact",  # green r3
+    "dedup_incremental",  # green r3
+    "dedup_ngram_jaccard",  # green r3
+    "multimodal_binary_meta",  # green r3
+    "multimodal_frame_plan",  # green r3
+    "sample_hash_split",  # green r3
+    "scan_api_route",  # green r3
+    "scan_attribute_filter",  # green r3
+    "scan_date_partition",  # green r3
+    "scan_dedup_first",  # green r3
+    "scan_filename",  # green r3
+    "scan_match_message",  # green r3
+    "scan_message",  # green r3
+    "scan_pipeline_full",  # green r3
+    "scan_regex_hits",  # green r3
+    "scan_threshold_disabled",  # green r3
+    "scan_verb",  # green r3
+    "sketch_hll_daily_rollup",  # green r3
+    "sketch_hll_mergeable",  # green r3
+    "sql_api_revenue",  # green r3
+    "sql_api_top_customers",  # green r3
+    "sql_api_window",  # green r3
+    "text_fingerprint",  # green r3
+    "text_lang_id",  # green r3
+    "text_quality",  # green r3
+    "text_repetition",  # green r3
+    "text_token_count",  # green r3
+    "tfidf_top_terms",  # green r3
+    "tpch_q10ish",  # green r3
+    "tpch_q13ish",  # green r3
+    "tpch_q14ish",  # green r3
+    "tpch_q15ish",  # green r3
+    "tpch_q16ish",  # green r3
+    "tpch_q17ish",  # green r3
+    "tpch_q18ish",  # green r3
+    "tpch_q19ish",  # green r3
+    "tpch_q22ish",  # green r3
+    "tpch_q3ish",  # green r3
+    "tpch_q4ish",  # green r3
+    "tpch_q5ish",  # green r3
+    "tpch_q6",  # green r3
+    "tpch_q7ish",  # green r3
+    "tpch_q8ish",  # green r3
+    "tpch_q9ish",  # green r3
+    "agg_cohens_kappa",  # green r4
+    "agg_corr",  # green r4
+    "agg_histogram",  # green r4
+    "agg_source_entropy",  # green r4
+    "agg_string_collect",  # green r4
+    "ann_filtered_topk",  # green r4
+    "ann_lsh_portable",  # green r4
+    "cluster_kmeans",  # green r4
+    "cluster_zorder",  # green r4
+    "contract_violations",  # green r4
+    "date_arithmetic",  # green r4
+    "decontaminate",  # green r4
+    "dedup_cc_clusters",  # green r4
+    "dedup_minhash_portable",  # green r4
+    "dedup_paragraph",  # green r4
+    "dedup_prefix_jaccard",  # green r4
+    "dedup_semantic",  # green r4
+    "dedup_simhash_portable",  # green r4
+    "event_funnel",  # green r4
+    "graph_degree_stats",  # green r4
+    "graph_pagerank",  # green r4
+    "join_asof",  # green r4
+    "join_full_outer",  # green r4
+    "join_right_outer",  # green r4
+    "join_salted_skew",  # green r4
+    "merge_upsert",  # green r4
+    "pack_sequences",  # green r4
+    "profile_columns",  # green r4
+    "sample_interleave_shards",  # green r4
+    "sample_negatives",  # green r4
+    "sample_stratified",  # green r4
+    "sample_weighted_mix",  # green r4
+    "scd2_user_state",  # green r4
+    "session_windows",  # green r4
+    "sql_api_exists",  # green r4
+    "sql_api_group_by_all",  # green r4
+    "sql_api_lateral",  # green r4
+    "sql_api_recursive_cte",  # green r4
+    "text_bm25_topk",  # green r4
+    "text_chunk_overlap",  # green r4
+    "text_gopher_rules",  # green r4
+    "text_html_strip",  # green r4
+    "text_ngram_novelty",  # green r4
+    "text_pii_scrub",  # green r4
+    "text_readability",  # green r4
+    "text_unigram_logprob",  # green r4
+    "time_window_tumbling",  # green r4
+    "unpivot",  # green r4
+    "variant_shred",  # green r4
+    "window_lag_lead",  # green r4
+    "agg_argmax",  # green r5
+    "agg_group_quantiles",  # green r5
+    "ann_ivf_topk",  # green r5
+    "ann_ivfpq_topk",  # green r5
+    "ann_pq_topk",  # green r5
+    "basket_part_pairs",  # green r5
+    "batch_length_buckets",  # green r5
+    "bootstrap_ci_mean",  # green r5
+    "cdc_snapshot_diff",  # green r5
+    "dedup_containment",  # green r5
+    "dedup_keep_best",  # green r5
+    "dedup_pair_explain",  # green r5
+    "dedup_rate_by_source",  # green r5
+    "dedup_substring_spans",  # green r5
+    "embed_quantize_int8",  # green r5
+    "er_fuzzy_match",  # green r5
+    "event_conversion_latency",  # green r5
+    "event_transitions",  # green r5
+    "events_cumulative_distinct",  # green r5
+    "events_ewma_smooth",  # green r5
+    "events_gap_fill",  # green r5
+    "events_rate_anomaly",  # green r5
+    "events_retention_cohorts",  # green r5
+    "events_rolling_active_users",  # green r5
+    "filter_source_blocklist",  # green r5
+    "graph_link_prediction",  # green r5
+    "graph_triangle_count",  # green r5
+    "llm_prep_pipeline",  # green r5
+    "multimodal_features",  # green r5
+    "profile_key_skew",  # green r5
+    "profile_quality_by_source",  # green r5
+    "retrieval_rrf_fusion",  # green r5
+    "sample_cluster_balanced",  # green r5
+    "sample_poisson_bootstrap",  # green r5
+    "sample_temperature_mix",  # green r5
+    "sample_uniform_k",  # green r5
+    "select_dsir",  # green r5
+    "select_pareto_frontier",  # green r5
+    "select_token_budget",  # green r5
+    "sketch_bloom_membership",  # green r5
+    "sketch_countmin_topk",  # green r5
+    "sketch_quantile_bounded",  # green r5
+    "source_overlap_matrix",  # green r5
+    "text_bigram_logprob",  # green r5
+    "text_lang_mix",  # green r5
+    "text_zipf_fit",  # green r5
+    "time_window_sliding",  # green r5
+    "tpch_q12ish",  # green r5
+    "window_first_last",  # green r5
+    "window_period_over_period",  # green r5
+    "agg_chi2_independence",  # green r6
+    "agg_filtered",  # green r6
+    "agg_incremental_merge",  # green r6
+    "agg_ks_drift",  # green r6
+    "agg_mode",  # green r6
+    "agg_salted_twophase",  # green r6
+    "agg_ttest_welch",  # green r6
+    "agg_weighted_median",  # green r6
+    "ann_lsh_bucketed",  # rows_only r6
+    "ann_recall_eval",  # green r6
+    "dedup_cluster_size_hist",  # green r6
+    "dedup_minhash_lsh",  # rows_only r6
+    "dedup_simhash",  # rows_only r6
+    "dedup_tfidf_cosine",  # green r6
+    "dedup_winnowing",  # green r6
+    "embed_centroid_outliers",  # green r6
+    "embed_label_separation",  # green r6
+    "embed_random_projection",  # green r6
+    "events_ab_bucketing",  # green r6
+    "events_autocorr",  # green r6
+    "events_changepoint_cusum",  # green r6
+    "events_concurrency",  # green r6
+    "events_interval_union",  # green r6
+    "events_mad_anomaly",  # green r6
+    "events_theilsen_trend",  # green r6
+    "graph_kcore",  # green r6
+    "join_asof_tolerance",  # green r6
+    "join_bloom_pruned",  # green r6
+    "join_interval_overlap",  # green r6
+    "join_null_safe",  # green r6
+    "multimodal_audio_plan",  # green r6
+    "multimodal_phash_neardup",  # rows_only r6
+    "multimodal_tiles_plan",  # green r6
+    "orders_cohort_ltv",  # green r6
+    "orders_rfm_segments",  # green r6
+    "pack_bins_bfd",  # rows_only r6
+    "profile_benford",  # green r6
+    "sample_balanced_classes",  # green r6
+    "sample_kcenter_coreset",  # green r6
+    "sample_reservoir_group",  # green r6
+    "seq_global_row_number",  # green r6
+    "sketch_hll_intersect",  # green r6
+    "sketch_kmv_distinct",  # green r6
+    "split_leakage_safe",  # green r6
+    "split_time_holdout",  # green r6
+    "text_bpe_pair_merges",  # green r6
+    "text_compression_ratio",  # rows_only r6
+    "text_jsd_sources",  # green r6
+    "text_rake_keywords",  # green r6
+    "window_time_range_rolling",  # green r6
+    "agg_gini",  # green r7
+    "agg_winsorized_mean",  # green r7
+    "basket_association_rules",  # green r7
+    "dedup_minhash_accuracy",  # green r7
+    "embed_dim_truncation_fidelity",  # green r7
+    "embed_exact_dup_vectors",  # green r7
+    "embed_pair_distance_hist",  # green r7
+    "events_dow_hour_heatmap",  # green r7
+    "events_dow_seasonality",  # green r7
+    "events_forecast_backtest",  # green r7
+    "events_growth_accounting",  # green r7
+    "events_holt_linear",  # green r7
+    "events_local_peaks",  # green r7
+    "events_max_drawdown",  # green r7
+    "events_threshold_suggest",  # green r7
+    "events_top_paths",  # green r7
+    "filter_rejection_funnel",  # green r7
+    "graph_degree_assortativity",  # green r7
+    "graph_hits_bipartite",  # green r7
+    "graph_label_propagation",  # green r7
+    "graph_local_bridges",  # green r7
+    "graph_reach_2hop",  # green r7
+    "llm_prep_pipeline_v2",  # green r7
+    "multimodal_augmentation_plan",  # green r7
+    "multimodal_shard_manifest",  # green r7
+    "orders_abc_classification",  # green r7
+    "orders_interarrival_cv",  # green r7
+    "orders_revenue_bridge",  # green r7
+    "orders_ship_latency_by_priority",  # green r7
+    "orders_survival_km",  # green r7
+    "profile_dataset_card",  # green r7
+    "profile_partition_checksums",  # green r7
+    "sample_gumbel_topk",  # green r7
+    "sample_quota_hamilton",  # green r7
+    "scd2_consistency_audit",  # green r7
+    "sketch_hll_sliding",  # green r7
+    "split_kfold",  # green r7
+    "stats_mann_whitney",  # green r7
+    "stats_ols_group",  # green r7
+    "stats_wilson_ci",  # green r7
+    "text_char_entropy",  # green r7
+    "text_code_detection",  # green r7
+    "text_hapax_ratio",  # green r7
+    "text_inverted_index",  # green r7
+    "text_keyword_tagging",  # green r7
+    "text_ngram_coverage_curve",  # green r7
+    "text_pmi_cooccur",  # green r7
+    "text_ttr_segments",  # green r7
+    "text_vocab_oov",  # green r7
+    "text_word_length_profile",  # green r7
 )
 
 

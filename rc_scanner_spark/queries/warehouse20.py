@@ -212,8 +212,11 @@ cent AS (
   FROM dims GROUP BY 1, 2
 )
 SELECT e.label, CAST(e.n AS BIGINT) AS n_even, CAST(o.n AS BIGINT) AS n_odd,
-       CAST(floor(list_cosine_similarity(e.cv, o.cv) * 10000 + 0.5)
-            AS BIGINT) * 100 AS drift_cos_ppm
+       CASE WHEN list_dot_product(e.cv, e.cv) != 0
+             AND list_dot_product(o.cv, o.cv) != 0
+            THEN CAST(floor(list_cosine_similarity(e.cv, o.cv) * 10000 + 0.5)
+                      AS BIGINT) * 100
+       END AS drift_cos_ppm
 FROM cent e JOIN cent o ON e.label = o.label AND e.half = 0 AND o.half = 1
 ORDER BY e.label
 """

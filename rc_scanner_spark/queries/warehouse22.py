@@ -82,6 +82,12 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_JOIN_ASOF_NEAREST = """
+-- The pick window partitions by p.event_id, which assumes purchase
+-- event_ids are UNIQUE (they are: events.event_id is the table's
+-- primary key).  The Spark side partitions per physical left row
+-- (monotonically_increasing_id), so with duplicate event_ids the twin
+-- would collapse duplicates to one row while Spark keeps one match per
+-- row — keep this twin only under the uniqueness invariant (ADVICE r8).
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
      c AS (SELECT user_id, event_id AS click_event_id, ts AS click_ts
            FROM events WHERE event_type = 'click')

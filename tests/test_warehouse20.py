@@ -66,6 +66,47 @@ def test_embed_centroid_drift_planted(spark, tmp_path):
     assert out == {0: (2, 1, 0), 1: (1, 1, 1000000)}
 
 
+def test_embed_centroid_drift_zero_norm_null_both_engines(spark, tmp_path):
+    # ADVICE r8: a label whose odd-half centroid is all-zero must yield
+    # a NULL drift_cos_ppm on BOTH engines (Spark cosine() guards the
+    # 0 denominator; the twin needs the list_dot_product CASE — DuckDB
+    # list_cosine_similarity alone returns -1.0 for a zero vector).
+    import duckdb
+
+    def vec(i, v):
+        out = [0.0] * 64
+        out[i] = v
+        return out
+
+    rows = [
+        (0, vec(0, 1.0), 0),        # even half: axis-0 unit vector
+        (1, [0.0] * 64, 0),         # odd half: zero vector
+        (2, vec(1, 1.0), 1),        # control label: identical halves
+        (3, vec(1, 1.0), 1),
+    ]
+    _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label long",
+    )
+    out = {
+        r.label: (r.n_even, r.n_odd, r.drift_cos_ppm)
+        for r in REG["embed_centroid_drift"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {0: (1, 1, None), 1: (1, 1, 1000000)}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    o = con.execute(REG["embed_centroid_drift"].sql).df()
+    con.close()
+    by_label = {int(r.label): r for r in o.itertuples()}
+    import pandas as pd
+
+    assert pd.isna(by_label[0].drift_cos_ppm)
+    assert int(by_label[1].drift_cos_ppm) == 1000000
+
+
 def test_graph_clustering_coefficient_planted(spark, tmp_path):
     # triangle {1,2,3} plus pendant edge 3-4 (each pair in 2 orders for
     # support): deg(1)=deg(2)=2 coeff 1.0; deg(3)=3 coeff 2/(3*2)=1/3;

@@ -99,9 +99,7 @@ def main() -> int:
     print()
     print("_VERIFICATION_PRIORITY: tuple[str, ...] = (")
     for i, n in enumerate(order):
-        marker = ""
         if i == slots:
-            marker = "  # ---- end of driver prefix ----"
             print(f"    # ---- entries below are outside the {slots}-slot prefix ----")
         rnd = newest_round.get(n)
         status = newest_status.get(n, "never")
