@@ -46,36 +46,35 @@ def words(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace-word count (split form — same counts as
-    ``regexp_extract_all(text, '\\S+')``, one cheaper regex pass)."""
-    return F.size(F.filter(F.split(text, r"\s+"), lambda x: x != F.lit("")))
+    """Whitespace-word count: ``regexp_count(text, '\\S+')`` — counts
+    maximal non-whitespace runs without materializing a token array
+    (Java ``\\S`` is exactly ``[^ \\t\\n\\x0B\\f\\r]`` so counts match
+    the split-and-drop-empties form and the oracle's explicit class)."""
+    return F.regexp_count(text, F.lit(r"\S+"))
 
 
 def bpe_token_count(text: Column) -> Column:
     """BPE-ish token count (letter runs / digit runs / symbols)."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0))
+    return F.regexp_count(text, F.lit(BPE_RE))
 
 
 def quality_columns(text: Column) -> dict[str, Column]:
     """Quality-scoring signals: length, word stats, punctuation and
     stopword ratios.  All ratios NULL-safe on empty documents.
 
-    Scans of ``text`` are fused to the minimum: counting punctuation
-    and non-space chars uses ``translate`` + length deltas (a plain
-    char-map pass, no regex engine) instead of
-    ``regexp_extract_all``-then-size, which materialized a match array
-    per row just to take its size.  Match-count equivalence is exact:
-    every punctuation char is one single-char match, and Java's ``\\s``
-    is precisely the 6-char class translated out below.  Only the
-    stopword count keeps a regex — its ``\\b`` boundaries (digit
-    adjacency!) are not reproducible from the split-token array."""
+    Scans of ``text`` are fused to the minimum: punctuation and
+    non-space chars count via ``translate`` + length deltas (a plain
+    char-map pass, no regex engine); word and stopword counts via
+    ``regexp_count`` (pure counter — no per-row match-array
+    allocation, unlike ``regexp_extract_all``-then-size).  The
+    stopword pattern keeps its ``\\b`` boundaries (digit adjacency!)
+    which are not reproducible from a split-token array."""
     n_chars = F.length(text)
-    ws = words(text)
-    n_words = F.size(ws)
+    # regexp_count == size(regexp_extract_all(...)) without building
+    # the per-row match array (pure counter, no ArrayData allocation).
+    n_words = F.regexp_count(F.lower(text), F.lit("[a-z]+"))
     n_punct = n_chars - F.length(F.translate(text, ".,;:!?", ""))
-    n_stop = F.size(
-        F.regexp_extract_all(F.lower(text), F.lit(LANG_MARKERS["en"]), 0)
-    )
+    n_stop = F.regexp_count(F.lower(text), F.lit(LANG_MARKERS["en"]))
     nz = F.when(n_words > 0, n_words.cast("double"))
     # Java \s == [ \t\n\x0B\f\r]
     avg_word_len = F.length(F.translate(text, " \t\n\x0b\f\r", "")) / nz
@@ -108,7 +107,7 @@ def quality_score(text: Column) -> Column:
 
 def lang_scores(text: Column) -> dict[str, Column]:
     return {
-        lang: F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+        lang: F.regexp_count(F.lower(text), F.lit(pat))
         for lang, pat in LANG_MARKERS.items()
     }
 
@@ -120,7 +119,9 @@ def lang_id(text: Column) -> Column:
     (undetermined) when nothing scores.
     """
     scores = lang_scores(text)
-    has_cjk = F.size(F.regexp_extract_all(text, F.lit(r"[一-鿿]"), 0)) > 0
+    # rlike short-circuits at the first CJK char (no match-array, no
+    # full-document count just to test > 0)
+    has_cjk = text.rlike(r"[一-鿿]")
     best = F.greatest(*scores.values())
     out = F.lit("und")
     # build reversed so earlier languages win ties
@@ -175,3 +176,69 @@ def fingerprint(text: Column) -> Column:
     chars — 64 bits, plenty below ~10^9 docs per birthday bound;
     use the full 128 bits at 100 TB scale)."""
     return F.substring(F.md5(normalize(text)), 1, 16)
+
+
+# ---------------------------------------------------------------------
+# Spark-SQL expression-string twins of the Column helpers above.
+#
+# Building a wide Column projection costs one py4j round-trip per
+# F.* call — profiled at ~0.2-0.4 s per fn() invocation for the
+# llm_prep_pipeline chain (PLANS.md r8), pure driver-side overhead
+# repaid on every fresh plan.  A selectExpr string is ONE call parsed
+# JVM-side into the identical expression tree (values pytest-pinned
+# against the Column forms).  Generated from the same pattern
+# constants so the two forms cannot drift on the word lists.
+# ---------------------------------------------------------------------
+
+
+def _sql_quote(pat: str) -> str:
+    """Regex pattern -> Spark-SQL string literal (backslashes doubled:
+    the SQL parser processes '\\b' as backspace unless escaped)."""
+    return "'" + pat.replace("\\", "\\\\") + "'"
+
+
+def lang_id_sql(col: str = "text") -> str:
+    """Spark-SQL twin of ``lang_id`` (same CJK fast path, same
+    en > de > fr > es tie priority)."""
+    counts = {
+        lang: f"regexp_count(lower({col}), {_sql_quote(pat)})"
+        for lang, pat in LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(counts.values())})"
+    arms = "\n         ".join(
+        f"WHEN {c} > 0 AND {c} = {best} THEN '{lang}'"
+        for lang, c in counts.items()
+    )
+    return (
+        f"CASE WHEN {col} RLIKE '[一-鿿]' THEN 'zh'\n"
+        f"         {arms}\n"
+        f"         ELSE 'und' END"
+    )
+
+
+def quality_score_sql(col: str = "text") -> str:
+    """Spark-SQL twin of ``quality_score`` (identical round/coalesce
+    structure; duplicate count subtrees are codegen-CSE'd)."""
+    n_words = f"regexp_count(lower({col}), '[a-z]+')"
+    n_punct = f"(length({col}) - length(translate({col}, '.,;:!?', '')))"
+    n_stop = f"regexp_count(lower({col}), {_sql_quote(LANG_MARKERS['en'])})"
+    nz = f"(CASE WHEN {n_words} > 0 THEN CAST({n_words} AS DOUBLE) END)"
+    return (
+        f"round(least({n_words} / 50.0, 1.0) * 0.4"
+        f" + coalesce(round({n_stop} / {nz}, 4), 0.0) * 0.4"
+        f" + least(coalesce(round({n_punct} / {nz}, 4), 0.0) * 5, 1.0) * 0.2, 4)"
+    )
+
+
+def token_count_sql(col: str = "text") -> str:
+    """Spark-SQL twin of ``token_count``."""
+    return f"regexp_count({col}, '\\\\S+')"
+
+
+def fingerprint_sql(col: str = "text") -> str:
+    """Spark-SQL twin of ``fingerprint`` (same explicit whitespace
+    class — see ``normalize`` on the \\x0B trap)."""
+    return (
+        f"substring(md5(trim(regexp_replace(lower({col}),"
+        f" '[ \\\\t\\\\n\\\\f\\\\r]+', ' '))), 1, 16)"
+    )

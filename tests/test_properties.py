@@ -518,3 +518,49 @@ def test_bpe_and_ws_token_counts_engine_neutral_on_vertical_tab(spark, tmp_path)
     o = con.execute(reg["text_token_count"].sql).df()
     con.close()
     assert (int(o["n_ws_tokens"][0]), int(o["n_bpe_tokens"][0])) == (3, 4)
+
+
+def test_sql_expr_twins_match_column_forms(spark):
+    """r8: the selectExpr string twins (lang_id_sql / quality_score_sql
+    / token_count_sql / fingerprint_sql) must produce IDENTICAL values
+    to the Column helpers they shadow — on the trap inputs: \x0B,
+    digit-adjacent stopwords, CJK, empty/whitespace-only, ties."""
+    from rc_scanner_spark.operators.text import (
+        fingerprint,
+        fingerprint_sql,
+        lang_id,
+        lang_id_sql,
+        quality_score,
+        quality_score_sql,
+        token_count,
+        token_count_sql,
+    )
+
+    texts = [
+        "the cat and the dog of a to",          # en markers
+        "der hund und die katze ist",            # de markers
+        "le chat et la maison est",              # fr markers
+        "el perro y los gatos es",               # es markers
+        "你好 world the",                         # CJK fast path beats en
+        "a1 the2 of3",                           # digit adjacency: no \b match
+        "a\x0bb .c the",                         # vertical tab
+        "",                                      # empty
+        "   \t\n  ",                             # whitespace only
+        "the der le el y und est is a",          # cross-language tie food
+        "Sentence. With, punct; lots: of! them?",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    col_form = df.select(
+        lang_id(F.col("text")).alias("l"),
+        quality_score(F.col("text")).alias("q"),
+        token_count(F.col("text")).alias("t"),
+        fingerprint(F.col("text")).alias("f"),
+    ).collect()
+    sql_form = df.selectExpr(
+        f"{lang_id_sql('text')} AS l",
+        f"{quality_score_sql('text')} AS q",
+        f"{token_count_sql('text')} AS t",
+        f"{fingerprint_sql('text')} AS f",
+    ).collect()
+    assert col_form == sql_form
