@@ -376,6 +376,16 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "text_ttr_segments",  # green r7
     "text_vocab_oov",  # green r7
     "text_word_length_profile",  # green r7
+    # -- batch-33 additions (round 8): never driver-sampled,
+    #    oracle-backed — they queue behind the prefix and head the r9
+    #    rotation together with the r9 drain remainder named above.
+    "stats_spearman",
+    "sample_stratified_neyman",
+    "stats_cuped",
+    "stats_power_mde",
+    "events_did_estimator",
+    "embed_outlier_mahalanobis",
+    "orders_price_index_laspeyres",
 )
 
 
@@ -417,6 +427,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse22,
         warehouse23,
         warehouse24,
+        warehouse25,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -457,6 +468,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse22,
         warehouse23,
         warehouse24,
+        warehouse25,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

@@ -53,6 +53,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     # run over the per-SOURCE aggregate — bounded by source
     # cardinality, not corpus rows.
     "sample_quota_hamilton": 2,
+    # Neyman allocation: same Hamilton windows over the per-source
+    # aggregate (variance-weighted quotas) — bounded by sources.
+    "sample_stratified_neyman": 2,
     # heatmap: the share-denominator window runs over the <=168-row
     # (dow, hour) cell aggregate — bounded by the calendar grid.
     "events_dow_hour_heatmap": 1,
@@ -93,6 +96,18 @@ ALLOWED_CARTESIANS = {
     "orders_revenue_bridge": 1,
     # broadcast corpus doc-total scalar (quota denominator)
     "sample_quota_hamilton": 1,
+    # broadcast weight-total scalar (Neyman quota denominator)
+    "sample_stratified_neyman": 1,
+    # 1-row epoch-midpoint scalar under each of the two lazy
+    # per_variant consumers (pooled fold + readout) + the 1-row
+    # pooled x 2-row readout cross; per_variant is _track_persist'ed
+    # so the subtree materializes ONCE at runtime (lazy-plan shape
+    # only, graph_kcore precedent)
+    "stats_cuped": 3,
+    # 1-row epoch-midpoint scalar broadcast over events
+    "events_did_estimator": 1,
+    # 1-row per-dim mean/variance array broadcast over embeddings
+    "embed_outlier_mahalanobis": 1,
     # day-spine explode x distinct-type frame (days x types, bounded)
     "events_holt_linear": 1,
     # broadcast max-week scalar; the per-week frame embedding it is

@@ -1,0 +1,307 @@
+"""Planted-semantics tests for round-8 batch 33 (the oracle gate can't
+catch a flaw mirrored into the SQL twin; hand-computed fixtures can)."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import math
+
+from rc_scanner_spark.queries import build_registry
+
+from tests.conftest import write_fixture
+
+REG = build_registry()
+_write = write_fixture
+
+LI_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_returnflag string, "
+    "l_quantity double, l_extendedprice double, l_shipdate timestamp"
+)
+EV_SCHEMA = (
+    "event_id long, user_id long, ts timestamp, value double, event_type string"
+)
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _variant(uid: int) -> str:
+    """Python replay of the md5 hash-bucket split both engines use."""
+    h = hashlib.md5(f"{uid}|exp1".encode()).hexdigest()
+    return "control" if int(h[:15], 16) % 1000 < 500 else "treatment"
+
+
+def _d(day: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, day)
+
+
+# --------------------------------------------------------------------
+# Spearman
+# --------------------------------------------------------------------
+
+
+def test_stats_spearman_planted(spark, tmp_path):
+    # group A: x=[1,2,3], y=[3,1,2] (no ties): rho = 1 - 6*6/(3*8) = -0.5
+    # group B: x=[1,2,2,3] monotone with y (tied pair aligned): rho = 1
+    # group C: all x equal -> zero rank variance -> NULL
+    rows = (
+        [(1, 1, "A", 1.0, 3.0, _d(1)), (2, 1, "A", 2.0, 1.0, _d(1)),
+         (3, 1, "A", 3.0, 2.0, _d(1))]
+        + [(4, 1, "B", 1.0, 10.0, _d(1)), (5, 1, "B", 2.0, 20.0, _d(1)),
+           (6, 1, "B", 2.0, 20.0, _d(1)), (7, 1, "B", 3.0, 40.0, _d(1))]
+        + [(8, 1, "C", 5.0, 1.0, _d(1)), (9, 1, "C", 5.0, 2.0, _d(1))]
+    )
+    _write(spark, tmp_path, "lineitem", rows, LI_SCHEMA)
+    out = {
+        r.l_returnflag: (r.n, r.spearman_ppm)
+        for r in REG["stats_spearman"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {"A": (3, -500000), "B": (4, 1000000), "C": (2, None)}
+
+
+# --------------------------------------------------------------------
+# Neyman allocation
+# --------------------------------------------------------------------
+
+
+def test_sample_stratified_neyman_planted(spark, tmp_path):
+    # A: chars [10, 10] -> std 0 -> weight 0; B: [0, 20] -> std 10 ->
+    # weight 2e7.  Whole budget goes to B; allocations sum to 500.
+    rows = [
+        (1, "t", "en", "A", 10), (2, "t", "en", "A", 10),
+        (3, "t", "en", "B", 0), (4, "t", "en", "B", 20),
+    ]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    out = {
+        r.source: (r.n_docs, r.std_chars_milli, r.base, r.bonus, r.n_alloc)
+        for r in REG["sample_stratified_neyman"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "A": (2, 0, 0, 0, 0),
+        "B": (2, 10000, 500, 0, 500),
+    }
+
+
+def test_sample_stratified_neyman_all_zero_variance(spark, tmp_path):
+    # degenerate: every stratum has constant n_chars -> total weight 0
+    # is clamped to 1 (no ANSI divide throw); bases are 0 and the
+    # leftover bonus hands 1 doc to each source — both engines agree.
+    import duckdb
+
+    rows = [(1, "t", "en", "A", 10), (2, "t", "en", "B", 20)]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    out = {
+        r.source: (r.base, r.n_alloc)
+        for r in REG["sample_stratified_neyman"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {"A": (0, 1), "B": (0, 1)}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    o = con.execute(REG["sample_stratified_neyman"].sql).df()
+    con.close()
+    assert sorted(zip(o.source, o.n_alloc)) == [("A", 1), ("B", 1)]
+
+
+# --------------------------------------------------------------------
+# CUPED
+# --------------------------------------------------------------------
+
+
+def _cuped_expected(user_vals):
+    """Pure-Python replay: user_vals = {uid: (pre_cents, post_cents)}."""
+    xs = {u: v[0] for u, v in user_vals.items()}
+    ys = {u: v[1] for u, v in user_vals.items()}
+    n = len(user_vals)
+    sx, sy = sum(xs.values()), sum(ys.values())
+    sxx = sum(v * v for v in xs.values())
+    syy = sum(v * v for v in ys.values())
+    sxy = sum(xs[u] * ys[u] for u in xs)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cxy = n * sxy - sx * sy
+    theta = cxy / vx if vx > 0 else 0.0
+    mx_pool = sx / n
+    vr = (cxy * cxy / (vx * vy)) if vx > 0 and vy > 0 else 0.0
+    out = {}
+    for variant in ("control", "treatment"):
+        us = [u for u in user_vals if _variant(u) == variant]
+        if not us:
+            continue
+        my = sum(ys[u] for u in us) / len(us)
+        mx = sum(xs[u] for u in us) / len(us)
+        adj = my - theta * (mx - mx_pool)
+        out[variant] = (
+            len(us),
+            math.floor(my * 10 + 0.5),
+            math.floor(adj * 10 + 0.5),
+            math.floor(theta * 1e6 + 0.5),
+            math.floor(vr * 1e6 + 0.5),
+        )
+    return out
+
+
+def test_stats_cuped_planted(spark, tmp_path):
+    # pre events on Jan 1-10, post on Jan 20-30 (midpoint splits
+    # cleanly); per-user pre/post sums chosen correlated
+    user_vals = {1: (100, 210), 2: (200, 420), 3: (300, 590), 4: (400, 810)}
+    rows, eid = [], 0
+    for uid, (pre, post) in user_vals.items():
+        eid += 1
+        rows.append((eid, uid, _d(1), pre / 100.0, "view"))
+        eid += 1
+        rows.append((eid, uid, _d(30), post / 100.0, "view"))
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        r.variant: (
+            r.n_users, r.mean_post_milli, r.mean_cuped_milli,
+            r.theta_ppm, r.var_reduction_ppm,
+        )
+        for r in REG["stats_cuped"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == _cuped_expected(user_vals)
+
+
+def test_stats_cuped_zero_pre_variance_degrades(spark, tmp_path):
+    # all users identical pre-period -> var(x)=0 -> theta=0, adjusted
+    # mean == raw mean, no ANSI throw on either engine
+    import duckdb
+
+    user_vals = {1: (100, 210), 2: (100, 420), 3: (100, 590)}
+    rows, eid = [], 0
+    for uid, (pre, post) in user_vals.items():
+        eid += 1
+        rows.append((eid, uid, _d(1), pre / 100.0, "view"))
+        eid += 1
+        rows.append((eid, uid, _d(30), post / 100.0, "view"))
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    res = REG["stats_cuped"].fn(spark, str(tmp_path)).collect()
+    for r in res:
+        assert r.theta_ppm == 0
+        assert r.mean_cuped_milli == r.mean_post_milli
+        assert r.var_reduction_ppm == 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    o = con.execute(REG["stats_cuped"].sql).df()
+    con.close()
+    assert (o.theta_ppm == 0).all()
+
+
+# --------------------------------------------------------------------
+# power / MDE
+# --------------------------------------------------------------------
+
+
+def test_stats_power_mde_planted(spark, tmp_path):
+    # one day; users 1..10, purchases for three of them
+    rows, eid = [], 0
+    buyers = {1, 2, 3}
+    for uid in range(1, 11):
+        eid += 1
+        rows.append((eid, uid, _d(5), 1.0, "view"))
+        if uid in buyers:
+            eid += 1
+            rows.append((eid, uid, _d(5), 5.0, "purchase"))
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["stats_power_mde"].fn(spark, str(tmp_path)).collect()
+    n_a = sum(1 for u in range(1, 11) if _variant(u) == "control")
+    n_b = 10 - n_a
+    p = 3 / 10
+    mde = (1.959964 + 0.841621) * math.sqrt(2 * p * (1 - p) / min(n_a, n_b))
+    assert (r.day, r.n_a, r.n_b, r.p_pool_ppm, r.mde_abs_ppm) == (
+        "2024-01-05",
+        n_a,
+        n_b,
+        math.floor(p * 1e6 + 0.5),
+        math.floor(mde * 1e6 + 0.5),
+    )
+
+
+def test_stats_power_mde_degenerate_rates(spark, tmp_path):
+    # p = 0 (no purchases) -> NULL mde; single-variant day -> NULL mde
+    rows = [(1, 1, _d(5), 1.0, "view"), (2, 2, _d(5), 1.0, "view")]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["stats_power_mde"].fn(spark, str(tmp_path)).collect()
+    assert r.p_pool_ppm == 0 and r.mde_abs_ppm is None
+
+
+# --------------------------------------------------------------------
+# difference-in-differences
+# --------------------------------------------------------------------
+
+
+def test_events_did_estimator_planted(spark, tmp_path):
+    # find one control and one treatment user deterministically
+    ctl = next(u for u in range(1, 50) if _variant(u) == "control")
+    trt = next(u for u in range(1, 50) if _variant(u) == "treatment")
+    # control: 10.00 pre -> 12.00 post (+2); treatment: 20.00 -> 25.00
+    # (+5); DiD = +3.00 = 3000 milli
+    rows = [
+        (1, ctl, _d(1), 10.0, "view"), (2, ctl, _d(30), 12.0, "view"),
+        (3, trt, _d(1), 20.0, "view"), (4, trt, _d(30), 25.0, "view"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["events_did_estimator"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_ctl_pre, r.n_ctl_post, r.n_trt_pre, r.n_trt_post) == (1, 1, 1, 1)
+    assert (r.ctl_pre_milli, r.ctl_post_milli) == (10000, 12000)
+    assert (r.trt_pre_milli, r.trt_post_milli) == (20000, 25000)
+    assert r.did_milli == 3000
+
+
+# --------------------------------------------------------------------
+# Mahalanobis outliers
+# --------------------------------------------------------------------
+
+
+def test_embed_outlier_mahalanobis_planted(spark, tmp_path):
+    # dim0: values [0, 0, 6] -> mu=2, var=8; dim1 constant (var 0 ->
+    # contributes 0); dim2: [1, -1, 0] -> mu=0, var=2/3.
+    # D2: v1=(0-2)^2/8 + 1/(2/3) = 0.5+1.5 = 2; v2 = 0.5+1.5 = 2;
+    # v3 = (6-2)^2/8 + 0 = 2.  All tie at 2.0 -> order by vec_id.
+    vecs = [
+        (1, [0.0, 5.0, 1.0], 0),
+        (2, [0.0, 5.0, -1.0], 0),
+        (3, [6.0, 5.0, 0.0], 1),
+    ]
+    _write(
+        spark, tmp_path, "embeddings", vecs,
+        "vec_id long, embedding array<float>, label long",
+    )
+    out = [
+        (r.vec_id, r.label, r.d2_nano)
+        for r in REG["embed_outlier_mahalanobis"].fn(spark, str(tmp_path)).collect()
+    ]
+    assert out == [(1, 0, 2_000_000_000), (2, 0, 2_000_000_000),
+                   (3, 1, 2_000_000_000)]
+
+
+# --------------------------------------------------------------------
+# price indexes
+# --------------------------------------------------------------------
+
+
+def test_orders_price_index_planted(spark, tmp_path):
+    # base 2023: part1 unit 1.00 x10, part2 unit 2.00 x5
+    # 2024: part1 unit 1.10 x8, part2 unit 2.20 x10 (uniform +10%)
+    # part3 only exists in 2024 -> excluded by the base join
+    y1, y2 = datetime.datetime(2023, 6, 1), datetime.datetime(2024, 6, 1)
+    rows = [
+        (1, 1, "N", 10.0, 10.00, y1),
+        (2, 2, "N", 5.0, 10.00, y1),
+        (3, 1, "N", 8.0, 8.80, y2),
+        (4, 2, "N", 10.0, 22.00, y2),
+        (5, 3, "N", 4.0, 4.00, y2),
+    ]
+    _write(spark, tmp_path, "lineitem", rows, LI_SCHEMA)
+    out = {
+        r.yr: (r.n_parts, r.laspeyres_ppm, r.paasche_ppm, r.fisher_ppm)
+        for r in REG["orders_price_index_laspeyres"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        2023: (2, 1000000, 1000000, 1000000),
+        2024: (2, 1100000, 1100000, 1100000),
+    }
