@@ -386,6 +386,11 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "events_did_estimator",
     "embed_outlier_mahalanobis",
     "orders_price_index_laspeyres",
+    # -- batch-34 additions (round 8).
+    "agg_hhi_concentration",
+    "orders_seasonality_decomposition",
+    "text_novelty_decay",
+    "orders_backlog_aging",
 )
 
 
@@ -428,6 +433,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse23,
         warehouse24,
         warehouse25,
+        warehouse26,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -469,6 +475,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse23,
         warehouse24,
         warehouse25,
+        warehouse26,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

@@ -56,6 +56,10 @@ ALLOWED_GLOBAL_WINDOWS = {
     # Neyman allocation: same Hamilton windows over the per-source
     # aggregate (variance-weighted quotas) — bounded by sources.
     "sample_stratified_neyman": 2,
+    # 2x12 MA decomposition: windows run over the MONTHLY aggregate —
+    # bounded by calendar length (rn/lag/lead node + the count/MA
+    # frame node).
+    "orders_seasonality_decomposition": 2,
     # heatmap: the share-denominator window runs over the <=168-row
     # (dow, hour) cell aggregate — bounded by the calendar grid.
     "events_dow_hour_heatmap": 1,
@@ -108,6 +112,10 @@ ALLOWED_CARTESIANS = {
     "events_did_estimator": 1,
     # 1-row per-dim mean/variance array broadcast over embeddings
     "embed_outlier_mahalanobis": 1,
+    # 1-row doc-id min/max span broadcast (decile bucketing)
+    "text_novelty_decay": 1,
+    # 1-row snapshot-date (max order date) broadcast
+    "orders_backlog_aging": 1,
     # day-spine explode x distinct-type frame (days x types, bounded)
     "events_holt_linear": 1,
     # broadcast max-week scalar; the per-week frame embedding it is
