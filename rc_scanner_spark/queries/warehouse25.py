@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import QuerySpec, load_tuned
+from .warehouse3 import SQL_AB_BUCKET, ab_bucket_col
 
 _t = load_tuned
 
@@ -93,17 +94,21 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 1
     )
     ranked = li.select("g", rx.alias("rx"), ry.alias("ry"))
-    # rank-product sums go through decimal(38,0): at 1e9+ rows per
-    # group a BIGINT sum of rank² overflows (ANSI throw); decimal sums
-    # stay exact and order-independent, matching DuckDB's HUGEINT
-    dec = "decimal(38,0)"
+    # rank-product sums go through decimal: the OPERANDS are cast to
+    # decimal(19,0) BEFORE multiplying (review r8 — a BIGINT rx*rx
+    # already throws under ANSI past ~3e9 rows/group, before any cast
+    # of the product could apply), and rank sums to decimal(20,0)
+    # (sum(rx) ~ n² passes BIGINT at the same scale).  Decimal sums
+    # stay exact and order-independent, matching DuckDB's HUGEINT.
+    d19 = "decimal(19,0)"
+    rx_d, ry_d = F.col("rx").cast(d19), F.col("ry").cast(d19)
     sums = ranked.groupBy("g").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum("ry").alias("sy"),
-        F.sum((F.col("rx") * F.col("rx")).cast(dec)).alias("sxx"),
-        F.sum((F.col("ry") * F.col("ry")).cast(dec)).alias("syy"),
-        F.sum((F.col("rx") * F.col("ry")).cast(dec)).alias("sxy"),
+        F.sum(F.col("rx").cast("decimal(20,0)")).alias("sx"),
+        F.sum(F.col("ry").cast("decimal(20,0)")).alias("sy"),
+        F.sum(rx_d * rx_d).alias("sxx"),
+        F.sum(ry_d * ry_d).alias("syy"),
+        F.sum(rx_d * ry_d).alias("sxy"),
     )
     # combine in DOUBLE (n·sxy overflows BIGINT at scale); identical
     # literal chain on both engines
@@ -144,10 +149,10 @@ ranked AS (
 ),
 sums AS (
   SELECT g, count(*) AS n,
-         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
-         sum(rx * rx) AS sxx,
-         sum(ry * ry) AS syy,
-         sum(rx * ry) AS sxy
+         sum(rx) AS sx, sum(ry) AS sy,
+         sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+         sum(CAST(ry AS HUGEINT) * ry) AS syy,
+         sum(CAST(rx AS HUGEINT) * ry) AS sxy
   FROM ranked GROUP BY g
 )
 SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
@@ -192,18 +197,28 @@ def q_sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)")).alias("sxx"),
     )
     nd = F.col("n_docs").cast("double")
-    var = (
-        F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx").cast("double") / nd
-    ) / nd
+    # greatest(..., 0): the float variance can round a hair negative
+    # when sx² passes 2^53 (review r8 — reproduced: DuckDB sqrt(-eps)
+    # THROWS while Spark returns NaN); clamping is mirrored exactly
+    var = F.greatest(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double") / nd
+        )
+        / nd,
+        F.lit(0.0),
+    )
     sd = F.sqrt(var)
     per = per.select(
         "source",
         "n_docs",
         F.floor(sd * 1000 + 0.5).cast("long").alias("std_chars_milli"),
-        # integer micro-weight N_h * S_h * 1e6 — everything after this
-        # line is exact integer arithmetic
-        F.floor(nd * sd * 1e6 + 0.5).cast("long").alias("wq"),
+        # integer micro-weight N_h * S_h * 1e6, saturated at 1.8e16 so
+        # wq * budget stays inside BIGINT at any stratum size (review
+        # r8); everything after this line is exact integer arithmetic
+        F.floor(F.least(nd * sd * 1e6, F.lit(1.8e16)) + 0.5)
+        .cast("long")
+        .alias("wq"),
     )
     # all-zero-variance degenerate: wt = 0 would be an ANSI division
     # throw — clamp to 1 (bases land 0; the leftover bonus hands the
@@ -244,16 +259,18 @@ WITH per0 AS (
 ),
 per AS (
   SELECT source, n_docs,
-         CAST(floor(sqrt((CAST(sxx AS DOUBLE)
+         CAST(floor(sqrt(greatest((CAST(sxx AS DOUBLE)
                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
                             / CAST(n_docs AS DOUBLE))
-                         / CAST(n_docs AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+                         / CAST(n_docs AS DOUBLE), 0.0)) * 1000 + 0.5)
+              AS BIGINT)
            AS std_chars_milli,
-         CAST(floor(CAST(n_docs AS DOUBLE)
-                    * sqrt((CAST(sxx AS DOUBLE)
+         CAST(floor(least(CAST(n_docs AS DOUBLE)
+                    * sqrt(greatest((CAST(sxx AS DOUBLE)
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
                               / CAST(n_docs AS DOUBLE))
-                           / CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+                           / CAST(n_docs AS DOUBLE), 0.0)) * 1e6,
+                    1.8e16) + 0.5) AS BIGINT)
            AS wq
   FROM per0
 ),
@@ -282,10 +299,7 @@ ORDER BY a.source
 # CUPED variance reduction
 # --------------------------------------------------------------------
 
-_CUPED_BUCKET = (
-    "pmod(CAST(conv(substring(md5(concat(CAST(user_id AS STRING), "
-    "'|exp1')), 1, 15), 16, 10) AS BIGINT), 1000)"
-)
+
 
 
 def q_stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,7 +330,7 @@ def q_stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("us") > F.col("mid_us"), F.col("cents")).otherwise(F.lit(0))).alias("y"),
         )
         .select(
-            F.when(F.expr(_CUPED_BUCKET) < 500, F.lit("control"))
+            F.when(ab_bucket_col() < 500, F.lit("control"))
             .otherwise(F.lit("treatment"))
             .alias("variant"),
             "x",
@@ -386,7 +400,7 @@ def q_stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_STATS_CUPED = """
+SQL_STATS_CUPED = f"""
 WITH ev AS (
   SELECT user_id, epoch_us(ts) AS us,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
@@ -401,8 +415,7 @@ per_user0 AS (
   GROUP BY user_id
 ),
 per_user AS (
-  SELECT CASE WHEN CAST(concat('0x', substr(md5(user_id || '|exp1'), 1, 15))
-                   AS BIGINT) % 1000 < 500
+  SELECT CASE WHEN {SQL_AB_BUCKET} < 500
               THEN 'control' ELSE 'treatment' END AS variant,
          x, y
   FROM per_user0
@@ -476,7 +489,7 @@ def q_stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
         "user_id",
         (F.col("event_type") == "purchase").cast("int").alias("purch"),
-        F.when(F.expr(_CUPED_BUCKET) < 500, F.lit("a")).otherwise(F.lit("b")).alias("v"),
+        F.when(ab_bucket_col() < 500, F.lit("a")).otherwise(F.lit("b")).alias("v"),
     )
     per_dv = ev.groupBy("day", "v").agg(
         F.countDistinct("user_id").alias("nu"),
@@ -507,8 +520,7 @@ SQL_STATS_POWER_MDE = f"""
 WITH ev AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purch,
-         CASE WHEN CAST(concat('0x', substr(md5(user_id || '|exp1'), 1, 15))
-                   AS BIGINT) % 1000 < 500
+         CASE WHEN {SQL_AB_BUCKET} < 500
               THEN 'a' ELSE 'b' END AS v
   FROM events
 ),
@@ -559,7 +571,7 @@ def q_events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         F.unix_micros(F.col("ts")).alias("us"),
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
-        F.when(F.expr(_CUPED_BUCKET) < 500, F.lit(0)).otherwise(F.lit(1)).alias("treat"),
+        F.when(ab_bucket_col() < 500, F.lit(0)).otherwise(F.lit(1)).alias("treat"),
     )
     mid = ev.agg(F.expr("(min(us) + max(us)) DIV 2").alias("mid_us"))
     cells = (
@@ -607,12 +619,11 @@ def q_events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EVENTS_DID_ESTIMATOR = """
+SQL_EVENTS_DID_ESTIMATOR = f"""
 WITH ev AS (
   SELECT epoch_us(ts) AS us,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-         CASE WHEN CAST(concat('0x', substr(md5(user_id || '|exp1'), 1, 15))
-                   AS BIGINT) % 1000 < 500
+         CASE WHEN {SQL_AB_BUCKET} < 500
               THEN 0 ELSE 1 END AS treat
   FROM events
 ),
@@ -692,10 +703,16 @@ def q_embed_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.aggregate(
+            # per-dim term capped at 1e6 BEFORE the nano scale-up
+            # (review r8: a near-degenerate dim — tiny grid-quantized
+            # variance under a huge outlier — otherwise overflows the
+            # BIGINT floor and kills the query instead of ranking it;
+            # the cap keeps each term <= 1e15 nano and the 64-dim sum
+            # far inside BIGINT)
             F.expr(
                 "transform(v, (x, i) -> CASE WHEN vr[i] > 0 THEN "
-                "CAST(floor((x - mu[i]) * (x - mu[i]) / vr[i] * 1e9 + 0.5) "
-                "AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+                "CAST(floor(least((x - mu[i]) * (x - mu[i]) / vr[i], 1e6) "
+                "* 1e9 + 0.5) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
             ),
             F.lit(0).cast("long"),
             lambda acc, t: acc + t,
@@ -735,8 +752,9 @@ dstat AS (
 scored AS (
   SELECT g.vec_id,
          CAST(sum(CASE WHEN d.vr > 0 THEN
-                  CAST(floor((g.x - d.mu) * (g.x - d.mu) / d.vr * 1e9 + 0.5)
-                       AS BIGINT) ELSE 0 END) AS BIGINT) AS d2_nano
+                  CAST(floor(least((g.x - d.mu) * (g.x - d.mu) / d.vr, 1e6)
+                             * 1e9 + 0.5) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS d2_nano
   FROM g6 g JOIN dstat d USING (pos)
   GROUP BY g.vec_id
 )
@@ -802,8 +820,16 @@ def q_orders_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("p_num").alias("pn"),
         F.sum("p_den").alias("pd"),
     )
-    lr = F.col("ln").cast("double") / F.col("ld").cast("double")
-    pr = F.col("pn").cast("double") / F.col("pd").cast("double")
+    # all-zero-price denominators are an ANSI throw on Spark and a
+    # NaN-cast error on DuckDB (review r8) — NULL index on both
+    lr = F.when(
+        F.col("ld") > 0,
+        F.col("ln").cast("double") / F.col("ld").cast("double"),
+    )
+    pr = F.when(
+        F.col("pd") > 0,
+        F.col("pn").cast("double") / F.col("pd").cast("double"),
+    )
     return yrs.select(
         "yr",
         "n_parts",
@@ -848,13 +874,16 @@ yrs AS (
   FROM joined GROUP BY yr
 )
 SELECT yr, CAST(n_parts AS BIGINT) AS n_parts,
-       CAST(floor(CAST(ln AS DOUBLE) / CAST(ld AS DOUBLE) * 1e6 + 0.5)
-            AS BIGINT) AS laspeyres_ppm,
-       CAST(floor(CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE) * 1e6 + 0.5)
-            AS BIGINT) AS paasche_ppm,
-       CAST(floor(sqrt(CAST(ln AS DOUBLE) / CAST(ld AS DOUBLE)
+       CAST(CASE WHEN ld > 0 THEN
+            floor(CAST(ln AS DOUBLE) / CAST(ld AS DOUBLE) * 1e6 + 0.5)
+            END AS BIGINT) AS laspeyres_ppm,
+       CAST(CASE WHEN pd > 0 THEN
+            floor(CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE) * 1e6 + 0.5)
+            END AS BIGINT) AS paasche_ppm,
+       CAST(CASE WHEN ld > 0 AND pd > 0 THEN
+            floor(sqrt(CAST(ln AS DOUBLE) / CAST(ld AS DOUBLE)
                        * CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE)) * 1e6 + 0.5)
-            AS BIGINT) AS fisher_ppm
+            END AS BIGINT) AS fisher_ppm
 FROM yrs ORDER BY yr
 """
 

@@ -72,7 +72,12 @@ def q_agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "cc")
     )
     totals = per_cust.groupBy("n_name").agg(F.sum("cc").alias("tot"))
-    share = F.col("cc").cast("double") / F.col("tot").cast("double")
+    # tot = 0 (every order zero-priced) is an ANSI double-division
+    # throw on Spark but inf/NaN on DuckDB (review r8) — NULL on both
+    share = F.when(
+        F.col("tot") > 0,
+        F.col("cc").cast("double") / F.col("tot").cast("double"),
+    )
     terms = per_cust.join(F.broadcast(totals), "n_name").select(
         "n_name",
         F.floor(share * share * 1e9 + 0.5).cast("long").alias("t_ppb"),
@@ -102,11 +107,13 @@ totals AS (
   SELECT n_name, CAST(sum(cc) AS BIGINT) AS tot FROM per_cust GROUP BY 1
 )
 SELECT p.n_name, count(*) AS n_customers,
-       CAST(sum(CAST(floor((CAST(cc AS DOUBLE) / CAST(tot AS DOUBLE))
-                           * (CAST(cc AS DOUBLE) / CAST(tot AS DOUBLE))
-                           * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS hhi_ppb,
-       CAST(max(CAST(floor(CAST(cc AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6
-                           + 0.5) AS BIGINT)) AS BIGINT) AS top_share_ppm
+       CAST(sum(CASE WHEN tot > 0 THEN
+            CAST(floor((CAST(cc AS DOUBLE) / CAST(tot AS DOUBLE))
+                       * (CAST(cc AS DOUBLE) / CAST(tot AS DOUBLE))
+                       * 1e9 + 0.5) AS BIGINT) END) AS BIGINT) AS hhi_ppb,
+       CAST(max(CASE WHEN tot > 0 THEN
+            CAST(floor(CAST(cc AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6
+                       + 0.5) AS BIGINT) END) AS BIGINT) AS top_share_ppm
 FROM per_cust p JOIN totals t USING (n_name)
 GROUP BY p.n_name
 ORDER BY p.n_name
@@ -143,15 +150,20 @@ def q_orders_seasonality_decomposition(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     w11 = Window.orderBy("mon").rowsBetween(-5, 5)
+    # the trend combination runs in decimal(38,0) (review r8: t24*1000
+    # passes 2^63 once monthly revenue nears 1e16 cents, and Spark
+    # BIGINT would throw where DuckDB's HUGEINT window sums sail on);
+    # the OUTPUT milli columns stay BIGINT — exact up to ~$9e13/month
+    rev38 = F.col("rev").cast("decimal(38,0)")
     m = m.select(
         "mon",
         "rev",
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(wall).alias("cnt"),
         (
-            F.lag("rev", 6).over(w)
-            + F.lead("rev", 6).over(w)
-            + 2 * F.sum("rev").over(w11)
+            F.lag(rev38, 6).over(w)
+            + F.lead(rev38, 6).over(w)
+            + 2 * F.sum(rev38).over(w11)
         ).alias("t24"),
     )
     m = m.withColumn(
@@ -160,7 +172,10 @@ def q_orders_seasonality_decomposition(
     ).withColumn("moy", F.substring("mon", 6, 2).cast("int"))
     seas = (
         m.filter(F.col("t24").isNotNull())
-        .select("moy", (24 * F.col("rev") - F.col("t24")).alias("d24"))
+        .select(
+            "moy",
+            (24 * F.col("rev").cast("decimal(38,0)") - F.col("t24")).alias("d24"),
+        )
         .groupBy("moy")
         .agg(F.sum("d24").alias("sd"), F.count(F.lit(1)).alias("nm"))
         .select(
@@ -212,7 +227,8 @@ m AS (
   FROM m1
 ),
 seas AS (
-  SELECT moy, (sum(24 * rev - t24) * 1000) // (24 * count(*)) AS seasonal_milli
+  SELECT moy, (sum(24 * CAST(rev AS HUGEINT) - t24) * 1000)
+                // (24 * count(*)) AS seasonal_milli
   FROM m WHERE t24 IS NOT NULL GROUP BY moy
 )
 SELECT m.mon, m.rev AS rev_cents,

@@ -25,7 +25,7 @@ Shared scale discipline (per-query notes on each builder):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import QuerySpec, load_tuned
@@ -1368,6 +1368,33 @@ FROM cum JOIN sized USING (cohort)
 # deterministic A/B bucketing + sample-ratio-mismatch check
 # --------------------------------------------------------------------
 
+# THE shared experiment hash split (review r8: one definition instead
+# of per-module copies — warehouse25's CUPED/MDE/DiD reuse these).
+# Portable md5 bucket 0..999 of user_id with the '|exp1' salt,
+# identical on both engines (docs/PARITY.md #15).
+
+
+def ab_bucket_col() -> Column:
+    """user_id -> deterministic experiment bucket 0..999 (Column)."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|exp1"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1000),
+    )
+
+
+SQL_AB_BUCKET = (
+    "CAST(concat('0x', substr(md5(user_id || '|exp1'), 1, 15)) "
+    "AS BIGINT) % 1000"
+)
+
 
 def q_events_ab_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic experiment assignment + health check: users
@@ -1380,18 +1407,7 @@ def q_events_ab_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic folds from the two variant counts in one closed-form
     double expression."""
     ev = _t(spark, sf_dir, "events")
-    bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|exp1"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(1000),
-    )
+    bucket = ab_bucket_col()
     assigned = ev.select(
         F.when(bucket < 500, F.lit("control")).otherwise(F.lit("treatment")).alias(
             "variant"
@@ -1439,10 +1455,9 @@ def q_events_ab_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EVENTS_AB_BUCKETING = """
+SQL_EVENTS_AB_BUCKETING = f"""
 WITH assigned AS (
-  SELECT CASE WHEN CAST(concat('0x', substr(md5(user_id || '|exp1'), 1, 15))
-                   AS BIGINT) % 1000 < 500
+  SELECT CASE WHEN {SQL_AB_BUCKET} < 500
               THEN 'control' ELSE 'treatment' END AS variant,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS converted,
          user_id

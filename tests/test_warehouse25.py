@@ -305,3 +305,87 @@ def test_orders_price_index_planted(spark, tmp_path):
         2023: (2, 1000000, 1000000, 1000000),
         2024: (2, 1100000, 1100000, 1100000),
     }
+
+
+def test_sample_stratified_neyman_negative_float_variance(spark, tmp_path):
+    # review r8 repro: 9 docs of n_chars=100000002 make the float
+    # variance round to ~-1.78 (sx*sx > 2^53); the greatest(...,0)
+    # clamp must keep DuckDB's sqrt from throwing and yield std 0 on
+    # both engines.
+    import duckdb
+
+    rows = [(i, "t", "en", "A", 100000002) for i in range(9)]
+    rows += [(100, "t", "en", "B", 0), (101, "t", "en", "B", 20)]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    out = {
+        r.source: (r.std_chars_milli, r.n_alloc)
+        for r in REG["sample_stratified_neyman"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out["A"] == (0, 0)
+    assert out["B"] == (10000, 500)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    o = con.execute(REG["sample_stratified_neyman"].sql).df()
+    con.close()
+    assert sorted(zip(o.source, o.std_chars_milli)) == [("A", 0), ("B", 10000)]
+
+
+def test_events_did_estimator_empty_cell_null_both_engines(spark, tmp_path):
+    # review r8: treatment user only active post-midpoint -> the
+    # (treat, pre) cell is empty -> NULL mean flows into a NULL DiD on
+    # BOTH engines (no throw, no fabricated zero).
+    import duckdb
+
+    ctl = next(u for u in range(1, 50) if _variant(u) == "control")
+    trt = next(u for u in range(1, 50) if _variant(u) == "treatment")
+    rows = [
+        (1, ctl, _d(1), 10.0, "view"), (2, ctl, _d(30), 12.0, "view"),
+        (3, trt, _d(30), 25.0, "view"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["events_did_estimator"].fn(spark, str(tmp_path)).collect()
+    assert r.n_trt_pre == 0
+    assert r.trt_pre_milli is None and r.did_milli is None
+    assert r.ctl_pre_milli == 10000
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    o = con.execute(REG["events_did_estimator"].sql).df()
+    con.close()
+    import pandas as pd
+
+    assert int(o.n_trt_pre[0]) == 0 and pd.isna(o.did_milli[0])
+
+
+def test_orders_price_index_zero_price_year_null_both_engines(spark, tmp_path):
+    # review r8: a base year whose every line is zero-priced makes the
+    # index denominators 0 -> NULL ppm on BOTH engines (Spark would
+    # otherwise throw DIVIDE_BY_ZERO; DuckDB would NaN-cast-error).
+    import datetime as _dt
+
+    import duckdb
+
+    y1, y2 = _dt.datetime(2023, 6, 1), _dt.datetime(2024, 6, 1)
+    rows = [
+        (1, 1, "N", 10.0, 0.0, y1),
+        (2, 1, "N", 8.0, 8.80, y2),
+    ]
+    _write(spark, tmp_path, "lineitem", rows, LI_SCHEMA)
+    out = {
+        r.yr: (r.laspeyres_ppm, r.paasche_ppm, r.fisher_ppm)
+        for r in REG["orders_price_index_laspeyres"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {2023: (None, None, None), 2024: (None, None, None)}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    o = con.execute(REG["orders_price_index_laspeyres"].sql).df()
+    con.close()
+    assert o.laspeyres_ppm.isna().all()

@@ -139,3 +139,41 @@ def test_orders_backlog_aging_planted(spark, tmp_path):
         ("P", "90-364d"): (1, 2500),
         ("P", "365d+"): (1, 1250),
     }
+
+
+def test_agg_hhi_zero_total_null_both_engines(spark, tmp_path):
+    # review r8: a nation whose every order is zero-priced has tot=0;
+    # the share guard must yield NULL HHI on BOTH engines (Spark would
+    # throw DIVIDE_BY_ZERO, DuckDB would NaN-cast-error).
+    import duckdb
+
+    orders = [(1, 1, "O", 0.0, _d(2024, 1)), (2, 2, "O", 100.0, _d(2024, 1))]
+    _write(spark, tmp_path, "orders", orders, ORD_SCHEMA)
+    _write(
+        spark, tmp_path, "customer", [(1, 10), (2, 20)],
+        "c_custkey long, c_nationkey long",
+    )
+    _write(
+        spark, tmp_path, "nation", [(10, "ZERO"), (20, "OK")],
+        "n_nationkey long, n_name string",
+    )
+    out = {
+        r.n_name: (r.n_customers, r.hhi_ppb, r.top_share_ppm)
+        for r in REG["agg_hhi_concentration"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "ZERO": (1, None, None),
+        "OK": (1, 1_000_000_000, 1_000_000),
+    }
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    o = con.execute(REG["agg_hhi_concentration"].sql).df()
+    con.close()
+    import pandas as pd
+
+    by = {r.n_name: r for r in o.itertuples()}
+    assert pd.isna(by["ZERO"].hhi_ppb) and int(by["OK"].hhi_ppb) == 1_000_000_000
