@@ -65,6 +65,17 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf locked down
             pass
+    # Shuffle partitions sized from the session's actual parallelism
+    # (r8: a foreign/driver session otherwise runs every shuffle at
+    # the 200 default — 6x task-launch overhead on local[32]).  This
+    # is the AQE INITIAL number: coalescePartitions shrinks small
+    # shuffles below it, so on a 1000-executor cluster the
+    # cores-derived value stays right while local stays at 32.
+    try:
+        par = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(16, par)))
+    except Exception:  # pragma: no cover - conf locked down
+        pass
     return spark
 
 
