@@ -391,6 +391,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "orders_seasonality_decomposition",
     "text_novelty_decay",
     "orders_backlog_aging",
+    # -- batch-35 additions (round 8).
+    "stats_mcnemar",
+    "stats_cohens_d",
 )
 
 
@@ -434,6 +437,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse24,
         warehouse25,
         warehouse26,
+        warehouse27,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -476,6 +480,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse24,
         warehouse25,
         warehouse26,
+        warehouse27,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

@@ -1,0 +1,252 @@
+"""Round-8 batch 35: paired-conversion and effect-size statistics.
+
+* ``stats_mcnemar`` — McNemar's test (continuity-corrected) on paired
+  pre/post purchase conversion per user around the epoch midpoint:
+  the right test when the SAME users are observed in both periods
+  (a two-proportion z-test would ignore the pairing).
+* ``stats_cohens_d`` — Cohen's d standardized effect size between the
+  hash-split variants on per-user post-period spend: the
+  "is this difference big or just significant" companion every A/B
+  readout needs next to its p-value.
+
+Engine-parity: both fold from integer-cent conditional aggregates;
+the only doubles are the final scalar chains, written identically on
+both sides; degenerate inputs (no discordant pairs, sub-2-user
+variants, zero pooled variance) yield NULL on BOTH engines.
+
+Reference scope note: the reference engine (scanner.py:120-175) has
+no analytics surface; extends SURVEY.md §2.B's stats category.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import QuerySpec, load_tuned
+from .warehouse3 import SQL_AB_BUCKET, ab_bucket_col
+
+_t = load_tuned
+
+
+def _per_user_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user pre/post frame around the integer epoch midpoint:
+    purchase-conversion flags and post-period spend cents."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        (F.col("event_type") == "purchase").cast("int").alias("purch"),
+    )
+    mid = ev.agg(F.expr("(min(us) + max(us)) DIV 2").alias("mid_us"))
+    return (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("us") <= F.col("mid_us"), F.col("purch")).otherwise(F.lit(0))
+            ).alias("pre_conv"),
+            F.max(
+                F.when(F.col("us") > F.col("mid_us"), F.col("purch")).otherwise(F.lit(0))
+            ).alias("post_conv"),
+            F.sum(
+                F.when(F.col("us") > F.col("mid_us"), F.col("cents")).otherwise(F.lit(0))
+            ).alias("post_cents"),
+        )
+    )
+
+
+_SQL_PER_USER_CTE = """ev AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purch
+  FROM events
+),
+mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev),
+per_user AS (
+  SELECT user_id,
+         max(CASE WHEN e.us <= m.mid_us THEN purch ELSE 0 END) AS pre_conv,
+         max(CASE WHEN e.us > m.mid_us THEN purch ELSE 0 END) AS post_conv,
+         CAST(sum(CASE WHEN e.us > m.mid_us THEN cents ELSE 0 END) AS BIGINT)
+           AS post_cents
+  FROM ev e CROSS JOIN mid m
+  GROUP BY user_id
+)"""
+
+
+# --------------------------------------------------------------------
+# McNemar paired-conversion test
+# --------------------------------------------------------------------
+
+
+def q_stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuity-corrected McNemar statistic on paired pre/post
+    conversion: χ² = (|b − c| − 1)² / (b + c) over the discordant
+    pairs (b = converted pre only, c = post only).  NULL when there
+    are no discordant pairs (the statistic is undefined — mirrored on
+    both engines rather than fabricating 0).
+
+    Scale: one user-keyed conditional aggregate + a four-cell fold to
+    a single row; the midpoint is a 1-row broadcast."""
+    pu = _per_user_prepost(spark, sf_dir)
+    cells = pu.groupBy().agg(
+        *[
+            F.count(
+                F.when(
+                    (F.col("pre_conv") == a) & (F.col("post_conv") == b), F.lit(1)
+                )
+            ).alias(f"n{a}{b}")
+            for a in (0, 1)
+            for b in (0, 1)
+        ]
+    )
+    b, c = F.col("n10"), F.col("n01")
+    diff = F.abs(b - c).cast("double") - 1.0
+    chi2 = F.when(
+        (b + c) > 0, diff * diff / (b + c).cast("double")
+    )
+    return cells.select(
+        F.col("n00").alias("n_never"),
+        F.col("n01").alias("n_post_only"),
+        F.col("n10").alias("n_pre_only"),
+        F.col("n11").alias("n_both"),
+        F.floor(chi2 * 1000 + 0.5).cast("long").alias("mcnemar_chi2_milli"),
+    )
+
+
+SQL_STATS_MCNEMAR = f"""
+WITH {_SQL_PER_USER_CTE},
+cells AS (
+  SELECT
+    count(CASE WHEN pre_conv = 0 AND post_conv = 0 THEN 1 END) AS n00,
+    count(CASE WHEN pre_conv = 0 AND post_conv = 1 THEN 1 END) AS n01,
+    count(CASE WHEN pre_conv = 1 AND post_conv = 0 THEN 1 END) AS n10,
+    count(CASE WHEN pre_conv = 1 AND post_conv = 1 THEN 1 END) AS n11
+  FROM per_user
+)
+SELECT CAST(n00 AS BIGINT) AS n_never, CAST(n01 AS BIGINT) AS n_post_only,
+       CAST(n10 AS BIGINT) AS n_pre_only, CAST(n11 AS BIGINT) AS n_both,
+       CAST(floor(CASE WHEN (n10 + n01) > 0 THEN
+            (CAST(abs(n10 - n01) AS DOUBLE) - 1.0)
+            * (CAST(abs(n10 - n01) AS DOUBLE) - 1.0)
+            / CAST(n10 + n01 AS DOUBLE)
+       END * 1000 + 0.5) AS BIGINT) AS mcnemar_chi2_milli
+FROM cells
+"""
+
+
+# --------------------------------------------------------------------
+# Cohen's d effect size
+# --------------------------------------------------------------------
+
+
+def q_stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d between the hash-split variants on per-user
+    post-period spend: d = (m_t − m_c) / s_pooled with the
+    (n−1)-weighted pooled standard deviation.  NULL when either
+    variant has < 2 users or the pooled variance is 0 — mirrored on
+    both engines.
+
+    Scale: one user-keyed aggregate, a 2-row variant fold, one
+    closed-form scalar row."""
+    pu = _per_user_prepost(spark, sf_dir).select(
+        F.when(ab_bucket_col() < 500, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("variant"),
+        "post_cents",
+    )
+    pv = pu.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("post_cents").alias("s"),
+        F.sum(
+            (F.col("post_cents") * F.col("post_cents")).cast("decimal(38,0)")
+        ).alias("ss"),
+    )
+    one = pv.groupBy().agg(
+        F.max(F.when(F.col("variant") == "control", F.col("n"))).alias("nc"),
+        F.max(F.when(F.col("variant") == "control", F.col("s"))).alias("sc"),
+        F.max(F.when(F.col("variant") == "control", F.col("ss"))).alias("ssc"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("n"))).alias("nt"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("s"))).alias("st"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("ss"))).alias("sst"),
+    )
+    ncd = F.col("nc").cast("double")
+    ntd = F.col("nt").cast("double")
+    mc = F.col("sc").cast("double") / ncd
+    mt = F.col("st").cast("double") / ntd
+    # (n-1)·s² = ss - s²/n, clamped at 0 (float rounding — review r8
+    # Neyman precedent)
+    q_c = F.greatest(
+        F.col("ssc").cast("double") - F.col("sc").cast("double") * F.col("sc").cast("double") / ncd,
+        F.lit(0.0),
+    )
+    q_t = F.greatest(
+        F.col("sst").cast("double") - F.col("st").cast("double") * F.col("st").cast("double") / ntd,
+        F.lit(0.0),
+    )
+    s_pool = F.sqrt((q_c + q_t) / (ncd + ntd - 2.0))
+    d = F.when(
+        (F.col("nc") >= 2) & (F.col("nt") >= 2) & (s_pool > 0),
+        (mt - mc) / s_pool,
+    )
+    return one.select(
+        F.col("nc").cast("long").alias("n_control"),
+        F.col("nt").cast("long").alias("n_treatment"),
+        F.floor(mc * 10 + 0.5).cast("long").alias("mean_control_milli"),
+        F.floor(mt * 10 + 0.5).cast("long").alias("mean_treatment_milli"),
+        F.floor(d * 1000 + 0.5).cast("long").alias("cohens_d_milli"),
+    )
+
+
+SQL_STATS_COHENS_D = f"""
+WITH {_SQL_PER_USER_CTE},
+pv AS (
+  SELECT CASE WHEN {SQL_AB_BUCKET} < 500
+              THEN 'control' ELSE 'treatment' END AS variant,
+         count(*) AS n,
+         CAST(sum(post_cents) AS BIGINT) AS s,
+         sum(CAST(post_cents AS HUGEINT) * post_cents) AS ss
+  FROM per_user
+  GROUP BY 1
+),
+one AS (
+  SELECT max(CASE WHEN variant = 'control' THEN n END) AS nc,
+         max(CASE WHEN variant = 'control' THEN s END) AS sc,
+         max(CASE WHEN variant = 'control' THEN ss END) AS ssc,
+         max(CASE WHEN variant = 'treatment' THEN n END) AS nt,
+         max(CASE WHEN variant = 'treatment' THEN s END) AS st,
+         max(CASE WHEN variant = 'treatment' THEN ss END) AS sst
+  FROM pv
+)
+SELECT CAST(nc AS BIGINT) AS n_control, CAST(nt AS BIGINT) AS n_treatment,
+       CAST(floor(CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) * 10 + 0.5)
+            AS BIGINT) AS mean_control_milli,
+       CAST(floor(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) * 10 + 0.5)
+            AS BIGINT) AS mean_treatment_milli,
+       CAST(floor(
+         CASE WHEN nc >= 2 AND nt >= 2
+               AND sqrt((greatest(CAST(ssc AS DOUBLE)
+                                  - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                                    / CAST(nc AS DOUBLE), 0.0)
+                         + greatest(CAST(sst AS DOUBLE)
+                                  - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                                    / CAST(nt AS DOUBLE), 0.0))
+                        / (CAST(nc AS DOUBLE) + CAST(nt AS DOUBLE) - 2.0)) > 0
+              THEN (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                    - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                   / sqrt((greatest(CAST(ssc AS DOUBLE)
+                                    - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                                      / CAST(nc AS DOUBLE), 0.0)
+                           + greatest(CAST(sst AS DOUBLE)
+                                    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                                      / CAST(nt AS DOUBLE), 0.0))
+                          / (CAST(nc AS DOUBLE) + CAST(nt AS DOUBLE) - 2.0))
+         END * 1000 + 0.5) AS BIGINT) AS cohens_d_milli
+FROM one
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "stats_mcnemar": QuerySpec(q_stats_mcnemar, SQL_STATS_MCNEMAR),
+    "stats_cohens_d": QuerySpec(q_stats_cohens_d, SQL_STATS_COHENS_D),
+}

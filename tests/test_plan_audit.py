@@ -110,6 +110,10 @@ ALLOWED_CARTESIANS = {
     "stats_cuped": 3,
     # 1-row epoch-midpoint scalar broadcast over events
     "events_did_estimator": 1,
+    # 1-row epoch-midpoint scalar broadcast over events
+    "stats_mcnemar": 1,
+    # 1-row epoch-midpoint scalar broadcast over events
+    "stats_cohens_d": 1,
     # 1-row per-dim mean/variance array broadcast over embeddings
     "embed_outlier_mahalanobis": 1,
     # 1-row doc-id min/max span broadcast (decile bucketing)

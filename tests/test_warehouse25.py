@@ -389,3 +389,99 @@ def test_orders_price_index_zero_price_year_null_both_engines(spark, tmp_path):
     o = con.execute(REG["orders_price_index_laspeyres"].sql).df()
     con.close()
     assert o.laspeyres_ppm.isna().all()
+
+
+# --------------------------------------------------------------------
+# batch 35: McNemar + Cohen's d
+# --------------------------------------------------------------------
+
+
+def test_stats_mcnemar_planted(spark, tmp_path):
+    # users: 2 pre-only converters (b), 1 post-only (c), 1 both, 1
+    # never -> chi2 = (|2-1|-1)^2/3 = 0
+    rows, eid = [], 0
+
+    def add(uid, day, etype):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, uid, _d(day), 1.0, etype))
+
+    for uid in (1, 2, 3, 4, 5):
+        add(uid, 1, "view")
+        add(uid, 30, "view")          # anchors the midpoint span
+    add(1, 1, "purchase"); add(2, 1, "purchase")          # b: pre only
+    add(3, 30, "purchase")                                 # c: post only
+    add(4, 1, "purchase"); add(4, 30, "purchase")          # both
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["stats_mcnemar"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_never, r.n_post_only, r.n_pre_only, r.n_both) == (1, 1, 2, 1)
+    assert r.mcnemar_chi2_milli == 0
+
+
+def test_stats_mcnemar_no_discordant_null_both_engines(spark, tmp_path):
+    # no discordant pairs -> statistic undefined -> NULL both engines
+    import duckdb
+
+    rows = [
+        (1, 1, _d(1), 1.0, "view"), (2, 1, _d(30), 1.0, "view"),
+        (3, 1, _d(1), 1.0, "purchase"), (4, 1, _d(30), 1.0, "purchase"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["stats_mcnemar"].fn(spark, str(tmp_path)).collect()
+    assert r.n_both == 1 and r.mcnemar_chi2_milli is None
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    o = con.execute(REG["stats_mcnemar"].sql).df()
+    con.close()
+    import pandas as pd
+
+    assert pd.isna(o.mcnemar_chi2_milli[0])
+
+
+def test_stats_cohens_d_planted(spark, tmp_path):
+    # 2 control users post spend [10.00, 20.00]; 2 treatment [30.00,
+    # 40.00] (cents); pooled s = sqrt((q_c+q_t)/(n-2))
+    ctls = [u for u in range(1, 100) if _variant(u) == "control"][:2]
+    trts = [u for u in range(1, 100) if _variant(u) == "treatment"][:2]
+    rows, eid = [], 0
+    for uid, post in zip(ctls + trts, (10.0, 20.0, 30.0, 40.0)):
+        eid += 1
+        rows.append((eid, uid, _d(1), 0.0, "view"))
+        eid += 1
+        rows.append((eid, uid, _d(30), post, "view"))
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["stats_cohens_d"].fn(spark, str(tmp_path)).collect()
+    # cents: c=[1000,2000] m=1500 q=500000; t=[3000,4000] m=3500
+    # q=500000; s_pool = sqrt(1000000/2) = 707.10678; d = 2000/707.107
+    d = 2000 / math.sqrt(500000)
+    assert (r.n_control, r.n_treatment) == (2, 2)
+    assert (r.mean_control_milli, r.mean_treatment_milli) == (15000, 35000)
+    assert r.cohens_d_milli == math.floor(d * 1000 + 0.5)
+
+
+def test_stats_cohens_d_degenerate_null_both_engines(spark, tmp_path):
+    # single-user variants (< 2) -> NULL d, no throw on either engine
+    import duckdb
+
+    ctl = next(u for u in range(1, 100) if _variant(u) == "control")
+    trt = next(u for u in range(1, 100) if _variant(u) == "treatment")
+    rows = [
+        (1, ctl, _d(1), 0.0, "view"), (2, ctl, _d(30), 10.0, "view"),
+        (3, trt, _d(1), 0.0, "view"), (4, trt, _d(30), 30.0, "view"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["stats_cohens_d"].fn(spark, str(tmp_path)).collect()
+    assert r.cohens_d_milli is None
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    o = con.execute(REG["stats_cohens_d"].sql).df()
+    con.close()
+    import pandas as pd
+
+    assert pd.isna(o.cohens_d_milli[0])
