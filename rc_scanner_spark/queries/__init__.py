@@ -394,6 +394,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     # -- batch-35 additions (round 8).
     "stats_mcnemar",
     "stats_cohens_d",
+    # -- batch-36 additions (round 8).
+    "orders_tier_migration",
+    "part_single_source_risk",
 )
 
 

@@ -246,7 +246,197 @@ FROM one
 """
 
 
+
+
+
+# --------------------------------------------------------------------
+# ABC tier migration matrix (year-over-year)
+# --------------------------------------------------------------------
+
+
+def q_orders_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer ABC-tier migration matrix: classify
+    customers A/B/C within each year by cumulative spend share (A
+    while the running share including the current customer stays
+    <= 80%, B to 95%, C beyond — exact integer cross-multiplication,
+    the warehouse9 ABC recipe on the customer axis), then count
+    transitions from each year to the NEXT year; customers absent in
+    the next year migrate to the 'GONE' tier.
+
+    Scale: one (year, customer) aggregate; the rank/cumsum windows
+    partition by YEAR (bounded partitions come from the customer
+    count, the year count bounds the output); the self-join links
+    year t to t+1 on the customer key."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    per = o.groupBy("yr", "o_custkey").agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("spend")
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("spend"), "o_custkey")
+    wt = Window.partitionBy("yr")
+    classed = (
+        per.withColumn(
+            "cum", F.sum("spend").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("tot", F.sum("spend").over(wt))
+        .select(
+            "yr",
+            "o_custkey",
+            F.when(F.col("cum") * 100 <= F.col("tot") * 80, F.lit("A"))
+            .when(F.col("cum") * 100 <= F.col("tot") * 95, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("tier"),
+        )
+    )
+    nxt = classed.select(
+        (F.col("yr") - 1).alias("yr_prev"),
+        F.col("o_custkey").alias("nk"),
+        F.col("tier").alias("tier_to"),
+    )
+    return (
+        classed.join(
+            nxt,
+            (F.col("yr") == F.col("yr_prev")) & (F.col("o_custkey") == F.col("nk")),
+            "left",
+        )
+        .select(
+            F.col("yr").alias("yr_from"),
+            F.col("tier").alias("tier_from"),
+            F.coalesce("tier_to", F.lit("GONE")).alias("tier_to"),
+        )
+        .groupBy("yr_from", "tier_from", "tier_to")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("yr_from", "tier_from", "tier_to")
+    )
+
+
+SQL_ORDERS_TIER_MIGRATION = """
+WITH o AS (
+  SELECT year(o_orderdate) AS yr, o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+per AS (
+  SELECT yr, o_custkey, sum(cents) AS spend FROM o GROUP BY 1, 2
+),
+classed AS (
+  SELECT yr, o_custkey,
+         CASE WHEN sum(spend) OVER (PARTITION BY yr
+                                    ORDER BY spend DESC, o_custkey
+                                    ROWS UNBOUNDED PRECEDING) * 100
+                   <= sum(spend) OVER (PARTITION BY yr) * 80 THEN 'A'
+              WHEN sum(spend) OVER (PARTITION BY yr
+                                    ORDER BY spend DESC, o_custkey
+                                    ROWS UNBOUNDED PRECEDING) * 100
+                   <= sum(spend) OVER (PARTITION BY yr) * 95 THEN 'B'
+              ELSE 'C' END AS tier
+  FROM per
+)
+SELECT c.yr AS yr_from, c.tier AS tier_from,
+       coalesce(n.tier, 'GONE') AS tier_to,
+       count(*) AS n_customers
+FROM classed c
+LEFT JOIN classed n ON n.yr = c.yr + 1 AND n.o_custkey = c.o_custkey
+GROUP BY 1, 2, 3
+ORDER BY yr_from, tier_from, tier_to
+"""
+
+
+# --------------------------------------------------------------------
+# single-source supply risk
+# --------------------------------------------------------------------
+
+
+def q_part_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration: band every traded part by its
+    distinct supplier count (width-5 bands keyed by the band floor:
+    1-5, 6-10, ...) and report part counts and revenue share per
+    band — the "how much revenue rides on thinly-sourced parts" risk
+    readout.  Single-source parts land in the lowest band.
+
+    Scale: one (part, supplier) distinct aggregate from lineitem,
+    one part fold, one bounded band fold with a 1-row revenue-total
+    broadcast for the ppm share."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+        )
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.sum(F.col("rev_cents").cast("decimal(38,0)")).alias("rev"),
+    )
+    band = (
+        F.expr("(n_suppliers - 1) DIV 5") * 5 + 1
+    ).cast("int")
+    bands = per_part.select(band.alias("band_lo"), "rev").groupBy(
+        "band_lo"
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").cast("decimal(38,0)").alias("rev"),
+    )
+    tot = bands.agg(F.sum("rev").alias("tot"))
+    share = F.when(
+        F.col("tot") > 0,
+        F.col("rev").cast("double") / F.col("tot").cast("double"),
+    )
+    return (
+        bands.crossJoin(F.broadcast(tot))
+        .select(
+            "band_lo",
+            "n_parts",
+            F.col("rev").cast("long").alias("rev_cents"),
+            F.floor(share * 1e6 + 0.5).cast("long").alias("rev_share_ppm"),
+        )
+        .orderBy("band_lo")
+    )
+
+
+SQL_PART_SINGLE_SOURCE_RISK = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS rev_cents
+  FROM lineitem
+),
+per_part AS (
+  SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers,
+         sum(rev_cents) AS rev
+  FROM li GROUP BY 1
+),
+bands AS (
+  SELECT CAST(((n_suppliers - 1) // 5) * 5 + 1 AS INT) AS band_lo,
+         count(*) AS n_parts,
+         sum(rev) AS rev
+  FROM per_part GROUP BY 1
+),
+tot AS (SELECT sum(rev) AS tot FROM bands)
+SELECT b.band_lo, CAST(b.n_parts AS BIGINT) AS n_parts,
+       CAST(b.rev AS BIGINT) AS rev_cents,
+       CAST(CASE WHEN t.tot > 0 THEN
+            floor(CAST(b.rev AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1e6 + 0.5)
+       END AS BIGINT) AS rev_share_ppm
+FROM bands b CROSS JOIN tot t
+ORDER BY b.band_lo
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stats_mcnemar": QuerySpec(q_stats_mcnemar, SQL_STATS_MCNEMAR),
     "stats_cohens_d": QuerySpec(q_stats_cohens_d, SQL_STATS_COHENS_D),
+    "orders_tier_migration": QuerySpec(
+        q_orders_tier_migration, SQL_ORDERS_TIER_MIGRATION
+    ),
+    "part_single_source_risk": QuerySpec(
+        q_part_single_source_risk, SQL_PART_SINGLE_SOURCE_RISK
+    ),
 }

@@ -118,6 +118,8 @@ ALLOWED_CARTESIANS = {
     "embed_outlier_mahalanobis": 1,
     # 1-row doc-id min/max span broadcast (decile bucketing)
     "text_novelty_decay": 1,
+    # 1-row revenue-total broadcast (band share denominator)
+    "part_single_source_risk": 1,
     # 1-row snapshot-date (max order date) broadcast
     "orders_backlog_aging": 1,
     # day-spine explode x distinct-type frame (days x types, bounded)

@@ -177,3 +177,54 @@ def test_agg_hhi_zero_total_null_both_engines(spark, tmp_path):
 
     by = {r.n_name: r for r in o.itertuples()}
     assert pd.isna(by["ZERO"].hhi_ppb) and int(by["OK"].hhi_ppb) == 1_000_000_000
+
+
+# --------------------------------------------------------------------
+# batch 36: tier migration + single-source risk
+# --------------------------------------------------------------------
+
+
+def test_orders_tier_migration_planted(spark, tmp_path):
+    # 2023: cust 1 spends 80 (cum 80% -> A), cust 2 spends 15 (95% ->
+    # B), cust 3 spends 5 (C).  2024: cust 1 drops to C-range, cust 2
+    # becomes the A, cust 3 absent.
+    rows = [
+        (1, 1, "O", 80.0, _d(2023, 6)),
+        (2, 2, "O", 15.0, _d(2023, 6)),
+        (3, 3, "O", 5.0, _d(2023, 6)),
+        (4, 2, "O", 80.0, _d(2024, 6)),
+        (5, 1, "O", 20.0, _d(2024, 6)),
+    ]
+    _write(spark, tmp_path, "orders", rows, ORD_SCHEMA)
+    out = {
+        (r.yr_from, r.tier_from, r.tier_to): r.n_customers
+        for r in REG["orders_tier_migration"].fn(spark, str(tmp_path)).collect()
+    }
+    # 2024 classes: cust2 cum 80/100 -> A; cust1 cum 100/100 -> C
+    assert out == {
+        (2023, "A", "C"): 1,     # cust 1: A -> C
+        (2023, "B", "A"): 1,     # cust 2: B -> A
+        (2023, "C", "GONE"): 1,  # cust 3 absent in 2024
+        (2024, "A", "GONE"): 1,  # no 2025 data
+        (2024, "C", "GONE"): 1,
+    }
+
+
+def test_part_single_source_risk_planted(spark, tmp_path):
+    import datetime as _dt
+
+    y = _dt.datetime(2024, 1, 1)
+    # part 1: one supplier, revenue 100; part 2: six suppliers,
+    # revenue 300 -> bands 1 and 6; shares 250000 / 750000 ppm
+    rows = [(1, 1, 101, 1.0, 100.0, 0.0, y)]
+    rows += [(10 + i, 2, 200 + i, 1.0, 50.0, 0.0, y) for i in range(6)]
+    _write(
+        spark, tmp_path, "lineitem", rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    out = {
+        r.band_lo: (r.n_parts, r.rev_cents, r.rev_share_ppm)
+        for r in REG["part_single_source_risk"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: (1, 10000, 250000), 6: (1, 30000, 750000)}
