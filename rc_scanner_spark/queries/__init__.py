@@ -58,15 +58,17 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     #       out of the prefix (each already has its one driver row);
     #       embed_pca_variance (never sampled, rows-only by design) sits
     #       at position 51 so it lands only if the window spills.
-    #   Drain schedule (r9): the remaining 9 r1-era rows head the next
-    #       rotation -- setop_intersect_all, setop_union,
-    #       sort_topk_global, union_by_name, window_ntile,
-    #       window_percent_rank, window_range_frame, window_rank_topk,
-    #       window_running_sum -- followed by the oldest r3 rows.  After
-    #       r9 no entry's newest driver row predates r4.  Registry
-    #       additions stay capped at ~20/round so the 50-row window
-    #       keeps converging.  Enforced by tests/test_rotation_ledger.py
-    #       against the newest committed CORRECTNESS_r*.json.
+    #   Drain schedule (r9): the 15 never-sampled round-8 additions
+    #       (batches 33-36, listed at the tuple tail) head the next
+    #       rotation, then the remaining 9 r1-era rows --
+    #       setop_intersect_all, setop_union, sort_topk_global,
+    #       union_by_name, window_ntile, window_percent_rank,
+    #       window_range_frame, window_rank_topk, window_running_sum --
+    #       then the oldest r3 rows fill the 50.  After r9 no entry's
+    #       newest driver row predates r4.  Registry additions stay
+    #       capped at ~20/round so the 50-row window keeps converging.
+    #       Enforced by tests/test_rotation_ledger.py against the
+    #       newest committed CORRECTNESS_r*.json.
     "orders_status_mix_by_month",  # never
     "text_lang_confusion",  # never
     "embed_centroid_drift",  # never
