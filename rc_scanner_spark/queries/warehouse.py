@@ -207,10 +207,15 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint ranks every ~5 iterations.  Ranks stay distributed end
     to end (no collect).
 
-    Float discipline: contributions are summed in engine-specific
-    order, but with O(N) terms of magnitude ~1/N the drift is ~1e-15
-    relative; ranks are rounded to 6 decimals on both sides (k-means
-    oracle precedent).
+    Float discipline (r8): ranks live on an INTEGER pico-unit grid
+    (1e12) end to end — contributions are truncating integer
+    divisions (rank_p DIV outdeg, identical on both engines) and
+    inflows are integer sums (association-order independent), so the
+    result is bit-deterministic at any partitioning.  The earlier
+    float-sum form flipped a round(,6) boundary 1 ulp between engines
+    depending on accumulation order (in-suite flake, r8).  Total mass
+    ≤ 1e12 pico keeps every intermediate exact in BIGINT and inside
+    double's 2^53 for the damping product at any node count.
     """
     e = _t(spark, sf_dir, "events")
     pairs = e.select(
@@ -232,12 +237,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+        "node",
+        F.floor(F.lit(1e12) / F.col("n") + 0.5).cast("long").alias("rank_p"),
     )
+    teleport = F.floor(
+        F.lit((1.0 - _PR_DAMPING) * 1e12) / F.col("n") + 0.5
+    ).cast("long")
     for _ in range(_PR_ITERS):
         contrib = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .select("dst", F.expr("rank_p DIV outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
@@ -247,22 +256,34 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node",
                 (
-                    (1.0 - _PR_DAMPING) / F.col("n")
-                    + _PR_DAMPING * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
+                    teleport
+                    + F.floor(
+                        F.lit(_PR_DAMPING)
+                        * F.coalesce(F.col("inflow"), F.lit(0)).cast("double")
+                        + 0.5
+                    ).cast("long")
+                ).alias("rank_p"),
             )
         )
-    return ranks.select("node", F.round("rank", 6).alias("rank_r"))
+    # 6-decimal output via the floor idiom (round() half behavior
+    # differs across engines on exact .5 ties — docs/PARITY.md #7)
+    return ranks.select(
+        "node",
+        (F.floor(F.col("rank_p") / 1e6 + 0.5) / F.lit(1e6)).alias("rank_r"),
+    )
 
 
 def _pr_sql_iteration(prev: str, out: str) -> str:
     return f"""
 {out} AS (
   SELECT n.node,
-         (1.0 - {_PR_DAMPING}) / (SELECT n FROM nn)
-         + {_PR_DAMPING} * COALESCE(infl.inflow, 0.0) AS rank
+         CAST(floor((1.0 - {_PR_DAMPING}) * 1e12 / (SELECT n FROM nn) + 0.5)
+              AS BIGINT)
+         + CAST(floor({_PR_DAMPING}
+                      * CAST(COALESCE(infl.inflow, 0) AS DOUBLE) + 0.5)
+                AS BIGINT) AS rank_p
   FROM nodes n LEFT JOIN (
-    SELECT e.dst AS node, sum(p.rank / d.outdeg) AS inflow
+    SELECT e.dst AS node, CAST(sum(p.rank_p // d.outdeg) AS BIGINT) AS inflow
     FROM edges e
     JOIN {prev} p ON p.node = e.src
     JOIN deg d ON d.src = e.src
@@ -285,11 +306,13 @@ edges AS (
 deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
 nn AS (SELECT count(*) AS n FROM nodes),
-r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+r0 AS (SELECT node,
+              CAST(floor(1e12 / (SELECT n FROM nn) + 0.5) AS BIGINT) AS rank_p
+       FROM nodes),
 {_pr_sql_iteration('r0', 'r1')},
 {_pr_sql_iteration('r1', 'r2')},
 {_pr_sql_iteration('r2', 'r3')}
-SELECT node, round(rank, 6) AS rank_r FROM r3
+SELECT node, floor(rank_p / 1e6 + 0.5) / 1e6 AS rank_r FROM r3
 """
 
 

@@ -129,11 +129,40 @@ def _parse_bytes(v: str) -> int:
     return int(v[:i]) * _BYTE_UNITS[v[i:]]
 
 
+# Schema cache per (session JVM, path): a plain spark.read.parquet
+# infers the schema from footers on EVERY call (~75-100 ms/table —
+# tpch_q5ish loads six tables, so repeated plan construction paid
+# ~0.5 s/query in pure re-inference).  Supplying the cached schema
+# skips inference while file LISTING still happens per plan, so newly
+# written files under the same path are picked up; only a schema
+# CHANGE at an already-seen path needs invalidate_schema_cache()
+# (tests/conftest.write_fixture calls it on overwrite).
+_SCHEMA_CACHE: dict[tuple[int, str], object] = {}
+
+
+def invalidate_schema_cache(path: str | None = None) -> None:
+    """Drop cached schemas (for `path`, or all)."""
+    if path is None:
+        _SCHEMA_CACHE.clear()
+        return
+    for key in [k for k in _SCHEMA_CACHE if k[1] == path]:
+        del _SCHEMA_CACHE[key]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = table_path(sf_dir, name)
-    df = _spread(spark, spark.read.parquet(path), path, name)
+    key = (id(spark.sparkContext), path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        reader = spark.read.parquet(path)
+        schema = reader.schema
+        _SCHEMA_CACHE[key] = schema
+        df = reader
+    else:
+        df = spark.read.schema(schema).parquet(path)
+    df = _spread(spark, df, path, name)
     return _normalize_timestamps(df, name)
 
 

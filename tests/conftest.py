@@ -59,7 +59,13 @@ def write_changes_jsonl(path: str, changes: list[dict]) -> None:
 
 def write_fixture(spark, tmp_path, name, rows, schema):
     """Shared planted-test fixture writer: one <name>.parquet per
-    table, same layout convention as the sf dirs."""
+    table, same layout convention as the sf dirs.  Invalidates the
+    loader's schema cache for the path so a re-written fixture with a
+    different schema is never served stale."""
+    from rc_scanner_spark.tables import invalidate_schema_cache
+
+    path = str(tmp_path / f"{name}.parquet")
     spark.createDataFrame(rows, schema).coalesce(1).write.mode(
         "overwrite"
-    ).parquet(str(tmp_path / f"{name}.parquet"))
+    ).parquet(path)
+    invalidate_schema_cache(path)
