@@ -350,9 +350,13 @@ def kmeans_refine(
       per-dimension means (partial aggregation map-side — the shuffle
       carries K x dim partial sums per partition, NOT vectors), and
       re-assemble the centroid arrays with sort+transform.
-    Centroid components round to 6 digits each round so results are
-    invariant to partitioning/aggregation order.  K x dim stays tiny
-    (driver-free: centroids never leave the cluster).
+    Centroid components are EXACT-integer means on a 1e-6 grid (r8:
+    values quantize to integer micro-units BEFORE the sum — integer
+    sums are association-order independent, so the result is
+    bit-deterministic at any partitioning; a float avg() then
+    round(,6) could flip a boundary by 1 ulp between engines/runs,
+    the pagerank flake class).  K x dim stays tiny (driver-free:
+    centroids never leave the cluster).
 
     Returns (centroids(cell, cv), assigned(id, v, cell, csim))."""
     from pyspark.sql import Window
@@ -371,7 +375,18 @@ def kmeans_refine(
         centroids = (
             assigned.select("cell", F.posexplode("v").alias("pos", "val"))
             .groupBy("cell", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("val"))
+            .agg(
+                (
+                    F.floor(
+                        F.sum(
+                            F.floor(F.col("val") * 1e6 + 0.5).cast("long")
+                        ).cast("double")
+                        / F.count(F.lit(1))
+                        + 0.5
+                    )
+                    / F.lit(1e6)
+                ).alias("val")
+            )
             .groupBy("cell")
             .agg(
                 F.transform(

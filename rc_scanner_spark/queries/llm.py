@@ -585,10 +585,15 @@ def _sql_kmeans_ctes(num_cells: int, iters: int) -> tuple[str, str]:
 )"""
 
     def recompute(name: str, assigned: str) -> str:
+        # exact-integer micro-grid means (mirror of kmeans_refine r8:
+        # order-independent integer sums, no float-avg boundary flips)
         return f"""
 {name} AS (
   SELECT cell, list(val ORDER BY pos) AS cv FROM (
-    SELECT cell, pos, round(avg(val), 6) AS val FROM (
+    SELECT cell, pos,
+           floor(CAST(sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / count(*) + 0.5) / 1e6 AS val
+    FROM (
       SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
       FROM {assigned}
     ) GROUP BY cell, pos
@@ -616,7 +621,9 @@ _IVF_CTES, _IVF_ASSIGN = _sql_kmeans_ctes(16, 0)
 
 SQL_CLUSTER_KMEANS = f"""
 WITH {_KMEANS_CTES_8_3}
-SELECT cell, count(*) AS n_vectors, round(avg(csim), 3) AS mean_cosine
+SELECT cell, count(*) AS n_vectors,
+       floor(CAST(sum(CAST(floor(csim * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1e3 + 0.5) / 1e3 AS mean_cosine
 FROM {_KMEANS_FINAL_8_3} GROUP BY cell
 """
 
@@ -684,9 +691,22 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     _, assigned = kmeans_refine(e, num_cells=8, iters=3)
+    # exact-integer mean: csim sits on a 1e-6 grid, so the micro-unit
+    # sum is exact and order-independent (float avg + round(,3) could
+    # flip a boundary between engines — pagerank flake class, r8)
     return assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.round(F.avg("csim"), 3).alias("mean_cosine"),
+        (
+            F.floor(
+                F.sum(F.floor(F.col("csim") * 1e6 + 0.5).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                / 1e3
+                + 0.5
+            )
+            / F.lit(1e3)
+        ).alias("mean_cosine"),
     )
 
 
