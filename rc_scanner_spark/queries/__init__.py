@@ -399,6 +399,14 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     # -- batch-36 additions (round 8).
     "orders_tier_migration",
     "part_single_source_risk",
+    # -- batch-37 additions (round 8): the four remaining TPC-H
+    #    shapes (Q2/Q11/Q20/Q21 -> 22/22 covered).
+    "tpch_q2ish",
+    "tpch_q11ish",
+    "tpch_q20ish",
+    "tpch_q21ish",
+    # -- batch-38 addition (round 8): Mann-Kendall trend test.
+    "stats_mann_kendall",
 )
 
 
@@ -412,6 +420,7 @@ def build_registry() -> dict[str, QuerySpec]:
         relational3,
         relational4,
         relational5,
+        relational6,
         scanner_queries,
         sketches,
         sql_api,
@@ -452,6 +461,7 @@ def build_registry() -> dict[str, QuerySpec]:
         relational3,
         relational4,
         relational5,
+        relational6,
         sql_api,
         scanner_queries,
         llm,

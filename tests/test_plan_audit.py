@@ -188,6 +188,13 @@ ALLOWED_CARTESIANS = {
     "events_error_pchart": 1,
     # broadcast 1-row corpus pass-rate totals (shrinkage prior)
     "agg_bayes_shrunken_rates": 1,
+    # 1-row (total, n_parts) scalar broadcast (Q11's HAVING threshold)
+    "tpch_q11ish": 1,
+    # day-spine explode x distinct-type frame (days x types, bounded);
+    # the filled frame embedding it feeds four lazy consumers (pair
+    # self-join a/b sides + n + ties) — _track_persist'ed, so it
+    # materializes once at runtime (lazy-plan shape only)
+    "stats_mann_kendall": 4,
 }
 
 
