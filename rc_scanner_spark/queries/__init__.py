@@ -58,8 +58,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     #       out of the prefix (each already has its one driver row);
     #       embed_pca_variance (never sampled, rows-only by design) sits
     #       at position 51 so it lands only if the window spills.
-    #   Drain schedule (r9): the 15 never-sampled round-8 additions
-    #       (batches 33-36, listed at the tuple tail) head the next
+    #   Drain schedule (r9): the 20 never-sampled round-8 additions
+    #       (batches 33-38, listed at the tuple tail) head the next
     #       rotation, then the remaining 9 r1-era rows --
     #       setop_intersect_all, setop_union, sort_topk_global,
     #       union_by_name, window_ntile, window_percent_rank,
