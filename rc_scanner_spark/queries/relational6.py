@@ -78,11 +78,14 @@ def q_tpch_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum shipped unit cost (milli-cents, truncating integer
     division), ties kept, top 100 by account balance.
 
-    Scale: the region dim chain (supplier x nation x region) is a
-    broadcast; the (part, supplier) cost aggregate is one hash
-    shuffle on the pair key; the correlated min decorrelates into a
-    per-part aggregate equi-joined back (never re-executed per row);
-    part is a broadcast dim; the top-k plans as
+    Scale: the fact scan semi-joins to the FILTERED part keys first
+    (the q17ish rule — the per-part min is within-group, so
+    pre-filtering is value-identical but shrinks the pair aggregate,
+    the min aggregate and the join by the p_type selectivity); the
+    region dim chain (supplier x nation x region) is a broadcast with
+    acctbal pre-converted to cents once per supplier, not per fact
+    row; the correlated min decorrelates into a per-part aggregate
+    equi-joined back (never re-executed per row); the top-k plans as
     TakeOrderedAndProject.  Cost sums ride decimal(38,0) — cents x
     rows-per-pair passes 2^63 at design scale."""
     sup = _t(spark, sf_dir, "supplier")
@@ -91,13 +94,27 @@ def q_tpch_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu = (
         sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            _cents("s_acctbal").alias("ac"),
+        )
     )
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        "l_suppkey",
-        _cents("l_extendedprice").alias("pc"),
-        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qu"),
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == _Q2_PTYPE)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            _cents("l_extendedprice").alias("pc"),
+            F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qu"),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
     )
     ps = (
         li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey)
@@ -107,13 +124,12 @@ def q_tpch_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("qu").cast("decimal(38,0)")).alias("sq"),
             F.min("s_name").alias("s_name"),
             F.min("n_name").alias("n_name"),
-            F.min(_cents("s_acctbal")).alias("acctbal_cents"),
+            F.min("ac").alias("acctbal_cents"),
         )
         # quantities are >= 1 per line, so sq >= 1: DIV cannot hit 0
         .withColumn("cost_milli", F.expr("(sc * 1000) DIV sq"))
     )
     mn = ps.groupBy("l_partkey").agg(F.min("cost_milli").alias("mc"))
-    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == _Q2_PTYPE)
     return (
         ps.join(mn, ["l_partkey"])
         .filter(F.col("cost_milli") == F.col("mc"))
@@ -133,20 +149,23 @@ def q_tpch_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q2ISH = f"""
 WITH eu AS (
-  SELECT s_suppkey, s_name, s_acctbal, n_name
+  SELECT s_suppkey, s_name, n_name,
+         {_CENTS.format(c='s_acctbal')} AS ac
   FROM supplier JOIN nation ON s_nationkey = n_nationkey
   JOIN region ON n_regionkey = r_regionkey
   WHERE r_name = '{_Q2_REGION}'
 ),
+rp AS (SELECT p_partkey FROM part WHERE p_type = '{_Q2_PTYPE}'),
 ps AS (
   SELECT l_partkey, l_suppkey,
          min(s_name) AS s_name, min(n_name) AS n_name,
-         min({_CENTS.format(c='s_acctbal')}) AS acctbal_cents,
+         min(ac) AS acctbal_cents,
          CAST(sum(CAST({_CENTS.format(c='l_extendedprice')} AS HUGEINT))
               * 1000
               // sum(CAST(floor(l_quantity + 0.5) AS HUGEINT))
               AS BIGINT) AS cost_milli
-  FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+  FROM lineitem SEMI JOIN rp ON l_partkey = p_partkey
+  JOIN eu ON l_suppkey = s_suppkey
   GROUP BY 1, 2
 ),
 mn AS (SELECT l_partkey, min(cost_milli) AS mc FROM ps GROUP BY 1)
@@ -330,10 +349,14 @@ def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer/date logic end-to-end.
 
     Scale: one fact-fact equi-join (lineitem x orders on the order
-    key — co-partitioned at scale by bucketing both on orderkey), one
-    per-order hash aggregate, one per-supplier count; the region dim
-    chain broadcasts; top-k plans as TakeOrderedAndProject with a
-    full deterministic tiebreak."""
+    key — co-partitioned at scale by bucketing both on orderkey),
+    then a per-(order, supplier) max(slow) pre-aggregate (map-side
+    partial agg dedups) so the per-order rollup is a plain
+    count/sum/min with NO distinct aggregates — two countDistincts
+    with different children would plan an Expand that triples the
+    rows through the largest shuffle; the region dim chain
+    broadcasts; top-k plans as TakeOrderedAndProject with a full
+    deterministic tiebreak."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -341,15 +364,21 @@ def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     slow = F.when(
         F.col("l_shipdate")
         > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS"),
-        F.col("l_suppkey"),
+        1,
+    ).otherwise(0)
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(slow).alias("slow"))
     )
     oa = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_orderkey")
+        per_supp.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("nsupp"),
-            F.countDistinct(slow).alias("nslow"),
-            F.min(slow).alias("slow_supp"),
+            F.count(F.lit(1)).alias("nsupp"),
+            F.sum("slow").alias("nslow"),
+            F.min(
+                F.when(F.col("slow") == 1, F.col("l_suppkey"))
+            ).alias("slow_supp"),
         )
         .filter((F.col("nsupp") >= 2) & (F.col("nslow") == 1))
         .groupBy("slow_supp")
@@ -372,16 +401,20 @@ def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TPCH_Q21ISH = f"""
-WITH oa AS (
-  SELECT l_orderkey,
-         count(DISTINCT l_suppkey) AS nsupp,
-         count(DISTINCT CASE WHEN l_shipdate >
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate >
                  o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
-               THEN l_suppkey END) AS nslow,
-         min(CASE WHEN l_shipdate >
-                 o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
-               THEN l_suppkey END) AS slow_supp
+               THEN 1 ELSE 0 END) AS slow
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+oa AS (
+  SELECT l_orderkey,
+         count(*) AS nsupp,
+         sum(slow) AS nslow,
+         min(CASE WHEN slow = 1 THEN l_suppkey END) AS slow_supp
+  FROM per_supp
   GROUP BY 1
 ),
 w AS (
