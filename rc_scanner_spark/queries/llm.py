@@ -568,7 +568,9 @@ def _sql_kmeans_ctes(num_cells: int, iters: int) -> tuple[str, str]:
     final_assign_name).  Mirrors operators/similarity.kmeans_refine
     decision-for-decision: seeds = ``num_cells`` smallest ids, csim
     rounded to 6 before the argmax (tie -> lowest cell), per-dimension
-    centroid means rounded to 6 each round."""
+    centroid means on the exact-integer micro-grid each round
+    (quantize to 1e-6 units, order-independent integer sum, truncating
+    mean — the r8 rework that replaced the float round(avg, 6))."""
 
     def assign(name: str, cents: str) -> str:
         return f"""

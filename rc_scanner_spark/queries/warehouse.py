@@ -274,10 +274,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pr_sql_iteration(prev: str, out: str) -> str:
+    # the teleport numerator is precomputed in PYTHON and embedded as
+    # the identical double literal on both sides: a SQL-side
+    # (1.0 - 0.85) is DECIMAL-exact in DuckDB (0.15) while Python's
+    # float subtraction carries a 1-ulp error — enough to flip a
+    # floor(x + 0.5) boundary for an unlucky node count
+    # (docs/PARITY.md constant-table rule)
     return f"""
 {out} AS (
   SELECT n.node,
-         CAST(floor((1.0 - {_PR_DAMPING}) * 1e12 / (SELECT n FROM nn) + 0.5)
+         CAST(floor({(1.0 - _PR_DAMPING) * 1e12!r} / (SELECT n FROM nn) + 0.5)
               AS BIGINT)
          + CAST(floor({_PR_DAMPING}
                       * CAST(COALESCE(infl.inflow, 0) AS DOUBLE) + 0.5)

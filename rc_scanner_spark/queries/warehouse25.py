@@ -52,6 +52,19 @@ from .warehouse3 import SQL_AB_BUCKET, ab_bucket_col
 
 _t = load_tuned
 
+# The epoch-midpoint split (floor division of min+max event micros):
+# ONE definition of the tie rule for every pre/post experiment op
+# (CUPED and DiD here; McNemar and Cohen's d in warehouse27) — a
+# semantic change to the midpoint must happen in exactly one place
+# per engine.  The SQL snippet expects an `ev` CTE exposing `us`.
+EPOCH_MID_EXPR = "(min(us) + max(us)) DIV 2"
+SQL_EPOCH_MID_CTE = "mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev)"
+
+
+def epoch_mid(ev: DataFrame) -> DataFrame:
+    """1-row (mid_us) frame from an event frame carrying `us`."""
+    return ev.agg(F.expr(EPOCH_MID_EXPR).alias("mid_us"))
+
 # Two-sided α=0.05 and power 0.8 normal quantiles, embedded as
 # literals on BOTH sides (docs/PARITY.md #9: never call engine
 # inverse-CDFs).
@@ -319,9 +332,7 @@ def q_stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts")).alias("us"),
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
     )
-    mid = ev.agg(
-        F.expr("(min(us) + max(us)) DIV 2").alias("mid_us")
-    )
+    mid = epoch_mid(ev)
     per_user = (
         ev.crossJoin(F.broadcast(mid))
         .groupBy("user_id")
@@ -406,7 +417,7 @@ WITH ev AS (
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events
 ),
-mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev),
+{SQL_EPOCH_MID_CTE},
 per_user0 AS (
   SELECT user_id,
          CAST(sum(CASE WHEN e.us <= m.mid_us THEN cents ELSE 0 END) AS BIGINT) AS x,
@@ -573,7 +584,7 @@ def q_events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
         F.when(ab_bucket_col() < 500, F.lit(0)).otherwise(F.lit(1)).alias("treat"),
     )
-    mid = ev.agg(F.expr("(min(us) + max(us)) DIV 2").alias("mid_us"))
+    mid = epoch_mid(ev)
     cells = (
         ev.crossJoin(F.broadcast(mid))
         .select(
@@ -627,7 +638,7 @@ WITH ev AS (
               THEN 0 ELSE 1 END AS treat
   FROM events
 ),
-mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev),
+{SQL_EPOCH_MID_CTE},
 cells AS (
   SELECT
     CAST(sum(CASE WHEN treat = 0 AND us <= mid_us THEN cents END) AS BIGINT) AS s00,

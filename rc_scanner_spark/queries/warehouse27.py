@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from . import QuerySpec, load_tuned
 from .warehouse3 import SQL_AB_BUCKET, ab_bucket_col
+from .warehouse25 import SQL_EPOCH_MID_CTE, epoch_mid
 
 _t = load_tuned
 
@@ -36,9 +37,13 @@ def _per_user_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros(F.col("ts")).alias("us"),
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
-        (F.col("event_type") == "purchase").cast("int").alias("purch"),
+        # when/otherwise, not a bool cast: NULL event_type must flag 0
+        # like the twin's CASE ... ELSE 0 (a bare comparison is NULL,
+        # and a user whose period rows are all NULL-typed would fold
+        # to a NULL conversion flag on Spark only — round-6 trap)
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("purch"),
     )
-    mid = ev.agg(F.expr("(min(us) + max(us)) DIV 2").alias("mid_us"))
+    mid = epoch_mid(ev)
     return (
         ev.crossJoin(F.broadcast(mid))
         .groupBy("user_id")
@@ -56,13 +61,13 @@ def _per_user_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_PER_USER_CTE = """ev AS (
+_SQL_PER_USER_CTE = f"""ev AS (
   SELECT user_id, epoch_us(ts) AS us,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purch
   FROM events
 ),
-mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev),
+{SQL_EPOCH_MID_CTE},
 per_user AS (
   SELECT user_id,
          max(CASE WHEN e.us <= m.mid_us THEN purch ELSE 0 END) AS pre_conv,
@@ -158,8 +163,11 @@ def q_stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = pu.groupBy("variant").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("post_cents").alias("s"),
+        # cast the OPERAND before multiplying (review r8 convention):
+        # a long*long square overflows 2^63 at ~$30.4M per-user spend
+        # and throws under ANSI; the twin widens to HUGEINT first
         F.sum(
-            (F.col("post_cents") * F.col("post_cents")).cast("decimal(38,0)")
+            F.col("post_cents").cast("decimal(38,0)") * F.col("post_cents")
         ).alias("ss"),
     )
     one = pv.groupBy().agg(
@@ -217,32 +225,31 @@ one AS (
          max(CASE WHEN variant = 'treatment' THEN s END) AS st,
          max(CASE WHEN variant = 'treatment' THEN ss END) AS sst
   FROM pv
+),
+calc AS (
+  -- the pooled-std chain is defined ONCE here (it previously appeared
+  -- verbatim in both the CASE guard and the division — an edit to one
+  -- copy would silently break the NULL contract with the Spark side)
+  SELECT nc, nt,
+         CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS mc,
+         CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS mt,
+         sqrt((greatest(CAST(ssc AS DOUBLE)
+                        - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                          / CAST(nc AS DOUBLE), 0.0)
+               + greatest(CAST(sst AS DOUBLE)
+                        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                          / CAST(nt AS DOUBLE), 0.0))
+              / (CAST(nc AS DOUBLE) + CAST(nt AS DOUBLE) - 2.0)) AS s_pool
+  FROM one
 )
 SELECT CAST(nc AS BIGINT) AS n_control, CAST(nt AS BIGINT) AS n_treatment,
-       CAST(floor(CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) * 10 + 0.5)
-            AS BIGINT) AS mean_control_milli,
-       CAST(floor(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) * 10 + 0.5)
-            AS BIGINT) AS mean_treatment_milli,
+       CAST(floor(mc * 10 + 0.5) AS BIGINT) AS mean_control_milli,
+       CAST(floor(mt * 10 + 0.5) AS BIGINT) AS mean_treatment_milli,
        CAST(floor(
-         CASE WHEN nc >= 2 AND nt >= 2
-               AND sqrt((greatest(CAST(ssc AS DOUBLE)
-                                  - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
-                                    / CAST(nc AS DOUBLE), 0.0)
-                         + greatest(CAST(sst AS DOUBLE)
-                                  - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
-                                    / CAST(nt AS DOUBLE), 0.0))
-                        / (CAST(nc AS DOUBLE) + CAST(nt AS DOUBLE) - 2.0)) > 0
-              THEN (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
-                    - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
-                   / sqrt((greatest(CAST(ssc AS DOUBLE)
-                                    - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
-                                      / CAST(nc AS DOUBLE), 0.0)
-                           + greatest(CAST(sst AS DOUBLE)
-                                    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
-                                      / CAST(nt AS DOUBLE), 0.0))
-                          / (CAST(nc AS DOUBLE) + CAST(nt AS DOUBLE) - 2.0))
+         CASE WHEN nc >= 2 AND nt >= 2 AND s_pool > 0
+              THEN (mt - mc) / s_pool
          END * 1000 + 0.5) AS BIGINT) AS cohens_d_milli
-FROM one
+FROM calc
 """
 
 

@@ -71,9 +71,13 @@ def tune(spark: SparkSession) -> SparkSession:
     # is the AQE INITIAL number: coalescePartitions shrinks small
     # shuffles below it, so on a 1000-executor cluster the
     # cores-derived value stays right while local stays at 32.
+    # Only the UNTOUCHED Spark default ("200") is replaced: a caller
+    # that set its own value (get_spark's 32, or a cluster driver's
+    # deliberate 2000) keeps it — "override via conf" stays true.
     try:
-        par = spark.sparkContext.defaultParallelism
-        spark.conf.set("spark.sql.shuffle.partitions", str(max(16, par)))
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            par = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(16, par)))
     except Exception:  # pragma: no cover - conf locked down
         pass
     return spark

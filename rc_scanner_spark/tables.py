@@ -134,10 +134,20 @@ def _parse_bytes(v: str) -> int:
 # tpch_q5ish loads six tables, so repeated plan construction paid
 # ~0.5 s/query in pure re-inference).  Supplying the cached schema
 # skips inference while file LISTING still happens per plan, so newly
-# written files under the same path are picked up; only a schema
-# CHANGE at an already-seen path needs invalidate_schema_cache()
-# (tests/conftest.write_fixture calls it on overwrite).
-_SCHEMA_CACHE: dict[tuple[int, str], object] = {}
+# written files under the same path are picked up.  Entries carry the
+# directory mtime: an overwrite (Spark rewrites the dir contents)
+# bumps it and the schema re-infers on the next load — no writer has
+# to remember to call invalidate_schema_cache() (writers outside
+# tests/conftest.write_fixture never did).  Paths where stat fails
+# (non-local FS) fall back to stamp=None, i.e. cache-by-path-only.
+_SCHEMA_CACHE: dict[tuple[int, str], tuple[float | None, object]] = {}
+
+
+def _path_stamp(path: str) -> float | None:
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return None
 
 
 def invalidate_schema_cache(path: str | None = None) -> None:
@@ -154,14 +164,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = table_path(sf_dir, name)
     key = (id(spark.sparkContext), path)
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
+    stamp = _path_stamp(path)
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is None or hit[0] != stamp:
         reader = spark.read.parquet(path)
-        schema = reader.schema
-        _SCHEMA_CACHE[key] = schema
+        _SCHEMA_CACHE[key] = (stamp, reader.schema)
         df = reader
     else:
-        df = spark.read.schema(schema).parquet(path)
+        df = spark.read.schema(hit[1]).parquet(path)
     df = _spread(spark, df, path, name)
     return _normalize_timestamps(df, name)
 

@@ -121,3 +121,24 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     rows = {r.doc_id: r for r in df.collect()}
     assert rows[1].quality is None and rows[2].quality == 0.9
     assert df.filter("quality > 0.5").count() == 1
+
+
+def test_schema_cache_self_invalidates_on_overwrite(spark, tmp_path):
+    """Rewriting a table path with a CHANGED schema must be seen by
+    the next load_table without an explicit invalidate call — the
+    cache keys on the directory mtime (review r8: only
+    conftest.write_fixture knew to call invalidate_schema_cache; any
+    other writer was silently served the stale schema)."""
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(1, "a")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(path)
+    assert set(load_table(spark, str(tmp_path), "documents").columns) == {
+        "doc_id", "text",
+    }
+    spark.createDataFrame(
+        [(1, "a", "en")], "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(path)
+    df = load_table(spark, str(tmp_path), "documents")
+    assert set(df.columns) == {"doc_id", "text", "lang"}
+    assert df.collect()[0].lang == "en"

@@ -485,3 +485,31 @@ def test_stats_cohens_d_degenerate_null_both_engines(spark, tmp_path):
     import pandas as pd
 
     assert pd.isna(o.cohens_d_milli[0])
+
+
+def test_stats_mcnemar_null_event_type_both_engines(spark, tmp_path):
+    # review r8 round 3: a user whose PRE-period rows are all
+    # NULL-typed must flag pre_conv = 0 on BOTH engines (the old bool
+    # cast made purch NULL, and an all-NULL max folded the flag to
+    # NULL on Spark only).  User 1: NULL-typed pre rows + a post
+    # purchase -> discordant cell c (post only), not a dropped user.
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        (1, 1, _d(1), 1.0, None), (2, 1, _d(1), 1.0, None),
+        (3, 1, _d(30), 1.0, "purchase"),
+        (4, 2, _d(1), 1.0, "view"), (5, 2, _d(30), 1.0, "view"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["stats_mcnemar"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_never, r.n_post_only, r.n_pre_only, r.n_both) == (1, 1, 0, 0)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    o = con.execute(REG["stats_mcnemar"].sql).df()
+    con.close()
+    assert (int(o.n_never[0]), int(o.n_post_only[0])) == (1, 1)
+    assert (int(o.n_pre_only[0]), int(o.n_both[0])) == (0, 0)
