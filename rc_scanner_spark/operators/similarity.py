@@ -142,7 +142,12 @@ def ivf_topk(
     cells: cost drops from |Q| x |N| to |Q| x |N| x probes/cells.  The
     one shuffle is the (cell) equi-join — at 100 TB the assigned table
     is written bucketed by cell so even that shuffle disappears.
-    Recall vs the exact baseline is measured in tests.
+    ``num_cells`` should scale ~sqrt(|N|) in production (the registry
+    queries pin 16 for oracle determinism at test SFs): per-cell pair
+    mass is |Q| x |N| / cells, so fixed cells at growing N re-acquires
+    the quadratic term the index exists to remove (16x probe
+    adjudication, PLANS.md r8).  Recall vs the exact baseline is
+    measured in tests.
     """
     from pyspark.sql import Window
 
