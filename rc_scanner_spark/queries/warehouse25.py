@@ -206,8 +206,11 @@ def q_sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sx"),
-        # decimal: sum of n_chars² passes 2^63 near 1e12 docs (ANSI)
-        F.sum((F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)")).alias("sxx"),
+        # decimal with the OPERAND cast first (review r8: a long*long
+        # square throws under ANSI before any product cast applies —
+        # here at a single ~3e9-char document); the sum then passes
+        # 2^63 near 1e12 docs either way
+        F.sum(F.col("n_chars").cast("decimal(19,0)") * F.col("n_chars")).alias("sxx"),
     )
     nd = F.col("n_docs").cast("double")
     # greatest(..., 0): the float variance can round a hair negative
@@ -502,9 +505,16 @@ def q_stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("int").alias("purch"),
         F.when(ab_bucket_col() < 500, F.lit("a")).otherwise(F.lit("b")).alias("v"),
     )
-    per_dv = ev.groupBy("day", "v").agg(
-        F.countDistinct("user_id").alias("nu"),
-        F.countDistinct(F.when(F.col("purch") == 1, F.col("user_id"))).alias("np"),
+    # per-(day, variant, user) max(purch) pre-aggregate, then plain
+    # count/sum: two different-child countDistincts would plan a
+    # RewriteDistinctAggregates Expand that doubles the event rows
+    # through the largest aggregate (the tpch_q21ish review fix, r8)
+    per_user = ev.groupBy("day", "v", "user_id").agg(
+        F.max("purch").alias("purch")
+    )
+    per_dv = per_user.groupBy("day", "v").agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.sum("purch").alias("np"),
     )
     per_day = per_dv.groupBy("day").agg(
         F.max(F.when(F.col("v") == "a", F.col("nu"))).alias("n_a"),
@@ -691,8 +701,10 @@ def q_embed_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = grid.groupBy("pos").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("g6").alias("s6"),
-        # decimal: Σ g6² passes 2^63 near 1e7 vectors per dim (ANSI)
-        F.sum((F.col("g6") * F.col("g6")).cast("decimal(38,0)")).alias("ss"),
+        # decimal with the OPERAND cast first (review r8 convention:
+        # g6² sits within a factor ~2 of the BIGINT edge per row);
+        # the sum passes 2^63 near 1e7 vectors per dim either way
+        F.sum(F.col("g6").cast("decimal(19,0)") * F.col("g6")).alias("ss"),
     )
     nd = F.col("n").cast("double")
     mu = F.col("s6").cast("double") / nd / 1e6
