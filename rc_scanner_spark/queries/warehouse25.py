@@ -502,7 +502,11 @@ def q_stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
         "user_id",
-        (F.col("event_type") == "purchase").cast("int").alias("purch"),
+        # when/otherwise(0), not a bool cast: NULL event_type must
+        # flag 0 like the twin's CASE ELSE 0 (round-6 NULL trap);
+        # value-equal here (sum/max skip NULLs) but the explicit
+        # form can't regress under a future edit
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("purch"),
         F.when(ab_bucket_col() < 500, F.lit("a")).otherwise(F.lit("b")).alias("v"),
     )
     # per-(day, variant, user) max(purch) pre-aggregate, then plain

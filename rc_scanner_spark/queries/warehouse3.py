@@ -1412,7 +1412,9 @@ def q_events_ab_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 500, F.lit("control")).otherwise(F.lit("treatment")).alias(
             "variant"
         ),
-        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+        # when/otherwise(0), not a bool cast (round-6 NULL trap —
+        # value-equal today since sum skips NULLs, explicit anyway)
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("converted"),
         "user_id",
     )
     per_variant = assigned.groupBy("variant").agg(
