@@ -281,3 +281,39 @@ def test_stats_mann_kendall_all_tied_null_both_engines(spark, tmp_path):
     assert len(o) == 1
     assert int(o.s_stat[0]) == 0
     assert pd.isna(o.z_milli[0]) and pd.isna(o.tau_milli[0])
+
+
+def test_stats_mann_kendall_python_replay(spark, tmp_path):
+    # house style for statistical ops (pagerank replay precedent):
+    # a seeded random series replayed against a plain-Python
+    # Mann-Kendall implementation, exercising mixed ties/runs beyond
+    # the hand-planted cases.
+    import random
+
+    rng = random.Random(8)
+    counts = [rng.randint(0, 4) for _ in range(14)]
+    while len(set(counts)) <= 1:  # keep the non-degenerate branch
+        counts = [rng.randint(0, 4) for _ in range(14)]
+    _write(
+        spark, tmp_path, "events", _events_for_daily_counts(counts),
+        EV_SCHEMA,
+    )
+    row = REG["stats_mann_kendall"].fn(spark, str(tmp_path)).collect()[0]
+
+    n = len(counts)
+    s = sum(
+        (counts[j] > counts[i]) - (counts[j] < counts[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tie_sizes = [counts.count(v) for v in set(counts)]
+    tsum = sum(t * (t - 1) * (2 * t + 5) for t in tie_sizes)
+    tpair = sum(t * (t - 1) for t in tie_sizes)
+    var = (n * (n - 1) * (2 * n + 5) - tsum) / 18.0
+    z = 0.0 if s == 0 else (s - 1 if s > 0 else s + 1) / math.sqrt(var)
+    d0 = n * (n - 1) // 2
+    dy = d0 - tpair // 2
+    tau = s / math.sqrt(d0 * dy)
+    assert (row.n_days, row.s_stat) == (n, s)
+    assert row.z_milli == math.floor(z * 1000)
+    assert row.tau_milli == math.floor(tau * 1000)
