@@ -77,8 +77,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_NGRAM_JACCARD = """
-WITH w AS (
+# The ONE definition of the blocked word-shingle pair frame (the
+# SQL_WORD_SHINGLES_CTE_K3 convention): word-3-gram shingles per
+# (lang, source) block with the df<=50 hot-shingle cap, plus the
+# per-doc shingle counts.  Every blocked-Jaccard twin builds on these
+# CTE bodies instead of copying them — a tokenizer or df-cap change
+# edits one site.
+SQL_BLOCKED_SHINGLES_CTES = """w AS (
   SELECT doc_id, lang, source,
          regexp_extract_all(lower(text), '[a-z]+') AS words
   FROM documents
@@ -100,14 +105,21 @@ kept AS (
   FROM e JOIN d USING (lang, source, shingle)
   WHERE d.df <= 50
 ),
-counts AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
-common AS (
+counts AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1)"""
+
+# the shared-shingle pair count over the kept frame (the common CTE
+# both the Jaccard report and the degree-stats graph build on)
+SQL_SHINGLE_COMMON_CTE = """common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM kept a JOIN kept b
     ON a.lang = b.lang AND a.source = b.source
    AND a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {SQL_BLOCKED_SHINGLES_CTES},
+{SQL_SHINGLE_COMMON_CTE}
 SELECT id_a, id_b,
        round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) AS jaccard
 FROM common
@@ -771,7 +783,8 @@ WITH m AS (
          CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
          len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
          len(regexp_extract_all(lower(text), '{_M["en"]}')) AS n_stop,
-         length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+         length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g'))
+             AS n_nonspace
   FROM documents
 ),
 r AS (
@@ -1081,24 +1094,7 @@ lang AS (
               ELSE 'und' END AS lang_pred
   FROM s
 ),
-m AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
-         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-         len(regexp_extract_all(lower(text), '{_M["en"]}')) AS n_stop
-  FROM documents
-),
-qual AS (
-  SELECT doc_id,
-         round(least(n_words / 50.0, 1.0) * 0.4
-               + coalesce(round(n_stop / CASE WHEN n_words > 0
-                                              THEN CAST(n_words AS DOUBLE) END, 4),
-                          0.0) * 0.4
-               + least(coalesce(round(n_punct / CASE WHEN n_words > 0
-                                                     THEN CAST(n_words AS DOUBLE) END, 4),
-                                0.0) * 5, 1.0) * 0.2, 4) AS quality
-  FROM m
-),
+{sql_quality_ctes()},
 base AS (
   SELECT d.doc_id, lang_pred, quality,
          CAST(len(regexp_extract_all(d.text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
@@ -1106,7 +1102,7 @@ base AS (
              AS fp
   FROM documents d
   JOIN lang USING (doc_id)
-  JOIN qual USING (doc_id)
+  JOIN q USING (doc_id)
   WHERE quality >= 0.35
 ),
 surv AS (
@@ -1395,7 +1391,11 @@ def q_sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     of doc_id — deterministic across runs, engines, partitionings and
     re-ingests, unlike ``df.sample``.  Map-side only: no shuffle."""
     d = _t(spark, sf_dir, "documents")
-    src_num = F.substring(F.col("source"), 4, 10).cast("int")
+    # try_cast, matching the twin's TRY_CAST: a non-'srcN' source
+    # (or one shorter than 4 chars) must fall through to the 250
+    # tier via NULL, not throw CAST_INVALID_INPUT under ANSI
+    # (review r8 round 4)
+    src_num = F.substring(F.col("source"), 4, 10).try_cast("int")
     rate = (
         F.when(src_num < 5, F.lit(1000))
         .when(src_num < 10, F.lit(500))
@@ -2174,36 +2174,9 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-SQL_GRAPH_DEGREE_STATS = """
-WITH w AS (
-  SELECT doc_id, lang, source,
-         regexp_extract_all(lower(text), '[a-z]+') AS words
-  FROM documents
-),
-s AS (
-  SELECT doc_id, lang, source,
-         CASE WHEN len(words) >= 3
-              THEN list_distinct([array_to_string(words[i:i+2], ' ')
-                                  FOR i IN range(1, len(words) - 1)])
-              WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
-              ELSE [] END AS sh
-  FROM w
-),
-e AS (SELECT doc_id, lang, source, unnest(sh) AS shingle FROM s),
-d AS (SELECT lang, source, shingle, count(*) AS df FROM e GROUP BY 1, 2, 3),
-kept AS (
-  SELECT e.doc_id, e.lang, e.source, e.shingle
-  FROM e JOIN d USING (lang, source, shingle)
-  WHERE d.df <= 50
-),
-counts AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
-common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM kept a JOIN kept b
-    ON a.lang = b.lang AND a.source = b.source
-   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
+SQL_GRAPH_DEGREE_STATS = f"""
+WITH {SQL_BLOCKED_SHINGLES_CTES},
+{SQL_SHINGLE_COMMON_CTE},
 pairs AS (
   SELECT id_a, id_b
   FROM common JOIN counts ca ON ca.doc_id = id_a
@@ -2315,22 +2288,44 @@ def q_agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cm.agg(F.sum("c").alias("n"))
     ma = cm.groupBy("a").agg(F.sum("c").alias("ca"))
     mb = cm.groupBy("b").agg(F.sum("c").alias("cb"))
+    # conditional sum over ALL cm rows (not filter-then-sum): a
+    # confusion matrix with an empty diagonal must give po = 0 like
+    # the twin's CASE ... ELSE 0, not a NULL empty-frame sum
+    # (review r8 round 4)
     po = (
-        cm.filter(F.col("a") == F.col("b"))
-        .agg(F.sum("c").alias("agree"))
+        cm.agg(
+            F.sum(
+                F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(F.lit(0))
+            ).alias("agree")
+        )
         .crossJoin(F.broadcast(tot))
-        .select((F.col("agree") / F.col("n")).alias("po"), "n")
+        .select((F.col("agree") / F.col("n")).alias("po"))
     )
+    # marginal products through decimal (operand cast first) and the
+    # n² denominator in double: ca*cb and n*n pass 2^63 near 1e11
+    # rows under ANSI (review r8 convention)
     pe = (
         ma.join(mb, ma.a == mb.b)
+        .agg(
+            F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb")).alias("s")
+        )
         .crossJoin(F.broadcast(tot))
-        .agg(F.sum(F.col("ca") * F.col("cb")).alias("s"), F.first("n").alias("n"))
-        .select((F.col("s") / (F.col("n") * F.col("n"))).alias("pe"))
+        .select(
+            (
+                F.col("s").cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double"))
+            ).alias("pe")
+        )
     )
     return po.crossJoin(pe).select(
         F.round("po", 6).alias("po"),
         F.round("pe", 6).alias("pe"),
-        F.round((F.col("po") - F.col("pe")) / (1 - F.col("pe")), 6).alias("kappa"),
+        # pe == 1 exactly (both raters constant) leaves kappa
+        # undefined: NULL on both engines, never an ANSI /0.0 throw
+        F.when(
+            F.col("pe") < 1,
+            F.round((F.col("po") - F.col("pe")) / (1 - F.col("pe")), 6),
+        ).alias("kappa"),
     )
 
 
@@ -2346,10 +2341,17 @@ ma AS (SELECT a, sum(c) AS ca FROM cm GROUP BY 1),
 mb AS (SELECT b, sum(c) AS cb FROM cm GROUP BY 1),
 po AS (SELECT sum(CASE WHEN a = b THEN c ELSE 0 END) * 1.0 / (SELECT n FROM tot)
          AS po FROM cm),
-pe AS (SELECT sum(ca * cb) * 1.0 / ((SELECT n FROM tot) * (SELECT n FROM tot))
+-- HUGEINT marginal products and a double n² denominator: BIGINT
+-- ca*cb and n*n overflow near 1e11 rows (mirrors the Spark decimal
+-- operand cast)
+pe AS (SELECT CAST(sum(CAST(ca AS HUGEINT) * cb) AS DOUBLE)
+         / (CAST((SELECT n FROM tot) AS DOUBLE)
+            * CAST((SELECT n FROM tot) AS DOUBLE))
          AS pe FROM ma JOIN mb ON ma.a = mb.b)
 SELECT round(po.po, 6) AS po, round(pe.pe, 6) AS pe,
-       round((po.po - pe.pe) / (1 - pe.pe), 6) AS kappa
+       CASE WHEN pe.pe < 1
+            THEN round((po.po - pe.pe) / (1 - pe.pe), 6)
+       END AS kappa
 FROM po, pe
 """
 
@@ -2423,28 +2425,18 @@ def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SELECT_TOKEN_BUDGET = f"""
-WITH q AS (
+WITH {sql_quality_ctes()},
+toks AS (
   SELECT doc_id,
-         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
-         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-         len(regexp_extract_all(lower(text), '{_M["en"]}')) AS n_stop,
          CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens
   FROM documents
 ),
-m AS (
-  SELECT doc_id, n_tokens,
-         round(least(n_words / 50.0, 1.0) * 0.4
-               + coalesce(round(n_stop / CASE WHEN n_words > 0
-                                              THEN CAST(n_words AS DOUBLE) END, 4),
-                          0.0) * 0.4
-               + least(coalesce(round(n_punct / CASE WHEN n_words > 0
-                                                     THEN CAST(n_words AS DOUBLE) END,
-                                      4),
-                                0.0) * 5, 1.0) * 0.2, 4) AS quality_r
-  FROM q
+mt AS (
+  SELECT q.doc_id, toks.n_tokens, q.quality AS quality_r
+  FROM q JOIN toks USING (doc_id)
 ),
 bands AS (
-  SELECT quality_r, sum(n_tokens) AS band_tokens FROM m GROUP BY 1
+  SELECT quality_r, sum(n_tokens) AS band_tokens FROM mt GROUP BY 1
 ),
 bc AS (
   SELECT quality_r,
@@ -2454,10 +2446,10 @@ bc AS (
   FROM bands
 ),
 dc AS (
-  SELECT m.doc_id, m.quality_r, m.n_tokens, bc.cum_before,
-         sum(m.n_tokens) OVER (PARTITION BY m.quality_r ORDER BY m.doc_id
+  SELECT mt.doc_id, mt.quality_r, mt.n_tokens, bc.cum_before,
+         sum(mt.n_tokens) OVER (PARTITION BY mt.quality_r ORDER BY mt.doc_id
                                ROWS UNBOUNDED PRECEDING) AS band_cum
-  FROM m JOIN bc USING (quality_r)
+  FROM mt JOIN bc USING (quality_r)
 )
 SELECT doc_id, quality_r, n_tokens,
        CAST(cum_before + band_cum AS BIGINT) AS cum_tokens
@@ -2674,31 +2666,12 @@ def q_profile_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PROFILE_QUALITY_BY_SOURCE = f"""
-WITH m AS (
-  SELECT source,
-         round(least(len(regexp_extract_all(lower(text), '[a-z]+')) / 50.0,
-                     1.0) * 0.4
-               + coalesce(round(len(regexp_extract_all(lower(text), '{_M["en"]}'))
-                                / CASE WHEN len(regexp_extract_all(lower(text),
-                                                                   '[a-z]+')) > 0
-                                       THEN CAST(len(regexp_extract_all(lower(text),
-                                                                        '[a-z]+'))
-                                                 AS DOUBLE) END, 4),
-                          0.0) * 0.4
-               + least(coalesce(round(len(regexp_extract_all(text, '[.,;:!?]'))
-                                      / CASE WHEN len(regexp_extract_all(lower(text),
-                                                                         '[a-z]+')) > 0
-                                             THEN CAST(len(regexp_extract_all(lower(text),
-                                                                              '[a-z]+'))
-                                                       AS DOUBLE) END, 4),
-                                0.0) * 5, 1.0) * 0.2, 4) AS q
-  FROM documents
-),
+WITH {sql_quality_ctes(extra_cols="source")},
 ranked AS (
-  SELECT source, q,
-         row_number() OVER (PARTITION BY source ORDER BY q) AS rn,
+  SELECT source, quality AS q,
+         row_number() OVER (PARTITION BY source ORDER BY quality) AS rn,
          count(*) OVER (PARTITION BY source) AS n
-  FROM m
+  FROM q
 )
 SELECT source, count(*) AS n_docs,
        max(CASE WHEN rn = CAST(floor((n - 1) * 0.1) AS BIGINT) + 1
@@ -2779,30 +2752,8 @@ def q_dedup_pair_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_PAIR_EXPLAIN = """
-WITH w AS (
-  SELECT doc_id, lang, source,
-         regexp_extract_all(lower(text), '[a-z]+') AS words
-  FROM documents
-),
-s AS (
-  SELECT doc_id, lang, source,
-         CASE WHEN len(words) >= 3
-              THEN list_distinct([array_to_string(words[i:i+2], ' ')
-                                  FOR i IN range(1, len(words) - 1)])
-              WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
-              ELSE [] END AS sh
-  FROM w
-),
-e AS (SELECT doc_id, lang, source, unnest(sh) AS shingle FROM s),
-d AS (SELECT lang, source, shingle, count(*) AS df
-      FROM e GROUP BY 1, 2, 3),
-kept AS (
-  SELECT e.doc_id, e.lang, e.source, e.shingle
-  FROM e JOIN d USING (lang, source, shingle)
-  WHERE d.df <= 50
-),
-counts AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
+SQL_DEDUP_PAIR_EXPLAIN = f"""
+WITH {SQL_BLOCKED_SHINGLES_CTES},
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared,
          array_to_string(list_sort(list_distinct(list(a.shingle)))[1:3], ' | ')

@@ -564,3 +564,103 @@ def test_sql_expr_twins_match_column_forms(spark):
         f"{fingerprint_sql('text')} AS f",
     ).collect()
     assert col_form == sql_form
+
+
+def test_text_quality_vertical_tab_parity(spark, tmp_path):
+    """review r8 round 4: the twin's RE2 '\\s' missed U+000B, so a
+    doc containing a vertical tab diverged avg_word_len between
+    engines (Java-side translate strips it).  Both engines must now
+    agree on the explicit class."""
+    import duckdb
+
+    from rc_scanner_spark.queries import build_registry
+
+    spec = build_registry()["text_quality"]
+    rows = [(1, "foo\x0bbar baz", "en", "A", 11)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    [r] = spec.fn(spark, str(tmp_path)).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    o = con.execute(spec.sql).df()
+    con.close()
+    # 3 letter-words, 9 non-space chars (\x0b stripped as whitespace)
+    assert r.n_words == 3 and r.avg_word_len == 3.0
+    assert float(o.avg_word_len[0]) == r.avg_word_len
+
+
+def test_sample_weighted_mix_non_numeric_source(spark, tmp_path):
+    """review r8 round 4: a non-'srcN' source must fall to the 250
+    tier via try_cast on BOTH engines, not throw CAST_INVALID_INPUT
+    under Spark ANSI."""
+    import duckdb
+
+    from rc_scanner_spark.queries import build_registry
+
+    spec = build_registry()["sample_weighted_mix"]
+    rows = [(i, "text", "en", s, 4) for i, s in enumerate(["web", "x", "src1"])]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rates = {
+        r.source: r.rate_permille
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    # bucket < rate may drop rows; assert no crash and correct tiers
+    # for the rows that survive (rate 1000 always survives)
+    assert rates.get("src1") == 1000
+    assert all(v == 250 for k, v in rates.items() if k != "src1")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    o = con.execute(spec.sql).df()
+    con.close()
+    orates = dict(zip(o.source, o.rate_permille))
+    assert {k: int(v) for k, v in orates.items()} == rates
+
+
+def test_cohens_kappa_degenerates_both_engines(spark, tmp_path):
+    """review r8 round 4: (a) an empty confusion-matrix diagonal must
+    give po = 0 (not a NULL empty-frame sum) on BOTH engines; (b) a
+    constant pair of raters (pe = 1) leaves kappa NULL on BOTH
+    engines instead of an ANSI divide-by-zero throw."""
+    import duckdb
+    import pandas as pd
+
+    from rc_scanner_spark.queries import build_registry
+
+    spec = build_registry()["agg_cohens_kappa"]
+
+    def run(rows):
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/embeddings.parquet"
+        )
+        from rc_scanner_spark.tables import invalidate_schema_cache
+
+        invalidate_schema_cache(f"{tmp_path}/embeddings.parquet")
+        [r] = spec.fn(spark, str(tmp_path)).collect()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+        )
+        o = con.execute(spec.sql).df()
+        con.close()
+        return r, o
+
+    # (a) all odd vec_ids -> rater b never equals a -> po = 0 exactly
+    r, o = run([(2 * i + 1, [0.0] * 4, i % 2) for i in range(6)])
+    assert r.po == 0.0 and float(o.po[0]) == 0.0
+    assert r.kappa is not None and not pd.isna(o.kappa[0])
+    # (b) constant label, all even ids -> po = pe = 1 -> kappa NULL
+    r, o = run([(2 * i, [0.0] * 4, 3) for i in range(6)])
+    assert (r.po, r.pe, r.kappa) == (1.0, 1.0, None)
+    assert pd.isna(o.kappa[0]) and float(o.pe[0]) == 1.0
