@@ -210,23 +210,13 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The seed's own vec_id doubles as the code id — no global window
     # is needed to number the codebook.
     seeds = v.orderBy("vec_id").limit(_PQ_K)
-    codebook = seeds.select(
-        F.col("vec_id").alias("code"),
-        *[_subvec(F.col("v"), m).alias(f"c{m}") for m in range(_PQ_M)],
+    # one definition of the subspace geometry: the codebook explode is
+    # the same _explode_subspaces the encode/LUT paths use (review r8
+    # round 5 — a hand-rolled copy here could silently diverge from a
+    # future _PQ_M/_PQ_SUBDIM change)
+    cb_long = _explode_subspaces(
+        seeds.select(F.col("vec_id").alias("code"), "v"), "v", "cv", "code"
     )
-    cb_long = codebook.select(
-        "code",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"), F.col(f"c{m}").alias("cv")
-                    )
-                    for m in range(_PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select(F.col("s.m").alias("m"), "code", F.col("s.cv").alias("cv"))
 
     sub = _explode_subspaces(v, "v", "sv", "vec_id")
 
@@ -352,16 +342,25 @@ _BLOOM_K = 3     # hash functions
 
 def _bloom_pos(j: int, key):
     """Engine-portable bit position: md5-derived 60-bit hash of
-    'j:key' mod m (same trick as the Count-Min / portable-LSH twins)."""
+    'j:key' mod m (same trick as the Count-Min / portable-LSH twins).
+    The key is coalesced to '' on BOTH sides: Spark concat_ws drops a
+    NULL arg AND its separator ('0') while DuckDB concat keeps the
+    separator ('0:'), so an unmirrored NULL key would probe different
+    bit positions per engine (review r8 round 5)."""
     from ..functions.hashing import md5_long
 
-    return md5_long(F.concat_ws(":", F.lit(str(j)), key)) % _BLOOM_M
+    return (
+        md5_long(
+            F.concat_ws(":", F.lit(str(j)), F.coalesce(key, F.lit("")))
+        )
+        % _BLOOM_M
+    )
 
 
 def _bloom_pos_sql(j: int, key_expr: str) -> str:
     return (
-        f"CAST(concat('0x', substr(md5(concat('{j}', ':', {key_expr})),"
-        f" 1, 15)) AS BIGINT) % {_BLOOM_M}"
+        f"CAST(concat('0x', substr(md5(concat('{j}', ':',"
+        f" coalesce({key_expr}, ''))), 1, 15)) AS BIGINT) % {_BLOOM_M}"
     )
 
 
@@ -777,11 +776,16 @@ WHERE round(p.n_common * 1.0 / n.na, 4) >= {_CONT_THRESHOLD}
 def q_sketch_quantile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch vs exact: per event_type, exact
     p50/p95 of value (linear interpolation, identical in both
-    engines) plus a within-5% boolean from Spark's approx_percentile
+    engines) plus a within-10% boolean from Spark's approx_percentile
     (Greenwald-Khanna style sketch, default accuracy 10000).  Same
     bounded-error oracle pattern as sketch_hll_mergeable: the sketch
     estimate is engine-specific, so the hash-compared output is the
-    exact value and the bound check.
+    exact value and the bound check.  The band is 10%: GK's guarantee
+    bounds the RANK error (n/accuracy), not the value error, and a
+    sparse tail converts one rank step into a large value step —
+    measured 80% of a 5% band at sf0.001 (p95 of 20-value groups) vs
+    <= 0.6% at the graded sf0.01/0.1, so 10% keeps >= 2.5x margin at
+    every SF the drivers run (review r8 round 5).
 
     At 100 TB the sketch is the only viable plan: exact percentile
     sorts every group's values; the sketch aggregates per-partition
@@ -804,11 +808,11 @@ def q_sketch_quantile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (
                     F.abs(F.col("a50") - F.col("p50_exact"))
-                    <= 0.05 * F.abs(F.col("p50_exact"))
+                    <= 0.10 * F.abs(F.col("p50_exact"))
                 )
                 & (
                     F.abs(F.col("a95") - F.col("p95_exact"))
-                    <= 0.05 * F.abs(F.col("p95_exact"))
+                    <= 0.10 * F.abs(F.col("p95_exact"))
                 )
             ).alias("approx_ok"),
         )
@@ -871,9 +875,17 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Seed the residual codebook SKIPPING the coarse-cell seed ids:
     # those vectors are their own cell centroids, so their residuals
     # are exactly zero — seeding from them degenerates half the
-    # codebook into identical all-zero entries (dead codes).
+    # codebook into identical all-zero entries (dead codes).  The
+    # exclusion anti-joins the ACTUAL seed-id set (the num_cells
+    # smallest ids, ivf_assign's rule) — a bare id >= num_cells only
+    # works for zero-based contiguous ids (review r8 round 5).
+    seed_ids = (
+        e.select(F.col("vec_id").alias("id")).orderBy("id").limit(_IVFPQ_CELLS)
+    )
     pseeds = (
-        res.filter(F.col("id") >= _IVFPQ_CELLS).orderBy("id").limit(_PQ_K)
+        res.join(F.broadcast(seed_ids), "id", "left_anti")
+        .orderBy("id")
+        .limit(_PQ_K)
     )
     pcb_long = _explode_subspaces(
         pseeds.select(F.col("id").alias("code"), "r"), "r", "cv", "code"
@@ -968,7 +980,9 @@ res AS (
          [a.v[i] - c.cv[i] FOR i IN range(1, {dim} + 1)] AS r
   FROM {ivf_assign_name} a JOIN kc0 c USING (cell)
 ),
-pseeds AS (SELECT id, r FROM res WHERE id >= {_IVFPQ_CELLS}
+pseeds AS (SELECT id, r FROM res
+           WHERE id NOT IN (SELECT id FROM kb
+                            ORDER BY id LIMIT {_IVFPQ_CELLS})
            ORDER BY id LIMIT {_PQ_K}),
 pcb AS (SELECT id AS code, {sub_cases} FROM pseeds),
 cb AS ({cb_union}),

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..operators.text import words
 from . import QuerySpec, load_tuned
+from ..functions.hashing import md5_long
 
 
 _t = load_tuned
@@ -57,9 +58,11 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     ws = d.select("doc_id", words(F.col("text")).alias("ws"))
     n = F.size("ws")
+    # win carries only (doc_id, start, key) — n_tokens is NOT
+    # threaded through the persisted frame (no consumer read it;
+    # base derives it from the tokenized frame directly)
     win = ws.select(
         "doc_id",
-        n.alias("n_tokens"),
         F.explode(
             F.when(
                 n >= _SPAN_K,
@@ -67,28 +70,16 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sequence(F.lit(1), n - (_SPAN_K - 1)),
                     lambda i: F.struct(
                         i.alias("start"),
-                        F.conv(
-                            F.substring(
-                                F.md5(
-                                    F.array_join(
-                                        F.slice("ws", i, _SPAN_K), " "
-                                    )
-                                ),
-                                1,
-                                15,
-                            ),
-                            16,
-                            10,
-                        )
-                        .cast("bigint")
-                        .alias("key"),
+                        md5_long(
+                            F.array_join(F.slice("ws", i, _SPAN_K), " ")
+                        ).alias("key"),
                     ),
                 ),
             ).otherwise(
                 F.array().cast("array<struct<start:int,key:bigint>>")
             )
         ).alias("w"),
-    ).select("doc_id", "n_tokens", F.col("w.start").alias("start"), F.col("w.key").alias("key"))
+    ).select("doc_id", F.col("w.start").alias("start"), F.col("w.key").alias("key"))
     from ..operators import dedup as _dedup
 
     win = _dedup._track_persist(win)  # read by dup_keys AND dup_win
@@ -211,7 +202,11 @@ def q_select_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "doc_id",
         "n_tokens",
-        F.expr("(1000000 * nd) DIV n_tokens").alias("q_ppm"),
+        # nd through BIGINT first: F.size is INT32, and 1000000 * nd
+        # overflows int32 at >= 2148 distinct words -> ANSI throw
+        # (review r8 round 5, reproduced) while the twin's len() is
+        # already BIGINT
+        F.expr("(1000000 * CAST(nd AS BIGINT)) DIV n_tokens").alias("q_ppm"),
     )
     w_lt = (
         Window.partitionBy("lang")
@@ -327,22 +322,12 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.sequence(
                                 F.lit(1), F.size(words(F.col("text"))) - 4
                             ),
-                            lambda i: F.conv(
-                                F.substring(
-                                    F.md5(
-                                        F.array_join(
-                                            F.slice(
-                                                words(F.col("text")), i, 5
-                                            ),
-                                            " ",
-                                        )
-                                    ),
-                                    1,
-                                    15,
-                                ),
-                                16,
-                                10,
-                            ).cast("bigint"),
+                            lambda i: md5_long(
+                                F.array_join(
+                                    F.slice(words(F.col("text")), i, 5),
+                                    " ",
+                                )
+                            ),
                         ),
                     ).otherwise(F.array().cast("array<bigint>"))
                 )
@@ -521,11 +506,7 @@ def q_sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     max fan-out capped at 5."""
     d = _t(spark, sf_dir, "documents")
     u = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("boot1:"), F.col("doc_id"))), 1, 15),
-            16,
-            10,
-        ).cast("bigint")
+        md5_long(F.concat(F.lit("boot1:"), F.col("doc_id")))
         % 1000000
     ) / 1000000.0
     return (
@@ -680,22 +661,14 @@ def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
     )
     u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("ci:"),
-                        F.col("b").cast("string"),
-                        F.lit(":"),
-                        F.col("doc_id").cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        md5_long(
+            F.concat(
+                F.lit("ci:"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        )
         % 1000000
     ) / 1000000.0
     means = (
@@ -777,13 +750,7 @@ def q_sample_uniform_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape as any top-k; salt the literal to draw a fresh
     sample."""
     d = _t(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("usamp1:"), F.col("doc_id"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h = md5_long(F.concat(F.lit("usamp1:"), F.col("doc_id")))
     return (
         d.select("doc_id", "source", h.alias("h"))
         .orderBy("h", "doc_id")
@@ -882,9 +849,7 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     fp = F.md5(normalize(F.col("text")))
     h = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("split1:"), fp)), 1, 4), 16, 10)
-        .cast("bigint")
-        % 100
+        md5_long(F.concat(F.lit("split1:"), fp), n_hex=4) % 100
     )
     assigned = d.select(
         "doc_id",
@@ -1097,12 +1062,22 @@ def q_embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = sims.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("s4").alias("s1"),
-        F.sum(F.col("s4") * F.col("s4")).alias("s2"),
+        # s4² <= 1e8 per row fits LONG, but the SUM passes 2^63 near
+        # 9.2e10 vectors — decimal sum mirrors the twin's HUGEINT
+        # (review r8 round 5)
+        F.sum((F.col("s4") * F.col("s4")).cast("decimal(38,0)")).alias("s2"),
     ).select(
         (F.col("s1") / F.col("n")).alias("mu"),
+        # s2 to DOUBLE at consumption (a decimal/long division would
+        # diverge from the twin's HUGEINT*1.0 chain); greatest(,0)
+        # clamps the float-rounded negative variance near s1² > 2^53
+        # (the review-r8 Neyman precedent — DuckDB sqrt(-eps) throws)
         F.sqrt(
-            F.col("s2") / F.col("n")
-            - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+            F.greatest(
+                F.col("s2").cast("double") / F.col("n")
+                - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")),
+                F.lit(0.0),
+            )
         ).alias("sd"),
     )
     return (
@@ -1132,9 +1107,9 @@ sims AS (
 ),
 stats AS (
   SELECT sum(s4) * 1.0 / count(*) AS mu,
-         sqrt(sum(s4 * s4) * 1.0 / count(*)
-              - (sum(s4) * 1.0 / count(*)) * (sum(s4) * 1.0 / count(*)))
-             AS sd
+         sqrt(greatest(sum(s4 * s4) * 1.0 / count(*)
+              - (sum(s4) * 1.0 / count(*)) * (sum(s4) * 1.0 / count(*)),
+              0.0)) AS sd
   FROM sims
 )
 SELECT sims.vec_id, sims.s4

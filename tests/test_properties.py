@@ -664,3 +664,37 @@ def test_cohens_kappa_degenerates_both_engines(spark, tmp_path):
     r, o = run([(2 * i, [0.0] * 4, 3) for i in range(6)])
     assert (r.po, r.pe, r.kappa) == (1.0, 1.0, None)
     assert pd.isna(o.kappa[0]) and float(o.pe[0]) == 1.0
+
+
+def test_pareto_frontier_wide_doc_no_overflow(spark, tmp_path):
+    """review r8 round 5 (reproduced): a doc with >= 2148 distinct
+    words overflowed int32 in 1000000 * nd under ANSI; nd now widens
+    to BIGINT first.  q_ppm stays exact-integer."""
+    from rc_scanner_spark.queries import build_registry
+
+    import itertools
+    import string
+
+    # 2500 DISTINCT alphabetic tokens (words() extracts [a-z]+ runs,
+    # so digit-suffixed tokens would all collapse to one word)
+    text = " ".join(
+        "".join(t)
+        for t in itertools.islice(
+            itertools.product(string.ascii_lowercase, repeat=3), 2500
+        )
+    )
+    # the small doc has LOWER quality (repeated token), so it cannot
+    # dominate the wide doc — the wide doc stays on the frontier and
+    # its q_ppm (the overflowing expression) reaches the output
+    rows = [(1, text, "en", "A", len(text)), (2, "dup dup", "en", "A", 7)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r.doc_id: r.q_ppm
+        for r in build_registry()["select_pareto_frontier"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    # doc 1: 2500 distinct tokens of 2500 -> ratio 1.0 -> 1_000_000
+    assert out[1] == 1_000_000
