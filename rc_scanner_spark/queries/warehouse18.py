@@ -45,8 +45,10 @@ def q_graph_degree_assortativity(
 
     Scale: reuses the SAME support-pruned persisted edge frame as the
     rest of the graph family; degrees are one grouped count joined
-    back (broadcast — the degree table is node-sized); moments ride
-    decimal(38,0) and only the final r chain is double."""
+    back on the node key — NO broadcast hint, the degree table is
+    node-sized (data-sized, not a bounded dim; AQE auto-broadcasts
+    when it fits — review r8 round 6); moments ride decimal(38,0)
+    and only the final r chain is double."""
     edges = _copurchase_edges(spark, sf_dir)
     und = edges.union(
         edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
@@ -56,7 +58,7 @@ def q_graph_degree_assortativity(
     )
     da = deg.select(F.col("node").alias("pa"), F.col("deg").alias("dx"))
     db = deg.select(F.col("node").alias("pb"), F.col("deg").alias("dy"))
-    pairs = und.join(F.broadcast(da), "pa").join(F.broadcast(db), "pb")
+    pairs = und.join(da, "pa").join(db, "pb")
     m = pairs.agg(
         F.count(F.lit(1)).alias("n_endpoints"),
         F.sum(F.col("dx").cast("decimal(38,0)")).alias("sx"),

@@ -205,6 +205,12 @@ GROUP BY 1
 
 _EWMA_DECAY = 0.7
 _EWMA_HORIZON = 7  # trailing days contributing (j = 0..6)
+# decay weights precomputed in PYTHON as integer nano-units and
+# embedded as identical literals on both sides (PARITY.md #9): engine
+# pow() is not guaranteed identically rounded across JVM/libm
+_EWMA_W_NANO = tuple(
+    int(round(_EWMA_DECAY**j * 1e9)) for j in range(_EWMA_HORIZON)
+)
 
 
 def filled_day_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,42 +271,38 @@ def q_events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded frame — days x types), and the horizon explode runs on
     that spine, never on events.  Both engines compute the identical
     double expression; output rounded to 4."""
-    ev = _t(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    bounds = ev.agg(
-        F.to_date(F.min("ts")).alias("mn"), F.to_date(F.max("ts")).alias("mx")
-    )
-    spine = (
-        bounds.select(
-            F.explode(F.sequence("mn", "mx")).alias("day"), "mx"
+    # shared zero-filled spine (finding: this query re-implemented the
+    # builder its own docstring names as the shared site) + INTEGER
+    # nano-unit weights precomputed in Python (engine pow() is only
+    # 1-ulp-accurate and float term sums are order-dependent —
+    # PARITY.md #9/#10; review r8 round 6): the weighted sums are
+    # exact integers, the only float is one final division + floor.
+    filled = filled_day_spine(spark, sf_dir)
+    mxf = filled.agg(F.max("day").alias("mx"))
+    warr = F.array(*[F.lit(w) for w in _EWMA_W_NANO])
+    contrib = (
+        filled.crossJoin(F.broadcast(mxf))
+        .select(
+            "event_type",
+            "cnt",
+            "mx",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_EWMA_HORIZON - 1))
+            ).alias("j"),
+            F.col("day").alias("src_day"),
         )
-        .crossJoin(
-            ev.select("event_type").distinct()
+        .select(
+            "event_type",
+            F.date_add("src_day", F.col("j")).alias("day"),
+            "mx",
+            # operand decimal cast: w_nano * cnt passes 2^63 for a
+            # 1e10-event day at design scale
+            (
+                F.element_at(warr, F.col("j") + 1).cast("decimal(19,0)")
+                * F.col("cnt")
+            ).alias("wc"),
+            F.element_at(warr, F.col("j") + 1).alias("wn"),
         )
-    )
-    filled = spine.join(daily, ["event_type", "day"], "left").select(
-        "event_type",
-        "day",
-        "mx",
-        F.coalesce("cnt", F.lit(0)).cast("double").alias("cnt"),
-    )
-    contrib = filled.select(
-        "event_type",
-        "cnt",
-        "mx",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(_EWMA_HORIZON - 1))
-        ).alias("j"),
-        F.col("day").alias("src_day"),
-    ).select(
-        "event_type",
-        F.date_add("src_day", F.col("j")).alias("day"),
-        "mx",
-        (F.pow(F.lit(_EWMA_DECAY), F.col("j")) * F.col("cnt")).alias("wc"),
-        F.pow(F.lit(_EWMA_DECAY), F.col("j")).alias("w"),
     )
     return (
         contrib.filter(F.col("day") <= F.col("mx"))
@@ -309,44 +311,32 @@ def q_events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("day", "yyyy-MM-dd").alias("day"),
         )
         .agg(
-            F.round(F.sum("wc") / F.sum("w"), 4).alias("ewma"),
+            (
+                F.floor(
+                    F.sum("wc").cast("double")
+                    / F.sum("wn").cast("double")
+                    * 10000
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("ewma"),
         )
     )
 
 
 SQL_EVENTS_EWMA_SMOOTH = f"""
-WITH b AS (
-  SELECT CAST(min(ts) AS DATE) AS mn, CAST(max(ts) AS DATE) AS mx
-  FROM events
-),
-daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
-  FROM events GROUP BY 1, 2
-),
-spine AS (
-  SELECT t.event_type, d.day, b.mx
-  FROM b,
-       LATERAL (SELECT unnest(generate_series(b.mn, b.mx,
-                        INTERVAL 1 DAY))::DATE AS day) d,
-       (SELECT DISTINCT event_type FROM events) t
-),
-filled AS (
-  SELECT s.event_type, s.day, s.mx,
-         CAST(coalesce(daily.cnt, 0) AS DOUBLE) AS cnt
-  FROM spine s
-  LEFT JOIN daily ON daily.event_type = s.event_type
-                 AND daily.day = s.day
-),
+WITH {SQL_DAY_SPINE_CTE},
+wj AS (SELECT unnest(range(0, {_EWMA_HORIZON})) AS j,
+              unnest({list(_EWMA_W_NANO)}) AS wn),
 contrib AS (
-  SELECT f.event_type, f.day + g.j::INT AS day, f.mx,
-         pow({_EWMA_DECAY}, g.j) * f.cnt AS wc,
-         pow({_EWMA_DECAY}, g.j) AS w
-  FROM filled f
-  CROSS JOIN (SELECT unnest(range(0, {_EWMA_HORIZON})) AS j) g
+  SELECT f.event_type, f.day + wj.j::INT AS day,
+         CAST(wj.wn AS HUGEINT) * f.cnt AS wc, wj.wn
+  FROM filled f CROSS JOIN wj
 )
 SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
-       round(sum(wc) / sum(w), 4) AS ewma
-FROM contrib WHERE day <= mx
+       floor(CAST(sum(wc) AS DOUBLE) / CAST(sum(wn) AS DOUBLE)
+             * 10000 + 0.5) / 10000.0 AS ewma
+FROM contrib WHERE day <= (SELECT mx FROM bounds)
 GROUP BY 1, 2
 """
 
@@ -371,13 +361,20 @@ def q_time_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # integer cents before the sum (PARITY.md #10/#26): a raw
+            # double sum feeding round(,2) is an accumulation-order
+            # coin flip across engines/partitionings at scale
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).alias("tc"),
         )
         .select(
             F.col("win.start").alias("window_start"),
             "event_type",
             "n",
-            "total_value",
+            (F.col("tc").cast("double") / 100.0).alias("total_value"),
         )
     )
 
@@ -395,7 +392,8 @@ WITH assigned AS (
     AND e.ts < w.window_start + INTERVAL 1 HOUR
 )
 SELECT window_start, event_type, count(*) AS n,
-       round(sum(value), 2) AS total_value
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS total_value
 FROM assigned GROUP BY 1, 2
 """
 
@@ -994,11 +992,16 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x") == F.col("pa")) & (F.col("y") == F.col("pb")),
         "left_anti",
     )
+    # NO broadcast hint on deg: it has one row per surviving node — a
+    # data-sized frame, not a bounded dimension; a forced broadcast
+    # OOMs at the 1e8-node design scale where a shuffled equi-join
+    # works (AQE still auto-broadcasts when it actually fits).
+    # (review r8 round 6)
     da = deg.alias("da")
     dc = deg.alias("dc")
     return (
-        open_pairs.join(F.broadcast(da), F.col("x") == F.col("da.node"))
-        .join(F.broadcast(dc), F.col("y") == F.col("dc.node"))
+        open_pairs.join(da, F.col("x") == F.col("da.node"))
+        .join(dc, F.col("y") == F.col("dc.node"))
         .select(
             "x",
             "y",
@@ -1268,19 +1271,49 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     no per-condition scans)."""
     ev = _t(spark, sf_dir, "events")
     hi = F.col("value") > 0.5
-    return ev.groupBy("event_type").agg(
+    # integer quantization BEFORE the sums (PARITY.md #10/#26): a raw
+    # double sum is accumulation-order-dependent, and round() on top
+    # of it is a latent cross-engine coin flip at scale — cents for
+    # the sum, micro-units + the floor idiom for the mean
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    vm = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("count_if(value > 0.5)").alias("n_hi"),
-        F.round(F.sum(F.when(hi, F.col("value"))), 2).alias("sum_hi"),
-        F.round(F.avg(F.when(~hi, F.col("value"))), 4).alias("avg_lo"),
+        F.sum(F.when(hi, vc).cast("decimal(38,0)")).alias("sc"),
+        F.expr("count_if(value <= 0.5)").alias("n_lo"),
+        F.sum(F.when(~hi, vm).cast("decimal(38,0)")).alias("sm"),
+    )
+    avg_lo = (
+        F.floor(
+            F.col("sm").cast("double")
+            / F.col("n_lo")
+            / 1000000.0
+            * 10000
+            + 0.5
+        )
+        / 10000.0
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "n_hi",
+        (F.col("sc").cast("double") / 100.0).alias("sum_hi"),
+        F.when(F.col("n_lo") > 0, avg_lo).alias("avg_lo"),
     )
 
 
 SQL_AGG_FILTERED = """
 SELECT event_type, count(*) AS n,
        count(*) FILTER (WHERE value > 0.5) AS n_hi,
-       round(sum(value) FILTER (WHERE value > 0.5), 2) AS sum_hi,
-       round(avg(value) FILTER (WHERE value <= 0.5), 4) AS avg_lo
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            FILTER (WHERE value > 0.5) AS DOUBLE) / 100.0 AS sum_hi,
+       CASE WHEN count(*) FILTER (WHERE value <= 0.5) > 0 THEN
+         floor(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                    FILTER (WHERE value <= 0.5) AS DOUBLE)
+               / count(*) FILTER (WHERE value <= 0.5)
+               / 1000000.0 * 10000 + 0.5) / 10000.0
+       END AS avg_lo
 FROM events GROUP BY 1
 """
 
@@ -1369,10 +1402,17 @@ def q_events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded (type x hours) frame."""
     from pyspark.sql import Window as W
 
+    from ..operators.dedup import _track_persist
+
     ev = _t(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # the hourly rollup feeds four lazy consumers (ranked + join-left,
+    # twice through the double disc-median pass) — persist (tracked)
+    # so the raw events scan runs once (review r8 round 6)
+    hourly = _track_persist(
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
     def disc_median(df, part, col, out):
         w = W.partitionBy(part).orderBy(col)
@@ -1490,24 +1530,18 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_agg_weighted_median() -> str:
-    from ..operators.text import LANG_MARKERS as _M
+    # builds from the ONE shared quality block (llm.sql_quality_ctes)
+    # instead of a seventh inline copy of the composite formula —
+    # the r7 consolidation missed this twin (review r8 round 6)
+    from .llm import sql_quality_ctes
 
     return f"""
-WITH scored AS (
-  SELECT source,
-         CAST(floor(round(least(len(regexp_extract_all(lower(text), '[a-z]+'))
-                               / 50.0, 1.0) * 0.4
-            + coalesce(round(len(regexp_extract_all(lower(text), '{_M["en"]}'))
-               / CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0
-                      THEN CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
-                                AS DOUBLE) END, 4), 0.0) * 0.4
-            + least(coalesce(round(len(regexp_extract_all(text, '[.,;:!?]'))
-               / CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0
-                      THEN CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
-                                AS DOUBLE) END, 4), 0.0) * 5, 1.0) * 0.2, 4)
-            * 10000 + 0.5) AS BIGINT) AS q4,
-         len(regexp_extract_all(lower(text), '[a-z]+')) AS w
-  FROM documents
+WITH {sql_quality_ctes(extra_cols="source")},
+scored AS (
+  SELECT q.source,
+         CAST(floor(q.quality * 10000 + 0.5) AS BIGINT) AS q4,
+         m.n_words AS w
+  FROM q JOIN m USING (doc_id)
 ),
 cum AS (
   SELECT source, q4, w,

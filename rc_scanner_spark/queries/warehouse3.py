@@ -970,9 +970,18 @@ def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wq"),
     )
+    # weighted feeds FOUR differently-keyed consumers (norms, posts,
+    # both dot sides) — persist (tracked), or the lazy plan re-derives
+    # tokenize -> tf -> df-join per consumer (the graph_kcore
+    # multiplier class; review r8 round 6)
+    from ..operators.dedup import _track_persist
+
+    weighted = _track_persist(weighted)
     # decimal-exact sums of squared weights: wq can reach ~2e10 on
-    # pathological corpora, so a long wq*wq wraps (Spark ANSI throws,
-    # DuckDB HUGEINT computes) — the squared-sums at-scale class
+    # pathological corpora, so a long wq*wq wraps — Spark ANSI throws
+    # AND DuckDB overflow-throws on the BIGINT per-row product (only
+    # sum() promotes to HUGEINT; verified) — both sides cast the
+    # OPERAND first (review r8 round 6)
     norms = weighted.groupBy("doc_id").agg(
         F.sum(
             (F.col("wq").cast("decimal(19,0)") * F.col("wq")).cast(
@@ -1053,7 +1062,10 @@ weighted AS (
                     + 0.5) AS BIGINT) AS wq
   FROM tf JOIN dfx USING (lang, w), nd
 ),
-norms AS (SELECT doc_id, sum(wq * wq) AS n2 FROM weighted GROUP BY doc_id),
+-- OPERAND HUGEINT casts: DuckDB overflow-THROWS on the BIGINT
+-- per-row product (verified; only sum() promotes) — review r8 r6
+norms AS (SELECT doc_id, sum(CAST(wq AS HUGEINT) * wq) AS n2
+          FROM weighted GROUP BY doc_id),
 posts AS (
   SELECT lang, w, doc_id AS id FROM weighted WHERE df <= 100
 ),
@@ -1063,7 +1075,7 @@ cand AS (
     ON a.lang = b.lang AND a.w = b.w AND a.id < b.id
 ),
 dots AS (
-  SELECT id_a, id_b, sum(fa.wq * fb.wq) AS dot
+  SELECT id_a, id_b, sum(CAST(fa.wq AS HUGEINT) * fb.wq) AS dot
   FROM cand
   JOIN weighted fa ON fa.doc_id = cand.id_a
   JOIN weighted fb ON fb.doc_id = cand.id_b AND fa.w = fb.w
@@ -1675,6 +1687,13 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp"),
     ).distinct()
+    # fps (the expensive map-side md5 + window-minimum chain) feeds
+    # three consumers (df_ build + the posts frame under both
+    # self-join sides) — persist (tracked) so the fingerprint HOFs
+    # run once over the corpus (review r8 round 6)
+    from ..operators.dedup import _track_persist
+
+    fps = _track_persist(fps)
     df_ = fps.groupBy("lang", "fp").agg(F.count(F.lit(1)).alias("df"))
     posts = fps.join(df_.filter(F.col("df") <= 50), ["lang", "fp"]).select(
         "lang", "fp", F.col("doc_id").alias("id")

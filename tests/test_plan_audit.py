@@ -150,7 +150,10 @@ ALLOWED_CARTESIANS = {
     "events_concurrency": 1,     # broadcast minute-grid bounds scalar
     "events_ab_bucketing": 1,    # 1-row SRM statistic broadcast
     "events_cumulative_distinct": 1,  # broadcast day-grid bounds
-    "events_ewma_smooth": 1,     # broadcast alpha-power scalar frame
+    # day-spine explode x distinct-type frame (bounded) + the 1-row
+    # max-day broadcast; the shared spine subtree prints its cross
+    # under both lazy consumers (contrib + the mx aggregate)
+    "events_ewma_smooth": 3,
     "events_rolling_active_users": 1, # broadcast day-grid bounds
     "graph_pagerank": 4,         # broadcast dangling-mass scalar per iter
     "join_bloom_pruned": 1,      # 1-row Bloom bit-words aggregate broadcast
