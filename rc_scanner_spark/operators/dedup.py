@@ -234,10 +234,20 @@ def minhash_signature_frame(
             "shingle"
         ),
     )
+    # the per-seed min is CASE-guarded: xxhash64 SKIPS a NULL arg (it
+    # returns the seed's own hash, not NULL), so without the guard
+    # every zero-shingle doc would get the same non-NULL constant
+    # signature and all such docs would band together as perfect
+    # "near-dups" of each other (review r8 round 7, verified live) —
+    # with the guard their mins are NULL and minhash_band_buckets
+    # excludes them from candidacy entirely
     return sh.groupBy("id").agg(
         F.count("shingle").alias("n_sh"),
         *[
-            F.expr(f"min(xxhash64({seed}L, shingle)) AS h{seed}")
+            F.expr(
+                f"min(CASE WHEN shingle IS NOT NULL"
+                f" THEN xxhash64({seed}L, shingle) END) AS h{seed}"
+            )
             for seed in range(num_hashes)
         ],
     )
@@ -247,7 +257,11 @@ def minhash_band_buckets(
     sig: DataFrame, num_hashes: int = 32, bands: int = 8
 ) -> DataFrame:
     """(id, band, bucket) LSH band keys from a signature frame
-    (``minhash_signature_frame`` output or its parquet sidecar)."""
+    (``minhash_signature_frame`` output or its parquet sidecar).
+    Zero-shingle rows (n_sh = 0, NULL mins) are excluded: they carry
+    no content evidence, and their band keys would otherwise be the
+    hash of all-NULLs — one shared bucket fusing every empty doc."""
+    sig = sig.filter(F.col("n_sh") > 0)
     rows_per_band = num_hashes // bands
     band_structs = ", ".join(
         "struct({b} AS band, xxhash64({cols}) AS bucket)".format(
@@ -445,10 +459,24 @@ def ngram_jaccard_pairs(
         df.select(F.col(id_col).alias("id"), *[F.col(c) for c in group_cols]),
         "id",
     )
-    buckets = sh.groupBy(*group_cols, "shingle").agg(
-        F.collect_list("id").alias("ids"), F.count(F.lit(1)).alias("df")
+    # COUNT first, filter, THEN collect: a single collect_list+count
+    # aggregate materializes a hot shingle's complete id array in one
+    # aggregation buffer BEFORE the df filter can drop it — a
+    # boilerplate shingle in 1e8 docs of one block is a multi-GB
+    # buffer in one task (review r8 round 7).  The count aggregate
+    # carries constant state; the collect then runs only over
+    # cap-bounded buckets.  Both aggregations and the semi-join hash
+    # on the same (block, shingle) key, so the shingle frame's
+    # exchange is reused rather than re-shuffled.
+    dfc = sh.groupBy(*group_cols, "shingle").agg(
+        F.count(F.lit(1)).alias("df")
     )
-    kept = buckets.filter(F.col("df") <= max_shingle_df)
+    kept_keys = dfc.filter(F.col("df") <= max_shingle_df)
+    kept = (
+        sh.join(kept_keys, [*group_cols, "shingle"])
+        .groupBy(*group_cols, "shingle")
+        .agg(F.collect_list("id").alias("ids"))
+    )
     counts = (
         kept.select(F.explode("ids").alias("id"))
         .groupBy("id")
@@ -655,9 +683,12 @@ def simhash_signatures(
     is whole-stage-codegen'd, so the per-row advantage grows with
     document count (locally the one-time codegen compile of the
     64-aggregate masks much of it)."""
-    # explode_outer keeps zero-word docs (one NULL row): NULL hash
-    # fails every bit test -> votes -1 -> all-zero chunks, identical
-    # to the fold's zero-vote signature.
+    # explode_outer keeps zero-word docs (one NULL row).  The hash is
+    # when()-guarded: xxhash64(NULL) returns the SEED's hash (42), not
+    # NULL — unguarded, a zero-word doc got signature [42,0,0,0]
+    # instead of the fold form's all-zero (review r8 round 7, verified
+    # live); with h NULL every bit test is NULL -> votes -1 ->
+    # all-zero chunks, identical to the fold.
     # Built as SQL strings (one F.expr per vote aggregate, one
     # selectExpr for the chunk assembly): the nested-Column form costs
     # ~1.9 s of py4j round-trips per construction (64 aggregates x ~7
@@ -667,7 +698,7 @@ def simhash_signatures(
     toks = (
         shared_word_frame(df, id_col, text_col)
         .select("id", F.explode_outer(F.array_distinct(F.col("ws"))).alias("w"))
-        .withColumn("h", F.xxhash64("w"))
+        .withColumn("h", F.when(F.col("w").isNotNull(), F.xxhash64("w")))
     )
     votes = toks.groupBy("id").agg(
         *[
@@ -803,23 +834,28 @@ def prefix_jaccard_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Verification restricted to candidate ids BEFORE any token
-    # self-join (same shape as minhash_lsh_pairs): the big token table
-    # is semi-filtered down to candidate members, so the |common| join
-    # is linear in candidate token mass, never the full corpus.
-    ta = tok.join(
-        cand.select("id_a").distinct().hint("broadcast"), tok.id == F.col("id_a")
-    ).select(F.col("id_a").alias("ca"), "tok")
-    tb = tok.join(
-        cand.select("id_b").distinct().hint("broadcast"), tok.id == F.col("id_b")
-    ).select(F.col("id_b").alias("cb"), F.col("tok").alias("tok_b"))
+    # PAIR-restricted verification (the minhash_lsh_pairs shape): the
+    # a-side tokens are routed through the candidate PAIR list first,
+    # so the b-side equi-join is keyed on (id_b, tok) and emits work
+    # linear in |pairs| x tokens/doc.  The previous id-restricted form
+    # (ta.tok == tb.tok alone) emitted m x n rows for a token shared
+    # by m candidate a-docs and n candidate b-docs even for combos
+    # that were never prefix candidates — the quadratic hot-token term
+    # the prefix filter exists to avoid (review r8 round 7).  No
+    # broadcast hints: the candidate set grows with the corpus.
+    pair_tok = tok.join(cand.select("id_a", "id_b"), tok.id == F.col("id_a")).select(
+        "id_a", "id_b", "tok"
+    )
     common = (
-        ta.join(tb, F.col("tok") == F.col("tok_b"))
-        .groupBy("ca", "cb")
+        pair_tok.join(
+            tok.select(F.col("id").alias("id_b"), "tok"),
+            on=["id_b", "tok"],
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        cand.join(common, (cand.id_a == common.ca) & (cand.id_b == common.cb))
+        cand.join(common, ["id_a", "id_b"])
         .withColumn(
             "jaccard",
             F.round(
