@@ -51,76 +51,58 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     #   r6: 43 never-checked oracle-backed + 6 rows-only + 1 spill.
     #   r7: the 51 oracle-backed entries with no driver row through r6
     #       (CORRECTNESS_r07: 50/50 full hash-green, zero slot burns).
-    #   r8 (THIS ordering, emitted by tools/rotate_prefix.py --slots 50):
-    #       the 16 oracle-backed never-sampled entries (batches 28-32 +
-    #       orders_status_mix_by_month) followed by 34 of the 43 r1-era
-    #       stale rows, alphabetical.  Rows-only (sql=None) entries stay
-    #       out of the prefix (each already has its one driver row);
-    #       embed_pca_variance (never sampled, rows-only by design) sits
-    #       at position 51 so it lands only if the window spills.
-    #   Drain schedule (r9): the 20 never-sampled round-8 additions
-    #       (batches 33-38, listed at the tuple tail) head the next
-    #       rotation, then the remaining 9 r1-era rows --
-    #       setop_intersect_all, setop_union, sort_topk_global,
-    #       union_by_name, window_ntile, window_percent_rank,
-    #       window_range_frame, window_rank_topk, window_running_sum --
-    #       then the oldest r3 rows fill the 50.  After r9 no entry's
-    #       newest driver row predates r4.  Registry additions stay
-    #       capped at ~20/round so the 50-row window keeps converging.
-    #       Enforced by tests/test_rotation_ledger.py against the
-    #       newest committed CORRECTNESS_r*.json.
-    "orders_status_mix_by_month",  # never
-    "text_lang_confusion",  # never
-    "embed_centroid_drift",  # never
-    "graph_clustering_coefficient",  # never
-    "agg_theil_index",  # never
-    "select_mix_planner",  # never
-    "profile_quality_dup_calibration",  # never
-    "events_error_pchart",  # never
-    "join_asof_nearest",  # never
-    "text_script_mix",  # never
-    "events_bounce_rate",  # never
-    "multimodal_pair_integrity",  # never
-    "agg_bayes_shrunken_rates",  # never
-    "events_anomaly_seasonal_adjusted",  # never
-    "text_tokenizer_fertility",  # never
-    "embed_dup_consistency",  # never
-    "agg_cube",  # green r1
-    "agg_distinct",  # green r1
-    "agg_grouping_sets",  # green r1
-    "agg_having",  # green r1
-    "agg_median",  # green r1
-    "agg_rollup",  # green r1
-    "agg_stats",  # green r1
-    "agg_tpch_q1",  # green r1
-    "array_ops",  # green r1
-    "correlated_subquery",  # green r1
-    "cross_join",  # green r1
-    "filter_membership",  # green r1
-    "filter_null_threshold",  # green r1
-    "filter_threshold_inclusive",  # green r1
-    "in_subquery",  # green r1
-    "join_anti",  # green r1
-    "join_broadcast_dims",  # green r1
-    "join_inner_agg",  # green r1
-    "join_left_count",  # green r1
-    "join_range_bands",  # green r1
-    "join_semi",  # green r1
-    "json_extract",  # green r1
-    "limit_offset",  # green r1
-    "map_lookup",  # green r1
-    "pivot",  # green r1
-    "posexplode_tokens",  # green r1
-    "proj_datetime",  # green r1
-    "proj_math",  # green r1
-    "proj_string",  # green r1
-    "regexp_extract_group",  # green r1
-    "scalar_subquery",  # green r1
-    "setop_except",  # green r1
-    "setop_except_all",  # green r1
-    "setop_intersect",  # green r1
-    # ---- entries below are outside the 50-slot prefix ----
-    "embed_pca_variance",  # never
+    #   r8: 16 never-sampled oracle-backed (batches 28-32) + 34 r1-era
+    #       stale rows (CORRECTNESS_r08: 50/50 full hash-green).
+    #   r9: NOT rotated (zero-commit round); the driver re-sampled the
+    #       exact r8 set (CORRECTNESS_r09 set-equal to r08, 50/50 green
+    #       but zero new coverage).  Convergence stalled at 307/328.
+    #   r10 (THIS ordering, emitted by tools/rotate_prefix.py --slots
+    #       50): the 20 never-sampled batch-33..38 entries, then the 9
+    #       remaining r1-era rows (setop_intersect_all .. window_
+    #       running_sum), then the 21 oldest r3-era rows (agg_approx_
+    #       distinct .. scan_verb, alphabetical within round).  Rows-only
+    #       (sql=None) entries stay out of the prefix; embed_pca_variance
+    #       (never sampled, rows-only by design) sits at position 51 so
+    #       it lands only if the window spills.  After r10 cumulative
+    #       driver coverage is 327/328 distinct queries (embed_pca_
+    #       variance pending its spill slot).
+    #   Drain schedule (r11): embed_pca_variance spill stays at 51 if
+    #       still unsampled, prefix = the 27 remaining r3-era rows
+    #       (sketch_hll_daily_rollup, sketch_hll_mergeable,
+    #       sql_api_revenue, sql_api_top_customers, sql_api_window,
+    #       text_fingerprint, text_lang_id, text_quality,
+    #       text_repetition, text_token_count, tfidf_top_terms,
+    #       tpch_q10ish, tpch_q13ish, tpch_q14ish, tpch_q15ish,
+    #       tpch_q16ish, tpch_q17ish, tpch_q18ish, tpch_q19ish,
+    #       tpch_q22ish, tpch_q3ish, tpch_q4ish, tpch_q5ish, tpch_q6,
+    #       tpch_q7ish, tpch_q8ish, tpch_q9ish) + the 23 alphabetically
+    #       first r4-era rows (agg_cohens_kappa .. profile_columns) --
+    #       after r11 no entry's newest driver row predates r4.
+    #       Registry additions stay capped at ~20/round so the 50-row
+    #       window keeps converging.  Enforced by
+    #       tests/test_rotation_ledger.py against the newest committed
+    #       CORRECTNESS_r*.json; tools/rotate_prefix.py re-emits the
+    #       ordering mechanically each round.
+    "stats_spearman",  # never
+    "sample_stratified_neyman",  # never
+    "stats_cuped",  # never
+    "stats_power_mde",  # never
+    "events_did_estimator",  # never
+    "embed_outlier_mahalanobis",  # never
+    "orders_price_index_laspeyres",  # never
+    "agg_hhi_concentration",  # never
+    "orders_seasonality_decomposition",  # never
+    "text_novelty_decay",  # never
+    "orders_backlog_aging",  # never
+    "stats_mcnemar",  # never
+    "stats_cohens_d",  # never
+    "orders_tier_migration",  # never
+    "part_single_source_risk",  # never
+    "tpch_q2ish",  # never
+    "tpch_q11ish",  # never
+    "tpch_q20ish",  # never
+    "tpch_q21ish",  # never
+    "stats_mann_kendall",  # never
     "setop_intersect_all",  # green r1
     "setop_union",  # green r1
     "sort_topk_global",  # green r1
@@ -151,6 +133,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "scan_regex_hits",  # green r3
     "scan_threshold_disabled",  # green r3
     "scan_verb",  # green r3
+    # ---- entries below are outside the 50-slot prefix ----
+    "embed_pca_variance",  # never
     "sketch_hll_daily_rollup",  # green r3
     "sketch_hll_mergeable",  # green r3
     "sql_api_revenue",  # green r3
@@ -378,35 +362,56 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "text_ttr_segments",  # green r7
     "text_vocab_oov",  # green r7
     "text_word_length_profile",  # green r7
-    # -- batch-33 additions (round 8): never driver-sampled,
-    #    oracle-backed — they queue behind the prefix and head the r9
-    #    rotation together with the r9 drain remainder named above.
-    "stats_spearman",
-    "sample_stratified_neyman",
-    "stats_cuped",
-    "stats_power_mde",
-    "events_did_estimator",
-    "embed_outlier_mahalanobis",
-    "orders_price_index_laspeyres",
-    # -- batch-34 additions (round 8).
-    "agg_hhi_concentration",
-    "orders_seasonality_decomposition",
-    "text_novelty_decay",
-    "orders_backlog_aging",
-    # -- batch-35 additions (round 8).
-    "stats_mcnemar",
-    "stats_cohens_d",
-    # -- batch-36 additions (round 8).
-    "orders_tier_migration",
-    "part_single_source_risk",
-    # -- batch-37 additions (round 8): the four remaining TPC-H
-    #    shapes (Q2/Q11/Q20/Q21 -> 22/22 covered).
-    "tpch_q2ish",
-    "tpch_q11ish",
-    "tpch_q20ish",
-    "tpch_q21ish",
-    # -- batch-38 addition (round 8): Mann-Kendall trend test.
-    "stats_mann_kendall",
+    "agg_bayes_shrunken_rates",  # green r9
+    "agg_cube",  # green r9
+    "agg_distinct",  # green r9
+    "agg_grouping_sets",  # green r9
+    "agg_having",  # green r9
+    "agg_median",  # green r9
+    "agg_rollup",  # green r9
+    "agg_stats",  # green r9
+    "agg_theil_index",  # green r9
+    "agg_tpch_q1",  # green r9
+    "array_ops",  # green r9
+    "correlated_subquery",  # green r9
+    "cross_join",  # green r9
+    "embed_centroid_drift",  # green r9
+    "embed_dup_consistency",  # green r9
+    "events_anomaly_seasonal_adjusted",  # green r9
+    "events_bounce_rate",  # green r9
+    "events_error_pchart",  # green r9
+    "filter_membership",  # green r9
+    "filter_null_threshold",  # green r9
+    "filter_threshold_inclusive",  # green r9
+    "graph_clustering_coefficient",  # green r9
+    "in_subquery",  # green r9
+    "join_anti",  # green r9
+    "join_asof_nearest",  # green r9
+    "join_broadcast_dims",  # green r9
+    "join_inner_agg",  # green r9
+    "join_left_count",  # green r9
+    "join_range_bands",  # green r9
+    "join_semi",  # green r9
+    "json_extract",  # green r9
+    "limit_offset",  # green r9
+    "map_lookup",  # green r9
+    "multimodal_pair_integrity",  # green r9
+    "orders_status_mix_by_month",  # green r9
+    "pivot",  # green r9
+    "posexplode_tokens",  # green r9
+    "profile_quality_dup_calibration",  # green r9
+    "proj_datetime",  # green r9
+    "proj_math",  # green r9
+    "proj_string",  # green r9
+    "regexp_extract_group",  # green r9
+    "scalar_subquery",  # green r9
+    "select_mix_planner",  # green r9
+    "setop_except",  # green r9
+    "setop_except_all",  # green r9
+    "setop_intersect",  # green r9
+    "text_lang_confusion",  # green r9
+    "text_script_mix",  # green r9
+    "text_tokenizer_fertility",  # green r9
 )
 
 
