@@ -55,6 +55,12 @@ def release_caches() -> None:
 # collide; cleared by ``release_caches``.
 _SHARED_FRAMES: dict[tuple, DataFrame] = {}
 
+# Hot-shingle sets past this row count are too big to broadcast to
+# every executor (~2M rows of (block keys, 8-byte shingle hash) is
+# tens of MB serialized); ngram_jaccard_pairs falls back to a shuffle
+# anti-join above it.
+_HOT_SHINGLE_BROADCAST_ROWS = 2_000_000
+
 
 def shared_word_frame(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -432,13 +438,20 @@ def ngram_jaccard_pairs(
     standard blocking-hygiene move: boilerplate shingles carry no
     near-dup signal.
 
-    Shape: one shuffle groups (block, shingle) -> the doc-id list per
-    bucket (bounded by the cap), pairs explode map-side from each
-    bucket (<= cap^2/2 per bucket by construction), then a pair-count
-    aggregate.  No self-join of the exploded frame, no persist: the
-    per-doc counts and the pair path both hang off the same bucket
-    aggregate, so Spark reuses its exchange and the shingling scan
-    runs once."""
+    Shape: the df filter is applied as a broadcast ``left_anti`` join
+    against the *hot* key set (df > cap) — the complement of the kept
+    set, which is tiny by construction (at most total-occurrences/cap
+    rows; in practice a handful of boilerplate shingles) — so the
+    hot-key drop happens map-side over the cached shingle frame.  The
+    kept set itself is ~the whole distinct-shingle vocabulary; joining
+    *it* back (the pre-r10 shape) was a second big-against-big shuffle
+    that measured 1.84x of the round-1 baseline.  After the anti join:
+    one shuffle groups (block, shingle) -> the doc-id list per bucket
+    (bounded by the cap), pairs explode map-side from each bucket
+    (<= cap^2/2 per bucket by construction), then a pair-count
+    aggregate.  If the hot set exceeds the broadcast bound the join
+    falls back to a shuffle anti-join with a loud warning (correct,
+    just slower)."""
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (pairs sharing no shingle are pruned)")
     if max_shingle_df < 2:
@@ -459,21 +472,48 @@ def ngram_jaccard_pairs(
         df.select(F.col(id_col).alias("id"), *[F.col(c) for c in group_cols]),
         "id",
     )
+    # NULL block keys never matched the old (block, shingle) inner
+    # join (null-unsafe equality) and never match the oracle twin's
+    # USING join either — drop them map-side so the anti-join below
+    # (whose NULL behavior is the opposite: never-match = KEPT)
+    # preserves those exact semantics.
+    for c in group_cols:
+        sh = sh.filter(F.col(c).isNotNull())
     # COUNT first, filter, THEN collect: a single collect_list+count
     # aggregate materializes a hot shingle's complete id array in one
     # aggregation buffer BEFORE the df filter can drop it — a
     # boilerplate shingle in 1e8 docs of one block is a multi-GB
     # buffer in one task (review r8 round 7).  The count aggregate
     # carries constant state; the collect then runs only over
-    # cap-bounded buckets.  Both aggregations and the semi-join hash
-    # on the same (block, shingle) key, so the shingle frame's
-    # exchange is reused rather than re-shuffled.
+    # cap-bounded buckets.
     dfc = sh.groupBy(*group_cols, "shingle").agg(
         F.count(F.lit(1)).alias("df")
     )
-    kept_keys = dfc.filter(F.col("df") <= max_shingle_df)
+    # Materialize the HOT complement (df > cap): tiny by construction,
+    # so the df filter becomes a broadcast anti-join (map-side drop
+    # over the cached shingle frame) instead of shuffling the ~full
+    # distinct-shingle vocabulary back against the shingle frame.
+    hot = _track_persist(
+        dfc.filter(F.col("df") > max_shingle_df).select(*group_cols, "shingle")
+    )
+    n_hot = hot.count()
+    if n_hot > _HOT_SHINGLE_BROADCAST_ROWS:
+        # Loud fallback: correctness is unchanged (shuffle anti-join
+        # on the same keys), only the map-side broadcast is lost.
+        import warnings
+
+        warnings.warn(
+            f"ngram_jaccard_pairs: {n_hot} hot shingles exceed the "
+            f"broadcast bound ({_HOT_SHINGLE_BROADCAST_ROWS}); falling "
+            "back to a shuffle anti-join — check max_shingle_df vs the "
+            "corpus' boilerplate rate",
+            stacklevel=2,
+        )
+        hot_side = hot
+    else:
+        hot_side = F.broadcast(hot)
     kept = (
-        sh.join(kept_keys, [*group_cols, "shingle"])
+        sh.join(hot_side, [*group_cols, "shingle"], "left_anti")
         .groupBy(*group_cols, "shingle")
         .agg(F.collect_list("id").alias("ids"))
     )

@@ -360,14 +360,18 @@ def q_stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise re-derives the whole events scan per consumer.
     from ..operators.dedup import _track_persist
 
-    dec = "decimal(38,0)"
+    # Operand-cast BEFORE multiplying (the stats_spearman convention):
+    # casting the long*long *product* still evaluates the multiply in
+    # 64-bit and throws under ANSI once a per-user half-period spend
+    # passes ~2^31.5 cents.  d19*d19 plans a decimal(38,0) multiply.
+    dec = "decimal(19,0)"
     per_variant = per_user.groupBy("variant").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("x").alias("vsx"),
         F.sum("y").alias("vsy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("vsxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("vsyy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("vsxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("vsxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("vsyy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("vsxy"),
     )
     per_variant = _track_persist(per_variant)
     pooled = per_variant.agg(
@@ -437,7 +441,9 @@ per_user AS (
 pooled0 AS (
   SELECT count(*) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
   FROM per_user
 ),
 pooled AS (

@@ -191,6 +191,50 @@ def test_stats_cuped_zero_pre_variance_degrades(spark, tmp_path):
     assert (o.theta_ppm == 0).all()
 
 
+def test_stats_cuped_big_spend_no_overflow_both_engines(spark, tmp_path):
+    # r10 ADVICE fix: a per-user half-period spend past ~2^31.5 cents
+    # makes the per-row x*x product pass 2^63; the operand must widen
+    # BEFORE the multiply (Spark decimal(19,0), DuckDB HUGEINT) or both
+    # engines throw.  4e9 cents squared = 1.6e19 > 2^63 ~ 9.2e18.
+    import duckdb
+
+    user_vals = {
+        1: (4_000_000_000, 4_100_000_000),
+        2: (4_200_000_000, 4_300_000_000),
+        3: (4_400_000_000, 4_600_000_000),
+    }
+    rows, eid = [], 0
+    for uid, (pre, post) in user_vals.items():
+        eid += 1
+        rows.append((eid, uid, _d(1), pre / 100.0, "view"))
+        eid += 1
+        rows.append((eid, uid, _d(30), post / 100.0, "view"))
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        r.variant: (
+            r.n_users, r.mean_post_milli, r.mean_cuped_milli,
+            r.theta_ppm, r.var_reduction_ppm,
+        )
+        for r in REG["stats_cuped"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == _cuped_expected(user_vals)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    o = con.execute(REG["stats_cuped"].sql).df()
+    con.close()
+    got = {
+        v: (int(n), int(mp), int(mc), int(tp), int(vr))
+        for v, n, mp, mc, tp, vr in zip(
+            o.variant, o.n_users, o.mean_post_milli, o.mean_cuped_milli,
+            o.theta_ppm, o.var_reduction_ppm,
+        )
+    }
+    assert got == _cuped_expected(user_vals)
+
+
 # --------------------------------------------------------------------
 # power / MDE
 # --------------------------------------------------------------------
