@@ -134,18 +134,34 @@ def _parse_bytes(v: str) -> int:
 # tpch_q5ish loads six tables, so repeated plan construction paid
 # ~0.5 s/query in pure re-inference).  Supplying the cached schema
 # skips inference while file LISTING still happens per plan, so newly
-# written files under the same path are picked up.  Entries carry the
-# directory mtime: an overwrite (Spark rewrites the dir contents)
-# bumps it and the schema re-infers on the next load — no writer has
+# written files under the same path are picked up.  Entries carry a
+# directory stamp: an overwrite (Spark rewrites the dir contents)
+# changes it and the schema re-infers on the next load — no writer has
 # to remember to call invalidate_schema_cache() (writers outside
 # tests/conftest.write_fixture never did).  Paths where stat fails
 # (non-local FS) fall back to stamp=None, i.e. cache-by-path-only.
-_SCHEMA_CACHE: dict[tuple[int, str], tuple[float | None, object]] = {}
+_SCHEMA_CACHE: dict[tuple[int, str], tuple[object, object]] = {}
 
 
-def _path_stamp(path: str) -> float | None:
+def _path_stamp(path: str) -> object:
+    """Invalidation stamp for a parquet directory: the dir mtime_ns
+    plus each entry's (name, size, mtime_ns).  The dir mtime alone has
+    1-second granularity on some filesystems, so two overwrites inside
+    the same second (back-to-back fixture writes) could collide; the
+    per-file listing makes the stamp content-sensitive at the cost of
+    one readdir+stat sweep per load (a parquet dir holds a handful of
+    entries).  A rewrite that reproduces byte-identical sizes AND
+    mtime_ns for every part file is indistinguishable — and also
+    schema-identical in practice."""
     try:
-        return os.path.getmtime(path)
+        with os.scandir(path) as it:
+            listing = tuple(
+                sorted(
+                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                    for e in it
+                )
+            )
+        return (os.stat(path).st_mtime_ns, listing)
     except OSError:
         return None
 

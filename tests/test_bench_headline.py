@@ -46,6 +46,54 @@ def test_headline_matches_bench_history():
     assert checked, "no parseable committed BENCH_r*.json found"
 
 
+def _min_regressions(
+    prev: dict, curr: dict, threshold: float = 1.5
+) -> list[tuple[str, float, float]]:
+    """Queries whose low-noise floor (per-query *min* across bench
+    samples) grew more than ``threshold``x between two parsed bench
+    payloads.  Medians swing +-30% with host load; the min floor is
+    stable, so a >50% min jump is a real plan regression, not noise."""
+    pm, cm = prev.get("queries_min"), curr.get("queries_min")
+    if not pm or not cm:  # pre-r6 single-sample files carry no mins
+        return []
+    return [
+        (q, pm[q], cm[q]) for q in pm if q in cm and cm[q] > threshold * pm[q]
+    ]
+
+
+def test_bench_min_drift_guard():
+    """Round-over-round drift guard (VERDICT r8 item 5): the newest
+    committed BENCH must not show any headline query whose min grew
+    >50% vs the round before it — the r8 ngram regression (2.06s ->
+    3.92s) sat unflagged for two rounds because nothing diffed the
+    artifacts."""
+    parsed = [
+        p
+        for p in (
+            json.loads(f.read_text())["parsed"]
+            for f in sorted(_committed_bench_files())
+        )
+        if p is not None and p.get("queries_min")
+    ]
+    assert len(parsed) >= 2, "need two committed min-bearing BENCH files"
+    bad = _min_regressions(parsed[-2], parsed[-1])
+    assert not bad, (
+        "headline min-time regressions vs the previous committed bench "
+        f"(query, prev_min, curr_min): {bad} — find the plan change or "
+        "record the adjudication in PLANS.md and re-baseline"
+    )
+
+
+def test_min_drift_guard_would_have_caught_r8_ngram():
+    """The guard's own fixture: r7 -> r8 carried the ngram_jaccard
+    count->filter->join-back regression (min 2.06s -> 3.92s, +90%);
+    _min_regressions must flag it."""
+    r7 = json.loads((REPO / "BENCH_r07.json").read_text())["parsed"]
+    r8 = json.loads((REPO / "BENCH_r08.json").read_text())["parsed"]
+    bad = _min_regressions(r7, r8)
+    assert any(q == "dedup_ngram_jaccard" for q, _, _ in bad), bad
+
+
 def test_headline_queries_exist_in_registry():
     import bench
 

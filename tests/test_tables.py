@@ -142,3 +142,25 @@ def test_schema_cache_self_invalidates_on_overwrite(spark, tmp_path):
     df = load_table(spark, str(tmp_path), "documents")
     assert set(df.columns) == {"doc_id", "text", "lang"}
     assert df.collect()[0].lang == "en"
+
+
+def test_schema_cache_stamp_is_listing_sensitive(tmp_path):
+    """Two writes inside the same mtime second must yield different
+    stamps (r9 ADVICE low: dir-mtime alone has 1s granularity on some
+    filesystems) — the stamp folds in each entry's name/size/mtime_ns,
+    so changing one part file changes the stamp even when the dir
+    mtime doesn't move."""
+    import os
+
+    from rc_scanner_spark.tables import _path_stamp
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    (d / "part-0").write_bytes(b"aa")
+    s1 = _path_stamp(str(d))
+    (d / "part-0").write_bytes(b"bbb")  # size change, dir mtime frozen
+    os.utime(d, ns=(s1[0], s1[0]))  # pin dir mtime to the old stamp's
+    s2 = _path_stamp(str(d))
+    assert s1 != s2
+    assert s1[0] == s2[0]  # ...even though the dir mtime is identical
+    assert _path_stamp(str(tmp_path / "missing")) is None
