@@ -53,7 +53,9 @@ def release_caches() -> None:
 # fans every dedup algorithm out from it.  Keyed by the semantic hash
 # of the (id, text) projection, so different tables / sf_dirs never
 # collide; cleared by ``release_caches``.
-_SHARED_FRAMES: dict[tuple, DataFrame] = {}
+# values: a persisted DataFrame, or (DataFrame, row_count) for the
+# eagerly-counted hot-shingle sets
+_SHARED_FRAMES: dict[tuple, object] = {}
 
 # Hot-shingle sets past this row count are too big to broadcast to
 # every executor (~2M rows of (block keys, 8-byte shingle hash) is
@@ -493,10 +495,27 @@ def ngram_jaccard_pairs(
     # so the df filter becomes a broadcast anti-join (map-side drop
     # over the cached shingle frame) instead of shuffling the ~full
     # distinct-shingle vocabulary back against the shingle frame.
-    hot = _track_persist(
-        dfc.filter(F.col("df") > max_shingle_df).select(*group_cols, "shingle")
+    # Memoized like the shared word/shingle frames: the count job runs
+    # once per (source, params) — the two registry consumers
+    # (dedup_ngram_jaccard, graph_degree_stats) and repeated builds
+    # reuse it (review r10).
+    hot_key = (
+        "ngram_hot",
+        shingle_k,
+        max_shingle_df,
+        tuple(group_cols),
+        sh.semanticHash(),
     )
-    n_hot = hot.count()
+    got = _SHARED_FRAMES.get(hot_key)
+    if got is None:
+        hot = _track_persist(
+            dfc.filter(F.col("df") > max_shingle_df).select(
+                *group_cols, "shingle"
+            )
+        )
+        got = (hot, hot.count())
+        _SHARED_FRAMES[hot_key] = got
+    hot, n_hot = got
     if n_hot > _HOT_SHINGLE_BROADCAST_ROWS:
         # Loud fallback: correctness is unchanged (shuffle anti-join
         # on the same keys), only the map-side broadcast is lost.

@@ -162,6 +162,15 @@ def _path_stamp(path: str) -> object:
                 )
             )
         return (os.stat(path).st_mtime_ns, listing)
+    except NotADirectoryError:
+        # A parquet table can be a single plain FILE (the committed
+        # testdata tables are) — stat the file itself; falling through
+        # to None would disable invalidation entirely (review r10).
+        try:
+            st = os.stat(path)
+            return (st.st_mtime_ns, st.st_size)
+        except OSError:
+            return None
     except OSError:
         return None
 

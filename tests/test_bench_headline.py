@@ -46,6 +46,14 @@ def test_headline_matches_bench_history():
     assert checked, "no parseable committed BENCH_r*.json found"
 
 
+# Adjudicated min-time regressions: (newest-bench-filename, query)
+# pairs reviewed and accepted as deliberate trades (e.g. the r8
+# count-first ngram fix traded local wall-time for bounded aggregation
+# buffers).  Add the pair HERE with a justification comment — PLANS.md
+# records the analysis, this set is what the guard actually consults.
+_ADJUDICATED_MIN_REGRESSIONS: set[tuple[str, str]] = set()
+
+
 def _min_regressions(
     prev: dict, curr: dict, threshold: float = 1.5
 ) -> list[tuple[str, float, float]]:
@@ -67,20 +75,27 @@ def test_bench_min_drift_guard():
     >50% vs the round before it — the r8 ngram regression (2.06s ->
     3.92s) sat unflagged for two rounds because nothing diffed the
     artifacts."""
-    parsed = [
-        p
-        for p in (
-            json.loads(f.read_text())["parsed"]
+    named = [
+        (f.name, p)
+        for f, p in (
+            (f, json.loads(f.read_text())["parsed"])
             for f in sorted(_committed_bench_files())
         )
         if p is not None and p.get("queries_min")
     ]
-    assert len(parsed) >= 2, "need two committed min-bearing BENCH files"
-    bad = _min_regressions(parsed[-2], parsed[-1])
+    assert len(named) >= 2, "need two committed min-bearing BENCH files"
+    newest_name, curr = named[-1]
+    bad = [
+        row
+        for row in _min_regressions(named[-2][1], curr)
+        if (newest_name, row[0]) not in _ADJUDICATED_MIN_REGRESSIONS
+    ]
     assert not bad, (
         "headline min-time regressions vs the previous committed bench "
-        f"(query, prev_min, curr_min): {bad} — find the plan change or "
-        "record the adjudication in PLANS.md and re-baseline"
+        f"(query, prev_min, curr_min): {bad} — find the plan change, or "
+        "record the analysis in PLANS.md and add "
+        f"({newest_name!r}, <query>) to _ADJUDICATED_MIN_REGRESSIONS "
+        "above if the trade is deliberate"
     )
 
 

@@ -228,7 +228,8 @@ def test_no_unbounded_global_windows_or_cartesians(spark):
     cartesian-shaped join beyond the pinned allowlists.  Plan
     construction only — no job runs except the few queries that
     execute eagerly while building (k-means / PageRank convergence
-    loops), which are tiny at sf0.001.
+    loops, the ngram-Jaccard hot-shingle count), which are tiny at
+    sf0.001.
 
     Cache reset first: earlier tests in a full-suite run materialize
     the memoized shared frames (operators/dedup._SHARED_FRAMES) for

@@ -164,3 +164,13 @@ def test_schema_cache_stamp_is_listing_sensitive(tmp_path):
     assert s1 != s2
     assert s1[0] == s2[0]  # ...even though the dir mtime is identical
     assert _path_stamp(str(tmp_path / "missing")) is None
+    # Single plain-FILE parquet (the committed testdata layout): the
+    # stamp must be non-None (review r10: a None stamp disables
+    # invalidation — None == None is a permanent cache hit) and must
+    # change when the file changes.
+    f = tmp_path / "plain.parquet"
+    f.write_bytes(b"aa")
+    fs1 = _path_stamp(str(f))
+    assert fs1 is not None
+    f.write_bytes(b"bbb")
+    assert _path_stamp(str(f)) != fs1
