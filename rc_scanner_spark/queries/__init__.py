@@ -412,6 +412,25 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "text_lang_confusion",  # green r9
     "text_script_mix",  # green r9
     "text_tokenizer_fertility",  # green r9
+    # -- batch-39 additions (round 10): never driver-sampled,
+    #    oracle-backed — they queue behind the prefix and head the
+    #    r11 rotation together with the drain remainder named above.
+    "stats_anova_oneway",
+    "stats_levene_brown_forsythe",
+    "stats_kruskal_wallis",
+    "events_poisson_rate_ratio",
+    "events_dau_mau_stickiness",
+    "events_power_user_curve",
+    "part_sales_churn",
+    # -- batch-40 additions (round 10).
+    "dedup_prefix_hash",
+    "llm_preference_pairs",
+    "select_epoch_mix",
+    "embed_sign_hamming_ann",
+    "multimodal_aspect_bucket_plan",
+    # -- batch-41 additions (round 10).
+    "embed_sign_recall_eval",
+    "orders_repeat_purchase_latency",
 )
 
 
@@ -420,6 +439,7 @@ def build_registry() -> dict[str, QuerySpec]:
         llm,
         llm2,
         llm3,
+        llm4,
         relational,
         relational2,
         relational3,
@@ -457,6 +477,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse25,
         warehouse26,
         warehouse27,
+        warehouse28,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -472,6 +493,7 @@ def build_registry() -> dict[str, QuerySpec]:
         llm,
         llm2,
         llm3,
+        llm4,
         sketches,
         stats,
         warehouse,
@@ -501,6 +523,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse25,
         warehouse26,
         warehouse27,
+        warehouse28,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

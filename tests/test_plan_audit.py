@@ -49,6 +49,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     # per-BUCKET aggregate (<= 512 rows by construction); the
     # corpus-sized tie-group running sum stays partitioned by bucket.
     "stats_mann_whitney": 1,
+    # Kruskal-Wallis reuses the same bucketed rank machinery: the one
+    # unpartitioned window is the <=512-row bucket-offset cumsum.
+    "stats_kruskal_wallis": 1,
     # Hamilton quotas: the remainder rank and leftover-sum windows
     # run over the per-SOURCE aggregate — bounded by source
     # cardinality, not corpus rows.
@@ -114,6 +117,25 @@ ALLOWED_CARTESIANS = {
     "stats_mcnemar": 1,
     # 1-row epoch-midpoint scalar broadcast over events
     "stats_cohens_d": 1,
+    # 1-row epoch-midpoint scalar broadcast over events
+    "events_poisson_rate_ratio": 1,
+    # 1-row max-year scalar broadcast over the per-year rollup
+    "part_sales_churn": 1,
+    # broadcast query-signature set (vec_id % 25 — the documented
+    # ann_cosine_topk baseline shape, metric swapped to Hamming)
+    "embed_sign_hamming_ann": 1,
+    # recall eval composes both ANN arms (cosine cross + sign cross)
+    # + the 1-row n_queries scalar under the summary fold
+    "embed_sign_recall_eval": 3,
+    # 1-row (k, total_tokens) scalar broadcast over the per-source
+    # token rollup
+    "select_epoch_mix": 1,
+    # 1-row min/max bounds scalar under the bucketed tie-group frame,
+    # which the lazy plan references 4x (bucket offsets, ranks side of
+    # the per-group join, ranks side of the tie fold, the rank frame's
+    # own bucket join) + the 1-row fold x 1-row ties cross — every
+    # instance is O(n x 1)
+    "stats_kruskal_wallis": 5,
     # 1-row per-dim mean/variance array broadcast over embeddings
     "embed_outlier_mahalanobis": 1,
     # 1-row doc-id min/max span broadcast (decile bucketing)

@@ -1,0 +1,341 @@
+"""Planted-semantics tests for round-10 batch 39 (the oracle gate
+can't catch a flaw mirrored into the SQL twin; hand-computed fixtures
+can)."""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+
+from rc_scanner_spark.queries import build_registry
+
+from tests.conftest import write_fixture
+
+REG = build_registry()
+_write = write_fixture
+
+LI_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_returnflag string, "
+    "l_quantity double, l_extendedprice double, l_shipdate timestamp"
+)
+EV_SCHEMA = (
+    "event_id long, user_id long, ts timestamp, value double, event_type string"
+)
+
+
+def _d(day: int, month: int = 1, year: int = 2024) -> datetime.datetime:
+    return datetime.datetime(year, month, day)
+
+
+def _duck(tmp_path, table: str, sql: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/{table}.parquet/*.parquet')"
+    )
+    out = con.execute(sql).df()
+    con.close()
+    return out
+
+
+# --------------------------------------------------------------------
+# one-way ANOVA
+# --------------------------------------------------------------------
+
+
+def test_stats_anova_oneway_planted(spark, tmp_path):
+    # A: qty [1,2,3] -> cents [100,200,300]; B: [4,5,6]; C: [7,8,9].
+    # Hand-fold: SSW = 3*20000 = 60000; SSB = 2790000 - 4500^2/9 =
+    # 540000; F = (540000/2)/(60000/6) = 27.0; eta = 540000/600000.
+    rows = [
+        (i + 1, 1, g, float(q), 1.0, _d(1))
+        for i, (g, q) in enumerate(
+            [("A", 1), ("A", 2), ("A", 3), ("B", 4), ("B", 5), ("B", 6),
+             ("C", 7), ("C", 8), ("C", 9)]
+        )
+    ]
+    _write(spark, tmp_path, "lineitem", rows, LI_SCHEMA)
+    [r] = REG["stats_anova_oneway"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_groups, r.n_rows) == (3, 9)
+    assert r.f_milli == 27000
+    assert r.eta_sq_ppm == 900000
+
+
+def test_stats_anova_degenerate_null_both_engines(spark, tmp_path):
+    # single group -> k < 2 -> NULL F; constant values -> ssw = 0 ->
+    # NULL F; neither throws on either engine
+    import pandas as pd
+
+    rows = [(1, 1, "A", 2.0, 1.0, _d(1)), (2, 1, "A", 3.0, 1.0, _d(1))]
+    _write(spark, tmp_path, "lineitem", rows, LI_SCHEMA)
+    [r] = REG["stats_anova_oneway"].fn(spark, str(tmp_path)).collect()
+    assert r.n_groups == 1 and r.f_milli is None
+    o = _duck(tmp_path, "lineitem", REG["stats_anova_oneway"].sql)
+    assert pd.isna(o.f_milli[0])
+
+    rows = [(1, 1, "A", 2.0, 1.0, _d(1)), (2, 1, "B", 2.0, 1.0, _d(1))]
+    _write(spark, tmp_path, "lineitem", rows, LI_SCHEMA)
+    [r] = REG["stats_anova_oneway"].fn(spark, str(tmp_path)).collect()
+    assert r.n_groups == 2 and r.f_milli is None  # ssw == 0
+    o = _duck(tmp_path, "lineitem", REG["stats_anova_oneway"].sql)
+    assert pd.isna(o.f_milli[0])
+
+
+def test_stats_levene_brown_forsythe_planted(spark, tmp_path):
+    # A: qty [1,2,4] -> z = |2v - 2*med| = [200, 0, 400];
+    # B: [5,5,5] -> z = [0,0,0].
+    # Fold on z: SSB = 120000 - 600^2/6 = 60000; SSW = 80000;
+    # W = (60000/1)/(80000/4) = 3.0; eta = 60000/140000.
+    rows = [
+        (1, 1, "A", 1.0, 1.0, _d(1)), (2, 1, "A", 2.0, 1.0, _d(1)),
+        (3, 1, "A", 4.0, 1.0, _d(1)),
+        (4, 1, "B", 5.0, 1.0, _d(1)), (5, 1, "B", 5.0, 1.0, _d(1)),
+        (6, 1, "B", 5.0, 1.0, _d(1)),
+    ]
+    _write(spark, tmp_path, "lineitem", rows, LI_SCHEMA)
+    [r] = REG["stats_levene_brown_forsythe"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_groups, r.n_rows) == (2, 6)
+    assert r.bf_w_milli == 3000
+    assert r.eta_sq_ppm == 428571  # floor(60000/140000 * 1e6 + 0.5)
+
+
+# --------------------------------------------------------------------
+# Kruskal-Wallis
+# --------------------------------------------------------------------
+
+
+def test_stats_kruskal_wallis_no_ties_planted(spark, tmp_path):
+    # A: values [1,2,3], B: [4,5,6] (no ties): ranks 1..6, R_A=6,
+    # R_B=15; H = 12/42 * (36/3 + 225/3) - 21 = 3.857142...;
+    # no ties -> corrected == raw.
+    rows = [
+        (i + 1, 1, _d(1 + i), float(v), g)
+        for i, (g, v) in enumerate(
+            [("A", 1), ("A", 2), ("A", 3), ("B", 4), ("B", 5), ("B", 6)]
+        )
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["stats_kruskal_wallis"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_groups, r.n_rows, r.tie_term) == (2, 6, 0)
+    assert r.h_milli == 3857  # floor(3857.142... + 0.5)
+    assert r.h_corr_milli == 3857
+
+
+def test_stats_kruskal_wallis_ties_planted(spark, tmp_path):
+    # A: [1,1], B: [1,2]: value 1 is a 3-way tie (avg rank 2, doubled
+    # 4), value 2 rank 4 (doubled 8).  R2_A=8 -> qt 64 DIV 8 = 8;
+    # R2_B=12 -> qt 144 DIV 8 = 18; H = 12/20 * 26 - 15 = 0.6;
+    # tie = 3^3-3 = 24; corr = 1 - 24/60 = 0.6; H' = 1.0.
+    rows = [
+        (1, 1, _d(1), 1.0, "A"), (2, 1, _d(2), 1.0, "A"),
+        (3, 1, _d(3), 1.0, "B"), (4, 1, _d(4), 2.0, "B"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["stats_kruskal_wallis"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_groups, r.n_rows, r.tie_term) == (2, 4, 24)
+    assert r.h_milli == 600
+    assert r.h_corr_milli == 1000
+
+
+def test_stats_kruskal_wallis_all_tied_null_corrected_both_engines(
+    spark, tmp_path
+):
+    # every value identical: correction factor 0 -> NULL corrected H
+    # on BOTH engines; the raw H shows the documented DIV-floor bias
+    # (-0.6 here: qt = 100 DIV 8 = 12 vs exact 12.5) identically on
+    # both sides.
+    import pandas as pd
+
+    rows = [
+        (1, 1, _d(1), 5.0, "A"), (2, 1, _d(2), 5.0, "A"),
+        (3, 1, _d(3), 5.0, "B"), (4, 1, _d(4), 5.0, "B"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["stats_kruskal_wallis"].fn(spark, str(tmp_path)).collect()
+    assert r.h_corr_milli is None
+    assert r.h_milli == -600
+    o = _duck(tmp_path, "events", REG["stats_kruskal_wallis"].sql)
+    assert pd.isna(o.h_corr_milli[0]) and int(o.h_milli[0]) == -600
+
+
+# --------------------------------------------------------------------
+# Poisson rate ratio
+# --------------------------------------------------------------------
+
+
+def test_events_poisson_rate_ratio_planted(spark, tmp_path):
+    # span Jan 1 .. Jan 30 -> midpoint ~Jan 15.5; type x: 4 pre,
+    # 9 post -> ratio 2.25e6 ppm, z = 2*(3-2) = 2.0; type y: 2/2 ->
+    # ratio 1e6, z = 0.
+    rows, eid = [], 0
+
+    def add(day, etype):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, 1, _d(day), 1.0, etype))
+
+    for _ in range(4):
+        add(1, "x")
+    for _ in range(9):
+        add(30, "x")
+    add(2, "y"); add(3, "y"); add(28, "y"); add(29, "y")
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        r.event_type: (r.n_pre, r.n_post, r.rate_ratio_ppm, r.z_milli)
+        for r in REG["events_poisson_rate_ratio"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {"x": (4, 9, 2250000, 2000), "y": (2, 2, 1000000, 0)}
+
+
+def test_events_poisson_rate_ratio_zero_pre_null_both_engines(spark, tmp_path):
+    # a type with zero pre-period events -> NULL ratio (no ANSI
+    # divide-by-zero throw), z still defined
+    import pandas as pd
+
+    rows = [
+        (1, 1, _d(1), 1.0, "anchor"),       # anchors the span start
+        (2, 1, _d(30), 1.0, "anchor"),
+        (3, 1, _d(29), 1.0, "late"),        # post-only type
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        r.event_type: (r.n_pre, r.n_post, r.rate_ratio_ppm, r.z_milli)
+        for r in REG["events_poisson_rate_ratio"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out["late"] == (0, 1, None, 2000)
+    o = _duck(tmp_path, "events", REG["events_poisson_rate_ratio"].sql)
+    late = o[o.event_type == "late"].iloc[0]
+    assert pd.isna(late.rate_ratio_ppm)
+
+
+# --------------------------------------------------------------------
+# DAU / MAU stickiness + power-user curve
+# --------------------------------------------------------------------
+
+
+def test_events_dau_mau_stickiness_planted(spark, tmp_path):
+    # user 1 active Jan 1 + Jan 2; user 2 active Jan 1 only.
+    # Jan 1: DAU 2, MAU 2 (both same-day) -> 1e6 ppm.
+    # Jan 2: DAU 1, trailing-28 MAU 2 -> 500000 ppm.
+    rows = [
+        (1, 1, _d(1), 1.0, "view"),
+        (2, 1, _d(1), 2.0, "view"),   # same user+day dedupes
+        (3, 2, _d(1), 1.0, "view"),
+        (4, 1, _d(2), 1.0, "view"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = [
+        (r.day, r.dau, r.mau, r.stickiness_ppm)
+        for r in REG["events_dau_mau_stickiness"].fn(spark, str(tmp_path)).collect()
+    ]
+    assert out == [
+        ("2024-01-01", 2, 2, 1000000),
+        ("2024-01-02", 1, 2, 500000),
+    ]
+
+
+def test_events_dau_mau_window_expires_after_28_days(spark, tmp_path):
+    # user 2's Jan 1 activity must NOT count toward Feb 5 MAU
+    # (35 days later), but user 1's Jan 20 does (16 days).
+    rows = [
+        (1, 2, _d(1), 1.0, "view"),
+        (2, 1, _d(20), 1.0, "view"),
+        (3, 3, _d(5, month=2), 1.0, "view"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        r.day: (r.dau, r.mau)
+        for r in REG["events_dau_mau_stickiness"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out["2024-02-05"] == (1, 2)  # user 3 + user 1; user 2 aged out
+
+
+def test_events_power_user_curve_planted(spark, tmp_path):
+    # Jan: user 1 active 2 days, user 2 active 1 day; Feb: user 1
+    # active 1 day.
+    rows = [
+        (1, 1, _d(1), 1.0, "view"), (2, 1, _d(2), 1.0, "view"),
+        (3, 1, _d(2), 2.0, "click"),          # same day, still 2 days
+        (4, 2, _d(3), 1.0, "view"),
+        (5, 1, _d(1, month=2), 1.0, "view"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = [
+        (r.month, r.active_days, r.n_users)
+        for r in REG["events_power_user_curve"].fn(spark, str(tmp_path)).collect()
+    ]
+    assert out == [
+        ("2024-01", 1, 1),
+        ("2024-01", 2, 1),
+        ("2024-02", 1, 1),
+    ]
+
+
+# --------------------------------------------------------------------
+# assortment churn
+# --------------------------------------------------------------------
+
+
+def test_part_sales_churn_planted(spark, tmp_path):
+    # part 1: 1995+1996; part 2: 1995 only; part 3: 1996+1997.
+    # 1995: active {1,2}, churned {2} -> 50%.  1996: active {1,3},
+    # churned {1} -> 50%.  1997 (max year) excluded.
+    rows = [
+        (1, 1, "N", 1.0, 1.0, _d(5, year=1995)),
+        (2, 1, "N", 1.0, 1.0, _d(6, year=1996)),
+        (3, 2, "N", 1.0, 1.0, _d(7, year=1995)),
+        (4, 3, "N", 1.0, 1.0, _d(8, year=1996)),
+        (5, 3, "N", 1.0, 1.0, _d(9, year=1997)),
+        (6, 3, "N", 1.0, 1.0, _d(10, year=1997)),  # dup (part,yr) dedupes
+    ]
+    _write(spark, tmp_path, "lineitem", rows, LI_SCHEMA)
+    out = [
+        (r.yr, r.n_active, r.n_churned, r.churn_ppm)
+        for r in REG["part_sales_churn"].fn(spark, str(tmp_path)).collect()
+    ]
+    assert out == [
+        (1995, 2, 1, 500000),
+        (1996, 2, 1, 500000),
+    ]
+
+
+def test_orders_repeat_purchase_latency_planted(spark, tmp_path):
+    # customer 1: orders on Jan 1 + Jan 11 -> 10-day gap; customer 2:
+    # one order only (excluded); customer 3: two same-instant orders
+    # (no strictly-later second -> excluded); customer 4: Jan 1 + Jan 2
+    # + Jan 20 -> gap 1 (second, not third).
+    o_schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    c_schema = (
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    )
+    orders = [
+        (1, 1, "O", 1.0, _d(1), "1-URGENT"),
+        (2, 1, "O", 1.0, _d(11), "1-URGENT"),
+        (3, 2, "O", 1.0, _d(1), "1-URGENT"),
+        (4, 3, "O", 1.0, _d(5), "1-URGENT"),
+        (5, 3, "O", 1.0, _d(5), "1-URGENT"),
+        (6, 4, "O", 1.0, _d(1), "1-URGENT"),
+        (7, 4, "O", 1.0, _d(2), "1-URGENT"),
+        (8, 4, "O", 1.0, _d(20), "1-URGENT"),
+    ]
+    custs = [
+        (1, "a", 0, 0.0, "AUTO"),
+        (2, "b", 0, 0.0, "AUTO"),
+        (3, "c", 0, 0.0, "AUTO"),
+        (4, "d", 0, 0.0, "BUILDING"),
+    ]
+    _write(spark, tmp_path, "orders", orders, o_schema)
+    _write(spark, tmp_path, "customer", custs, c_schema)
+    out = {
+        r.c_mktsegment: (r.n_repeat, r.q1_days, r.med_days, r.q3_days)
+        for r in REG["orders_repeat_purchase_latency"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "AUTO": (1, 10.0, 10.0, 10.0),
+        "BUILDING": (1, 1.0, 1.0, 1.0),
+    }
