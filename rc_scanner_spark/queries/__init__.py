@@ -431,6 +431,10 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     # -- batch-41 additions (round 10).
     "embed_sign_recall_eval",
     "orders_repeat_purchase_latency",
+    # -- batch-42 additions (round 10).
+    "graph_community_modularity",
+    "events_burstiness_fano",
+    "stats_runs_test",
 )
 
 

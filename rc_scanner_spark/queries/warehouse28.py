@@ -769,3 +769,177 @@ ORDER BY c_mktsegment
 QUERIES["orders_repeat_purchase_latency"] = QuerySpec(
     q_orders_repeat_purchase_latency, SQL_ORDERS_REPEAT_PURCHASE_LATENCY
 )
+
+
+# --------------------------------------------------------------------
+# Fano-factor burstiness per event type
+# --------------------------------------------------------------------
+
+
+def q_events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance / mean) of DAILY event counts per type
+    over the zero-filled calendar spine: ~1 means Poisson-like arrival,
+    >1 means bursty, <1 regular — the one-number burstiness screen for
+    every rate-anomaly threshold downstream.  Population variance from
+    integer day-count moments (counts, not floats, cross the groupBy);
+    Fano = (n*q - s²) / (n*s) as one identical double chain; all-zero
+    types (s = 0) are NULL on both engines."""
+    from .warehouse2 import filled_day_spine
+
+    f = filled_day_spine(spark, sf_dir)
+    per = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cnt").alias("total"),
+        F.sum(
+            F.col("cnt").cast("decimal(19,0)") * F.col("cnt").cast("decimal(19,0)")
+        ).alias("q"),
+    )
+    nd = F.col("n_days").cast("double")
+    sd = F.col("total").cast("double")
+    qd = F.col("q").cast("double")
+    fano = (nd * qd - sd * sd) / (nd * sd)
+    return per.select(
+        "event_type",
+        "n_days",
+        "total",
+        F.when(F.col("total") > 0, F.floor(fano * 1000.0 + 0.5))
+        .cast("long")
+        .alias("fano_milli"),
+    ).orderBy("event_type")
+
+
+def _fano_sql() -> str:
+    from .warehouse2 import SQL_DAY_SPINE_CTE
+
+    return f"""
+WITH {SQL_DAY_SPINE_CTE},
+per AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(cnt) AS BIGINT) AS total,
+         sum(CAST(cnt AS HUGEINT) * cnt) AS q
+  FROM filled GROUP BY event_type
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days, total,
+       CASE WHEN total > 0
+            THEN CAST(floor((CAST(n_days AS DOUBLE) * CAST(q AS DOUBLE)
+                             - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+                            / (CAST(n_days AS DOUBLE) * CAST(total AS DOUBLE))
+                            * 1000.0 + 0.5) AS BIGINT)
+       END AS fano_milli
+FROM per
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------
+# Wald-Wolfowitz runs test on daily revenue direction
+# --------------------------------------------------------------------
+
+
+def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the up/down direction of day-over-
+    day total order revenue (1 row): too FEW runs means trending /
+    autocorrelated days, too MANY means oscillation — the classic
+    randomness screen before fitting any i.i.d.-assuming model.
+
+    Day revenues ride integer cents; zero-change days are dropped (the
+    standard treatment).  Both lag windows are unpartitioned but run
+    over the per-DAY aggregate — bounded by calendar length, not order
+    count (allowlisted, the seq_global_row_number precedent).  The
+    z statistic folds from integer (n_up, n_down, n_runs) in one
+    identical double chain; single-direction series (sigma² = 0)
+    yield NULL on both engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    daily = o.groupBy("day").agg(F.sum("cents").alias("rev"))
+    w = Window.orderBy("day")
+    chg = (
+        daily.withColumn("prev", F.lag("rev").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("rev") != F.col("prev")))
+        .withColumn("up", F.when(F.col("rev") > F.col("prev"), 1).otherwise(0))
+    )
+    runs = chg.withColumn("prev_up", F.lag("up").over(w)).select(
+        "up",
+        F.when(
+            F.col("prev_up").isNull() | (F.col("up") != F.col("prev_up")), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    fold = runs.agg(
+        F.sum("up").alias("n_up"),
+        F.sum(1 - F.col("up")).alias("n_down"),
+        F.sum("new_run").alias("n_runs"),
+    )
+    n1 = F.col("n_up").cast("double")
+    n2 = F.col("n_down").cast("double")
+    nn = n1 + n2
+    mu = 2.0 * n1 * n2 / nn + 1.0
+    sigma2 = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - nn) / (nn * nn * (nn - 1.0))
+    )
+    return fold.select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.when(
+            (F.col("n_up") > 0) & (F.col("n_down") > 0),
+            F.floor(
+                (F.col("n_runs").cast("double") - mu) / F.sqrt(sigma2) * 1000.0
+                + 0.5
+            ),
+        )
+        .cast("long")
+        .alias("z_milli"),
+    )
+
+
+SQL_STATS_RUNS_TEST = """
+WITH o AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+daily AS (SELECT day, CAST(sum(cents) AS BIGINT) AS rev
+          FROM o GROUP BY day),
+chg AS (
+  SELECT day, rev, prev,
+         CASE WHEN rev > prev THEN 1 ELSE 0 END AS up
+  FROM (SELECT day, rev, lag(rev) OVER (ORDER BY day) AS prev FROM daily)
+  WHERE prev IS NOT NULL AND rev <> prev
+),
+runs AS (
+  SELECT up,
+         CASE WHEN prev_up IS NULL OR up <> prev_up THEN 1 ELSE 0 END
+             AS new_run
+  FROM (SELECT up, lag(up) OVER (ORDER BY day) AS prev_up FROM chg)
+),
+fold AS (
+  SELECT CAST(sum(up) AS BIGINT) AS n_up,
+         CAST(sum(1 - up) AS BIGINT) AS n_down,
+         CAST(sum(new_run) AS BIGINT) AS n_runs
+  FROM runs
+)
+SELECT n_up, n_down, n_runs,
+       CASE WHEN n_up > 0 AND n_down > 0
+            THEN CAST(floor((CAST(n_runs AS DOUBLE)
+                             - (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                                / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                                + 1.0))
+                            / sqrt(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                                   * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                                      - (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)))
+                                   / ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                                      * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                                      * ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                                         - 1.0)))
+                            * 1000.0 + 0.5) AS BIGINT)
+       END AS z_milli
+FROM fold
+"""
+
+
+QUERIES["events_burstiness_fano"] = QuerySpec(q_events_burstiness_fano, _fano_sql())
+QUERIES["stats_runs_test"] = QuerySpec(q_stats_runs_test, SQL_STATS_RUNS_TEST)

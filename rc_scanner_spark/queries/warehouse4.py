@@ -611,6 +611,41 @@ def q_embed_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 
+def _lpa_und_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The undirected (u, v) edge-direction frame over the shared
+    support-pruned co-purchase edges."""
+    from .warehouse2 import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).union(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, lbl) after 3 synchronous mode-propagation rounds — the ONE
+    definition of the deterministic LPA sweep, shared by the community
+    report and the modularity score."""
+    und = _lpa_und_frame(spark, sf_dir)
+    labels = und.select(F.col("u"), F.col("u").alias("lbl")).distinct()
+    for _ in range(3):
+        nb = und.join(
+            labels.withColumnRenamed("u", "v"), "v"
+        ).select("u", "lbl")
+        labels = (
+            nb.groupBy("u", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
+                ).alias("best")
+            )
+            .select("u", (-F.col("best.nl")).alias("lbl"))
+        )
+    return labels
+
+
 def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities on the shared co-purchase graph:
     labels start as the node id; each of 3 SYNCHRONOUS rounds
@@ -631,28 +666,7 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, on both sides.  Each round references the previous labels
     exactly once, so the lazy plan grows linearly — no per-round
     persist needed (contrast graph_kcore's 3-reference rounds)."""
-    from .warehouse2 import _copurchase_edges
-
-    edges = _copurchase_edges(spark, sf_dir)
-    und = edges.select(
-        F.col("pa").alias("u"), F.col("pb").alias("v")
-    ).union(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
-    labels = und.select(F.col("u"), F.col("u").alias("lbl")).distinct()
-    for _ in range(3):
-        nb = und.join(
-            labels.withColumnRenamed("u", "v"), "v"
-        ).select("u", "lbl")
-        labels = (
-            nb.groupBy("u", "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy("u")
-            .agg(
-                F.max(
-                    F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
-                ).alias("best")
-            )
-            .select("u", (-F.col("best.nl")).alias("lbl"))
-        )
+    labels = _lpa_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("lbl").alias("community"))
         .agg(
@@ -696,6 +710,107 @@ ORDER BY 1
 
 
 SQL_GRAPH_LABEL_PROPAGATION = _lpa_sql()
+
+
+def q_graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the 3-round LPA communities (1 row):
+    Q = Σ_c [ e_c/m − (d_c/2m)² ] with e_c the intra-community edge
+    count, d_c the community degree sum, m the (undirected) edge count
+    — the standard "are these communities better than random" score
+    next to the community listing.
+
+    Integer ppm terms (both DIV quotients are <= 1e6 by construction,
+    so no overflow guard is needed) summed across communities — the
+    cross-community reduction never touches a float.  Scale: the label
+    frame joins the shared pruned edge list twice (both shuffles hash
+    on the node key); the 1-row m scalar broadcasts."""
+    from .warehouse2 import _copurchase_edges
+
+    labels = _lpa_labels(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir).select("pa", "pb")
+    mm = edges.agg(F.count(F.lit(1)).alias("m"))
+    la = labels.select(F.col("u").alias("pa"), F.col("lbl").alias("ca"))
+    lb = labels.select(F.col("u").alias("pb"), F.col("lbl").alias("cb"))
+    ec = (
+        edges.join(la, "pa")
+        .join(lb, "pb")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = (
+        _lpa_und_frame(spark, sf_dir)
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dc = (
+        deg.join(labels, "u")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(F.sum("d").alias("d_c"))
+    )
+    terms = (
+        dc.join(ec, "community", "left")
+        .crossJoin(F.broadcast(mm))
+        .selectExpr(
+            "m",
+            "CAST(coalesce(e_c, 0) AS decimal(19,0)) * 1000000 DIV m"
+            " - (CAST(d_c AS decimal(19,0)) * CAST(d_c AS decimal(19,0))"
+            "    * 1000000)"
+            "   DIV (CAST(m AS decimal(19,0)) * CAST(m AS decimal(19,0)) * 4)"
+            " AS term_ppm",
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.max("m").alias("m_edges"),
+        F.sum("term_ppm").cast("long").alias("modularity_ppm"),
+    )
+
+
+SQL_GRAPH_COMMUNITY_MODULARITY = f"""
+WITH {{edges_cte}},
+und AS (
+  SELECT pa AS u, pb AS v FROM edges
+  UNION ALL SELECT pb, pa FROM edges
+),
+l0 AS (SELECT DISTINCT u, u AS lbl FROM und),
+{{r1}},
+{{r2}},
+{{r3}},
+mm AS (SELECT count(*) AS m FROM edges),
+ec AS (
+  SELECT la.lbl AS community, count(*) AS e_c
+  FROM edges e JOIN l3 la ON e.pa = la.u JOIN l3 lb ON e.pb = lb.u
+  WHERE la.lbl = lb.lbl GROUP BY 1
+),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+dc AS (
+  SELECT l.lbl AS community, CAST(sum(d) AS BIGINT) AS d_c
+  FROM deg JOIN l3 l ON deg.u = l.u GROUP BY 1
+),
+terms AS (
+  SELECT m,
+         CAST(coalesce(e_c, 0) AS HUGEINT) * 1000000 // m
+         - (CAST(d_c AS HUGEINT) * d_c * 1000000)
+           // (CAST(m AS HUGEINT) * m * 4) AS term_ppm
+  FROM dc LEFT JOIN ec USING (community) CROSS JOIN mm
+)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(max(m) AS BIGINT) AS m_edges,
+       CAST(sum(term_ppm) AS BIGINT) AS modularity_ppm
+FROM terms
+"""
+
+
+def _modularity_sql() -> str:
+    from .warehouse2 import _SQL_EDGES_CTE
+
+    return SQL_GRAPH_COMMUNITY_MODULARITY.format(
+        edges_cte=_SQL_EDGES_CTE,
+        r1=_lpa_round_sql("l0", "l1"),
+        r2=_lpa_round_sql("l1", "l2"),
+        r3=_lpa_round_sql("l2", "l3"),
+    )
 
 
 # --------------------------------------------------------------------
@@ -1002,6 +1117,9 @@ QUERIES: dict[str, QuerySpec] = {
     "embed_pca_variance": QuerySpec(q_embed_pca_variance, None),
     "graph_label_propagation": QuerySpec(
         q_graph_label_propagation, SQL_GRAPH_LABEL_PROPAGATION
+    ),
+    "graph_community_modularity": QuerySpec(
+        q_graph_community_modularity, _modularity_sql()
     ),
     "text_inverted_index": QuerySpec(
         q_text_inverted_index, SQL_TEXT_INVERTED_INDEX

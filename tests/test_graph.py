@@ -81,9 +81,13 @@ def test_cc_clusters_chain_via_two_keys(spark, tmp_path):
 def test_cc_no_cached_plans_left(spark):
     """localCheckpoint frames are unpersisted-on-GC; assert the solver
     leaves no *tracked* persistent RDDs behind via the public API."""
+    # Reset first: OTHER operators legitimately register tracked
+    # persists (e.g. the shared co-purchase edge frame) — a prior test
+    # in the same session must not fail this one (order-independence).
+    from rc_scanner_spark.operators.dedup import _CACHED, release_caches
+
+    release_caches()
     _cc_map(spark, [(1, 2), (2, 3)])
     # localCheckpoint RDDs are session-managed; the operator itself
     # must not register anything in the dedup cache registry.
-    from rc_scanner_spark.operators.dedup import _CACHED
-
     assert _CACHED == []

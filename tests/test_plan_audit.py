@@ -52,6 +52,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     # Kruskal-Wallis reuses the same bucketed rank machinery: the one
     # unpartitioned window is the <=512-row bucket-offset cumsum.
     "stats_kruskal_wallis": 1,
+    # runs test: both lag windows run over the per-DAY revenue
+    # aggregate — bounded by calendar length, not order count.
+    "stats_runs_test": 2,
     # Hamilton quotas: the remainder rank and leftover-sum windows
     # run over the per-SOURCE aggregate — bounded by source
     # cardinality, not corpus rows.
@@ -121,6 +124,10 @@ ALLOWED_CARTESIANS = {
     "events_poisson_rate_ratio": 1,
     # 1-row max-year scalar broadcast over the per-year rollup
     "part_sales_churn": 1,
+    # the shared day-spine explode x distinct-type frame (bounded)
+    "events_burstiness_fano": 1,
+    # 1-row edge-count scalar broadcast over the per-community terms
+    "graph_community_modularity": 1,
     # broadcast query-signature set (vec_id % 25 — the documented
     # ann_cosine_topk baseline shape, metric swapped to Hamming)
     "embed_sign_hamming_ann": 1,

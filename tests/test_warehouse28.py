@@ -339,3 +339,84 @@ def test_orders_repeat_purchase_latency_planted(spark, tmp_path):
         "AUTO": (1, 10.0, 10.0, 10.0),
         "BUILDING": (1, 1.0, 1.0, 1.0),
     }
+
+
+# --------------------------------------------------------------------
+# Fano burstiness + runs test + modularity (batch 42)
+# --------------------------------------------------------------------
+
+
+def test_events_burstiness_fano_planted(spark, tmp_path):
+    # type A daily counts over the 3-day span: [2, 0, 4] (day 2 is
+    # zero-FILLED by the spine) -> mean 2, pop var 8/3, fano 4/3.
+    # type B anchors the span with [1, 1, 1] -> fano 0.
+    rows = [
+        (1, 1, _d(1), 1.0, "A"), (2, 1, _d(1), 1.0, "A"),
+        (3, 1, _d(3), 1.0, "A"), (4, 1, _d(3), 1.0, "A"),
+        (5, 1, _d(3), 1.0, "A"), (6, 1, _d(3), 1.0, "A"),
+        (7, 1, _d(1), 1.0, "B"), (8, 1, _d(2), 1.0, "B"),
+        (9, 1, _d(3), 1.0, "B"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        r.event_type: (r.n_days, r.total, r.fano_milli)
+        for r in REG["events_burstiness_fano"].fn(spark, str(tmp_path)).collect()
+    }
+    # A: (3*20 - 36) / (3*6) = 24/18 = 1.3333 -> 1333
+    assert out == {"A": (3, 6, 1333), "B": (3, 3, 0)}
+
+
+def test_stats_runs_test_planted(spark, tmp_path):
+    # daily revenue 1,2,1,2,2,3 (cents x100): the flat 2->2 day drops,
+    # direction sequence U D U U -> runs = 3, n_up 3, n_down 1.
+    # mu = 2*3*1/4 + 1 = 2.5; sigma2 = 6*(6-4)/(16*3) = 0.25;
+    # z = (3 - 2.5)/0.5 = 1.0.
+    o_schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    revs = [1.0, 2.0, 1.0, 2.0, 2.0, 3.0]
+    orders = [
+        (i + 1, 1, "O", rev, _d(i + 1), "1-URGENT")
+        for i, rev in enumerate(revs)
+    ]
+    _write(spark, tmp_path, "orders", orders, o_schema)
+    [r] = REG["stats_runs_test"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_up, r.n_down, r.n_runs, r.z_milli) == (3, 1, 3, 1000)
+
+
+def test_stats_runs_test_monotone_null_both_engines(spark, tmp_path):
+    # strictly increasing revenue: n_down = 0 -> sigma2 = 0 -> NULL z
+    # on BOTH engines
+    import pandas as pd
+
+    o_schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    orders = [
+        (i + 1, 1, "O", float(i + 1), _d(i + 1), "1-URGENT") for i in range(4)
+    ]
+    _write(spark, tmp_path, "orders", orders, o_schema)
+    [r] = REG["stats_runs_test"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_up, r.n_down, r.z_milli) == (3, 0, None)
+    o = _duck(tmp_path, "orders", REG["stats_runs_test"].sql)
+    assert pd.isna(o.z_milli[0])
+
+
+def test_graph_community_modularity_two_cliques(spark, tmp_path):
+    # two disjoint part-triangles, each pair co-occurring in 2 orders
+    # (the >= 2 support gate): LPA converges each clique to its min
+    # label -> 2 communities; m = 6, e_c = 3, d_c = 6 each ->
+    # Q = 2 * (3/6 - (6/12)^2) = 0.5 exactly (all DIV terms exact).
+    rows, key = [], 0
+    for okey, parts in [
+        (1, (1, 2, 3)), (2, (1, 2, 3)),
+        (3, (11, 12, 13)), (4, (11, 12, 13)),
+    ]:
+        for pk in parts:
+            key += 1
+            rows.append((okey, pk, "N", 1.0, 1.0, _d(1)))
+    _write(spark, tmp_path, "lineitem", rows, LI_SCHEMA)
+    [r] = REG["graph_community_modularity"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_communities, r.m_edges, r.modularity_ppm) == (2, 6, 500000)
