@@ -884,8 +884,14 @@ def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_up",
         "n_down",
         "n_runs",
+        # n_up + n_down > 2 rules out sigma2 == 0 exactly: with
+        # n1,n2 >= 1 and N > 2, 2*n1*n2 >= 2(N-1) > N (review r10 —
+        # the 1-up/1-down series made Spark throw DIVIDE_BY_ZERO
+        # where the twin returned NULL)
         F.when(
-            (F.col("n_up") > 0) & (F.col("n_down") > 0),
+            (F.col("n_up") > 0)
+            & (F.col("n_down") > 0)
+            & (F.col("n_up") + F.col("n_down") > 2),
             F.floor(
                 (F.col("n_runs").cast("double") - mu) / F.sqrt(sigma2) * 1000.0
                 + 0.5
@@ -923,7 +929,7 @@ fold AS (
   FROM runs
 )
 SELECT n_up, n_down, n_runs,
-       CASE WHEN n_up > 0 AND n_down > 0
+       CASE WHEN n_up > 0 AND n_down > 0 AND n_up + n_down > 2
             THEN CAST(floor((CAST(n_runs AS DOUBLE)
                              - (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
                                 / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))

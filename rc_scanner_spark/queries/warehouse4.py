@@ -611,22 +611,29 @@ def q_embed_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 
-def _lpa_und_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lpa_und_frame(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """The undirected (u, v) edge-direction frame over the shared
-    support-pruned co-purchase edges."""
+    support-pruned co-purchase edges (pass ``edges`` to reuse an
+    already-built frame instead of re-deriving it)."""
     from .warehouse2 import _copurchase_edges
 
-    edges = _copurchase_edges(spark, sf_dir)
+    if edges is None:
+        edges = _copurchase_edges(spark, sf_dir)
     return edges.select(
         F.col("pa").alias("u"), F.col("pb").alias("v")
     ).union(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
 
 
-def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lpa_labels(
+    spark: SparkSession, sf_dir: str, und: DataFrame | None = None
+) -> DataFrame:
     """(u, lbl) after 3 synchronous mode-propagation rounds — the ONE
     definition of the deterministic LPA sweep, shared by the community
     report and the modularity score."""
-    und = _lpa_und_frame(spark, sf_dir)
+    if und is None:
+        und = _lpa_und_frame(spark, sf_dir)
     labels = und.select(F.col("u"), F.col("u").alias("lbl")).distinct()
     for _ in range(3):
         nb = und.join(
@@ -724,10 +731,16 @@ def q_graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-community reduction never touches a float.  Scale: the label
     frame joins the shared pruned edge list twice (both shuffles hash
     on the node key); the 1-row m scalar broadcasts."""
+    from ..operators.dedup import _track_persist
     from .warehouse2 import _copurchase_edges
 
-    labels = _lpa_labels(spark, sf_dir)
     edges = _copurchase_edges(spark, sf_dir).select("pa", "pb")
+    und = _lpa_und_frame(spark, sf_dir, edges)
+    # labels feed THREE consumers (both edge endpoints + the degree
+    # rollup): persist per repo convention, or the lazy plan
+    # replicates the 6-shuffle LPA sweep under each (review r10; the
+    # graph_kcore precedent)
+    labels = _track_persist(_lpa_labels(spark, sf_dir, und))
     mm = edges.agg(F.count(F.lit(1)).alias("m"))
     la = labels.select(F.col("u").alias("pa"), F.col("lbl").alias("ca"))
     lb = labels.select(F.col("u").alias("pb"), F.col("lbl").alias("cb"))
@@ -738,11 +751,7 @@ def q_graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ca").alias("community"))
         .agg(F.count(F.lit(1)).alias("e_c"))
     )
-    deg = (
-        _lpa_und_frame(spark, sf_dir)
-        .groupBy("u")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     dc = (
         deg.join(labels, "u")
         .groupBy(F.col("lbl").alias("community"))

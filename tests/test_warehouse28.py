@@ -420,3 +420,25 @@ def test_graph_community_modularity_two_cliques(spark, tmp_path):
     _write(spark, tmp_path, "lineitem", rows, LI_SCHEMA)
     [r] = REG["graph_community_modularity"].fn(spark, str(tmp_path)).collect()
     assert (r.n_communities, r.m_edges, r.modularity_ppm) == (2, 6, 500000)
+
+
+def test_stats_runs_test_single_pair_null_both_engines(spark, tmp_path):
+    # revenues [1,2,1]: n_up = n_down = 1 makes sigma2 exactly 0 —
+    # NULL z on BOTH engines (review r10: the old guard let Spark
+    # throw DIVIDE_BY_ZERO where the twin returned NULL)
+    import pandas as pd
+
+    o_schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    orders = [
+        (1, 1, "O", 1.0, _d(1), "1-URGENT"),
+        (2, 1, "O", 2.0, _d(2), "1-URGENT"),
+        (3, 1, "O", 1.0, _d(3), "1-URGENT"),
+    ]
+    _write(spark, tmp_path, "orders", orders, o_schema)
+    [r] = REG["stats_runs_test"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_up, r.n_down, r.z_milli) == (1, 1, None)
+    o = _duck(tmp_path, "orders", REG["stats_runs_test"].sql)
+    assert pd.isna(o.z_milli[0])
