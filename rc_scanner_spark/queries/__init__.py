@@ -435,6 +435,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "graph_community_modularity",
     "events_burstiness_fano",
     "stats_runs_test",
+    # -- batch-43 additions (round 10; closes the 20-cap at 19).
+    "stats_cvm_drift",
+    "stats_friedman",
 )
 
 

@@ -102,8 +102,9 @@ def q_agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_AGG_KS_DRIFT = """
-WITH two AS (
+# The shared binned-CDF CTE body (two/per_bin/cum/tot) — one
+# definition for the KS and Cramer-von Mises twins.
+_SQL_BINNED_CDF_CTES = """two AS (
   SELECT CAST(floor(value * 10) AS BIGINT) AS bin, event_type AS t
   FROM events WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
 ),
@@ -114,14 +115,18 @@ per_bin AS (
   FROM two GROUP BY bin
 ),
 cum AS (
-  SELECT bin,
+  SELECT bin, nc, np,
          sum(nc) OVER (ORDER BY bin
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
          sum(np) OVER (ORDER BY bin
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
   FROM per_bin
 ),
-tot AS (SELECT sum(nc) AS tc, sum(np) AS tp FROM per_bin)
+tot AS (SELECT sum(nc) AS tc, sum(np) AS tp FROM per_bin)"""
+
+
+SQL_AGG_KS_DRIFT = f"""
+WITH {_SQL_BINNED_CDF_CTES}
 SELECT CAST(max(abs(CAST(floor(CAST(cc AS DOUBLE) * 1000000.0 / tc) AS BIGINT)
              - CAST(floor(CAST(cp AS DOUBLE) * 1000000.0 / tp) AS BIGINT)))
             AS BIGINT) AS ks_ppm,
@@ -129,6 +134,97 @@ SELECT CAST(max(abs(CAST(floor(CAST(cc AS DOUBLE) * 1000000.0 / tc) AS BIGINT)
        CAST(tp AS BIGINT) AS n_purchase
 FROM cum, tot
 WHERE tc > 0 AND tp > 0
+GROUP BY tc, tp
+"""
+
+
+def q_stats_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Cramer-von Mises drift statistic between the
+    click and purchase value distributions — KS's integral companion:
+    KS sees only the WORST CDF gap, CvM weights the squared gap over
+    the whole distribution, catching broad small drifts a single-point
+    statistic misses.  T = tc*tp/N^2 * sum_i w_i * dF_i^2 with w_i the
+    observations per bin and dF in ppm integers (the KS chain), so the
+    per-bin terms are exact integers and the cross-bin sum rides
+    decimal(38,0) — order-free.  Same bounded bin-axis window and
+    1-row totals broadcast as agg_ks_drift (allowlisted); one-sided
+    input yields zero rows on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    two = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.floor(F.col("value") * 10).cast("long").alias("bin"),
+            F.col("event_type").alias("t"),
+        )
+    )
+    per_bin = two.groupBy("bin").agg(
+        F.sum(F.when(F.col("t") == "click", 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("t") == "purchase", 1).otherwise(0)).alias("np"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_bin.select(
+        "bin",
+        "nc",
+        "np",
+        F.sum("nc").over(w).alias("cc"),
+        F.sum("np").over(w).alias("cp"),
+    )
+    totals = per_bin.agg(F.sum("nc").alias("tc"), F.sum("np").alias("tp"))
+    terms = (
+        cum.crossJoin(F.broadcast(totals))
+        .filter((F.col("tc") > 0) & (F.col("tp") > 0))
+        .select(
+            "tc",
+            "tp",
+            (
+                (
+                    F.floor(F.col("cc") * F.lit(1000000.0) / F.col("tc"))
+                    - F.floor(F.col("cp") * F.lit(1000000.0) / F.col("tp"))
+                ).cast("decimal(19,0)")
+                * (
+                    F.floor(F.col("cc") * F.lit(1000000.0) / F.col("tc"))
+                    - F.floor(F.col("cp") * F.lit(1000000.0) / F.col("tp"))
+                ).cast("decimal(19,0)")
+                * (F.col("nc") + F.col("np"))
+            ).alias("wg2"),
+        )
+    )
+    fold = terms.groupBy("tc", "tp").agg(
+        F.sum("wg2").alias("s_wg2")
+    )
+    tcd = F.col("tc").cast("double")
+    tpd = F.col("tp").cast("double")
+    nd = tcd + tpd
+    t_stat = tcd * tpd / (nd * nd) * (F.col("s_wg2").cast("double") / 1e12)
+    return fold.select(
+        F.floor(t_stat * 1000.0 + 0.5).cast("long").alias("cvm_t_milli"),
+        F.col("tc").alias("n_click"),
+        F.col("tp").alias("n_purchase"),
+    )
+
+
+SQL_STATS_CVM_DRIFT = f"""
+WITH {_SQL_BINNED_CDF_CTES},
+terms AS (
+  SELECT tc, tp,
+         CAST(CAST(floor(CAST(cc AS DOUBLE) * 1000000.0 / tc) AS BIGINT)
+              - CAST(floor(CAST(cp AS DOUBLE) * 1000000.0 / tp) AS BIGINT)
+              AS HUGEINT)
+         * (CAST(floor(CAST(cc AS DOUBLE) * 1000000.0 / tc) AS BIGINT)
+            - CAST(floor(CAST(cp AS DOUBLE) * 1000000.0 / tp) AS BIGINT))
+         * (nc + np) AS wg2
+  FROM cum, tot
+  WHERE tc > 0 AND tp > 0
+)
+SELECT CAST(floor(CAST(tc AS DOUBLE) * CAST(tp AS DOUBLE)
+                  / ((CAST(tc AS DOUBLE) + CAST(tp AS DOUBLE))
+                     * (CAST(tc AS DOUBLE) + CAST(tp AS DOUBLE)))
+                  * (CAST(sum(wg2) AS DOUBLE) / 1e12)
+                  * 1000.0 + 0.5) AS BIGINT) AS cvm_t_milli,
+       CAST(tc AS BIGINT) AS n_click,
+       CAST(tp AS BIGINT) AS n_purchase
+FROM terms
 GROUP BY tc, tp
 """
 
@@ -646,6 +742,7 @@ FROM m
 
 QUERIES: dict[str, QuerySpec] = {
     "agg_ks_drift": QuerySpec(q_agg_ks_drift, SQL_AGG_KS_DRIFT),
+    "stats_cvm_drift": QuerySpec(q_stats_cvm_drift, SQL_STATS_CVM_DRIFT),
     "agg_chi2_independence": QuerySpec(
         q_agg_chi2_independence, SQL_AGG_CHI2_INDEPENDENCE
     ),

@@ -949,3 +949,150 @@ FROM fold
 
 QUERIES["events_burstiness_fano"] = QuerySpec(q_events_burstiness_fano, _fano_sql())
 QUERIES["stats_runs_test"] = QuerySpec(q_stats_runs_test, SQL_STATS_RUNS_TEST)
+
+
+# --------------------------------------------------------------------
+# Friedman test (within-day ranks across event types)
+# --------------------------------------------------------------------
+
+
+def q_stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test across event types blocked by DAY (1 row): do the
+    k types differ in daily volume once every day is its own block —
+    the repeated-measures companion to Kruskal-Wallis (which ignores
+    the day pairing).  Ranks are within-day over the zero-filled
+    spine, so every block holds all k types.
+
+    Within-day average ranks without windows: the spine self-joins on
+    the day key (k rows vs k rows — k^2 per day, bounded by the type
+    count, never by event volume), doubled ranks r2 = 2*n_less + t + 1
+    stay integers under ties.  Q = 3*sum(R2_j^2)/(n*k*(k+1)) -
+    3*n*(k+1) folds from one exact decimal sum (no per-group division
+    at all); the tie correction divides by 1 - sum(t^3-t)/(n*k*(k^2-1))
+    and an all-tied spine (correction 0) yields NULL on both
+    engines."""
+    from .warehouse2 import filled_day_spine
+
+    f = filled_day_spine(spark, sf_dir)
+    a = f.select(
+        F.col("event_type").alias("et"), F.col("day").alias("d"),
+        F.col("cnt").alias("c"),
+    )
+    b = f.select(
+        F.col("event_type").alias("et2"), F.col("day").alias("d"),
+        F.col("cnt").alias("c2"),
+    )
+    ranked = (
+        a.join(b, "d")
+        .groupBy("et", "d")
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("c2") < F.col("c"), 1).otherwise(0))
+                + F.sum(F.when(F.col("c2") == F.col("c"), 1).otherwise(0))
+                + 1
+            ).alias("r2")
+        )
+    )
+    per_type = ranked.groupBy("et").agg(
+        F.sum("r2").alias("r2_j"), F.count(F.lit(1)).alias("n_days")
+    )
+    ties = (
+        f.groupBy("day", "cnt")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                (
+                    F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+                    - F.col("t")
+                ).cast("decimal(38,0)")
+            ).alias("tie")
+        )
+    )
+    fold = per_type.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("n_days").alias("n"),
+        F.sum(
+            F.col("r2_j").cast("decimal(19,0)") * F.col("r2_j").cast("decimal(19,0)")
+        ).alias("qsum"),
+    ).crossJoin(F.broadcast(ties))
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    # qsum carries DOUBLED rank sums squared = 4 * sum(R_j^2), so the
+    # 12/(nk(k+1)) classical factor becomes 3/(nk(k+1))
+    q = (
+        3.0 * F.col("qsum").cast("double") / (nd * kd * (kd + 1.0))
+        - 3.0 * nd * (kd + 1.0)
+    )
+    corr = 1.0 - F.col("tie").cast("double") / (nd * kd * (kd * kd - 1.0))
+    return fold.select(
+        F.col("n").alias("n_days"),
+        F.col("k").alias("n_types"),
+        F.col("tie").cast("long").alias("tie_term"),
+        F.when((F.col("k") >= 2) & (F.col("n") >= 1), F.floor(q * 1000.0 + 0.5))
+        .cast("long")
+        .alias("q_milli"),
+        F.when(
+            (F.col("k") >= 2) & (F.col("n") >= 1) & (corr > 0.0),
+            F.floor(q / corr * 1000.0 + 0.5),
+        )
+        .cast("long")
+        .alias("q_corr_milli"),
+    )
+
+
+def _friedman_sql() -> str:
+    from .warehouse2 import SQL_DAY_SPINE_CTE
+
+    return f"""
+WITH {SQL_DAY_SPINE_CTE},
+ranked AS (
+  SELECT a.event_type AS et, a.day AS d,
+         2 * sum(CASE WHEN b.cnt < a.cnt THEN 1 ELSE 0 END)
+         + sum(CASE WHEN b.cnt = a.cnt THEN 1 ELSE 0 END) + 1 AS r2
+  FROM filled a JOIN filled b ON a.day = b.day
+  GROUP BY a.event_type, a.day
+),
+per_type AS (
+  SELECT et, CAST(sum(r2) AS BIGINT) AS r2_j, count(*) AS n_days
+  FROM ranked GROUP BY et
+),
+ties AS (
+  SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tie FROM (
+    SELECT day, cnt, count(*) AS t FROM filled GROUP BY day, cnt
+  )
+),
+fold AS (
+  SELECT count(*) AS k, CAST(max(n_days) AS BIGINT) AS n,
+         sum(CAST(r2_j AS HUGEINT) * r2_j) AS qsum
+  FROM per_type
+)
+SELECT n AS n_days, CAST(k AS BIGINT) AS n_types,
+       CAST(tie AS BIGINT) AS tie_term,
+       CASE WHEN k >= 2 AND n >= 1
+            THEN CAST(floor((3.0 * CAST(qsum AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                                * (CAST(k AS DOUBLE) + 1.0))
+                             - 3.0 * CAST(n AS DOUBLE)
+                               * (CAST(k AS DOUBLE) + 1.0))
+                            * 1000.0 + 0.5) AS BIGINT)
+       END AS q_milli,
+       CASE WHEN k >= 2 AND n >= 1
+             AND (1.0 - CAST(tie AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                     * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))) > 0.0
+            THEN CAST(floor((3.0 * CAST(qsum AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                                * (CAST(k AS DOUBLE) + 1.0))
+                             - 3.0 * CAST(n AS DOUBLE)
+                               * (CAST(k AS DOUBLE) + 1.0))
+                            / (1.0 - CAST(tie AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                                  * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                                     - 1.0)))
+                            * 1000.0 + 0.5) AS BIGINT)
+       END AS q_corr_milli
+FROM fold CROSS JOIN ties
+"""
+
+
+QUERIES["stats_friedman"] = QuerySpec(q_stats_friedman, _friedman_sql())

@@ -55,6 +55,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     # runs test: both lag windows run over the per-DAY revenue
     # aggregate — bounded by calendar length, not order count.
     "stats_runs_test": 2,
+    # CvM drift shares agg_ks_drift's CDF window over the per-BIN
+    # aggregate — bounded by the value-domain grid.
+    "stats_cvm_drift": 1,
     # Hamilton quotas: the remainder rank and leftover-sum windows
     # run over the per-SOURCE aggregate — bounded by source
     # cardinality, not corpus rows.
@@ -126,6 +129,12 @@ ALLOWED_CARTESIANS = {
     "part_sales_churn": 1,
     # the shared day-spine explode x distinct-type frame (bounded)
     "events_burstiness_fano": 1,
+    # the same day-spine bounds scalar, referenced by BOTH sides of
+    # the within-day rank self-join AND by the tie fold's own spine
+    # copy, + the 1-row fold x ties cross — every instance O(n x 1)
+    "stats_friedman": 4,
+    # 1-row totals scalar broadcast over the per-bin CDF frame
+    "stats_cvm_drift": 1,
     # 1-row edge-count scalar broadcast over the per-community terms
     "graph_community_modularity": 1,
     # broadcast query-signature set (vec_id % 25 — the documented

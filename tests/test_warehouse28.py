@@ -442,3 +442,63 @@ def test_stats_runs_test_single_pair_null_both_engines(spark, tmp_path):
     assert (r.n_up, r.n_down, r.z_milli) == (1, 1, None)
     o = _duck(tmp_path, "orders", REG["stats_runs_test"].sql)
     assert pd.isna(o.z_milli[0])
+
+
+def test_stats_friedman_planted(spark, tmp_path):
+    # type A beats type B every day for 3 days (perfectly consistent
+    # blocks): doubled ranks 4/2, R2 = (12, 6), qsum = 180;
+    # Q = 3*180/(3*2*3) - 3*3*3 = 3.0 (the k=2 maximum n(k-1));
+    # no within-day ties -> corrected == raw.
+    rows, eid = [], 0
+    for day in (1, 2, 3):
+        for _ in range(2):
+            eid += 1
+            rows.append((eid, 1, _d(day), 1.0, "A"))
+        eid += 1
+        rows.append((eid, 1, _d(day), 1.0, "B"))
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["stats_friedman"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_days, r.n_types, r.tie_term) == (3, 2, 0)
+    assert r.q_milli == 3000
+    assert r.q_corr_milli == 3000
+
+
+def test_stats_friedman_all_tied_null_corrected_both_engines(spark, tmp_path):
+    # equal counts every day: every block fully tied -> Q = 0 and the
+    # tie correction hits exactly 0 -> NULL corrected on BOTH engines
+    import pandas as pd
+
+    rows, eid = [], 0
+    for day in (1, 2, 3):
+        for et in ("A", "B"):
+            eid += 1
+            rows.append((eid, 1, _d(day), 1.0, et))
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["stats_friedman"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_days, r.n_types, r.tie_term) == (3, 2, 18)
+    assert r.q_milli == 0 and r.q_corr_milli is None
+    o = _duck(tmp_path, "events", REG["stats_friedman"].sql)
+    assert int(o.q_milli[0]) == 0 and pd.isna(o.q_corr_milli[0])
+
+
+def test_stats_cvm_drift_planted(spark, tmp_path):
+    # clicks values [1, 2], purchases [1, 3]: CDF gap only on bin 20
+    # (500000 ppm, weight 1): T = (2*2/16) * 0.25 = 0.0625 -> 63 milli
+    rows = [
+        (1, 1, _d(1), 1.0, "click"), (2, 1, _d(1), 2.0, "click"),
+        (3, 1, _d(1), 1.0, "purchase"), (4, 1, _d(1), 3.0, "purchase"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["stats_cvm_drift"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_click, r.n_purchase) == (2, 2)
+    assert r.cvm_t_milli == 63
+
+
+def test_stats_cvm_drift_one_sided_zero_rows_both_engines(spark, tmp_path):
+    # clicks only: a two-sample statistic needs both samples -> zero
+    # rows on BOTH engines (the agg_ks_drift contract)
+    rows = [(1, 1, _d(1), 1.0, "click"), (2, 1, _d(1), 2.0, "click")]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    assert REG["stats_cvm_drift"].fn(spark, str(tmp_path)).count() == 0
+    o = _duck(tmp_path, "events", REG["stats_cvm_drift"].sql)
+    assert len(o) == 0
