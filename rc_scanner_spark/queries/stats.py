@@ -37,18 +37,15 @@ _t = load_tuned
 # --------------------------------------------------------------------
 
 
-def q_agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binned two-sample KS statistic between the click and purchase
-    value distributions: bin values to a 0.1-wide grid, build both
-    empirical CDFs over the shared bin axis, take the max absolute
-    CDF gap (in ppm).
-
-    Scale: one hash aggregate to per-bin counts (conditional sums fold
-    both series into one row per bin), then ONE window over the bin
-    axis — bounded by the value domain (~5k bins for values <= 500),
-    NOT by row count, the same bounded-cardinality pattern as
-    select_token_budget (allowlisted in tests/test_plan_audit.py).
-    Integer ppm arithmetic throughout — max() is order-free."""
+def _binned_cdf_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared click-vs-purchase binned-CDF chain for the KS and
+    Cramer-von Mises drift statistics — one definition on the PySpark
+    side mirroring the twins' shared _SQL_BINNED_CDF_CTES body.
+    Returns (cum, totals): cum carries bin/nc/np/cc/cp (KS prunes the
+    per-bin counts it doesn't use; Catalyst drops them from the scan),
+    totals is the 1-row tc/tp frame the callers broadcast."""
     ev = _t(spark, sf_dir, "events")
     # NULL values are excluded explicitly: a NULL bin would sort FIRST
     # in Spark's window (NULLS FIRST default) but LAST in DuckDB,
@@ -68,12 +65,28 @@ def q_agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = per_bin.select(
         "bin",
+        "nc",
+        "np",
         F.sum("nc").over(w).alias("cc"),
         F.sum("np").over(w).alias("cp"),
     )
-    totals = per_bin.agg(
-        F.sum("nc").alias("tc"), F.sum("np").alias("tp")
-    )
+    totals = per_bin.agg(F.sum("nc").alias("tc"), F.sum("np").alias("tp"))
+    return cum, totals
+
+
+def q_agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS statistic between the click and purchase
+    value distributions: bin values to a 0.1-wide grid, build both
+    empirical CDFs over the shared bin axis, take the max absolute
+    CDF gap (in ppm).
+
+    Scale: one hash aggregate to per-bin counts (conditional sums fold
+    both series into one row per bin), then ONE window over the bin
+    axis — bounded by the value domain (~5k bins for values <= 500),
+    NOT by row count, the same bounded-cardinality pattern as
+    select_token_budget (allowlisted in tests/test_plan_audit.py).
+    Integer ppm arithmetic throughout — max() is order-free."""
+    cum, totals = _binned_cdf_frames(spark, sf_dir)
     # ppm scaling through DOUBLE floor, mirrored in the twin: integer
     # cc * 1000000 would wrap Spark's long past ~9.2e12 cumulative rows
     # (DuckDB's HUGEINT would not — a silent at-scale divergence);
@@ -149,28 +162,7 @@ def q_stats_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(38,0) — order-free.  Same bounded bin-axis window and
     1-row totals broadcast as agg_ks_drift (allowlisted); one-sided
     input yields zero rows on both engines."""
-    ev = _t(spark, sf_dir, "events")
-    two = (
-        ev.filter(F.col("event_type").isin("click", "purchase"))
-        .filter(F.col("value").isNotNull())
-        .select(
-            F.floor(F.col("value") * 10).cast("long").alias("bin"),
-            F.col("event_type").alias("t"),
-        )
-    )
-    per_bin = two.groupBy("bin").agg(
-        F.sum(F.when(F.col("t") == "click", 1).otherwise(0)).alias("nc"),
-        F.sum(F.when(F.col("t") == "purchase", 1).otherwise(0)).alias("np"),
-    )
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_bin.select(
-        "bin",
-        "nc",
-        "np",
-        F.sum("nc").over(w).alias("cc"),
-        F.sum("np").over(w).alias("cp"),
-    )
-    totals = per_bin.agg(F.sum("nc").alias("tc"), F.sum("np").alias("tp"))
+    cum, totals = _binned_cdf_frames(spark, sf_dir)
     terms = (
         cum.crossJoin(F.broadcast(totals))
         .filter((F.col("tc") > 0) & (F.col("tp") > 0))

@@ -1065,33 +1065,26 @@ fold AS (
   SELECT count(*) AS k, CAST(max(n_days) AS BIGINT) AS n,
          sum(CAST(r2_j AS HUGEINT) * r2_j) AS qsum
   FROM per_type
+),
+stat AS (
+  SELECT k, n, tie,
+         3.0 * CAST(qsum AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+         - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) AS q,
+         1.0 - CAST(tie AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+            * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)) AS corr
+  FROM fold CROSS JOIN ties
 )
 SELECT n AS n_days, CAST(k AS BIGINT) AS n_types,
        CAST(tie AS BIGINT) AS tie_term,
        CASE WHEN k >= 2 AND n >= 1
-            THEN CAST(floor((3.0 * CAST(qsum AS DOUBLE)
-                             / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
-                                * (CAST(k AS DOUBLE) + 1.0))
-                             - 3.0 * CAST(n AS DOUBLE)
-                               * (CAST(k AS DOUBLE) + 1.0))
-                            * 1000.0 + 0.5) AS BIGINT)
+            THEN CAST(floor(q * 1000.0 + 0.5) AS BIGINT)
        END AS q_milli,
-       CASE WHEN k >= 2 AND n >= 1
-             AND (1.0 - CAST(tie AS DOUBLE)
-                  / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
-                     * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))) > 0.0
-            THEN CAST(floor((3.0 * CAST(qsum AS DOUBLE)
-                             / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
-                                * (CAST(k AS DOUBLE) + 1.0))
-                             - 3.0 * CAST(n AS DOUBLE)
-                               * (CAST(k AS DOUBLE) + 1.0))
-                            / (1.0 - CAST(tie AS DOUBLE)
-                               / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
-                                  * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
-                                     - 1.0)))
-                            * 1000.0 + 0.5) AS BIGINT)
+       CASE WHEN k >= 2 AND n >= 1 AND corr > 0.0
+            THEN CAST(floor(q / corr * 1000.0 + 0.5) AS BIGINT)
        END AS q_corr_milli
-FROM fold CROSS JOIN ties
+FROM stat
 """
 
 
