@@ -435,9 +435,11 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "graph_community_modularity",
     "events_burstiness_fano",
     "stats_runs_test",
-    # -- batch-43 additions (round 10; closes the 20-cap at 19).
+    # -- batch-43 additions (round 10).
     "stats_cvm_drift",
     "stats_friedman",
+    # -- batch-44 additions (round 10; closes the 20-cap at 20).
+    "embed_hard_negatives",
 )
 
 

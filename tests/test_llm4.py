@@ -237,3 +237,62 @@ def test_embed_sign_recall_eval_no_queries_null_both_engines(spark, tmp_path):
     o = con.execute(REG["embed_sign_recall_eval"].sql).df()
     con.close()
     assert int(o.n_queries[0]) == 0 and pd.isna(o.recall_ppm[0])
+
+
+# --------------------------------------------------------------------
+# hard-negative triplet mining (batch 44)
+# --------------------------------------------------------------------
+
+
+def test_embed_hard_negatives_planted(spark, tmp_path):
+    # anchor 0 (label 0) against hand-computed cosines: same-label
+    # candidates score {1: 10000, 3: 0, 7: 0} -> hardest positive is
+    # the MIN, tie between 3 and 7 breaks to the smaller id; cross-
+    # label candidates score {5: 10000, 6: 10000, 4: 6000} -> hardest
+    # negative is the MAX, tie breaks to id 5.  Anchor 50's label is
+    # unique, so its positive arm is empty and it drops.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # anchor
+        (1, [1.0, 0.0, 0.0, 0.0], 0),   # cos 1.0, same label
+        (3, [0.0, 1.0, 0.0, 0.0], 0),   # cos 0.0 -> hardest positive
+        (7, [0.0, 1.0, 0.0, 0.0], 0),   # cos 0.0, tie loser (id 7 > 3)
+        (5, [1.0, 0.0, 0.0, 0.0], 1),   # cos 1.0 -> hardest negative
+        (6, [1.0, 0.0, 0.0, 0.0], 1),   # cos 1.0, tie loser (id 6 > 5)
+        (4, [0.6, 0.8, 0.0, 0.0], 1),   # cos 0.6
+        (50, [0.0, 0.0, 1.0, 0.0], 9),  # anchor, unique label -> drops
+        # zero-norm vector: excluded by the upstream norm filter on
+        # both engines (same label as the anchor — would otherwise
+        # poison the positive argmin with a NULL score)
+        (2, [0.0, 0.0, 0.0, 0.0], 0),
+    ]
+    _write(spark, tmp_path, "embeddings", rows, EMB_SCHEMA)
+    out = [
+        (r.anchor_id, r.pos_id, r.pos_sim_tenk, r.neg_id, r.neg_sim_tenk,
+         r.margin_tenk)
+        for r in REG["embed_hard_negatives"].fn(spark, str(tmp_path)).collect()
+    ]
+    assert out == [(0, 3, 0, 5, 10000, -10000)]
+
+
+def test_embed_hard_negatives_single_label_zero_rows_both_engines(
+    spark, tmp_path
+):
+    # an all-one-label corpus has no negative arm anywhere: zero rows
+    # on BOTH engines (the final both-arms filter, not an engine error)
+    import duckdb
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 0),
+        (2, [1.0, 1.0], 0),
+    ]
+    _write(spark, tmp_path, "embeddings", rows, EMB_SCHEMA)
+    assert REG["embed_hard_negatives"].fn(spark, str(tmp_path)).count() == 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    o = con.execute(REG["embed_hard_negatives"].sql).df()
+    con.close()
+    assert len(o) == 0

@@ -143,6 +143,9 @@ ALLOWED_CARTESIANS = {
     # recall eval composes both ANN arms (cosine cross + sign cross)
     # + the 1-row n_queries scalar under the summary fold
     "embed_sign_recall_eval": 3,
+    # broadcast anchor set (vec_id % 25 — the documented
+    # ann_cosine_topk baseline shape; != predicate makes it a BNLJ)
+    "embed_hard_negatives": 1,
     # 1-row (k, total_tokens) scalar broadcast over the per-source
     # token rollup
     "select_epoch_mix": 1,
