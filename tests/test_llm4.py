@@ -272,6 +272,19 @@ def test_embed_hard_negatives_planted(spark, tmp_path):
         for r in REG["embed_hard_negatives"].fn(spark, str(tmp_path)).collect()
     ]
     assert out == [(0, 3, 0, 5, 10000, -10000)]
+    # the DuckDB twin must replay BOTH tie-breaks on the same fixture
+    # (the sf oracle data has no score ties, so only this planted run
+    # exercises the twin's packed tie arithmetic)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    o = con.execute(REG["embed_hard_negatives"].sql).fetchall()
+    con.close()
+    assert [tuple(int(x) for x in r) for r in o] == [(0, 3, 0, 5, 10000, -10000)]
 
 
 def test_embed_hard_negatives_single_label_zero_rows_both_engines(
