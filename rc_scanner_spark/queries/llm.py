@@ -253,18 +253,29 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, queries, k=5)
 
 
-SQL_ANN_COSINE_TOPK = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-           WHERE vec_id % 25 = 0)
-SELECT query_id, vec_id, sim, rank FROM (
-  SELECT q.query_id, v.vec_id,
-         round(list_cosine_similarity(q.qv::DOUBLE[], v.embedding::DOUBLE[]), 4) AS sim,
-         CAST(row_number() OVER (
-             PARTITION BY q.query_id
-             ORDER BY round(list_cosine_similarity(q.qv::DOUBLE[], v.embedding::DOUBLE[]), 4) DESC,
-                      v.vec_id) AS INTEGER) AS rank
-  FROM q CROSS JOIN embeddings v
-) WHERE rank <= 5
+# Shared CTE body for the exact cosine top-5 arm (query set
+# vec_id % 25 = 0): ONE definition serving the ANN baseline twin
+# below and the sign-ANN recall-eval twin (queries/llm4.py), so the
+# rounding, tie-break, k, and query-set rule can never drift between
+# the registry shape and the evaluation that claims to measure it.
+SQL_COSINE_TOPK_CTES = """q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 25 = 0),
+cosine_topk AS (
+  SELECT query_id, vec_id, sim, rank FROM (
+    SELECT q.query_id, v.vec_id,
+           round(list_cosine_similarity(q.qv::DOUBLE[], v.embedding::DOUBLE[]), 4) AS sim,
+           CAST(row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(q.qv::DOUBLE[], v.embedding::DOUBLE[]), 4) DESC,
+                        v.vec_id) AS INTEGER) AS rank
+    FROM q CROSS JOIN embeddings v
+  ) WHERE rank <= 5
+)"""
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH {SQL_COSINE_TOPK_CTES}
+SELECT query_id, vec_id, sim, rank FROM cosine_topk
 """
 
 

@@ -273,8 +273,20 @@ def q_stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 - Σ(t³-t)/(N³-N); all-tied input (correction 0) yields NULL.
 
     Design-scale bound: R2_g² passes decimal(38,0) once a group holds
-    ~3e9 rows — a loud ANSI throw, mirroring stats_mann_whitney."""
-    ev = _t(spark, sf_dir, "events").select("value", "event_type")
+    ~3e9 rows — a loud ANSI throw, mirroring stats_mann_whitney.
+
+    NULL values are excluded explicitly (a rank has no meaning for an
+    unobserved value): a NULL tie-group would land in the top range
+    bucket on both engines (least() skips NULL) but sort FIRST in
+    Spark's within-bucket window and LAST in DuckDB's — shifting
+    every rank in that bucket between the twins — while its rows
+    vanish from per_g (the vt-ranks value equi-join never matches
+    NULL) yet still count in n and the tie fold."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("value", "event_type")
+        .filter(F.col("value").isNotNull())
+    )
     bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     # tie groups per distinct value, with per-group counts alongside
     vt = ev.groupBy("value", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
@@ -369,7 +381,7 @@ def q_stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_STATS_KRUSKAL_WALLIS = f"""
-WITH ev AS (SELECT value, event_type FROM events),
+WITH ev AS (SELECT value, event_type FROM events WHERE value IS NOT NULL),
 bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
 vt AS (SELECT value, event_type, count(*) AS cnt
        FROM ev GROUP BY 1, 2),

@@ -285,9 +285,14 @@ def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — a fully-degenerate near-constant metric at the 1e13-row
     design point.  A rank test on such a column is meaningless, so
     the loud failure is the intended behavior."""
+    # NULL values are excluded explicitly (same rationale as
+    # stats_kruskal_wallis: a NULL tie-group ranks differently
+    # between the engines' window NULL orderings and drops out of
+    # the per-group join while still counting in n and the ties)
     ev = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin(_MW_GROUP_A, _MW_GROUP_B))
+        .filter(F.col("value").isNotNull())
         .select(
             "value",
             F.when(F.col("event_type") == _MW_GROUP_A, 1)
@@ -403,6 +408,7 @@ WITH ev AS (
          CASE WHEN event_type = '{_MW_GROUP_A}' THEN 1 ELSE 0 END AS is_a
   FROM events
   WHERE event_type IN ('{_MW_GROUP_A}', '{_MW_GROUP_B}')
+    AND value IS NOT NULL
 ),
 vb AS (
   SELECT value, sum(is_a) AS na, sum(1 - is_a) AS nb,

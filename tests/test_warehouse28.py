@@ -502,3 +502,27 @@ def test_stats_cvm_drift_one_sided_zero_rows_both_engines(spark, tmp_path):
     assert REG["stats_cvm_drift"].fn(spark, str(tmp_path)).count() == 0
     o = _duck(tmp_path, "events", REG["stats_cvm_drift"].sql)
     assert len(o) == 0
+
+
+def test_stats_kruskal_wallis_null_values_excluded_both_engines(
+    spark, tmp_path
+):
+    # NULL values must not perturb the ranks: a NULL tie-group would
+    # land in the top bucket on both engines (least() skips NULL) but
+    # sort FIRST in Spark's within-bucket window and LAST in DuckDB's
+    # (review r10).  With the explicit exclusion, the result equals
+    # the no-ties planted case exactly, on both engines.
+    rows = [
+        (i + 1, 1, _d(1 + i), float(v), g)
+        for i, (g, v) in enumerate(
+            [("A", 1), ("A", 2), ("A", 3), ("B", 4), ("B", 5), ("B", 6)]
+        )
+    ] + [(10, 1, _d(10), None, "A"), (11, 1, _d(11), None, "B")]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["stats_kruskal_wallis"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_groups, r.n_rows, r.tie_term) == (2, 6, 0)
+    assert (r.h_milli, r.h_corr_milli) == (3857, 3857)
+    o = _duck(tmp_path, "events", REG["stats_kruskal_wallis"].sql)
+    assert (int(o.n_rows[0]), int(o.h_milli[0]), int(o.h_corr_milli[0])) == (
+        6, 3857, 3857,
+    )

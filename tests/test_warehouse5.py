@@ -195,3 +195,43 @@ def test_basket_association_rules_capped_universe(spark, tmp_path):
     }
     assert out[(1, 2)] == 1_000_000  # 3 of 3 capped pa-baskets
     assert out[(2, 1)] == 1_000_000
+
+
+def test_stats_mann_whitney_null_values_excluded_both_engines(
+    spark, tmp_path
+):
+    # NULL values must not perturb the ranks (review r10, the
+    # stats_kruskal_wallis hazard: the NULL tie-group buckets to the
+    # top range bucket on both engines but window-sorts FIRST in
+    # Spark and LAST in DuckDB).  With the explicit exclusion the
+    # result equals the planted no-NULL case on both engines.
+    import datetime
+
+    import duckdb
+
+    d = datetime.datetime(2020, 1, 1)
+    rows = [
+        (1, d, "click", 1.0),
+        (2, d, "click", 3.0),
+        (3, d, "view", 2.0),
+        (4, d, "view", 3.0),
+        (5, d, "view", 4.0),
+        (6, d, "click", None),
+        (7, d, "view", None),
+    ]
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    [r] = REG["stats_mann_whitney"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_a, r.n_b, r.u2_a, r.tie_term) == (2, 3, 3, 6)
+    assert r.z_milli == -889
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    o = con.execute(REG["stats_mann_whitney"].sql).df()
+    con.close()
+    assert (int(o.n_a[0]), int(o.n_b[0]), int(o.u2_a[0]), int(o.z_milli[0])) \
+        == (2, 3, 3, -889)
