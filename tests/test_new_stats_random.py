@@ -223,3 +223,49 @@ def test_cvm_drift_random_engine_parity_and_textbook(spark, tmp_path):
         t_stat *= tc * tp / (tc + tp) ** 2
         # ppm CDF floors drift each gap by <1e-6 each side
         assert abs(r.cvm_t_milli - t_stat * 1000.0) <= 2
+
+
+def test_levene_bf_random_engine_parity_and_textbook(spark, tmp_path):
+    import statistics
+
+    rng = random.Random(435)
+    for _ in range(3):
+        rows = [
+            (i + 1, rng.choice(["A", "N", "R"]),
+             float(rng.randint(1, 50)))
+            for i in range(40)
+        ]
+        _write(
+            spark, tmp_path, "lineitem", rows,
+            "l_orderkey long, l_returnflag string, l_quantity double",
+        )
+        [r] = (
+            REG["stats_levene_brown_forsythe"].fn(spark, str(tmp_path)).collect()
+        )
+        [o] = _duck(
+            tmp_path, "lineitem", REG["stats_levene_brown_forsythe"].sql
+        )
+        assert (r.n_groups, r.n_rows, r.bf_w_milli, r.eta_sq_ppm) == tuple(
+            int(x) for x in o
+        )
+        # textbook Brown-Forsythe: ANOVA F on |v - group median|, here
+        # in the repo's exact doubled-cents units |2v - 2*median|
+        vals = defaultdict(list)
+        for _, g, q in rows:
+            vals[g].append(round(q * 100))
+        devs = {
+            g: [abs(2 * x - round(2 * statistics.median(v))) for x in v]
+            for g, v in vals.items()
+        }
+        k = len(devs)
+        n = sum(len(v) for v in devs.values())
+        grand = sum(sum(v) for v in devs.values()) / n
+        ssb = sum(
+            len(v) * (sum(v) / len(v) - grand) ** 2 for v in devs.values()
+        )
+        ssw = sum(
+            sum((x - sum(v) / len(v)) ** 2 for x in v) for v in devs.values()
+        )
+        f_lo = ((ssb - (k + 1)) / (k - 1)) / ((ssw + k + 1) / (n - k))
+        f_hi = ((ssb + (k + 1)) / (k - 1)) / (max(ssw - (k + 1), 1) / (n - k))
+        assert f_lo * 1000 - 1 <= r.bf_w_milli <= f_hi * 1000 + 1
