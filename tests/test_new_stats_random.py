@@ -269,3 +269,86 @@ def test_levene_bf_random_engine_parity_and_textbook(spark, tmp_path):
         f_lo = ((ssb - (k + 1)) / (k - 1)) / ((ssw + k + 1) / (n - k))
         f_hi = ((ssb + (k + 1)) / (k - 1)) / (max(ssw - (k + 1), 1) / (n - k))
         assert f_lo * 1000 - 1 <= r.bf_w_milli <= f_hi * 1000 + 1
+
+
+def test_ks_drift_random_engine_parity_and_textbook(spark, tmp_path):
+    rng = random.Random(436)
+    for _ in range(3):
+        rows = [
+            (i + 1, 1, datetime.datetime(2024, 1, 1 + i % 28),
+             rng.randint(0, 30) / 10.0,
+             rng.choice(["click", "purchase", "view"]))
+            for i in range(60)
+        ]
+        _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+        res = REG["agg_ks_drift"].fn(spark, str(tmp_path)).collect()
+        ora = _duck(tmp_path, "events", REG["agg_ks_drift"].sql)
+        assert [
+            (r.ks_ppm, r.n_click, r.n_purchase) for r in res
+        ] == [tuple(int(x) for x in row) for row in ora]
+        clicks = [v for (_, _, _, v, t) in rows if t == "click"]
+        purch = [v for (_, _, _, v, t) in rows if t == "purchase"]
+        if not clicks or not purch:
+            assert res == []
+            continue
+        [r] = res
+        # textbook binned KS on the same 0.1 grid
+        bins = sorted({math.floor(v * 10) for v in clicks + purch})
+        tc, tp = len(clicks), len(purch)
+        cc = cp = 0
+        ks = 0.0
+        for b in bins:
+            cc += sum(1 for v in clicks if math.floor(v * 10) == b)
+            cp += sum(1 for v in purch if math.floor(v * 10) == b)
+            ks = max(ks, abs(cc / tc - cp / tp))
+        # each ppm CDF floors by <1, the abs-gap and max by <=2 total
+        assert abs(r.ks_ppm - ks * 1e6) <= 2
+
+
+def test_spearman_random_tied_engine_parity_and_textbook(spark, tmp_path):
+    rng = random.Random(437)
+    for _ in range(3):
+        rows = [
+            (i + 1, rng.choice(["A", "N", "R"]),
+             float(rng.randint(1, 8)), float(rng.randint(1, 8)))
+            for i in range(45)
+        ]
+        _write(
+            spark, tmp_path, "lineitem", rows,
+            "l_orderkey long, l_returnflag string,"
+            " l_quantity double, l_extendedprice double",
+        )
+        res = REG["stats_spearman"].fn(spark, str(tmp_path)).collect()
+        ora = _duck(tmp_path, "lineitem", REG["stats_spearman"].sql)
+        assert [
+            (r.l_returnflag, r.n,
+             int(r.spearman_ppm) if r.spearman_ppm is not None else None)
+            for r in res
+        ] == [
+            (g, int(n), int(p) if p is not None else None)
+            for (g, n, p) in ora
+        ]
+        # textbook: Pearson on average ranks per group (heavy ties)
+        groups = defaultdict(list)
+        for _, g, x, y in rows:
+            groups[g].append((round(x * 100), round(y * 100)))
+        expect = {}
+        for g, pts in groups.items():
+            px = _avg_positions([x for x, _ in pts])
+            py = _avg_positions([y for _, y in pts])
+            xs = [px[x] for x, _ in pts]
+            ys = [py[y] for _, y in pts]
+            n = len(pts)
+            mx, my = sum(xs) / n, sum(ys) / n
+            dx = sum((a - mx) ** 2 for a in xs)
+            dy = sum((b - my) ** 2 for b in ys)
+            num = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+            expect[g] = (
+                num / math.sqrt(dx * dy) if dx > 0 and dy > 0 else None
+            )
+        for r in res:
+            e = expect[r.l_returnflag]
+            if e is None:
+                assert r.spearman_ppm is None
+            else:
+                assert abs(r.spearman_ppm - e * 1e6) <= 2
