@@ -280,3 +280,76 @@ def test_prefix_jaccard_hot_token_no_false_pairs(spark):
     }
     assert set(got) == {(100, 101)}
     assert got[(100, 101)] == 1.0
+
+
+def test_ngram_jaccard_random_matches_python_brute_force(spark, tmp_path):
+    """Randomized replay of the blocked df-capped Jaccard against a
+    plain-Python set implementation (tokens, short-doc fallback
+    shingle, per-block df cap, half-up 4-decimal rounding all
+    replicated independently).  Random small-vocab docs force heavy
+    shingle sharing AND hot shingles over the cap — the exact paths
+    the r8/r10 reworks (count-first bucket cap, broadcast left_anti
+    hot drop) changed.  Distinct parquet paths per trial keep the
+    memoized shared word/shingle frames from serving stale data."""
+    import random
+    import re
+    from collections import Counter
+
+    from rc_scanner_spark.operators.dedup import ngram_jaccard_pairs
+
+    def py_shingles(text, k=3):
+        ws = re.findall(r"[a-z]+", text.lower())
+        if len(ws) >= k:
+            return {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+        return {" ".join(ws)} if ws else set()
+
+    rng = random.Random(441)
+    vocab = [f"w{i}" for i in range(10)]
+    for trial in range(3):
+        cap = 3
+        rows = []
+        for i in range(24):
+            n = rng.randint(0, 8)
+            text = " ".join(rng.choice(vocab) for _ in range(n))
+            rows.append((i, text, "en", "s%d" % (i % 2)))
+        rows.append((100, "###", "en", "s0"))  # symbol-only: no tokens
+        sub = tmp_path / f"t{trial}"
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(sub / "documents.parquet")
+        )
+        df = spark.read.parquet(str(sub / "documents.parquet"))
+        got = {
+            (r.id_a, r.id_b): int(r.jaccard * 10000 + 0.5)
+            for r in ngram_jaccard_pairs(
+                df, group_cols=["lang", "source"],
+                threshold=0.5, max_shingle_df=cap,
+            ).collect()
+        }
+        # independent brute force
+        sh = {d: py_shingles(t) for d, t, _, _ in rows}
+        blk = {d: (lg, s) for d, _, lg, s in rows}
+        bdf = Counter(
+            (blk[d], s) for d in sh for s in sh[d]
+        )
+        surv = {
+            d: {s for s in sh[d] if bdf[(blk[d], s)] <= cap} for d in sh
+        }
+        expect = {}
+        ids = sorted(sh)
+        for ai, a in enumerate(ids):
+            for b in ids[ai + 1:]:
+                if blk[a] != blk[b]:
+                    continue
+                inter = len(surv[a] & surv[b])
+                if not inter:
+                    continue
+                union = len(surv[a]) + len(surv[b]) - inter
+                j4 = int(inter / union * 10000 + 0.5)  # half-up, as Spark
+                if j4 >= 5000:
+                    expect[(a, b)] = j4
+        assert got == expect
+        assert any(v > cap for v in bdf.values()), (
+            "trial should exercise the hot-shingle drop"
+        )
