@@ -353,3 +353,49 @@ def test_ngram_jaccard_random_matches_python_brute_force(spark, tmp_path):
         assert any(v > cap for v in bdf.values()), (
             "trial should exercise the hot-shingle drop"
         )
+
+
+def test_prefix_jaccard_random_matches_python_brute_force(spark):
+    """Randomized replay of the PPJoin-style prefix-filtered join: the
+    prefix filter is LOSSLESS for Jaccard >= threshold, so the output
+    must equal a plain-Python all-pairs set Jaccard exactly — pairs
+    AND half-up-rounded scores — on every draw.  Small vocab forces
+    shared and hot shingles; short and token-free docs exercise the
+    fallback-shingle paths."""
+    import random
+    import re
+    from itertools import combinations
+
+    from rc_scanner_spark.operators.dedup import prefix_jaccard_pairs
+
+    def py_shingles(text, k=3):
+        ws = re.findall(r"[a-z]+", text.lower())
+        if len(ws) >= k:
+            return {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+        return {" ".join(ws)} if ws else set()
+
+    rng = random.Random(442)
+    vocab = [f"w{i}" for i in range(8)]
+    for _ in range(3):
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 8))))
+            for i in range(20)
+        ]
+        rows.append((99, "..."))  # token-free
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b): int(r.jaccard * 10000 + 0.5)
+            for r in prefix_jaccard_pairs(df, threshold=0.5).collect()
+        }
+        sh = {d: py_shingles(t) for d, t in rows}
+        expect = {}
+        for a, b in combinations(sorted(sh), 2):
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            union = len(sh[a]) + len(sh[b]) - inter
+            j4 = int(inter / union * 10000 + 0.5)
+            if j4 >= 5000:
+                expect[(a, b)] = j4
+        assert got == expect
+        assert expect, "draw should contain at least one qualifying pair"
