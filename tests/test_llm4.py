@@ -309,3 +309,67 @@ def test_embed_hard_negatives_single_label_zero_rows_both_engines(
     o = con.execute(REG["embed_hard_negatives"].sql).df()
     con.close()
     assert len(o) == 0
+
+
+def test_embed_hard_negatives_random_matches_python(spark, tmp_path):
+    """Randomized replay against a plain-Python implementation: dot /
+    (|a||b|) folded left-to-right over the float32-faithful values
+    (numpy emulates the parquet round-trip), the same floor
+    quantization, then brute-force argmin/argmax with the smaller-id
+    tie-break.  Exact equality on every output column, every draw."""
+    import math
+    import random
+
+    import numpy as np
+
+    rng = random.Random(443)
+    for trial in range(3):
+        rows = []
+        for i in range(30):
+            vec = [rng.uniform(-1, 1) for _ in range(8)]
+            label = rng.randint(0, 2)
+            rows.append((i, vec, label))
+        rows.append((30, [0.0] * 8, 0))   # zero-norm: excluded
+        rows.append((31, [1.0] * 8, None))  # NULL label: no arms
+        _write(spark, tmp_path, "embeddings", rows, EMB_SCHEMA)
+        got = sorted(
+            (r.anchor_id, r.pos_id, r.pos_sim_tenk, r.neg_id,
+             r.neg_sim_tenk, r.margin_tenk)
+            for r in REG["embed_hard_negatives"].fn(spark, str(tmp_path)).collect()
+        )
+        # Python replica on float32-faithful doubles
+        vecs = {
+            d: [float(np.float32(x)) for x in v]
+            for d, v, _ in rows if v is not None
+        }
+        labels = {d: lb for d, _, lb in rows}
+
+        def norm(v):
+            acc = 0.0
+            for x in v:
+                acc += x * x
+            return math.sqrt(acc)
+
+        def sim_tenk(a, b):
+            acc = 0.0
+            for x, y in zip(vecs[a], vecs[b]):
+                acc += x * y
+            return int(math.floor(acc / (norm(vecs[a]) * norm(vecs[b]))
+                                  * 10000 + 0.5))
+
+        live = [d for d in vecs if norm(vecs[d]) > 0]
+        expect = []
+        for a in live:
+            if a % 25 != 0 or labels[a] is None:
+                continue
+            pos = [(sim_tenk(a, c), c) for c in live
+                   if c != a and labels[c] is not None and labels[c] == labels[a]]
+            neg = [(sim_tenk(a, c), c) for c in live
+                   if c != a and labels[c] is not None and labels[c] != labels[a]]
+            if not pos or not neg:
+                continue
+            ps, pid = min(pos)
+            nbest = max(neg, key=lambda t: (t[0], -t[1]))
+            expect.append((a, pid, ps, nbest[1], nbest[0], ps - nbest[0]))
+        assert got == sorted(expect)
+        assert expect, "draw should produce at least one triplet"
