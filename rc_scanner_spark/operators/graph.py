@@ -39,17 +39,23 @@ def star_edges_for_key(
     larger than ``max_group`` are dropped — a key shared by thousands
     of docs is boilerplate, not duplication, and would otherwise
     dominate the shuffle."""
-    g = (
-        df.groupBy(key_col)
-        .agg(
-            F.min(id_col).alias("dst"),
-            F.collect_set(id_col).alias("members"),
-        )
-        .filter(F.size("members") <= max_group)
-        .select("dst", F.explode("members").alias("src"))
-        .filter(F.col("src") != F.col("dst"))
+    # Count FIRST, filter, then join back (the SQL twin's shape): a
+    # collect_set before the cap filter would materialize a degenerate
+    # hot key's complete member array in ONE aggregation buffer before
+    # the cap could drop it — the same unbounded-state hazard the
+    # ngram bucket cap closed in review r8 round 7 (fixed review r10).
+    # Constant aggregate state per key; only capped keys join back.
+    ids = df.select(key_col, F.col(id_col).alias("src")).distinct()
+    grp = (
+        ids.groupBy(key_col)
+        .agg(F.min("src").alias("dst"), F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_group))
     )
-    return g.select("src", "dst")
+    return (
+        ids.join(grp, key_col)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
 
 
 def connected_components(

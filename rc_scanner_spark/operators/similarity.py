@@ -51,11 +51,20 @@ def cosine_topk(
         F.col(vec_col).cast("array<double>").alias("vv"),
     ).withColumn("vn", norm(F.col("vv")))
     denom = F.col("qn") * F.col("vn")
+    # Zero-norm vectors: DuckDB's list_cosine_similarity returns -1.0
+    # for a zero operand (verified on the pinned oracle build), while
+    # the raw Spark division guard yields NULL — which would also sort
+    # differently in the rank window.  Coalesce to -1.0 so both the
+    # VALUE and the ordering match the twin exactly (review r10).
     scored = q.crossJoin(v).select(
         "query_id",
         "vec_id",
-        F.round(
-            F.when(denom != 0, dot(F.col("qv"), F.col("vv")) / denom), round_digits
+        F.coalesce(
+            F.round(
+                F.when(denom != 0, dot(F.col("qv"), F.col("vv")) / denom),
+                round_digits,
+            ),
+            F.lit(-1.0),
         ).alias("sim"),
     )
     from pyspark.sql import Window
@@ -110,20 +119,15 @@ def ivf_assign(
     map-side only, no shuffle of the vector table.
 
     Returns (centroids(cell, cv), assigned(id, v, cell)).
-    """
-    from pyspark.sql import Window
 
-    base = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    Exactly ``kmeans_refine`` with ``iters=0`` — delegated so the
+    seeding rule (smallest-id vectors, row_number cells) has ONE
+    definition shared with the kmeans family and the ``_sql_kmeans_
+    ctes`` twin generator (review r10)."""
+    centroids, assigned = kmeans_refine(
+        vectors, num_cells, iters=0, id_col=id_col, vec_col=vec_col
     )
-    w_seed = Window.orderBy("id")
-    centroids = (
-        base.orderBy("id")
-        .limit(num_cells)
-        .select((F.row_number().over(w_seed) - 1).alias("cell"), F.col("v").alias("cv"))
-    )
-    assigned = kmeans_assign(base, centroids).select("id", "v", "cell")
-    return centroids, assigned
+    return centroids, assigned.select("id", "v", "cell")
 
 
 def ivf_topk(
@@ -162,9 +166,18 @@ def ivf_topk(
     # (array_sort on (-csim, cell) = csim desc, cell asc) — partial
     # aggregation collapses the K scored rows per query before any
     # shuffle, instead of shuffling the K x |Q| frame for row_number.
+    # csim coalesces to -1.0 for a zero-norm centroid seed: Spark's
+    # cosine() yields NULL there, and a NULL negsim struct field sorts
+    # FIRST in array_sort — the degenerate cell would consume the top
+    # probe slot for every query, while the DuckDB twin's
+    # list_cosine_similarity returns -1.0 and ranks it LAST (review
+    # r10).  -1.0 reproduces the twin's value and ordering exactly.
     probes = (
         q.join(F.broadcast(centroids))
-        .withColumn("csim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "csim",
+            F.coalesce(F.round(cosine(F.col("qv"), F.col("cv")), 6), F.lit(-1.0)),
+        )
         .groupBy("query_id")
         .agg(
             F.any_value(F.col("qv")).alias("qv"),  # constant per query_id
@@ -189,41 +202,38 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("id").alias("vec_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("sim"),
+            F.coalesce(
+                F.round(cosine(F.col("qv"), F.col("v")), 4), F.lit(-1.0)
+            ).alias("sim"),
         )
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
     )
 
 
-def lsh_ann_pairs(
-    vectors: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    num_planes: int = 12,
-    num_tables: int = 4,
-    threshold: float = 0.3,
+def _nonzero_norm_base(
+    vectors: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Approximate near-neighbor pairs: bucket by hyperplane signature
-    in each of ``num_tables`` independent tables, verify candidates
-    with exact cosine.  Returns (id_a, id_b, sim), id_a < id_b.
-    """
+    """(id, v) projection with degenerate vectors dropped upstream.
+
+    Empty and zero-norm vectors all hash to signature 0 in EVERY
+    table (no plane dot is ever > 0), so m of them collide into one
+    bucket and emit m^2/2 candidate pairs per table whose verify
+    cosine is NULL and filtered anyway — quadratic wasted join work
+    the bucketing exists to prevent.  Dropping them changes no output
+    row (a NULL sim never passes the >= threshold filter); O(N) norm
+    folds, the embed_hard_negatives convention (review r10)."""
+    from ..functions.vectors import as_double_array, norm
+
     base = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    sigs = base.select(
-        "id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        hyperplane_signature(F.col("v"), num_planes, t).alias("sig"),
-                    )
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("s"),
-    ).select("id", "v", "s.tbl", "s.sig")
+    return base.filter(norm(as_double_array(F.col("v"))) > 0)
+
+
+def _verify_candidate_pairs(sigs: DataFrame, threshold: float) -> DataFrame:
+    """Shared bucket-join / dedup / exact-cosine verify tail for the
+    production (xxhash64) and portable (md5) LSH variants — one
+    definition so the candidate-pair discipline can never drift
+    between them (review r10)."""
     l, r = sigs.alias("l"), sigs.alias("r")
     return (
         l.join(
@@ -245,6 +255,37 @@ def lsh_ann_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def lsh_ann_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 12,
+    num_tables: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Approximate near-neighbor pairs: bucket by hyperplane signature
+    in each of ``num_tables`` independent tables, verify candidates
+    with exact cosine.  Returns (id_a, id_b, sim), id_a < id_b.
+    """
+    base = _nonzero_norm_base(vectors, id_col, vec_col)
+    sigs = base.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        hyperplane_signature(F.col("v"), num_planes, t).alias("sig"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "v", "s.tbl", "s.sig")
+    return _verify_candidate_pairs(sigs, threshold)
 
 
 def kmeans_assign(
@@ -433,10 +474,15 @@ def lsh_ann_pairs_portable(
     the exact buckets.  Verification cosine stays float (rounded 4,
     like every other similarity oracle).  The xxhash64/float
     ``lsh_ann_pairs`` remains the production form."""
+    from ..functions.vectors import norm
+
+    # same degenerate-vector guard as lsh_ann_pairs (the cast to
+    # double must stay ahead of the fixed-pointing, so the shared
+    # helper isn't reused here)
     base = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).filter(norm(F.col("v")) > 0)
     fixed = base.withColumn(
         "fx",
         F.transform(F.col("v"), lambda x: F.round(x * scale).cast("long")),
@@ -476,24 +522,4 @@ def lsh_ann_pairs_portable(
             )
         ).alias("s"),
     ).select("id", "v", "s.tbl", "s.sig")
-    l, r = sigs.alias("l"), sigs.alias("r")
-    return (
-        l.join(
-            r,
-            on=[
-                F.col("l.tbl") == F.col("r.tbl"),
-                F.col("l.sig") == F.col("r.sig"),
-                F.col("l.id") < F.col("r.id"),
-            ],
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.v").alias("va"),
-            F.col("r.v").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", "sim")
-    )
+    return _verify_candidate_pairs(sigs, threshold)

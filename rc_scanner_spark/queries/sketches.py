@@ -65,12 +65,18 @@ def q_sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("sk").alias("a"),
         )
     )
+    # the empty-table 'ALL' row has exact_users = 0: the relative-
+    # error division would yield NULL where the twin's literal is
+    # TRUE — an empty sketch estimating an empty set IS within any
+    # band, so mirror the twin (review r10)
     return leaves.unionByName(merged).select(
         "event_type",
         "exact_users",
-        (
+        F.when(F.col("exact_users") == 0, F.lit(True))
+        .otherwise(
             F.abs(F.col("a") - F.col("exact_users")) / F.col("exact_users") <= 0.05
-        ).alias("approx_ok"),
+        )
+        .alias("approx_ok"),
     )
 
 
@@ -105,9 +111,14 @@ def q_sketch_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.join(exact, "day").select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "exact_users",
-        (
+        # same zero-exact guard as the mergeable summary: a day whose
+        # events all carry NULL user_id counts 0 distinct users, and
+        # the division would NULL where the twin says TRUE
+        F.when(F.col("exact_users") == 0, F.lit(True))
+        .otherwise(
             F.abs(F.col("a") - F.col("exact_users")) / F.col("exact_users") <= 0.05
-        ).alias("approx_ok"),
+        )
+        .alias("approx_ok"),
     )
 
 

@@ -169,13 +169,20 @@ def test_ngram_hot_shingle_df_cap(spark):
 
 def test_dedup_release_caches_empties_persistent_rdds(spark, docs):
     """After a dedup sweep + release_caches(), no cached RDDs remain
-    (long-lived sessions must not accumulate cache)."""
+    beyond what other modules had already persisted (long-lived
+    sessions must not accumulate dedup cache).  Relative to a
+    baseline snapshot so the test is order-independent — other test
+    files (e.g. the graph label sweeps) legitimately leave their own
+    persisted frames in the shared session."""
     from rc_scanner_spark.operators.dedup import release_caches
 
+    release_caches()  # drop any dedup frames earlier tests left
+    baseline = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     minhash_lsh_pairs(docs, verify_threshold=0.5).count()
     ngram_jaccard_pairs(docs, group_cols=["lang", "source"]).count()
     release_caches()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert after <= baseline
 
 
 def test_decontaminate_flags_planted_overlap(spark):
