@@ -352,3 +352,74 @@ def test_spearman_random_tied_engine_parity_and_textbook(spark, tmp_path):
                 assert r.spearman_ppm is None
             else:
                 assert abs(r.spearman_ppm - e * 1e6) <= 2
+
+
+def test_welch_t_random_engine_parity_and_textbook(spark, tmp_path):
+    rng = random.Random(438)
+    for _ in range(3):
+        rows = [
+            (i + 1, 1, datetime.datetime(2024, 1, 1 + i % 28),
+             rng.randint(50, 500) / 100.0,
+             rng.choice(["click", "purchase", "view"]))
+            for i in range(50)
+        ]
+        _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+        [r] = REG["agg_ttest_welch"].fn(spark, str(tmp_path)).collect()
+        [o] = _duck(tmp_path, "events", REG["agg_ttest_welch"].sql)
+        assert (r.t_ppm, r.n_click, r.n_purchase) == tuple(
+            int(x) if x is not None else None for x in o
+        )
+        # textbook Welch t on exact cents
+        a = [round(v * 100) for (_, _, _, v, t) in rows if t == "click"]
+        b = [round(v * 100) for (_, _, _, v, t) in rows if t == "purchase"]
+        assert (r.n_click, r.n_purchase) == (len(a), len(b))
+        if len(a) > 1 and len(b) > 1:
+            ma, mb = sum(a) / len(a), sum(b) / len(b)
+            va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+            vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+            se2 = va / len(a) + vb / len(b)
+            if se2 > 0:
+                t = (ma - mb) / math.sqrt(se2)
+                assert abs(r.t_ppm - t * 1e6) <= 2
+
+
+def test_char_entropy_random_engine_parity_and_textbook(spark, tmp_path):
+    rng = random.Random(439)
+    alphabet = "abcde XY.!"
+    for _ in range(3):
+        rows = [
+            (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))),
+             "en", "web", 0)
+            for i in range(12)
+        ]
+        _write(
+            spark, tmp_path, "documents", rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        res = REG["text_char_entropy"].fn(spark, str(tmp_path)).collect()
+        ora = _duck(tmp_path, "documents", REG["text_char_entropy"].sql)
+        assert [
+            (r.doc_id, r.n_chars_total, r.n_distinct_chars,
+             r.entropy_millibits)
+            for r in res
+        ] == [
+            tuple(int(x) if x is not None else None for x in row)
+            for row in ora
+        ]
+        # textbook Shannon entropy in bits per char
+        expect = {}
+        for d, text, *_ in rows:
+            if not text:
+                continue
+            n = len(text)
+            h = -sum(
+                c / n * math.log2(c / n) for c in Counter(text).values()
+            )
+            expect[d] = h
+        for r in res:
+            if r.entropy_millibits is None:
+                assert r.doc_id not in expect
+                continue
+            # nano-term floors + the final floor (no +0.5): within 1
+            assert abs(r.entropy_millibits - expect[r.doc_id] * 1000) <= 1
