@@ -423,3 +423,91 @@ def test_char_entropy_random_engine_parity_and_textbook(spark, tmp_path):
                 continue
             # nano-term floors + the final floor (no +0.5): within 1
             assert abs(r.entropy_millibits - expect[r.doc_id] * 1000) <= 1
+
+
+def test_gini_random_engine_parity_and_mad_identity(spark, tmp_path):
+    # independent check via the mean-absolute-difference form:
+    # G = sum_ij |x_i - x_j| / (2 n^2 mu) — algebraically equal to the
+    # implementation's rank form but computed with NO ranks at all
+    rng = random.Random(440)
+    for _ in range(3):
+        rows = [
+            (i + 1, rng.choice(["AUTO", "HOUSE"]),
+             rng.randint(0, 50000) / 100.0)
+            for i in range(30)
+        ]
+        _write(
+            spark, tmp_path, "customer", rows,
+            "c_custkey long, c_mktsegment string, c_acctbal double",
+        )
+        res = REG["agg_gini"].fn(spark, str(tmp_path)).collect()
+        ora = _duck(tmp_path, "customer", REG["agg_gini"].sql)
+        assert [
+            (r.c_mktsegment, r.n_customers, r.sum_cents, r.gini_ppm)
+            for r in res
+        ] == [tuple(x if isinstance(x, str) else int(x) for x in row)
+              for row in ora]
+        groups = defaultdict(list)
+        for _, seg, bal in rows:
+            groups[seg].append(round(bal * 100))
+        for r in res:
+            xs = groups[r.c_mktsegment]
+            n, s0 = len(xs), sum(xs)
+            assert (r.n_customers, r.sum_cents) == (n, s0)
+            if s0 == 0:
+                assert r.gini_ppm is None
+                continue
+            mad = sum(abs(a - b) for a in xs for b in xs)  # includes i==j
+            # rank-form numerator = mad/2 (identity); double-floor vs
+            # exact integer division can differ by 1 at a boundary
+            expect = (mad * 10**6) // (2 * n * s0)
+            assert abs(r.gini_ppm - expect) <= 1
+
+
+def test_theil_index_random_engine_parity_and_textbook(spark, tmp_path):
+    rng = random.Random(444)
+    for _ in range(3):
+        custs = [
+            (i + 1, rng.choice(["AUTO", "HOUSE"]))
+            for i in range(12)
+        ]
+        _write(
+            spark, tmp_path, "customer",
+            [(c, seg, 0.0) for c, seg in custs],
+            "c_custkey long, c_mktsegment string, c_acctbal double",
+        )
+        orders = [
+            (oid, rng.choice(custs)[0], rng.randint(100, 90000) / 100.0)
+            for oid in range(40)
+        ]
+        _write(
+            spark, tmp_path, "orders", orders,
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        )
+        res = REG["agg_theil_index"].fn(spark, str(tmp_path)).collect()
+        con = duckdb.connect()
+        for t in ("customer", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+            )
+        ora = con.execute(REG["agg_theil_index"].sql).fetchall()
+        con.close()
+        assert [
+            (r.segment, r.n_customers, r.theil_ppb) for r in res
+        ] == [(s, int(n), int(t)) for (s, n, t) in ora]
+        # textbook T = mean of (x/mu) ln(x/mu) over positive spends
+        seg_of = dict(custs)
+        spend = defaultdict(int)
+        for _, ck, price in orders:
+            spend[ck] += round(price * 100)
+        groups = defaultdict(list)
+        for ck, cents in spend.items():
+            if cents > 0:
+                groups[seg_of[ck]].append(cents)
+        for r in res:
+            xs = groups[r.segment]
+            mu = sum(xs) / len(xs)
+            t = sum(x / mu * math.log(x / mu) for x in xs) / len(xs)
+            # per-term ppb half-up rounding + the final integer DIV
+            assert abs(r.theil_ppb - t * 1e9) <= 2
