@@ -511,3 +511,75 @@ def test_theil_index_random_engine_parity_and_textbook(spark, tmp_path):
             t = sum(x / mu * math.log(x / mu) for x in xs) / len(xs)
             # per-term ppb half-up rounding + the final integer DIV
             assert abs(r.theil_ppb - t * 1e9) <= 2
+
+
+def test_benford_random_engine_parity_and_exact_histogram(spark, tmp_path):
+    from rc_scanner_spark.queries.warehouse4 import _BENFORD_PPM
+
+    rng = random.Random(445)
+    for _ in range(3):
+        rows = [
+            (oid, 1, rng.randint(1, 999999) / 100.0)
+            for oid in range(80)
+        ]
+        _write(
+            spark, tmp_path, "orders", rows,
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        )
+        res = REG["profile_benford"].fn(spark, str(tmp_path)).collect()
+        ora = _duck(tmp_path, "orders", REG["profile_benford"].sql)
+        assert [
+            (r.digit, r.obs, r.obs_ppm, r.expected_ppm, r.dev_ppm)
+            for r in res
+        ] == [tuple(int(x) for x in row) for row in ora]
+        # exact first-digit histogram from the integer-cents string
+        hist = Counter(str(round(p * 100))[0] for (_, _, p) in rows)
+        n = len(rows)
+        assert {str(r.digit): r.obs for r in res} == dict(hist)
+        for r in res:
+            expect_ppm = (r.obs * 10**6) // n
+            assert abs(r.obs_ppm - expect_ppm) <= 1  # double-floor seam
+            assert r.expected_ppm == _BENFORD_PPM[r.digit]
+            assert r.dev_ppm == r.obs_ppm - r.expected_ppm
+
+
+def test_wilson_ci_random_engine_parity_and_textbook(spark, tmp_path):
+    from rc_scanner_spark.queries.warehouse7 import (
+        _WILSON_MIN_CHARS,
+        _WILSON_Z,
+    )
+
+    rng = random.Random(446)
+    for _ in range(3):
+        rows = [
+            (i, "t", "en", rng.choice(["web", "books"]),
+             rng.randint(0, 600))
+            for i in range(40)
+        ]
+        _write(
+            spark, tmp_path, "documents", rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        res = REG["stats_wilson_ci"].fn(spark, str(tmp_path)).collect()
+        ora = _duck(tmp_path, "documents", REG["stats_wilson_ci"].sql)
+        assert [
+            (r.source, r.n, r.k, r.lo_ppm, r.hi_ppm) for r in res
+        ] == [tuple(x if isinstance(x, str) else int(x) for x in row)
+              for row in ora]
+        # textbook Wilson interval on exact counts (_WILSON_Z is the
+        # SQL-embeddable string literal)
+        z = float(_WILSON_Z)
+        stats = defaultdict(lambda: [0, 0])
+        for _, _, _, src, nc in rows:
+            stats[src][0] += 1
+            stats[src][1] += 1 if nc >= _WILSON_MIN_CHARS else 0
+        for r in res:
+            n, k = stats[r.source]
+            assert (r.n, r.k) == (n, k)
+            p = k / n
+            center = p + z * z / (2 * n)
+            delta = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+            denom = 1 + z * z / n
+            assert abs(r.lo_ppm - (center - delta) / denom * 1e6) <= 1
+            assert abs(r.hi_ppm - (center + delta) / denom * 1e6) <= 1
