@@ -583,3 +583,66 @@ def test_wilson_ci_random_engine_parity_and_textbook(spark, tmp_path):
             denom = 1 + z * z / n
             assert abs(r.lo_ppm - (center - delta) / denom * 1e6) <= 1
             assert abs(r.hi_ppm - (center + delta) / denom * 1e6) <= 1
+
+
+def test_ols_group_random_engine_parity_and_textbook(spark, tmp_path):
+    rng = random.Random(447)
+    for _ in range(3):
+        parts = [(pk, rng.choice(["B1", "B2"])) for pk in range(1, 7)]
+        _write(
+            spark, tmp_path, "part", parts,
+            "p_partkey long, p_brand string",
+        )
+        li = [
+            (rng.randint(1, 6), rng.randint(0, 10) / 100.0,
+             float(rng.randint(1, 50)))
+            for _ in range(60)
+        ]
+        _write(
+            spark, tmp_path, "lineitem", li,
+            "l_partkey long, l_discount double, l_quantity double",
+        )
+        res = REG["stats_ols_group"].fn(spark, str(tmp_path)).collect()
+        con = duckdb.connect()
+        for t in ("part", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+            )
+        ora = con.execute(REG["stats_ols_group"].sql).fetchall()
+        con.close()
+        assert [
+            (r.p_brand, r.n, r.slope_micro, r.intercept_milli, r.r2_ppm)
+            for r in res
+        ] == [
+            tuple(
+                x if isinstance(x, str) else (int(x) if x is not None else None)
+                for x in row
+            )
+            for row in ora
+        ]
+        # textbook least squares on exact integer (x, y) points
+        brand_of = dict(parts)
+        groups = defaultdict(list)
+        for pk, disc, qty in li:
+            groups[brand_of[pk]].append((round(disc * 100), round(qty)))
+        for r in res:
+            pts = groups[r.p_brand]
+            n = len(pts)
+            assert r.n == n
+            mx = sum(x for x, _ in pts) / n
+            my = sum(y for _, y in pts) / n
+            vx = sum((x - mx) ** 2 for x, _ in pts)
+            vy = sum((y - my) ** 2 for _, y in pts)
+            cov = sum((x - mx) * (y - my) for x, y in pts)
+            if vx <= 0:
+                assert r.slope_micro is None
+                continue
+            slope = cov / vx
+            assert abs(r.slope_micro - slope * 1e6) <= 2
+            assert abs(r.intercept_milli - (my - slope * mx) * 1000) <= 2
+            if vy > 0:
+                r2 = cov * cov / (vx * vy)
+                assert abs(r.r2_ppm - r2 * 1e6) <= 2
+            else:
+                assert r.r2_ppm is None
