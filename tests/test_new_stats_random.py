@@ -646,3 +646,43 @@ def test_ols_group_random_engine_parity_and_textbook(spark, tmp_path):
                 assert abs(r.r2_ppm - r2 * 1e6) <= 2
             else:
                 assert r.r2_ppm is None
+
+
+def test_mcnemar_random_engine_parity_and_textbook(spark, tmp_path):
+    rng = random.Random(448)
+    for _ in range(3):
+        rows = [
+            (i + 1, rng.randint(1, 8),
+             datetime.datetime(2024, 1, 1 + i % 28, rng.randint(0, 23)),
+             rng.randint(100, 999) / 100.0,
+             rng.choice(["purchase", "view", "click"]))
+            for i in range(60)
+        ]
+        _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+        [r] = REG["stats_mcnemar"].fn(spark, str(tmp_path)).collect()
+        [o] = _duck(tmp_path, "events", REG["stats_mcnemar"].sql)
+        assert (
+            r.n_never, r.n_post_only, r.n_pre_only, r.n_both,
+            r.mcnemar_chi2_milli,
+        ) == tuple(int(x) if x is not None else None for x in o)
+        # full plain-Python replica: epoch midpoint (min+max)//2 us,
+        # per-user pre/post purchase flags, continuity-corrected chi2
+        us = [int(ts.timestamp() * 1_000_000) for (_, _, ts, _, _) in rows]
+        mid = (min(us) + max(us)) // 2
+        users = defaultdict(lambda: [0, 0])
+        for (_, uid, ts, _, et), u in zip(rows, us):
+            p = 1 if et == "purchase" else 0
+            if u <= mid:
+                users[uid][0] = max(users[uid][0], p)
+            else:
+                users[uid][1] = max(users[uid][1], p)
+        cells = Counter(tuple(v) for v in users.values())
+        b, c = cells[(1, 0)], cells[(0, 1)]
+        assert (r.n_never, r.n_post_only, r.n_pre_only, r.n_both) == (
+            cells[(0, 0)], c, b, cells[(1, 1)],
+        )
+        if b + c > 0:
+            chi2 = (abs(b - c) - 1.0) ** 2 / (b + c)
+            assert r.mcnemar_chi2_milli == math.floor(chi2 * 1000 + 0.5)
+        else:
+            assert r.mcnemar_chi2_milli is None
