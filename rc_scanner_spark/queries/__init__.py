@@ -41,100 +41,50 @@ def load_tuned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Registry iteration order doubles as the external driver's
 # verification order (it oracle-checks a fixed-size ~50-entry prefix
 # per round).
+#
+# Rotation ledger (driver checks a ~50-entry prefix per round):
+#   r1-r9: see git history of this block (r1-era, scanner/LLM/TPC-H,
+#       stale drains; r9 was a zero-commit round that re-sampled r8).
+#   r10: the 20 never-sampled batch-33..38 entries + 9 r1-era rows +
+#       21 oldest r3-era rows -- CORRECTNESS_r10: 50/50 hash-green.
+#       Cumulative coverage after r10: 327/348 distinct queries.
+#   r11 (THIS ordering, emitted by tools/rotate_prefix.py --slots 50):
+#       the 21 never-sampled round-10 additions (batches 39-44) first
+#       -- 20 oracle-backed in slots 1-20, embed_pca_variance
+#       (rows-only by design) at position 51 so it lands only if the
+#       window spills -- then the 27 remaining r3-era rows
+#       (sketch_hll_daily_rollup .. tpch_q9ish) and the
+#       alphabetically-first r4-era rows (agg_cohens_kappa, agg_corr,
+#       agg_histogram) to fill slot 50.  After r11 every oracle-backed
+#       entry has a driver row and no row predates r4 except the r4
+#       block itself, which the r12 drain continues (agg_source_entropy
+#       onward, the order printed below).  Registry additions stay
+#       capped at ~20/round so the 50-row window keeps converging.
+#       Enforced by tests/test_rotation_ledger.py against the newest
+#       committed CORRECTNESS_r*.json; tools/rotate_prefix.py re-emits
+#       the ordering mechanically each round.
 
 _VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # Rotation ledger (driver checks a ~50-entry prefix per round):
-    #   r1: first 50 of the then-module order (the "r1-era" block).
-    #   r2+r3: scanner/LLM/TPC-H/SQL-API prefix (CORRECTNESS_r03.json).
-    #   r4: stale events rows + 45 never-checked (50/50 green).
-    #   r5: 15 never-checked/re-fixed + round-5 additions (50/50 green).
-    #   r6: 43 never-checked oracle-backed + 6 rows-only + 1 spill.
-    #   r7: the 51 oracle-backed entries with no driver row through r6
-    #       (CORRECTNESS_r07: 50/50 full hash-green, zero slot burns).
-    #   r8: 16 never-sampled oracle-backed (batches 28-32) + 34 r1-era
-    #       stale rows (CORRECTNESS_r08: 50/50 full hash-green).
-    #   r9: NOT rotated (zero-commit round); the driver re-sampled the
-    #       exact r8 set (CORRECTNESS_r09 set-equal to r08, 50/50 green
-    #       but zero new coverage).  Convergence stalled at 307/328.
-    #   r10 (THIS ordering, emitted by tools/rotate_prefix.py --slots
-    #       50): the 20 never-sampled batch-33..38 entries, then the 9
-    #       remaining r1-era rows (setop_intersect_all .. window_
-    #       running_sum), then the 21 oldest r3-era rows (agg_approx_
-    #       distinct .. scan_verb, alphabetical within round).  Rows-only
-    #       (sql=None) entries stay out of the prefix; embed_pca_variance
-    #       (never sampled, rows-only by design) sits at position 51 so
-    #       it lands only if the window spills.  After r10 cumulative
-    #       driver coverage is 327/328 distinct queries (embed_pca_
-    #       variance pending its spill slot).
-    #   Drain schedule (r11): embed_pca_variance spill stays at 51 if
-    #       still unsampled, prefix = the 27 remaining r3-era rows
-    #       (sketch_hll_daily_rollup, sketch_hll_mergeable,
-    #       sql_api_revenue, sql_api_top_customers, sql_api_window,
-    #       text_fingerprint, text_lang_id, text_quality,
-    #       text_repetition, text_token_count, tfidf_top_terms,
-    #       tpch_q10ish, tpch_q13ish, tpch_q14ish, tpch_q15ish,
-    #       tpch_q16ish, tpch_q17ish, tpch_q18ish, tpch_q19ish,
-    #       tpch_q22ish, tpch_q3ish, tpch_q4ish, tpch_q5ish, tpch_q6,
-    #       tpch_q7ish, tpch_q8ish, tpch_q9ish) + the 23 alphabetically
-    #       first r4-era rows (agg_cohens_kappa .. profile_columns) --
-    #       after r11 no entry's newest driver row predates r4.
-    #       Registry additions stay capped at ~20/round so the 50-row
-    #       window keeps converging.  Enforced by
-    #       tests/test_rotation_ledger.py against the newest committed
-    #       CORRECTNESS_r*.json; tools/rotate_prefix.py re-emits the
-    #       ordering mechanically each round.
-    "stats_spearman",  # never
-    "sample_stratified_neyman",  # never
-    "stats_cuped",  # never
-    "stats_power_mde",  # never
-    "events_did_estimator",  # never
-    "embed_outlier_mahalanobis",  # never
-    "orders_price_index_laspeyres",  # never
-    "agg_hhi_concentration",  # never
-    "orders_seasonality_decomposition",  # never
-    "text_novelty_decay",  # never
-    "orders_backlog_aging",  # never
-    "stats_mcnemar",  # never
-    "stats_cohens_d",  # never
-    "orders_tier_migration",  # never
-    "part_single_source_risk",  # never
-    "tpch_q2ish",  # never
-    "tpch_q11ish",  # never
-    "tpch_q20ish",  # never
-    "tpch_q21ish",  # never
-    "stats_mann_kendall",  # never
-    "setop_intersect_all",  # green r1
-    "setop_union",  # green r1
-    "sort_topk_global",  # green r1
-    "union_by_name",  # green r1
-    "window_ntile",  # green r1
-    "window_percent_rank",  # green r1
-    "window_range_frame",  # green r1
-    "window_rank_topk",  # green r1
-    "window_running_sum",  # green r1
-    "agg_approx_distinct",  # green r3
-    "agg_percentile_approx",  # green r3
-    "ann_cosine_topk",  # green r3
-    "dedup_embedding_cosine",  # green r3
-    "dedup_exact",  # green r3
-    "dedup_incremental",  # green r3
-    "dedup_ngram_jaccard",  # green r3
-    "multimodal_binary_meta",  # green r3
-    "multimodal_frame_plan",  # green r3
-    "sample_hash_split",  # green r3
-    "scan_api_route",  # green r3
-    "scan_attribute_filter",  # green r3
-    "scan_date_partition",  # green r3
-    "scan_dedup_first",  # green r3
-    "scan_filename",  # green r3
-    "scan_match_message",  # green r3
-    "scan_message",  # green r3
-    "scan_pipeline_full",  # green r3
-    "scan_regex_hits",  # green r3
-    "scan_threshold_disabled",  # green r3
-    "scan_verb",  # green r3
-    # ---- entries below are outside the 50-slot prefix ----
-    "embed_pca_variance",  # never
+    "stats_anova_oneway",  # never
+    "stats_levene_brown_forsythe",  # never
+    "stats_kruskal_wallis",  # never
+    "events_poisson_rate_ratio",  # never
+    "events_dau_mau_stickiness",  # never
+    "events_power_user_curve",  # never
+    "part_sales_churn",  # never
+    "dedup_prefix_hash",  # never
+    "llm_preference_pairs",  # never
+    "select_epoch_mix",  # never
+    "embed_sign_hamming_ann",  # never
+    "multimodal_aspect_bucket_plan",  # never
+    "embed_sign_recall_eval",  # never
+    "orders_repeat_purchase_latency",  # never
+    "graph_community_modularity",  # never
+    "events_burstiness_fano",  # never
+    "stats_runs_test",  # never
+    "stats_cvm_drift",  # never
+    "stats_friedman",  # never
+    "embed_hard_negatives",  # never
     "sketch_hll_daily_rollup",  # green r3
     "sketch_hll_mergeable",  # green r3
     "sql_api_revenue",  # green r3
@@ -165,6 +115,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "agg_cohens_kappa",  # green r4
     "agg_corr",  # green r4
     "agg_histogram",  # green r4
+    # ---- entries below are outside the 50-slot prefix ----
+    "embed_pca_variance",  # never
     "agg_source_entropy",  # green r4
     "agg_string_collect",  # green r4
     "ann_filtered_topk",  # green r4
@@ -412,35 +364,58 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "text_lang_confusion",  # green r9
     "text_script_mix",  # green r9
     "text_tokenizer_fertility",  # green r9
-    # -- batch-39 additions (round 10): never driver-sampled,
-    #    oracle-backed — they queue behind the prefix and head the
-    #    r11 rotation together with the drain remainder named above.
-    "stats_anova_oneway",
-    "stats_levene_brown_forsythe",
-    "stats_kruskal_wallis",
-    "events_poisson_rate_ratio",
-    "events_dau_mau_stickiness",
-    "events_power_user_curve",
-    "part_sales_churn",
-    # -- batch-40 additions (round 10).
-    "dedup_prefix_hash",
-    "llm_preference_pairs",
-    "select_epoch_mix",
-    "embed_sign_hamming_ann",
-    "multimodal_aspect_bucket_plan",
-    # -- batch-41 additions (round 10).
-    "embed_sign_recall_eval",
-    "orders_repeat_purchase_latency",
-    # -- batch-42 additions (round 10).
-    "graph_community_modularity",
-    "events_burstiness_fano",
-    "stats_runs_test",
-    # -- batch-43 additions (round 10).
-    "stats_cvm_drift",
-    "stats_friedman",
-    # -- batch-44 additions (round 10; closes the 20-cap at 20).
-    "embed_hard_negatives",
+    "agg_approx_distinct",  # green r10
+    "agg_hhi_concentration",  # green r10
+    "agg_percentile_approx",  # green r10
+    "ann_cosine_topk",  # green r10
+    "dedup_embedding_cosine",  # green r10
+    "dedup_exact",  # green r10
+    "dedup_incremental",  # green r10
+    "dedup_ngram_jaccard",  # green r10
+    "embed_outlier_mahalanobis",  # green r10
+    "events_did_estimator",  # green r10
+    "multimodal_binary_meta",  # green r10
+    "multimodal_frame_plan",  # green r10
+    "orders_backlog_aging",  # green r10
+    "orders_price_index_laspeyres",  # green r10
+    "orders_seasonality_decomposition",  # green r10
+    "orders_tier_migration",  # green r10
+    "part_single_source_risk",  # green r10
+    "sample_hash_split",  # green r10
+    "sample_stratified_neyman",  # green r10
+    "scan_api_route",  # green r10
+    "scan_attribute_filter",  # green r10
+    "scan_date_partition",  # green r10
+    "scan_dedup_first",  # green r10
+    "scan_filename",  # green r10
+    "scan_match_message",  # green r10
+    "scan_message",  # green r10
+    "scan_pipeline_full",  # green r10
+    "scan_regex_hits",  # green r10
+    "scan_threshold_disabled",  # green r10
+    "scan_verb",  # green r10
+    "setop_intersect_all",  # green r10
+    "setop_union",  # green r10
+    "sort_topk_global",  # green r10
+    "stats_cohens_d",  # green r10
+    "stats_cuped",  # green r10
+    "stats_mann_kendall",  # green r10
+    "stats_mcnemar",  # green r10
+    "stats_power_mde",  # green r10
+    "stats_spearman",  # green r10
+    "text_novelty_decay",  # green r10
+    "tpch_q11ish",  # green r10
+    "tpch_q20ish",  # green r10
+    "tpch_q21ish",  # green r10
+    "tpch_q2ish",  # green r10
+    "union_by_name",  # green r10
+    "window_ntile",  # green r10
+    "window_percent_rank",  # green r10
+    "window_range_frame",  # green r10
+    "window_rank_topk",  # green r10
+    "window_running_sum",  # green r10
 )
+
 
 
 def build_registry() -> dict[str, QuerySpec]:
