@@ -109,9 +109,20 @@ class _LiveFeed:
         if idfile:
             try:
                 with open(idfile, "r", encoding="utf-8") as f:
-                    self._last_recv_id = f.read().strip() or None
-                    self._resumed = self._last_recv_id is not None
-            except OSError:
+                    content = f.read().split("\n")
+                self._last_recv_id = content[0].strip() or None
+                self._resumed = self._last_recv_id is not None
+                # Line 2 (newer format) is the committed GLOBAL offset:
+                # restoring it makes the replayed uncommitted tail land
+                # at its original offsets immediately, so a restarted
+                # Structured Streaming query's latestOffset() never
+                # regresses below the checkpointed offset while the
+                # Last-Event-ID replay is in flight.  Id-only files
+                # (older format) fall back to fast_forward alignment.
+                if len(content) > 1 and content[1].strip():
+                    self._base = int(content[1])
+                    self._aligned = True
+            except (OSError, ValueError):
                 pass
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -175,8 +186,8 @@ class _LiveFeed:
 
     def trim(self, upto: int) -> None:
         """Drop the committed prefix (global offsets < upto) and
-        persist the id of the last COMMITTED event for restart
-        resumption."""
+        persist the id of the last COMMITTED event plus the committed
+        global offset for restart resumption."""
         last_id = None
         with self._lock:
             drop = min(max(upto - self._base, 0), len(self._events))
@@ -184,11 +195,12 @@ class _LiveFeed:
                 last_id = self._events[drop - 1][1]
                 del self._events[:drop]
                 self._base += drop
+            base = self._base
         if self._idfile and last_id:
             tmp = self._idfile + ".tmp"
             try:
                 with open(tmp, "w", encoding="utf-8") as f:
-                    f.write(last_id)
+                    f.write(f"{last_id}\n{base}")
                 import os
 
                 os.replace(tmp, self._idfile)
@@ -227,6 +239,15 @@ class ChangeStreamReader(DataSourceStreamReader):
                     "live SSE mode requires the requests package"
                 ) from e
             self._feed = _LiveFeed(self.url, idfile=options.get("idfile"))
+
+    def __getstate__(self) -> dict:
+        # Spark pickles the reader to ship read() to executors; the
+        # live feed (thread + lock + pooled HTTP session) is
+        # driver-only state and live rows travel inside the serialized
+        # _LivePartition, so executors never need it.
+        state = self.__dict__.copy()
+        state["_feed"] = None
+        return state
 
     def _count_lines(self) -> int:
         try:

@@ -692,8 +692,10 @@ def test_sse_loopback_commit_trims_and_persists_id(tmp_path):
         with open(idfile) as f:
             # id of the last COMMITTED event (offset 3) — NOT the last
             # received one (5): resuming from the received id would
-            # skip the uncommitted events 4-5 forever on restart.
-            assert f.read() == "3"
+            # skip the uncommitted events 4-5 forever on restart —
+            # plus the committed global offset (4) for restart
+            # alignment.
+            assert f.read() == "3\n4"
     finally:
         srv.close()
 
@@ -705,12 +707,83 @@ def test_sse_loopback_commit_trims_and_persists_id(tmp_path):
         assert _wait_for(lambda: len(srv2.seen_last_ids) > 0)
         assert srv2.seen_last_ids[0] == "3"
         # replayed events must ALIGN to the checkpoint offset, not be
-        # cleared: after the first partitions() call at lo=4 the
-        # buffered replay maps to global offsets 4.. and is readable.
-        assert _wait_for(lambda: r2._feed.size() >= 1)
+        # cleared: the idfile's persisted offset restores _base=4
+        # directly, so the buffered replay maps to global offsets 4..
+        # before any partitions() call (latestOffset never regresses).
+        assert r2._feed._base == 4 and r2._feed._aligned
         r2.partitions({"line": 4}, {"line": 4})
         assert _wait_for(lambda: r2._feed.size() >= 5)
         replay = r2._feed.slice(4, 6)
         assert len(replay) >= 1  # the recovered uncommitted events
     finally:
         srv2.close()
+
+
+def test_sse_loopback_live_structured_streaming(spark, tmp_path):
+    """The FULL live path under Structured Streaming: readStream
+    format("rcstream") with a url option against a loopback SSE server
+    that drops the connection every 2 events, JSON file sink (the only
+    built-in sink with checkpoint recovery), checkpoint.  Phase 1
+    collects all 6 events exactly once (reconnect + Last-Event-ID
+    resume inside a running query); phase 2 restarts the query from
+    the checkpoint against a FRESH server holding 8 events and must
+    append exactly the 2 new ones (idfile id+offset resumption
+    end-to-end)."""
+    spark.dataSource.register(RcChangeDataSource)
+    idfile = str(tmp_path / "last_id")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def out_titles():
+        try:
+            return sorted(
+                r.title
+                for r in spark.read.schema(CHANGE_SCHEMA).json(out).collect()
+            )
+        except Exception:
+            return []
+
+    srv = _LoopbackSSE(n_events=6, drop_after=2)
+    try:
+        df = (
+            spark.readStream.format("rcstream")
+            .option("url", srv.url())
+            .option("idfile", idfile)
+            .load()
+        )
+        q = (
+            df.writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        assert _wait_for(lambda: len(out_titles()) == 6, timeout=60.0)
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        srv.close()
+    assert out_titles() == [f"Live{i}" for i in range(6)]  # exactly once
+
+    # phase 2: driver restart -- fresh server with 2 extra events; the
+    # restarted query resumes from the checkpointed offset and the
+    # idfile Last-Event-ID, so only Live6 and Live7 are appended.
+    srv2 = _LoopbackSSE(n_events=8)
+    try:
+        df2 = (
+            spark.readStream.format("rcstream")
+            .option("url", srv2.url())
+            .option("idfile", idfile)
+            .load()
+        )
+        q2 = (
+            df2.writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        assert _wait_for(lambda: len(out_titles()) == 8, timeout=60.0)
+        q2.processAllAvailable()
+        q2.stop()
+    finally:
+        srv2.close()
+    assert out_titles() == [f"Live{i}" for i in range(8)]  # no dupes, no gaps
