@@ -57,11 +57,6 @@ def release_caches() -> None:
 # eagerly-counted hot-shingle sets
 _SHARED_FRAMES: dict[tuple, object] = {}
 
-# Hot-shingle sets past this row count are too big to broadcast to
-# every executor (~2M rows of (block keys, 8-byte shingle hash) is
-# tens of MB serialized); ngram_jaccard_pairs falls back to a shuffle
-# anti-join above it.
-_HOT_SHINGLE_BROADCAST_ROWS = 2_000_000
 
 
 def shared_word_frame(
@@ -440,20 +435,15 @@ def ngram_jaccard_pairs(
     standard blocking-hygiene move: boilerplate shingles carry no
     near-dup signal.
 
-    Shape: the df filter is applied as a broadcast ``left_anti`` join
-    against the *hot* key set (df > cap) — the complement of the kept
-    set, which is tiny by construction (at most total-occurrences/cap
-    rows; in practice a handful of boilerplate shingles) — so the
-    hot-key drop happens map-side over the cached shingle frame.  The
-    kept set itself is ~the whole distinct-shingle vocabulary; joining
-    *it* back (the pre-r10 shape) was a second big-against-big shuffle
-    that measured 1.84x of the round-1 baseline.  After the anti join:
-    one shuffle groups (block, shingle) -> the doc-id list per bucket
-    (bounded by the cap), pairs explode map-side from each bucket
-    (<= cap^2/2 per bucket by construction), then a pair-count
-    aggregate.  If the hot set exceeds the broadcast bound the join
-    falls back to a shuffle anti-join with a loud warning (correct,
-    just slower)."""
+    Shape: the df filter is a ``left_anti`` join against the *hot*
+    key set (df > cap) — tiny by construction, so AQE broadcasts it
+    and the drop happens map-side over the cached shingle frame (a
+    genuinely large hot set degrades to a shuffle anti-join on the
+    same keys, still correct).  After the anti join: one shuffle
+    groups (block, shingle) -> the doc-id list per bucket (bounded by
+    the cap, and persisted — counts and pairs both consume it), pairs
+    explode map-side from each bucket (<= cap^2/2 per bucket by
+    construction), then a pair-count aggregate."""
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (pairs sharing no shingle are pruned)")
     if max_shingle_df < 2:
@@ -491,51 +481,41 @@ def ngram_jaccard_pairs(
     dfc = sh.groupBy(*group_cols, "shingle").agg(
         F.count(F.lit(1)).alias("df")
     )
-    # Materialize the HOT complement (df > cap): tiny by construction,
-    # so the df filter becomes a broadcast anti-join (map-side drop
-    # over the cached shingle frame) instead of shuffling the ~full
-    # distinct-shingle vocabulary back against the shingle frame.
-    # Memoized like the shared word/shingle frames: the count job runs
-    # once per (source, params) — the two registry consumers
-    # (dedup_ngram_jaccard, graph_degree_stats) and repeated builds
-    # reuse it (review r10).
-    hot_key = (
-        "ngram_hot",
+    # The HOT complement (df > cap) is tiny by construction (at most
+    # total-occurrences/cap rows; in practice a handful of boilerplate
+    # shingles), so the df filter is an anti-join whose build side AQE
+    # sizes at runtime: small -> broadcast (map-side drop over the
+    # cached shingle frame), genuinely large -> shuffle anti-join on
+    # the same keys (correct, just slower).  Letting AQE pick replaces
+    # the previous eager hot.count() driver job + explicit broadcast
+    # branch — one fewer blocking job per build, same physical plan in
+    # the common case.  Joining the KEPT set back instead (the pre-r10
+    # shape) was a second big-against-big shuffle that measured 1.84x
+    # of the round-1 baseline.
+    hot = dfc.filter(F.col("df") > max_shingle_df).select(*group_cols, "shingle")
+    # Persist + memoize kept: BOTH the per-doc counts and the pair
+    # explode below consume it; without the persist each branch
+    # re-runs the anti-join + collect_list shuffle over the full
+    # shingle frame (ReuseExchange doesn't fire across jobs).  kept is
+    # small by construction — one row per surviving (block, shingle)
+    # bucket with a cap-bounded id array — and memoizing it shares the
+    # build across the registry consumers (dedup_ngram_jaccard,
+    # graph_degree_stats) the way the word/shingle frames are shared.
+    kept_key = (
+        "ngram_kept",
         shingle_k,
         max_shingle_df,
         tuple(group_cols),
         sh.semanticHash(),
     )
-    got = _SHARED_FRAMES.get(hot_key)
-    if got is None:
-        hot = _track_persist(
-            dfc.filter(F.col("df") > max_shingle_df).select(
-                *group_cols, "shingle"
-            )
+    kept = _SHARED_FRAMES.get(kept_key)
+    if kept is None:
+        kept = _track_persist(
+            sh.join(hot, [*group_cols, "shingle"], "left_anti")
+            .groupBy(*group_cols, "shingle")
+            .agg(F.collect_list("id").alias("ids"))
         )
-        got = (hot, hot.count())
-        _SHARED_FRAMES[hot_key] = got
-    hot, n_hot = got
-    if n_hot > _HOT_SHINGLE_BROADCAST_ROWS:
-        # Loud fallback: correctness is unchanged (shuffle anti-join
-        # on the same keys), only the map-side broadcast is lost.
-        import warnings
-
-        warnings.warn(
-            f"ngram_jaccard_pairs: {n_hot} hot shingles exceed the "
-            f"broadcast bound ({_HOT_SHINGLE_BROADCAST_ROWS}); falling "
-            "back to a shuffle anti-join — check max_shingle_df vs the "
-            "corpus' boilerplate rate",
-            stacklevel=2,
-        )
-        hot_side = hot
-    else:
-        hot_side = F.broadcast(hot)
-    kept = (
-        sh.join(hot_side, [*group_cols, "shingle"], "left_anti")
-        .groupBy(*group_cols, "shingle")
-        .agg(F.collect_list("id").alias("ids"))
-    )
+        _SHARED_FRAMES[kept_key] = kept
     counts = (
         kept.select(F.explode("ids").alias("id"))
         .groupBy("id")
