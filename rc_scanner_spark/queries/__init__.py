@@ -85,6 +85,12 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "stats_cvm_drift",  # never
     "stats_friedman",  # never
     "embed_hard_negatives",  # never
+    # -- batch-45 additions (round 11): portable twins for the four
+    #    rows-only mechanisms (VERDICT r10 item 4).
+    "multimodal_phash_portable",  # never
+    "pack_bins_nextfit_portable",  # never
+    "text_bytes_portable",  # never
+    "embed_cov_trace_portable",  # never
     "sketch_hll_daily_rollup",  # green r3
     "sketch_hll_mergeable",  # green r3
     "sql_api_revenue",  # green r3
@@ -462,6 +468,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse26,
         warehouse27,
         warehouse28,
+        warehouse29,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -508,6 +515,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse26,
         warehouse27,
         warehouse28,
+        warehouse29,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:
