@@ -91,6 +91,13 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "pack_bins_nextfit_portable",  # never
     "text_bytes_portable",  # never
     "embed_cov_trace_portable",  # never
+    # -- batch-46 additions (round 11): warehouse/analytics operators.
+    "orders_basket_lift",  # never
+    "events_markov_transitions",  # never
+    "events_streaks",  # never
+    "supplier_return_rate",  # never
+    "embed_silhouette_simplified",  # never
+    "stats_bh_fdr",  # never
     "sketch_hll_daily_rollup",  # green r3
     "sketch_hll_mergeable",  # green r3
     "sql_api_revenue",  # green r3
@@ -469,6 +476,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse27,
         warehouse28,
         warehouse29,
+        warehouse30,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -516,6 +524,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse27,
         warehouse28,
         warehouse29,
+        warehouse30,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

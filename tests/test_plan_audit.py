@@ -81,6 +81,11 @@ ALLOWED_GLOBAL_WINDOWS = {
     # the DISTINCT-DURATION aggregate — bounded by the calendar span
     # (O(days)), not by customer or order count.
     "orders_survival_km": 3,
+    # BH-FDR: the p-rank row_number runs over the per-TYPE Welch
+    # aggregate (<= |event types| rows); the persisted scored frame is
+    # referenced by both the output and the threshold scalar, so the
+    # lazy plan carries 2 copies (runtime materializes once).
+    "stats_bh_fdr": 2,
 }
 
 
@@ -157,6 +162,17 @@ ALLOWED_CARTESIANS = {
     "stats_kruskal_wallis": 5,
     # 1-row per-dim mean/variance array broadcast over embeddings
     "embed_outlier_mahalanobis": 1,
+    # 1-row total-baskets scalar broadcast over the pair frame
+    "orders_basket_lift": 1,
+    # broadcast label-centroid frame (bounded by label cardinality,
+    # not corpus rows) crossed with every vector — the O(n*k)
+    # simplified-silhouette shape
+    "embed_silhouette_simplified": 1,
+    # 1-row scalars (epoch midpoint under the cached scored subtree,
+    # m, BH threshold); the persisted <= |types|-row scored frame is
+    # referenced by several lazy consumers (stats_cuped precedent:
+    # lazy-plan copies only, one runtime materialization)
+    "stats_bh_fdr": 7,
     # 1-row doc-id min/max span broadcast (decile bucketing)
     "text_novelty_decay": 1,
     # 1-row revenue-total broadcast (band share denominator)
