@@ -7,6 +7,8 @@ replayed (retried) batch must not double-append.
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 
@@ -20,6 +22,7 @@ def _write_doc_batches(spark, tmp_path, batches):
     return src
 
 
+@pytest.mark.slow  # certification lane
 def test_corpus_stream_matches_batch_dedup(spark, tmp_path):
     from rc_scanner_spark.streaming.corpus import (
         build_corpus_stream,
@@ -183,6 +186,7 @@ def test_corpus_stream_prep_gates_and_scrubs(spark, tmp_path):
     assert 4 in got
 
 
+@pytest.mark.slow  # certification lane
 def test_corpus_stream_neardup_drops_cross_batch_near_copies(spark, tmp_path):
     """A later batch's lightly-perturbed copy of an earlier doc is
     dropped by the signature-sidecar near-dup check even though its

@@ -45,6 +45,7 @@ def docs(spark):
     return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
 
 
+@pytest.mark.slow  # certification lane
 def test_minhash_recall_and_precision(spark, docs):
     truth = _brute_force_pairs(spark, docs, 0.5)
     got = {
@@ -61,6 +62,7 @@ def test_minhash_recall_and_precision(spark, docs):
     assert truth, "test data should contain at least one >=0.5 pair"
 
 
+@pytest.mark.slow  # certification lane
 def test_ngram_jaccard_matches_brute_force(spark, docs):
     # Blocked variant restricted to (lang, source): brute force within
     # the same blocks.
@@ -289,6 +291,7 @@ def test_prefix_jaccard_hot_token_no_false_pairs(spark):
     assert got[(100, 101)] == 1.0
 
 
+@pytest.mark.slow  # certification lane
 def test_ngram_jaccard_random_matches_python_brute_force(spark, tmp_path):
     """Randomized replay of the blocked df-capped Jaccard against a
     plain-Python set implementation (tokens, short-doc fallback

@@ -12,6 +12,10 @@ everywhere); the engine-parity assertion is always exact.
 
 from __future__ import annotations
 
+import pytest
+pytestmark = pytest.mark.slow  # certification lane (pytest.ini)
+
+
 import datetime
 import math
 import random

@@ -6,6 +6,8 @@ survivors split and packed deterministically.
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 BASE = (
@@ -57,6 +59,7 @@ def test_prepare_corpus_stage_effects(spark, tmp_path):
     assert set(back.columns) >= {"doc_id", "split", "shard", "n_tokens"}
 
 
+@pytest.mark.slow  # certification lane
 def test_prepare_corpus_is_deterministic(spark):
     from rc_scanner_spark.pipelines import prepare_corpus
     from rc_scanner_spark.tables import load_table
@@ -98,6 +101,7 @@ def test_select_token_budget_invariants(spark):
     assert kept_worst == all_worst[: len(kept_worst)]
 
 
+@pytest.mark.slow  # certification lane
 def test_prepare_corpus_keep_best_prefers_longest(spark):
     from rc_scanner_spark.pipelines import prepare_corpus
 

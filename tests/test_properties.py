@@ -171,6 +171,7 @@ def test_cohens_kappa_known_value(spark, tmp_path):
     assert out["kappa"] == round((0.5 - 0.25) / (1 - 0.25), 6)
 
 
+@pytest.mark.slow  # certification lane
 def test_partitioning_invariance_of_dedup_and_sampling(spark, tmp_path):
     """The same logical input under different physical layouts (1 vs 7
     partitions) must produce identical results for the operators whose
@@ -343,6 +344,7 @@ def test_sse_render_parse_roundtrip(frames, noise):
     )
 )
 @SLOW
+@pytest.mark.slow  # certification lane
 def test_substring_spans_match_bruteforce(spark, docs, tmp_path_factory):
     """dedup_substring_spans coverage equals a brute-force python
     interval union over cross-doc duplicated 10-gram windows."""
@@ -389,6 +391,7 @@ def test_substring_spans_match_bruteforce(spark, docs, tmp_path_factory):
     )
 )
 @SLOW
+@pytest.mark.slow  # certification lane
 def test_pareto_frontier_matches_bruteforce(spark, pts, tmp_path_factory):
     """select_pareto_frontier == brute-force dominance filter."""
     from rc_scanner_spark.queries import build_registry
@@ -443,6 +446,7 @@ def test_pareto_frontier_matches_bruteforce(spark, pts, tmp_path_factory):
     )
 )
 @SLOW
+@pytest.mark.slow  # certification lane
 def test_concurrency_matches_bruteforce(spark, starts, tmp_path_factory):
     """events_concurrency peak-per-day equals a brute-force minute
     sweep over the same session intervals (30-min TTL from each

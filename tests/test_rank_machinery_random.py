@@ -20,6 +20,10 @@ assert two properties per draw:
 
 from __future__ import annotations
 
+import pytest
+pytestmark = pytest.mark.slow  # certification lane (pytest.ini)
+
+
 import random
 from collections import Counter, defaultdict
 from itertools import groupby

@@ -113,6 +113,7 @@ def test_ivf_topk_recall_vs_brute_force(spark, emb):
     assert hits / total >= 0.5, f"IVF recall {hits}/{total}"
 
 
+@pytest.mark.slow  # certification lane
 def test_kmeans_refine_matches_numpy_lloyd(spark):
     from rc_scanner_spark.operators.similarity import kmeans_refine
 

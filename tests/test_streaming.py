@@ -380,6 +380,7 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     assert expected > 0
 
 
+@pytest.mark.slow  # certification lane
 def test_stream_stream_attribution_join_outer(spark, tmp_path):
     """LEFT OUTER stream-stream: matched rows equal the inner join's
     batch ground truth; unmatched clicks (NULL view columns) appear

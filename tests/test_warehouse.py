@@ -18,6 +18,7 @@ from rc_scanner_spark.queries.warehouse import (
 from tests.conftest import SF_ORACLE
 
 
+@pytest.mark.slow  # certification lane
 def test_pagerank_is_a_distribution(spark):
     """Ranks must sum to ~1 (every node has outdeg >= 1 here, so no
     dangling mass leaks) and all be positive, i.e. the iteration
