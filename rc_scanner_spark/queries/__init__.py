@@ -98,6 +98,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "supplier_return_rate",  # never
     "embed_silhouette_simplified",  # never
     "stats_bh_fdr",  # never
+    # -- batch-47 additions (round 11): sequential + equivalence tests.
+    "stats_sprt_conversion",  # never
+    "stats_tost_equivalence",  # never
     "sketch_hll_daily_rollup",  # green r3
     "sketch_hll_mergeable",  # green r3
     "sql_api_revenue",  # green r3
@@ -477,6 +480,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse28,
         warehouse29,
         warehouse30,
+        warehouse31,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -525,6 +529,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse28,
         warehouse29,
         warehouse30,
+        warehouse31,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

@@ -81,6 +81,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     # the DISTINCT-DURATION aggregate — bounded by the calendar span
     # (O(days)), not by customer or order count.
     "orders_survival_km": 3,
+    # SPRT: the cumulative llr window runs over the per-DAY
+    # conversion aggregate — bounded by calendar length.
+    "stats_sprt_conversion": 1,
     # BH-FDR: the p-rank row_number runs over the per-TYPE Welch
     # aggregate (<= |event types| rows); the persisted scored frame is
     # referenced by both the output and the threshold scalar, so the
