@@ -333,8 +333,11 @@ def q_embed_cov_trace_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         n += int(row["n"])
     mean = s / n
     var = G / n - mean * mean
+    # + 0.0 normalizes the -0.0 a zero-variance dimension's
+    # cancellation noise can round to (DuckDB's stable var_pop yields
+    # +0.0 there; -0.0 vs 0.0 value-hashes differently)
     return spark.createDataFrame(
-        [(int(j + 1), float(round(v, 6))) for j, v in enumerate(var)],
+        [(int(j + 1), float(round(v, 6)) + 0.0) for j, v in enumerate(var)],
         "dim long, var_pop double",
     ).orderBy("dim")
 

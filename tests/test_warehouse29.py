@@ -139,3 +139,13 @@ def test_embed_cov_trace_matches_numpy(spark, tmp_path):
     assert len(got) == 64
     for r in got:
         assert abs(r.var_pop - round(float(expect[r.dim - 1]), 6)) < 1e-9
+
+
+def test_embed_cov_trace_constant_dim_positive_zero(spark, tmp_path):
+    # A constant dimension must read exactly +0.0 (not the -0.0 that
+    # the G/n - mean^2 cancellation noise can round to).
+    rows = [(i, [3.0] + [float(i + j) for j in range(63)], 0) for i in range(4)]
+    _write(spark, tmp_path, "embeddings", rows, EMB_SCHEMA)
+    got = {r.dim: r.var_pop for r in REG["embed_cov_trace_portable"].fn(spark, str(tmp_path)).collect()}
+    import math
+    assert got[1] == 0.0 and math.copysign(1.0, got[1]) == 1.0
