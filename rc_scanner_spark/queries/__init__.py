@@ -47,22 +47,21 @@ def load_tuned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #       stale drains; r9 was a zero-commit round that re-sampled r8).
 #   r10: the 20 never-sampled batch-33..38 entries + 9 r1-era rows +
 #       21 oldest r3-era rows -- CORRECTNESS_r10: 50/50 hash-green.
-#       Cumulative coverage after r10: 327/348 distinct queries.
-#   r11 (THIS ordering, emitted by tools/rotate_prefix.py --slots 50):
-#       the 21 never-sampled round-10 additions (batches 39-44) first
-#       -- 20 oracle-backed in slots 1-20, embed_pca_variance
-#       (rows-only by design) at position 51 so it lands only if the
-#       window spills -- then the 27 remaining r3-era rows
-#       (sketch_hll_daily_rollup .. tpch_q9ish) and the
-#       alphabetically-first r4-era rows (agg_cohens_kappa, agg_corr,
-#       agg_histogram) to fill slot 50.  After r11 every oracle-backed
-#       entry has a driver row and no row predates r4 except the r4
-#       block itself, which the r12 drain continues (agg_source_entropy
-#       onward, the order printed below).  Registry additions stay
-#       capped at ~20/round so the 50-row window keeps converging.
-#       Enforced by tests/test_rotation_ledger.py against the newest
-#       committed CORRECTNESS_r*.json; tools/rotate_prefix.py re-emits
-#       the ordering mechanically each round.
+#   r11 (THIS ordering, emitted by tools/rotate_prefix.py --slots 50
+#       on the closing tree): the 20 never-sampled round-10 additions
+#       (batches 39-44) in slots 1-20, the 12 round-11 additions
+#       (batches 45-47: the four portable twins, the six
+#       warehouse/analytics operators, SPRT + TOST) in slots 21-32,
+#       then 18 r3-era drains (sketch_hll_daily_rollup ..
+#       tpch_q18ish) to fill slot 50.  embed_pca_variance (rows-only
+#       by design) sits at position 51 so it lands only if the window
+#       spills.  The r12 drain continues with the remaining r3-era
+#       rows (tpch_q19ish onward) and the r4 block, the order printed
+#       below.  Registry additions stay capped at ~20/round so the
+#       50-row window keeps converging.  Enforced by
+#       tests/test_rotation_ledger.py against the newest committed
+#       CORRECTNESS_r*.json; tools/rotate_prefix.py re-emits the
+#       ordering mechanically each round.
 
 _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "stats_anova_oneway",  # never
@@ -85,20 +84,16 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "stats_cvm_drift",  # never
     "stats_friedman",  # never
     "embed_hard_negatives",  # never
-    # -- batch-45 additions (round 11): portable twins for the four
-    #    rows-only mechanisms (VERDICT r10 item 4).
     "multimodal_phash_portable",  # never
     "pack_bins_nextfit_portable",  # never
     "text_bytes_portable",  # never
     "embed_cov_trace_portable",  # never
-    # -- batch-46 additions (round 11): warehouse/analytics operators.
     "orders_basket_lift",  # never
     "events_markov_transitions",  # never
     "events_streaks",  # never
     "supplier_return_rate",  # never
     "embed_silhouette_simplified",  # never
     "stats_bh_fdr",  # never
-    # -- batch-47 additions (round 11): sequential + equivalence tests.
     "stats_sprt_conversion",  # never
     "stats_tost_equivalence",  # never
     "sketch_hll_daily_rollup",  # green r3
@@ -119,6 +114,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "tpch_q16ish",  # green r3
     "tpch_q17ish",  # green r3
     "tpch_q18ish",  # green r3
+    # ---- entries below are outside the 50-slot prefix ----
+    "embed_pca_variance",  # never
     "tpch_q19ish",  # green r3
     "tpch_q22ish",  # green r3
     "tpch_q3ish",  # green r3
@@ -131,8 +128,6 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "agg_cohens_kappa",  # green r4
     "agg_corr",  # green r4
     "agg_histogram",  # green r4
-    # ---- entries below are outside the 50-slot prefix ----
-    "embed_pca_variance",  # never
     "agg_source_entropy",  # green r4
     "agg_string_collect",  # green r4
     "ann_filtered_topk",  # green r4
@@ -431,6 +426,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "window_rank_topk",  # green r10
     "window_running_sum",  # green r10
 )
+
 
 
 
