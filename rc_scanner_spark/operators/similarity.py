@@ -212,7 +212,7 @@ def ivf_topk(
 
 
 def _nonzero_norm_base(
-    vectors: DataFrame, id_col: str, vec_col: str
+    vectors: DataFrame, id_col: str, vec_col: str, cast_double: bool = False
 ) -> DataFrame:
     """(id, v) projection with degenerate vectors dropped upstream.
 
@@ -222,10 +222,16 @@ def _nonzero_norm_base(
     cosine is NULL and filtered anyway — quadratic wasted join work
     the bucketing exists to prevent.  Dropping them changes no output
     row (a NULL sim never passes the >= threshold filter); O(N) norm
-    folds, the embed_hard_negatives convention (review r10)."""
+    folds, the embed_hard_negatives convention (review r10).
+
+    ``cast_double=True`` projects ``v`` as array<double> — the
+    portable LSH variant fixed-points v and needs the cast ahead of
+    that, and sharing the flag here keeps ONE definition of the
+    zero-norm guard across both variants (ADVICE r10)."""
     from ..functions.vectors import as_double_array, norm
 
-    base = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = as_double_array(F.col(vec_col)) if cast_double else F.col(vec_col)
+    base = vectors.select(F.col(id_col).alias("id"), v.alias("v"))
     return base.filter(norm(as_double_array(F.col("v"))) > 0)
 
 
@@ -476,13 +482,10 @@ def lsh_ann_pairs_portable(
     ``lsh_ann_pairs`` remains the production form."""
     from ..functions.vectors import norm
 
-    # same degenerate-vector guard as lsh_ann_pairs (the cast to
-    # double must stay ahead of the fixed-pointing, so the shared
-    # helper isn't reused here)
-    base = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).filter(norm(F.col("v")) > 0)
+    # shared degenerate-vector guard; cast_double keeps the cast
+    # ahead of the fixed-pointing (ADVICE r10: one guard definition
+    # across both LSH variants)
+    base = _nonzero_norm_base(vectors, id_col, vec_col, cast_double=True)
     fixed = base.withColumn(
         "fx",
         F.transform(F.col("v"), lambda x: F.round(x * scale).cast("long")),
