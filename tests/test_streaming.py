@@ -758,7 +758,9 @@ def test_sse_loopback_live_structured_streaming(spark, tmp_path):
             .option("checkpointLocation", ckpt)
             .start()
         )
-        assert _wait_for(lambda: len(out_titles()) == 6, timeout=60.0)
+        # generous bound: only the FAILURE path pays it; a loaded host
+        # starves microbatch scheduling well past a minute
+        assert _wait_for(lambda: len(out_titles()) == 6, timeout=180.0)
         q.processAllAvailable()
         q.stop()
     finally:
@@ -782,7 +784,7 @@ def test_sse_loopback_live_structured_streaming(spark, tmp_path):
             .option("checkpointLocation", ckpt)
             .start()
         )
-        assert _wait_for(lambda: len(out_titles()) == 8, timeout=60.0)
+        assert _wait_for(lambda: len(out_titles()) == 8, timeout=180.0)
         q2.processAllAvailable()
         q2.stop()
     finally:
