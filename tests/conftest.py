@@ -57,15 +57,65 @@ def write_changes_jsonl(path: str, changes: list[dict]) -> None:
         for c in changes:
             f.write(json.dumps(c) + "\n")
 
+_PA_TYPES = {
+    "long": "int64",
+    "bigint": "int64",
+    "int": "int32",
+    "integer": "int32",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+    "boolean": "bool",
+}
+
+
+def _pa_type(t: str):
+    import pyarrow as pa
+
+    t = t.strip()
+    if t.startswith("array<") and t.endswith(">"):
+        return pa.list_(_pa_type(t[6:-1]))
+    if t == "timestamp":
+        # naive us -> parquet TIMESTAMP(US, isAdjustedToUTC=false):
+        # Spark reads TIMESTAMP_NTZ (normalized by tables.load_table's
+        # canary-tested path), DuckDB reads TIMESTAMP — same values
+        # the Spark writer produced under the UTC session.
+        return pa.timestamp("us")
+    if t == "date":
+        return pa.date32()
+    if t in _PA_TYPES:
+        return getattr(pa, _PA_TYPES[t])()
+    raise ValueError(f"write_fixture: unmapped fixture type {t!r}")
+
+
 def write_fixture(spark, tmp_path, name, rows, schema):
     """Shared planted-test fixture writer: one <name>.parquet per
-    table, same layout convention as the sf dirs.  Invalidates the
-    loader's schema cache for the path so a re-written fixture with a
-    different schema is never served stale."""
+    table, same layout convention as the sf dirs (a directory holding
+    one part file, so both Spark's directory reads and the oracle
+    helpers' ``<name>.parquet/*.parquet`` globs work).  Written with
+    pyarrow directly — a Spark write job per fixture cost ~0.7 s
+    across ~300 planted-test writes (round-11 suite trim); the read
+    path stays Spark.  Invalidates the loader's schema cache for the
+    path so a re-written fixture with a different schema is never
+    served stale."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from rc_scanner_spark.tables import invalidate_schema_cache
 
-    path = str(tmp_path / f"{name}.parquet")
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path)
-    invalidate_schema_cache(path)
+    fields = []
+    for part in schema.split(","):
+        col, typ = part.strip().split(" ", 1)
+        fields.append((col, _pa_type(typ)))
+    cols = list(zip(*rows)) if rows else [[] for _ in fields]
+    arrays = [
+        pa.array(list(vals), type=t) for vals, (_, t) in zip(cols, fields)
+    ]
+    table = pa.Table.from_arrays(arrays, names=[c for c, _ in fields])
+    path = tmp_path / f"{name}.parquet"
+    shutil.rmtree(path, ignore_errors=True)
+    path.mkdir(parents=True)
+    pq.write_table(table, str(path / "part-00000.parquet"))
+    invalidate_schema_cache(str(path))
