@@ -584,7 +584,8 @@ def q_stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the A&S polynomial (see module docstring), then reject the
     hypotheses ranked 1..i* where i* = max{i : p_(i) * m <= alpha * i}
     — the comparison runs on bit-identical doubles with literal alpha,
-    and i* comes from a 1-row max aggregate (no unpartitioned window).
+    and m / i* are full-frame window aggregates over the <= |types|-row
+    valid frame (bounded by construction, pinned in test_plan_audit).
     Degenerate types (a half with n < 2, or zero pooled variance)
     yield NULL z and are EXCLUDED from m on both engines."""
     ev = _t(spark, sf_dir, "events").select(
@@ -619,45 +620,58 @@ def q_stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa2 = F.col("sa2").cast("double")
     sb1 = F.col("sb1").cast("double")
     sb2 = F.col("sb2").cast("double")
-    ma = sa1 / F.col("na")
-    mb = sb1 / F.col("nb")
-    va = F.when(
-        F.col("na") > 1, (sa2 - sa1 * sa1 / F.col("na")) / (F.col("na") - 1)
+    # staged named columns keep the Catalyst tree linear (the TOST
+    # lesson, warehouse31): each level collapses to an attribute
+    staged = one.select(
+        "event_type",
+        "na",
+        "nb",
+        (sa1 / F.col("na")).alias("ma"),
+        (sb1 / F.col("nb")).alias("mb"),
+        F.when(
+            F.col("na") > 1, (sa2 - sa1 * sa1 / F.col("na")) / (F.col("na") - 1)
+        ).alias("va"),
+        F.when(
+            F.col("nb") > 1, (sb2 - sb1 * sb1 / F.col("nb")) / (F.col("nb") - 1)
+        ).alias("vb"),
+    ).withColumn(
+        "se2", F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
     )
-    vb = F.when(
-        F.col("nb") > 1, (sb2 - sb1 * sb1 / F.col("nb")) / (F.col("nb") - 1)
+    z = F.when(
+        F.col("se2") > 0,
+        (F.col("ma") - F.col("mb")) / F.sqrt(F.col("se2")),
     )
-    se2 = va / F.col("na") + vb / F.col("nb")
-    z = F.when(se2 > 0, (ma - mb) / F.sqrt(se2))
-    scored = one.select(
+    scored = staged.select(
         "event_type", z.alias("z")
     ).withColumn("p", _p_two_sided(F.abs(F.col("z"))))
-    # persist the <= |types|-row scored frame: m, the rank window and
-    # the threshold scalar all consume it, and without the persist
-    # each lazy copy re-runs the full events aggregate (the
-    # stats_cuped _track_persist pattern)
-    from ..operators.dedup import _track_persist
-
-    valid = _track_persist(scored.filter(F.col("p").isNotNull()))
-    m_frame = valid.agg(F.count(F.lit(1)).alias("m"))
-    ranked = (
-        valid.crossJoin(F.broadcast(m_frame))
-        .withColumn(
-            "p_rank",
-            F.row_number().over(
-                # deterministic total order; the frame is m <= |types|
-                # rows of AGGREGATES, so the single-partition window is
-                # bounded by construction (pinned in test_plan_audit)
-                Window.orderBy("p", "event_type")
-            ).cast("long"),
-        )
+    valid = scored.filter(F.col("p").isNotNull())
+    # The whole BH readout is WINDOWS over the <= |types|-row valid
+    # frame (bounded by construction, pinned in test_plan_audit): m as
+    # a full-frame count, the step-up threshold i* as a full-frame
+    # conditional max.  One job, one sort — the earlier shape (m and
+    # i* as broadcast 1-row aggregates of a persisted frame) paid a
+    # cache build + three broadcast query stages ~8 s per run for the
+    # same 5 rows.
+    w_rank = Window.orderBy("p", "event_type")
+    w_full = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    thr = ranked.filter(
-        F.col("p") * F.col("m").cast("double")
-        <= F.lit(_BH_ALPHA) * F.col("p_rank").cast("double")
-    ).agg(F.max("p_rank").alias("imax"))
+    ranked = valid.select(
+        "event_type",
+        "z",
+        "p",
+        F.row_number().over(w_rank).cast("long").alias("p_rank"),
+        F.count(F.lit(1)).over(w_full).alias("m"),
+    )
+    imax = F.max(
+        F.when(
+            F.col("p") * F.col("m").cast("double")
+            <= F.lit(_BH_ALPHA) * F.col("p_rank").cast("double"),
+            F.col("p_rank"),
+        )
+    ).over(w_full)
     return (
-        ranked.crossJoin(F.broadcast(thr))
+        ranked.withColumn("imax", imax)
         .select(
             "event_type",
             F.floor(F.col("z") * 1000.0 + 0.5).cast("long").alias("z_milli"),

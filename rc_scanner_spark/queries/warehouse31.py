@@ -177,38 +177,58 @@ def q_stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc2 = F.col("sc2").cast("double")
     st1 = F.col("st1").cast("double")
     st2 = F.col("st2").cast("double")
-    # means/variances in VALUE units (cents / 100), one double chain
-    mc = sc1 / F.col("nc") / 100.0
-    mt = st1 / F.col("nt") / 100.0
-    vc = F.when(
-        F.col("nc") > 1,
-        (sc2 - sc1 * sc1 / F.col("nc")) / (F.col("nc") - 1) / 10000.0,
+    # STAGED named columns: inlining the moment subtree into the A&S
+    # polynomial (which references its argument ~40 times) exploded
+    # the Catalyst expression tree — analysis alone took ~57 s at
+    # sf0.01 (16x scale probe, round 11).  Each select below collapses
+    # a level to an attribute, so every later reference is one node.
+    staged = one.select(
+        "nc",
+        "nt",
+        (sc1 / F.col("nc") / 100.0).alias("mc"),
+        (st1 / F.col("nt") / 100.0).alias("mt"),
+        F.when(
+            F.col("nc") > 1,
+            (sc2 - sc1 * sc1 / F.col("nc")) / (F.col("nc") - 1) / 10000.0,
+        ).alias("vc"),
+        F.when(
+            F.col("nt") > 1,
+            (st2 - st1 * st1 / F.col("nt")) / (F.col("nt") - 1) / 10000.0,
+        ).alias("vt"),
     )
-    vt = F.when(
-        F.col("nt") > 1,
-        (st2 - st1 * st1 / F.col("nt")) / (F.col("nt") - 1) / 10000.0,
+    staged = staged.withColumn(
+        "se2", F.col("vc") / F.col("nc") + F.col("vt") / F.col("nt")
     )
-    se2 = vc / F.col("nc") + vt / F.col("nt")
-    se = F.when(se2 > 0, F.sqrt(se2))
-    diff = mc - mt
-    z_lo = (diff + F.lit(_TOST_MARGIN)) / se
-    z_hi = (diff - F.lit(_TOST_MARGIN)) / se
+    staged = staged.withColumn(
+        "se", F.when(F.col("se2") > 0, F.sqrt(F.col("se2")))
+    ).withColumn("diff", F.col("mc") - F.col("mt"))
+    staged = staged.withColumn(
+        "z_lo", (F.col("diff") + F.lit(_TOST_MARGIN)) / F.col("se")
+    ).withColumn("z_hi", (F.col("diff") - F.lit(_TOST_MARGIN)) / F.col("se"))
+    # p_two(|z|) once per z as a named column; the sign branch then
+    # references the attribute, not the polynomial tree
+    staged = staged.withColumn(
+        "pt_lo", _p_two_sided(F.abs(F.col("z_lo")))
+    ).withColumn("pt_hi", _p_two_sided(F.abs(F.col("z_hi"))))
 
-    def upper_p(z: F.Column) -> F.Column:
+    def upper_p(z: str, pt: str) -> F.Column:
         # P(Z >= z), mirrored across zero via the two-sided polynomial
-        return F.when(z >= 0, _p_two_sided(z) / 2.0).otherwise(
-            F.lit(1.0) - _p_two_sided(-z) / 2.0
+        return F.when(F.col(z) >= 0, F.col(pt) / 2.0).otherwise(
+            F.lit(1.0) - F.col(pt) / 2.0
         )
 
-    p_lo = upper_p(z_lo)          # tests diff <= -margin
-    p_hi = F.lit(1.0) - upper_p(z_hi)  # lower tail: tests diff >= margin
-    p_tost = F.greatest(p_lo, p_hi)
-    return one.select(
+    staged = staged.withColumn(
+        "p_lo", upper_p("z_lo", "pt_lo")  # tests diff <= -margin
+    ).withColumn(
+        "p_hi", F.lit(1.0) - upper_p("z_hi", "pt_hi")  # tests diff >= margin
+    )
+    p_tost = F.greatest(F.col("p_lo"), F.col("p_hi"))
+    return staged.select(
         F.col("nc").alias("n_control"),
         F.col("nt").alias("n_treatment"),
-        F.floor(diff * 1000.0 + 0.5).cast("long").alias("diff_milli"),
-        F.floor(z_lo * 1000.0 + 0.5).cast("long").alias("z_lo_milli"),
-        F.floor(z_hi * 1000.0 + 0.5).cast("long").alias("z_hi_milli"),
+        F.floor(F.col("diff") * 1000.0 + 0.5).cast("long").alias("diff_milli"),
+        F.floor(F.col("z_lo") * 1000.0 + 0.5).cast("long").alias("z_lo_milli"),
+        F.floor(F.col("z_hi") * 1000.0 + 0.5).cast("long").alias("z_hi_milli"),
         F.floor(p_tost * 1000000.0 + 0.5).cast("long").alias("p_tost_ppm"),
         F.when(p_tost.isNotNull(), p_tost <= F.lit(_TOST_ALPHA)).alias(
             "equivalent"

@@ -84,10 +84,8 @@ ALLOWED_GLOBAL_WINDOWS = {
     # SPRT: the cumulative llr window runs over the per-DAY
     # conversion aggregate — bounded by calendar length.
     "stats_sprt_conversion": 1,
-    # BH-FDR: the p-rank row_number runs over the per-TYPE Welch
-    # aggregate (<= |event types| rows); the persisted scored frame is
-    # referenced by both the output and the threshold scalar, so the
-    # lazy plan carries 2 copies (runtime materializes once).
+    # BH-FDR: the p-rank row_number + the full-frame m/i* aggregates
+    # run over the per-TYPE Welch aggregate (<= |event types| rows).
     "stats_bh_fdr": 2,
 }
 
@@ -171,11 +169,8 @@ ALLOWED_CARTESIANS = {
     # not corpus rows) crossed with every vector — the O(n*k)
     # simplified-silhouette shape
     "embed_silhouette_simplified": 1,
-    # 1-row scalars (epoch midpoint under the cached scored subtree,
-    # m, BH threshold); the persisted <= |types|-row scored frame is
-    # referenced by several lazy consumers (stats_cuped precedent:
-    # lazy-plan copies only, one runtime materialization)
-    "stats_bh_fdr": 7,
+    # 1-row epoch-midpoint scalar broadcast over events
+    "stats_bh_fdr": 1,
     # 1-row doc-id min/max span broadcast (decile bucketing)
     "text_novelty_decay": 1,
     # 1-row revenue-total broadcast (band share denominator)
