@@ -52,9 +52,9 @@ def release_caches() -> None:
 # production pipeline materializes the token table to parquet once and
 # fans every dedup algorithm out from it.  Keyed by the semantic hash
 # of the (id, text) projection, so different tables / sf_dirs never
-# collide; cleared by ``release_caches``.
-# values: a persisted DataFrame, or (DataFrame, row_count) for the
-# eagerly-counted hot-shingle sets
+# collide; cleared by ``release_caches``.  Values are persisted
+# DataFrames (the word/shingle frames and the memoized ngram kept
+# buckets).
 _SHARED_FRAMES: dict[tuple, object] = {}
 
 

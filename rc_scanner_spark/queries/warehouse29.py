@@ -227,6 +227,8 @@ def q_text_bytes_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     values, so the batching / schema / NULL plumbing of the Python
     codec path gets a full hash row (zlib itself stays pytest-verified
     against direct compression)."""
+    import math
+
     import pandas as pd
 
     d = _t(spark, sf_dir, "documents")
@@ -240,8 +242,12 @@ def q_text_bytes_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "raw_bytes": raw,
                     "n_chars": chars,
+                    # floor(x*1e4+0.5)/1e4 (the repo grid idiom), NOT
+                    # Python round(): half-to-even vs DuckDB's
+                    # half-away diverges on exact ties like 33/32
+                    # (review r11)
                     "bytes_per_char": [
-                        round(r / c, 4) if c else 0.0
+                        math.floor(r / c * 10000 + 0.5) / 10000.0 if c else 0.0
                         for r, c in zip(raw, chars)
                     ],
                 }
@@ -263,8 +269,8 @@ SELECT doc_id,
        strlen(coalesce(text, ''))::BIGINT AS raw_bytes,
        length(coalesce(text, ''))::BIGINT AS n_chars,
        CASE WHEN length(coalesce(text, '')) > 0
-            THEN round(strlen(coalesce(text, ''))::DOUBLE
-                       / length(coalesce(text, '')), 4)
+            THEN floor(strlen(coalesce(text, ''))::DOUBLE
+                       / length(coalesce(text, '')) * 10000 + 0.5) / 10000.0
             ELSE 0.0 END AS bytes_per_char
 FROM documents
 ORDER BY doc_id
@@ -283,9 +289,11 @@ def q_embed_cov_trace_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 32 merged partials pulled to the driver at ANY partition
     count), surfacing the SQL-checkable diagonal: var_pop per dim —
     the explained-variance denominator (trace) is their sum.  Only the
-    driver-side eigh rotation remains rows-only.  Rounded to 6
-    decimals: both engines fold float32 inputs in float64, so the
-    summation-order disagreement is ~1e-12 relative."""
+    driver-side eigh rotation remains rows-only.  Snapped to a 1e-6
+    floor grid on BOTH engines (never Python round(): half-even vs
+    DuckDB half-away diverges on ties); both engines fold float32
+    inputs in float64, so the summation-order disagreement is ~1e-12
+    relative."""
     import numpy as np
     import pandas as pd
 
@@ -333,17 +341,23 @@ def q_embed_cov_trace_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         n += int(row["n"])
     mean = s / n
     var = G / n - mean * mean
-    # + 0.0 normalizes the -0.0 a zero-variance dimension's
-    # cancellation noise can round to (DuckDB's stable var_pop yields
-    # +0.0 there; -0.0 vs 0.0 value-hashes differently)
+    # floor(x*1e6+0.5)/1e6 (the repo grid idiom) instead of Python
+    # round(): half-to-even vs DuckDB's half-away diverges on exact
+    # ties (review r11).  The floor form also normalizes a constant
+    # dimension's -1e-17-ish cancellation noise to exactly +0.0.
+    import math
+
     return spark.createDataFrame(
-        [(int(j + 1), float(round(v, 6)) + 0.0) for j, v in enumerate(var)],
+        [
+            (int(j + 1), math.floor(v * 1e6 + 0.5) / 1e6)
+            for j, v in enumerate(var)
+        ],
         "dim long, var_pop double",
     ).orderBy("dim")
 
 
 SQL_EMBED_COV_TRACE_PORTABLE = f"""
-SELECT dim::BIGINT AS dim, round(var_pop(val), 6) AS var_pop
+SELECT dim::BIGINT AS dim, floor(var_pop(val) * 1e6 + 0.5) / 1e6 AS var_pop
 FROM (
   SELECT unnest(embedding::DOUBLE[]) AS val,
          unnest(range(1, {_COV_DIM + 1})) AS dim

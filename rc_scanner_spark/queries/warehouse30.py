@@ -583,7 +583,9 @@ def q_stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the agg_ttest_welch fold applied per (type, half)), |z| -> p via
     the A&S polynomial (see module docstring), then reject the
     hypotheses ranked 1..i* where i* = max{i : p_(i) * m <= alpha * i}
-    — the comparison runs on bit-identical doubles with literal alpha,
+    — the comparison runs on bit-identical doubles (the twin CASTs
+    alpha to DOUBLE before multiplying: DuckDB's decimal-literal
+    product is one ulp off the double product),
     and m / i* are full-frame window aggregates over the <= |types|-row
     valid frame (bounded by construction, pinned in test_plan_audit).
     Degenerate types (a half with n < 2, or zero pooled variance)
@@ -744,8 +746,12 @@ ranked AS (
   FROM ps p CROSS JOIN mm
 ),
 thr AS (
+  -- CAST: DuckDB parses the bare literal as DECIMAL and 0.1 * 3 in
+  -- decimal is EXACTLY 0.3 -> double 0.2999999999999999889, one ulp
+  -- BELOW Spark's double(0.1)*3 = 0.3000000000000000444 (review r11,
+  -- verified by execution) -- a p*m in that window flips the verdict
   SELECT max(p_rank) AS imax FROM ranked
-  WHERE p * m <= {_BH_ALPHA} * p_rank
+  WHERE p * m <= CAST({_BH_ALPHA} AS DOUBLE) * p_rank
 )
 SELECT r.event_type,
        CAST(floor(r.z * 1000.0 + 0.5) AS BIGINT) AS z_milli,

@@ -109,6 +109,14 @@ def write_fixture(spark, tmp_path, name, rows, schema):
     for part in schema.split(","):
         col, typ = part.strip().split(" ", 1)
         fields.append((col, _pa_type(typ)))
+    for i, row in enumerate(rows):
+        # the old Spark createDataFrame path raised on arity mismatch;
+        # zip(*rows) would silently truncate instead (review r11)
+        if len(row) != len(fields):
+            raise ValueError(
+                f"write_fixture: row {i} has {len(row)} values for "
+                f"{len(fields)} schema fields"
+            )
     cols = list(zip(*rows)) if rows else [[] for _ in fields]
     arrays = [
         pa.array(list(vals), type=t) for vals, (_, t) in zip(cols, fields)
