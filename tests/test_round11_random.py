@@ -376,3 +376,119 @@ def test_nextfit_random_replay(spark, tmp_path, seed):
         for r in REG["pack_bins_nextfit_portable"].fn(spark, str(tmp_path)).collect()
     }
     assert got == expect
+
+
+# ---- multimodal_phash_portable -----------------------------------------
+
+
+@pytest.mark.parametrize("seed", [81, 82])
+def test_phash_portable_random_replay(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    texts = []
+    # a few shared-prefix families + unrelated docs
+    for fam in range(rng.randint(1, 4)):
+        prefix = "".join(rng.choice("abcdef ") for _ in range(70))
+        for _ in range(rng.randint(1, 3)):
+            texts.append(prefix + "".join(rng.choice("xyz ") for _ in range(30)))
+    for _ in range(rng.randint(2, 6)):
+        texts.append("".join(rng.choice("ghijkl mnop") for _ in range(90)))
+    rows = [(i + 1, t, "en", "s1", len(t)) for i, t in enumerate(texts)]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+
+    def fp(t):
+        return int(hashlib.md5(t[:64].encode()).hexdigest()[:15], 16)
+
+    fps = {i + 1: fp(t) for i, t in enumerate(texts)}
+    expect = set()
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            fa, fb = fps[a], fps[b]
+            bands_collide = any(
+                (fa >> (15 * c)) & 0x7FFF == (fb >> (15 * c)) & 0x7FFF
+                for c in range(4)
+            )
+            ham = bin(fa ^ fb).count("1")
+            if bands_collide and ham <= 12:
+                expect.add((a, b, ham))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in REG["multimodal_phash_portable"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+
+
+# ---- text_bytes_portable -----------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [91])
+def test_text_bytes_random_replay(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    alphabet = "ab é漢👩 \t"
+    rows = []
+    for i in range(rng.randint(10, 40)):
+        t = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 50)))
+        rows.append((i + 1, t, "en", "s1", len(t)))
+    rows.append((999, None, "en", "s1", 0))
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    expect = {}
+    for did, t, *_ in rows:
+        t = t or ""
+        rb, nc = len(t.encode("utf-8")), len(t)
+        bpc = math.floor(rb / nc * 10000 + 0.5) / 10000.0 if nc else 0.0
+        expect[did] = (rb, nc, bpc)
+    got = {
+        r.doc_id: (r.raw_bytes, r.n_chars, r.bytes_per_char)
+        for r in REG["text_bytes_portable"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+
+
+# ---- embed_silhouette_simplified ----------------------------------------
+
+
+@pytest.mark.parametrize("seed", [95, 96])
+def test_silhouette_random_replay(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    labels = list(range(rng.randint(2, 4)))
+    rows, vid = [], 0
+    for lab in labels:
+        center = [rng.uniform(-2, 2) for _ in range(64)]
+        for _ in range(rng.randint(2, 8)):
+            vid += 1
+            rows.append(
+                (vid, [c + rng.uniform(-0.3, 0.3) for c in center], lab)
+            )
+    # float32 storage: mirror through float32 like the parquet column
+    import numpy as np
+
+    rows = [(i, np.asarray(v, dtype=np.float32).tolist(), l) for i, v, l in rows]
+    _write(spark, tmp_path, "embeddings", rows, "vec_id long, embedding array<float>, label int")
+
+    # mirror: 1e-6 grid integers, exact integer distances
+    x6 = {i: [math.floor(x * 1e6 + 0.5) for x in v] for i, v, _ in rows}
+    lab_of = {i: l for i, _, l in rows}
+    cents = {}
+    for lab in labels:
+        members = [i for i in x6 if lab_of[i] == lab]
+        s6 = [sum(x6[i][d] for i in members) for d in range(64)]
+        cents[lab] = (s6, len(members))
+    s4_by_label: dict[int, list[int]] = {lab: [] for lab in labels}
+    for i, v6 in x6.items():
+        dists = {}
+        for lab, (s6, n) in cents.items():
+            d2 = sum((v6[d] * n - s6[d]) ** 2 for d in range(64))
+            dists[lab] = math.sqrt(float(d2)) / (n * 1e6)
+        a = dists[lab_of[i]]
+        b = min(d for lab, d in dists.items() if lab != lab_of[i])
+        s = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+        s4_by_label[lab_of[i]].append(math.floor(s * 10000 + 0.5))
+    expect = {
+        lab: (len(v), math.floor(sum(v) * 100.0 / len(v)))
+        for lab, v in s4_by_label.items()
+    }
+    got = {
+        r.label: (r.n_members, r.silhouette_ppm)
+        for r in REG["embed_silhouette_simplified"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
