@@ -47,75 +47,26 @@ def load_tuned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #       stale drains; r9 was a zero-commit round that re-sampled r8).
 #   r10: the 20 never-sampled batch-33..38 entries + 9 r1-era rows +
 #       21 oldest r3-era rows -- CORRECTNESS_r10: 50/50 hash-green.
-#   r11 (THIS ordering, emitted by tools/rotate_prefix.py --slots 50
-#       on the closing tree): the 20 never-sampled round-10 additions
-#       (batches 39-44) in slots 1-20, the 12 round-11 additions
-#       (batches 45-47: the four portable twins, the six
-#       warehouse/analytics operators, SPRT + TOST) in slots 21-32,
-#       then 18 r3-era drains (sketch_hll_daily_rollup ..
-#       tpch_q18ish) to fill slot 50.  embed_pca_variance (rows-only
-#       by design) sits at position 51 so it lands only if the window
-#       spills.  The r12 drain continues with the remaining r3-era
-#       rows (tpch_q19ish onward) and the r4 block, the order printed
-#       below.  Registry additions stay capped at ~20/round so the
-#       50-row window keeps converging.  Enforced by
-#       tests/test_rotation_ledger.py against the newest committed
+#   r11: the 20 never-sampled round-10 additions (batches 39-44) in
+#       slots 1-20, the 12 round-11 additions (batches 45-47) in
+#       slots 21-32, then 18 r3-era drains -- CORRECTNESS_r11: 50/50
+#       hash-green, zero overlap with r10.
+#   r12 (THIS ordering, emitted by tools/rotate_prefix.py --slots 50
+#       on the r11 closing tree): the oldest-driver-row drain -- the
+#       9 remaining r3-era rows (tpch_q19ish .. tpch_q9ish) in slots
+#       1-9, then the oldest 41 of the 50 r4-era rows
+#       (agg_cohens_kappa .. text_gopher_rules, alphabetical within
+#       the r4 cohort) to fill slot 50.  embed_pca_variance
+#       (rows-only by design) stays at spill position 51; the 9
+#       r4-era rows after it (text_html_strip .. window_lag_lead)
+#       head the r13 drain together with any r12 additions, which
+#       finishes the staleness tail.  Registry additions stay capped
+#       at ~20/round so the 50-row window keeps converging.  Enforced
+#       by tests/test_rotation_ledger.py against the newest committed
 #       CORRECTNESS_r*.json; tools/rotate_prefix.py re-emits the
 #       ordering mechanically each round.
 
 _VERIFICATION_PRIORITY: tuple[str, ...] = (
-    "stats_anova_oneway",  # never
-    "stats_levene_brown_forsythe",  # never
-    "stats_kruskal_wallis",  # never
-    "events_poisson_rate_ratio",  # never
-    "events_dau_mau_stickiness",  # never
-    "events_power_user_curve",  # never
-    "part_sales_churn",  # never
-    "dedup_prefix_hash",  # never
-    "llm_preference_pairs",  # never
-    "select_epoch_mix",  # never
-    "embed_sign_hamming_ann",  # never
-    "multimodal_aspect_bucket_plan",  # never
-    "embed_sign_recall_eval",  # never
-    "orders_repeat_purchase_latency",  # never
-    "graph_community_modularity",  # never
-    "events_burstiness_fano",  # never
-    "stats_runs_test",  # never
-    "stats_cvm_drift",  # never
-    "stats_friedman",  # never
-    "embed_hard_negatives",  # never
-    "multimodal_phash_portable",  # never
-    "pack_bins_nextfit_portable",  # never
-    "text_bytes_portable",  # never
-    "embed_cov_trace_portable",  # never
-    "orders_basket_lift",  # never
-    "events_markov_transitions",  # never
-    "events_streaks",  # never
-    "supplier_return_rate",  # never
-    "embed_silhouette_simplified",  # never
-    "stats_bh_fdr",  # never
-    "stats_sprt_conversion",  # never
-    "stats_tost_equivalence",  # never
-    "sketch_hll_daily_rollup",  # green r3
-    "sketch_hll_mergeable",  # green r3
-    "sql_api_revenue",  # green r3
-    "sql_api_top_customers",  # green r3
-    "sql_api_window",  # green r3
-    "text_fingerprint",  # green r3
-    "text_lang_id",  # green r3
-    "text_quality",  # green r3
-    "text_repetition",  # green r3
-    "text_token_count",  # green r3
-    "tfidf_top_terms",  # green r3
-    "tpch_q10ish",  # green r3
-    "tpch_q13ish",  # green r3
-    "tpch_q14ish",  # green r3
-    "tpch_q15ish",  # green r3
-    "tpch_q16ish",  # green r3
-    "tpch_q17ish",  # green r3
-    "tpch_q18ish",  # green r3
-    # ---- entries below are outside the 50-slot prefix ----
-    "embed_pca_variance",  # never
     "tpch_q19ish",  # green r3
     "tpch_q22ish",  # green r3
     "tpch_q3ish",  # green r3
@@ -166,6 +117,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "text_bm25_topk",  # green r4
     "text_chunk_overlap",  # green r4
     "text_gopher_rules",  # green r4
+    # ---- entries below are outside the 50-slot prefix ----
+    "embed_pca_variance",  # never
     "text_html_strip",  # green r4
     "text_ngram_novelty",  # green r4
     "text_pii_scrub",  # green r4
@@ -425,6 +378,56 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "window_range_frame",  # green r10
     "window_rank_topk",  # green r10
     "window_running_sum",  # green r10
+    "dedup_prefix_hash",  # green r11
+    "embed_cov_trace_portable",  # green r11
+    "embed_hard_negatives",  # green r11
+    "embed_sign_hamming_ann",  # green r11
+    "embed_sign_recall_eval",  # green r11
+    "embed_silhouette_simplified",  # green r11
+    "events_burstiness_fano",  # green r11
+    "events_dau_mau_stickiness",  # green r11
+    "events_markov_transitions",  # green r11
+    "events_poisson_rate_ratio",  # green r11
+    "events_power_user_curve",  # green r11
+    "events_streaks",  # green r11
+    "graph_community_modularity",  # green r11
+    "llm_preference_pairs",  # green r11
+    "multimodal_aspect_bucket_plan",  # green r11
+    "multimodal_phash_portable",  # green r11
+    "orders_basket_lift",  # green r11
+    "orders_repeat_purchase_latency",  # green r11
+    "pack_bins_nextfit_portable",  # green r11
+    "part_sales_churn",  # green r11
+    "select_epoch_mix",  # green r11
+    "sketch_hll_daily_rollup",  # green r11
+    "sketch_hll_mergeable",  # green r11
+    "sql_api_revenue",  # green r11
+    "sql_api_top_customers",  # green r11
+    "sql_api_window",  # green r11
+    "stats_anova_oneway",  # green r11
+    "stats_bh_fdr",  # green r11
+    "stats_cvm_drift",  # green r11
+    "stats_friedman",  # green r11
+    "stats_kruskal_wallis",  # green r11
+    "stats_levene_brown_forsythe",  # green r11
+    "stats_runs_test",  # green r11
+    "stats_sprt_conversion",  # green r11
+    "stats_tost_equivalence",  # green r11
+    "supplier_return_rate",  # green r11
+    "text_bytes_portable",  # green r11
+    "text_fingerprint",  # green r11
+    "text_lang_id",  # green r11
+    "text_quality",  # green r11
+    "text_repetition",  # green r11
+    "text_token_count",  # green r11
+    "tfidf_top_terms",  # green r11
+    "tpch_q10ish",  # green r11
+    "tpch_q13ish",  # green r11
+    "tpch_q14ish",  # green r11
+    "tpch_q15ish",  # green r11
+    "tpch_q16ish",  # green r11
+    "tpch_q17ish",  # green r11
+    "tpch_q18ish",  # green r11
 )
 
 

@@ -187,20 +187,30 @@ class _LiveFeed:
     def trim(self, upto: int) -> None:
         """Drop the committed prefix (global offsets < upto) and
         persist the id of the last COMMITTED event plus the committed
-        global offset for restart resumption."""
+        global offset for restart resumption.
+
+        The offset line is written even when the stream carries no
+        event ids (``last_id`` None -> empty first line): otherwise
+        the idfile would go permanently stale while ``_base`` advances
+        in memory, and a restart would fall back to the
+        clear-and-skip alignment path and drop more than the format
+        promises (ADVICE r11).  Nothing is written only when nothing
+        was committed at all (drop == 0 with no prior state)."""
         last_id = None
+        wrote_any = False
         with self._lock:
             drop = min(max(upto - self._base, 0), len(self._events))
             if drop:
                 last_id = self._events[drop - 1][1]
                 del self._events[:drop]
                 self._base += drop
+                wrote_any = True
             base = self._base
-        if self._idfile and last_id:
+        if self._idfile and wrote_any:
             tmp = self._idfile + ".tmp"
             try:
                 with open(tmp, "w", encoding="utf-8") as f:
-                    f.write(f"{last_id}\n{base}")
+                    f.write(f"{last_id or ''}\n{base}")
                 import os
 
                 os.replace(tmp, self._idfile)

@@ -88,6 +88,27 @@ def _pa_type(t: str):
     raise ValueError(f"write_fixture: unmapped fixture type {t!r}")
 
 
+def _split_top_level(schema: str) -> list[str]:
+    """Split a DDL-ish schema string on TOP-LEVEL commas only, so
+    comma-bearing nested types (``decimal(p,s)``, ``struct<a:int,
+    b:int>``, ``map<k,v>``) reach _pa_type whole instead of failing
+    with a confusing unpack error (ADVICE r11)."""
+    parts, depth, cur = [], 0, []
+    for ch in schema:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def write_fixture(spark, tmp_path, name, rows, schema):
     """Shared planted-test fixture writer: one <name>.parquet per
     table, same layout convention as the sf dirs (a directory holding
@@ -106,7 +127,7 @@ def write_fixture(spark, tmp_path, name, rows, schema):
     from rc_scanner_spark.tables import invalidate_schema_cache
 
     fields = []
-    for part in schema.split(","):
+    for part in _split_top_level(schema):
         col, typ = part.strip().split(" ", 1)
         fields.append((col, _pa_type(typ)))
     for i, row in enumerate(rows):

@@ -593,7 +593,7 @@ class _LoopbackSSE:
     behavior is observable; on resume it serves only events after the
     presented id."""
 
-    def __init__(self, n_events=10, drop_after=None):
+    def __init__(self, n_events=10, drop_after=None, ids=True):
         import http.server
         import threading
 
@@ -612,7 +612,8 @@ class _LoopbackSSE:
                 )
                 for i in range(start, stop):
                     ev = make_change(i, f"Live{i}")
-                    frame = f"id: {i}\ndata: {json.dumps(ev)}\n\n"
+                    id_line = f"id: {i}\n" if srv.ids else ""
+                    frame = f"{id_line}data: {json.dumps(ev)}\n\n"
                     try:
                         self.wfile.write(frame.encode())
                         self.wfile.flush()
@@ -625,6 +626,7 @@ class _LoopbackSSE:
 
         self.n_events = n_events
         self.drop_after = drop_after
+        self.ids = ids
         self.seen_last_ids = []
         self._httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         self.port = self._httpd.server_address[1]
@@ -716,6 +718,45 @@ def test_sse_loopback_commit_trims_and_persists_id(tmp_path):
         assert _wait_for(lambda: r2._feed.size() >= 5)
         replay = r2._feed.slice(4, 6)
         assert len(replay) >= 1  # the recovered uncommitted events
+    finally:
+        srv2.close()
+
+
+def test_sse_idless_stream_persists_offset(tmp_path):
+    """On a stream whose events carry NO ids, trim() must still
+    persist the committed global offset (empty id line + base) so a
+    restart restores _base instead of falling back to the
+    clear-and-skip alignment path (ADVICE r11: the idfile went
+    permanently stale while _base advanced in memory)."""
+    from rc_scanner_spark.schemas import CHANGE_SCHEMA as SCHEMA
+    from rc_scanner_spark.sources.sse import ChangeStreamReader
+
+    idfile = str(tmp_path / "last_id")
+    srv = _LoopbackSSE(n_events=6, ids=False)
+    try:
+        r = ChangeStreamReader(SCHEMA, {"url": srv.url(), "idfile": idfile})
+        feed = r._feed
+        assert _wait_for(lambda: feed.size() == 6)
+        r.commit({"line": 4})
+        assert feed.size() == 6  # global offset unchanged by trim
+        with open(idfile) as f:
+            # no event id to persist -> empty first line, but the
+            # committed global offset is still written
+            assert f.read() == "\n4"
+    finally:
+        srv.close()
+
+    # restart: _base restored from the offset line, no Last-Event-ID
+    # presented (nothing to replay on an id-less stream), and
+    # latestOffset never regresses below the checkpointed 4
+    srv2 = _LoopbackSSE(n_events=6, ids=False)
+    try:
+        r2 = ChangeStreamReader(SCHEMA, {"url": srv2.url(), "idfile": idfile})
+        assert r2._feed._base == 4 and r2._feed._aligned
+        assert not r2._feed._resumed
+        assert _wait_for(lambda: len(srv2.seen_last_ids) > 0)
+        assert srv2.seen_last_ids[0] is None
+        assert r2.latestOffset()["line"] >= 4
     finally:
         srv2.close()
 

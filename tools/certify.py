@@ -23,12 +23,17 @@ import subprocess
 import sys
 import time
 
+# sys.executable, not bare "python": the bare name can resolve to a
+# different interpreter (venv vs system) than the one running
+# certify.py, silently certifying against the wrong environment
+# (ADVICE r11).
+PY = sys.executable
 STEPS = [
-    ("oracle sf0.01", ["python", "tools/check_oracle.py", "/root/testdata/sf0.01"]),
-    ("oracle sf0.001", ["python", "tools/check_oracle.py", "/root/testdata/sf0.001"]),
-    ("default lane", ["python", "-m", "pytest", "tests/", "-q"]),
-    ("slow lane", ["python", "-m", "pytest", "tests/", "-q", "-m", "slow"]),
-    ("bench", ["python", "bench.py"]),
+    ("oracle sf0.01", [PY, "tools/check_oracle.py", "/root/testdata/sf0.01"]),
+    ("oracle sf0.001", [PY, "tools/check_oracle.py", "/root/testdata/sf0.001"]),
+    ("default lane", [PY, "-m", "pytest", "tests/", "-q"]),
+    ("slow lane", [PY, "-m", "pytest", "tests/", "-q", "-m", "slow"]),
+    ("bench", [PY, "bench.py"]),
 ]
 
 
