@@ -428,6 +428,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "tpch_q16ish",  # green r11
     "tpch_q17ish",  # green r11
     "tpch_q18ish",  # green r11
+    "embed_power_iter_portable",  # never (round-12 addition)
 )
 
 
@@ -480,6 +481,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse29,
         warehouse30,
         warehouse31,
+        warehouse32,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -529,6 +531,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse29,
         warehouse30,
         warehouse31,
+        warehouse32,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

@@ -48,6 +48,18 @@ _t = load_tuned
 # --------------------------------------------------------------------
 
 _BASKET_MIN_PAIR_N = 2
+# Pair-build cap: only the first _BASKET_MAX_PARTS SORTED distinct
+# parts of a basket enter the in-row pair explode, bounding the
+# per-row struct array at k*(k-1)/2 <= 32,640 entries (~0.5 MB) no
+# matter how pathological a basket is — the uncapped build is
+# quadratic in basket size and a single million-item basket would
+# materialize ~5e11 structs inside ONE row before explode (r11 brief
+# #5).  At the registry's data shape (measured max distinct
+# parts/order: 7 at sf0.001, 13 at sf0.01, 17 at sf0.1 — pinned by
+# tests/test_round12.py) the cap NEVER binds, so results are
+# unchanged; the DuckDB twin applies the identical sorted-prefix cap
+# so both engines agree on pathological inputs too.
+_BASKET_MAX_PARTS = 256
 
 
 def q_orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,9 +68,10 @@ def q_orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(b|a) and symmetric lift n_ab*N/(n_a*n_b), both in ppm via exact
     integer division.
 
-    Scale shape: baskets are bounded (TPC-H <= 7 lines per order), so
-    pairs explode MAP-SIDE from a per-order collect_set (<= k^2/2 per
-    basket — the ngram-bucket recipe, operators/dedup.py), never a
+    Scale shape: baskets are bounded (TPC-H <= 7 lines per order; the
+    _BASKET_MAX_PARTS sorted-prefix cap bounds adversarial baskets),
+    so pairs explode MAP-SIDE from a per-order collect_set (<= k^2/2
+    per basket — the ngram-bucket recipe, operators/dedup.py), never a
     big self-join; the two count dimensions join back on the pair
     keys.  Shuffles are linear in baskets + pairs."""
     li = (
@@ -73,7 +86,11 @@ def q_orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_part")
     )
     baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+        F.slice(
+            F.array_sort(F.collect_set("l_partkey")),
+            1,
+            _BASKET_MAX_PARTS,
+        ).alias("parts")
     )
     ids = F.col("parts")
     pairs = baskets.select(
@@ -128,10 +145,19 @@ SQL_ORDERS_BASKET_LIFT = f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
 part_n AS (SELECT l_partkey AS pk, count(*) AS n_part FROM li GROUP BY 1),
+-- identical sorted-prefix cap as the Spark side: only the first
+-- {_BASKET_MAX_PARTS} sorted distinct parts per order enter the pair
+-- build (never binds at TPC-H's <= 7 parts/order)
+capped AS (
+  SELECT l_orderkey,
+         unnest(list_slice(list_sort(list(l_partkey)), 1,
+                           {_BASKET_MAX_PARTS})) AS pk
+  FROM li GROUP BY l_orderkey
+),
 pair_n AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_pair
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_pair
+  FROM capped a JOIN capped b
+    ON a.l_orderkey = b.l_orderkey AND a.pk < b.pk
   GROUP BY 1, 2
   HAVING count(*) >= {_BASKET_MIN_PAIR_N}
 )

@@ -136,3 +136,58 @@ def user_spend(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def _spend_aipws(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        total, n = state.get
+    else:
+        total, n = 0.0, 0
+    for pdf in pdfs:
+        total += float(pdf["value"].sum())
+        n += len(pdf)
+    state.update((total, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "total_value": [round(total, 6)],
+            "n_events": [n],
+        }
+    )
+
+
+def user_spend_compat(events: DataFrame) -> DataFrame:
+    """``user_spend`` semantics on ``applyInPandasWithState``: the
+    same per-key cumulative (value sum, event count) state machine and
+    output schema, but on the stateful API that does NOT require
+    ``google.protobuf`` (transformWithStateInPandas speaks protobuf to
+    the state server).  State lives in the same checkpointed state
+    store, so evict/restore across micro-batches and query restarts is
+    exercised identically."""
+    from pyspark.sql import functions as F
+
+    slim = events.select(F.col("user_id"), F.col("value"))
+    return slim.groupBy("user_id").applyInPandasWithState(
+        _spend_aipws,
+        outputStructType=SPEND_OUTPUT_SCHEMA,
+        stateStructType="total_value double, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_spend_any(events: DataFrame) -> DataFrame:
+    """Pick the stateful API by environment: the Spark 4
+    ``StatefulProcessor`` path where ``google.protobuf`` is importable
+    (its state server speaks protobuf), the
+    ``applyInPandasWithState`` twin otherwise.  Both produce the
+    SPEND_OUTPUT_SCHEMA rows with identical values, so callers and
+    tests are API-agnostic."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return user_spend(events)
+    except ImportError:
+        return user_spend_compat(events)
