@@ -478,9 +478,31 @@ def ngram_jaccard_pairs(
     # buffer in one task (review r8 round 7).  The count aggregate
     # carries constant state; the collect then runs only over
     # cap-bounded buckets.
-    dfc = sh.groupBy(*group_cols, "shingle").agg(
-        F.count(F.lit(1)).alias("df")
+    # Persist + memoize the df frame: the hot filter (counts side),
+    # the pair-bucket filter (pairs side), and the registry's second
+    # consumer (graph_degree_stats re-calls this builder) all read it;
+    # it is one narrow row per (block, shingle).  Memoizing dfc —
+    # instead of the pre-r12 materialized kept frame — lets both
+    # consumers below stay df-GATED: the old kept collect_list built
+    # id arrays for EVERY surviving bucket, but ~94% of buckets are
+    # df=1 singletons (sf0.1: 245k buckets, 15k with df >= 2) that can
+    # never produce a pair, so the array build paid 16x more
+    # aggregation state than the pair explode ever read (r11 brief #2;
+    # measured 2.6 s -> 1.2 s warm).
+    dfc_key = (
+        "ngram_dfc",
+        shingle_k,
+        tuple(group_cols),
+        sh.semanticHash(),
     )
+    dfc = _SHARED_FRAMES.get(dfc_key)
+    if dfc is None:
+        dfc = _track_persist(
+            sh.groupBy(*group_cols, "shingle").agg(
+                F.count(F.lit(1)).alias("df")
+            )
+        )
+        _SHARED_FRAMES[dfc_key] = dfc
     # The HOT complement (df > cap) is tiny by construction (at most
     # total-occurrences/cap rows; in practice a handful of boilerplate
     # shingles), so the df filter is an anti-join whose build side AQE
@@ -493,35 +515,25 @@ def ngram_jaccard_pairs(
     # shape) was a second big-against-big shuffle that measured 1.84x
     # of the round-1 baseline.
     hot = dfc.filter(F.col("df") > max_shingle_df).select(*group_cols, "shingle")
-    # Persist + memoize kept: BOTH the per-doc counts and the pair
-    # explode below consume it; without the persist each branch
-    # re-runs the anti-join + collect_list shuffle over the full
-    # shingle frame (ReuseExchange doesn't fire across jobs).  kept is
-    # small by construction — one row per surviving (block, shingle)
-    # bucket with a cap-bounded id array — and memoizing it shares the
-    # build across the registry consumers (dedup_ngram_jaccard,
-    # graph_degree_stats) the way the word/shingle frames are shared.
-    kept_key = (
-        "ngram_kept",
-        shingle_k,
-        max_shingle_df,
-        tuple(group_cols),
-        sh.semanticHash(),
-    )
-    kept = _SHARED_FRAMES.get(kept_key)
-    if kept is None:
-        kept = _track_persist(
-            sh.join(hot, [*group_cols, "shingle"], "left_anti")
-            .groupBy(*group_cols, "shingle")
-            .agg(F.collect_list("id").alias("ids"))
-        )
-        _SHARED_FRAMES[kept_key] = kept
+    # Per-doc surviving-shingle counts straight off the (persisted)
+    # shingle frame — no id-array materialization, constant agg state.
     counts = (
-        kept.select(F.explode("ids").alias("id"))
+        sh.join(hot, [*group_cols, "shingle"], "left_anti")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
-    ids = F.array_sort(F.col("ids"))
+    # Only buckets that can PRODUCE a pair (2 <= df <= cap) get an id
+    # array: a cap-bounded collect_list over the few multi-doc buckets
+    # (the semi-join build side is small, AQE broadcasts it).
+    pair_buckets = dfc.filter(
+        (F.col("df") >= 2) & (F.col("df") <= max_shingle_df)
+    ).select(*group_cols, "shingle")
+    kept = (
+        sh.join(pair_buckets, [*group_cols, "shingle"], "left_semi")
+        .groupBy(*group_cols, "shingle")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    )
+    ids = F.col("ids")
     pairs = kept.select(
         F.explode(
             F.flatten(
