@@ -52,21 +52,35 @@ def load_tuned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #       slots 21-32, then 18 r3-era drains -- CORRECTNESS_r11: 50/50
 #       hash-green, zero overlap with r10.
 #   r12 (THIS ordering, emitted by tools/rotate_prefix.py --slots 50
-#       on the r11 closing tree): the oldest-driver-row drain -- the
-#       9 remaining r3-era rows (tpch_q19ish .. tpch_q9ish) in slots
-#       1-9, then the oldest 41 of the 50 r4-era rows
-#       (agg_cohens_kappa .. text_gopher_rules, alphabetical within
-#       the r4 cohort) to fill slot 50.  embed_pca_variance
-#       (rows-only by design) stays at spill position 51; the 9
-#       r4-era rows after it (text_html_strip .. window_lag_lead)
-#       head the r13 drain together with any r12 additions, which
-#       finishes the staleness tail.  Registry additions stay capped
-#       at ~20/round so the 50-row window keeps converging.  Enforced
-#       by tests/test_rotation_ledger.py against the newest committed
+#       on the closing tree): the 10 never-sampled round-12 additions
+#       (batch 48: the power-iteration PCA twin, Kendall tau-b, the
+#       permutation test, the lateness profile, cume_dist, the dedup
+#       threshold sweep + quality shift, the garbage score, the
+#       next-order affinity, SNIS) in slots 1-10, then the
+#       oldest-driver-row drain -- the 9 remaining r3-era rows
+#       (tpch_q19ish .. tpch_q9ish) and the oldest 31 of the 50
+#       r4-era rows (agg_cohens_kappa .. sample_stratified,
+#       alphabetical within the r4 cohort) to fill slot 50.
+#       embed_pca_variance (rows-only by design) stays at spill
+#       position 51; the 19 r4-era rows after it (sample_weighted_mix
+#       .. window_lag_lead) head the r13 drain, which finishes the
+#       staleness tail.  Registry additions stay capped at ~20/round
+#       so the 50-row window keeps converging.  Enforced by
+#       tests/test_rotation_ledger.py against the newest committed
 #       CORRECTNESS_r*.json; tools/rotate_prefix.py re-emits the
 #       ordering mechanically each round.
 
 _VERIFICATION_PRIORITY: tuple[str, ...] = (
+    "embed_power_iter_portable",  # never
+    "stats_kendall_tau",  # never
+    "events_lateness_profile",  # never
+    "window_cume_dist",  # never
+    "dedup_threshold_sweep",  # never
+    "dedup_quality_shift",  # never
+    "text_garbage_score",  # never
+    "stats_permutation_test",  # never
+    "orders_next_order_affinity",  # never
+    "sample_snis_clipped",  # never
     "tpch_q19ish",  # green r3
     "tpch_q22ish",  # green r3
     "tpch_q3ish",  # green r3
@@ -107,6 +121,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sample_interleave_shards",  # green r4
     "sample_negatives",  # green r4
     "sample_stratified",  # green r4
+    # ---- entries below are outside the 50-slot prefix ----
+    "embed_pca_variance",  # never
     "sample_weighted_mix",  # green r4
     "scd2_user_state",  # green r4
     "session_windows",  # green r4
@@ -117,8 +133,6 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "text_bm25_topk",  # green r4
     "text_chunk_overlap",  # green r4
     "text_gopher_rules",  # green r4
-    # ---- entries below are outside the 50-slot prefix ----
-    "embed_pca_variance",  # never
     "text_html_strip",  # green r4
     "text_ngram_novelty",  # green r4
     "text_pii_scrub",  # green r4
@@ -428,7 +442,6 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "tpch_q16ish",  # green r11
     "tpch_q17ish",  # green r11
     "tpch_q18ish",  # green r11
-    "embed_power_iter_portable",  # never (round-12 addition)
 )
 
 

@@ -253,6 +253,14 @@ ALLOWED_CARTESIANS = {
     # self-join a/b sides + n + ties) — _track_persist'ed, so it
     # materializes once at runtime (lazy-plan shape only)
     "stats_mann_kendall": 4,
+    # 1-row histogram-total scalar broadcast (share denominator)
+    "events_lateness_profile": 1,
+    # 1-row observed-diff scalar x the B-row draw frame, then the
+    # 1-row extreme-count scalar x the 1-row observed frame
+    "stats_permutation_test": 2,
+    # 1-row (n_total, k) corpus scalar broadcast over the per-source
+    # weight terms
+    "sample_snis_clipped": 1,
 }
 
 

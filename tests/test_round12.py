@@ -166,6 +166,301 @@ def test_power_iter_random_replay(spark, tmp_path, seed):
     )
 
 
+import datetime as _dt
+import hashlib
+import math
+
+EV_SCHEMA = (
+    "event_id long, user_id long, ts timestamp, value double, "
+    "event_type string"
+)
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+ORD_SCHEMA = "o_orderkey long, o_custkey long, o_orderdate timestamp"
+
+
+def _ts(day: int, hour: int = 0, minute: int = 0):
+    return _dt.datetime(2024, 1 + (day - 1) // 28, 1 + (day - 1) % 28, hour, minute)
+
+
+def _h15(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---- stats_kendall_tau ------------------------------------------------
+
+
+def test_kendall_tau_planted(spark, tmp_path):
+    """Hand-computed tau-b: type 'a' has 4 days with x=[1,2,3,4] (one
+    event per extra row) and y chosen so exactly one pair is
+    discordant -> tau = (5-1)/6 = 0.6667 -> 667 milli.  Type 'b' has
+    identical (x, y) on both days (all pairs tied) -> NULL."""
+    rows, eid = [], 0
+    # day d gets d events of value v so (x, y) = (d, 100*d*v cents)
+    day_vals = {1: 10.0, 2: 10.0, 3: 5.0, 4: 10.0}
+    # x = [1,2,3,4]; y = [1000, 2000, 1500, 4000] cents
+    for d, v in day_vals.items():
+        for _ in range(d):
+            eid += 1
+            rows.append((eid, 1, _ts(d), v, "a"))
+    for d in (1, 2):
+        eid += 1
+        rows.append((eid, 1, _ts(d), 7.0, "b"))
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r.event_type: (r.n_days, r.concordant, r.discordant, r.tau_milli)
+        for r in REG["stats_kendall_tau"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["a"] == (4, 5, 1, math.floor(4 / math.sqrt(36.0) * 1000 + 0.5))
+    assert got["a"][3] == 667
+    assert got["b"] == (2, 0, 0, None)
+
+
+# ---- events_lateness_profile ------------------------------------------
+
+
+def test_lateness_profile_planted_replay(spark, tmp_path):
+    """Deterministic md5-jitter mirror: replay the arrival simulation
+    in pure Python (same 15-hex md5 delay, same per-user arrival sort)
+    and assert the bucket histogram matches exactly."""
+    rows = []
+    for eid in range(1, 13):
+        # event times ~20 min apart (total spread > the 2 h jitter) so
+        # the jitter actually reorders arrivals within each user AND
+        # the resulting lateness spans multiple 10-min buckets
+        rows.append((eid, eid % 3, _ts(1, eid // 3, (eid * 17) % 60), 1.0, "a"))
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+
+    jit = 2 * 3_600_000_000
+    by_user: dict[int, list] = {}
+    for eid, uid, ts, _v, _t in rows:
+        us = int(ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+        arr = us + _h15(f"{eid}|net42") % jit
+        by_user.setdefault(uid, []).append((arr, eid, us))
+    hist: dict[int, int] = {}
+    for lst in by_user.values():
+        mx = None
+        for arr, eid, us in sorted(lst):
+            mx = us if mx is None else max(mx, us)
+            b = (mx - us) // 600_000_000
+            hist[b] = hist.get(b, 0) + 1
+    total = sum(hist.values())
+    expect = {
+        b: (n, n * 1_000_000 // total) for b, n in hist.items()
+    }
+    got = {
+        r.late_10min: (r.n_events, r.share_ppm)
+        for r in REG["events_lateness_profile"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+    assert len(got) > 1  # the jitter actually spread the buckets
+
+
+# ---- window_cume_dist --------------------------------------------------
+
+
+def test_cume_dist_planted(spark, tmp_path):
+    """Days with counts [1, 1, 2]: both 1-count days share cume 2/3
+    (ties take the highest position), the 2-count day gets 1.0."""
+    rows, eid = [], 0
+    for d, k in ((1, 1), (2, 1), (3, 2)):
+        for _ in range(k):
+            eid += 1
+            rows.append((eid, 1, _ts(d), 1.0, "a"))
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r.day: r.cume_ppm
+        for r in REG["window_cume_dist"].fn(spark, str(tmp_path)).collect()
+    }
+    d1 = list(got)[0]
+    days = sorted(got)
+    assert got[days[0]] == got[days[1]] == math.floor(2 / 3 * 1e6 + 0.5)
+    assert got[days[2]] == 1_000_000
+
+
+# ---- dedup_threshold_sweep ----------------------------------------------
+
+
+def test_threshold_sweep_planted(spark, tmp_path):
+    """One exact-twin pair (jaccard 1.0, survives every threshold) and
+    one half-overlap pair (jaccard ~0.5): the sweep counts 2 pairs at
+    <= 500 milli and 1 pair above."""
+    t1 = "alpha beta gamma delta epsilon zeta"
+    # shares shingles 'alpha beta gamma', 'beta gamma delta' with t1
+    t2 = "alpha beta gamma delta theta iota"
+    rows = [
+        (1, t1, "en", "s", len(t1)),
+        (2, t1, "en", "s", len(t1)),
+        (3, t2, "en", "s", len(t2)),
+        (4, "unrelated words entirely different tokens here", "en", "s", 46),
+    ]
+    write_fixture(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    got = {
+        r.threshold_milli: (r.n_pairs, r.n_docs)
+        for r in REG["dedup_threshold_sweep"].fn(spark, str(tmp_path)).collect()
+    }
+    # jaccard(1,2) = 1.0; jaccard(1,3) = jaccard(2,3) = 2/6 = 0.3333
+    assert got[300] == (3, 3)
+    assert got[400] == (1, 2)
+    assert got[900] == (1, 2)
+
+
+# ---- dedup_quality_shift -------------------------------------------------
+
+
+def test_quality_shift_planted(spark, tmp_path):
+    """Source 's' holds an exact dup pair (after whitespace
+    normalization) plus one unique doc: 3 -> 2 docs, removed 1/3."""
+    rows = [
+        (1, "spark  rows", "en", "s", 100),
+        (2, "spark rows", "en", "s", 300),  # same fp as doc 1
+        (3, "other text", "en", "s", 200),
+        (4, "solo", "en", "t", 50),
+    ]
+    write_fixture(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    got = {
+        r.source: (
+            r.n_all,
+            r.n_surv,
+            r.mean_chars_all_milli,
+            r.mean_chars_surv_milli,
+            r.removed_ppm,
+        )
+        for r in REG["dedup_quality_shift"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["s"] == (3, 2, 200000, 150000, 333333)
+    assert got["t"] == (1, 1, 50000, 50000, 0)
+
+
+# ---- text_garbage_score ---------------------------------------------------
+
+
+def test_garbage_score_planted(spark, tmp_path):
+    """Hand-computed ratios: symbols, digits, consonant runs, and the
+    empty doc yielding NULL ppm shares on both engines."""
+    rows = [
+        (1, "ab#$%xyzzz", "en", "s", 10),   # 3 symbols / 10
+        (2, "a1234bcdfg", "en", "s", 10),   # 4 digits, run 'bcdfg'=5
+        (3, "", "en", "s", 0),
+        (4, "#########!", "en", "s", 10),   # all symbols -> garbage
+    ]
+    write_fixture(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    got = {
+        r.doc_id: (
+            r.n_chars_raw,
+            r.symbol_ppm,
+            r.digit_ppm,
+            r.max_consonant_run,
+            r.is_garbage,
+        )
+        for r in REG["text_garbage_score"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (10, 300000, 0, 5, True)  # run 'xyzzz' (y counts)
+    assert got[2] == (10, 0, 400000, 5, False)
+    assert got[3] == (0, None, None, 0, None)
+    assert got[4] == (10, 1000000, 0, 0, True)
+
+
+# ---- stats_permutation_test -----------------------------------------------
+
+
+def test_permutation_test_planted_replay(spark, tmp_path):
+    """Deterministic md5 mirror of the full randomization test: arms,
+    the 200 re-draws, the extreme count, and p — all replayed in pure
+    Python and compared exactly."""
+    rows = []
+    for eid in range(1, 41):
+        rows.append((eid, eid % 7, _ts(1 + eid % 5), float(eid % 9) + 0.25, "a"))
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+
+    def cents(v):
+        return math.floor(v * 100 + 0.5)
+
+    arms: dict[int, list[int]] = {0: [], 1: []}
+    for eid, uid, _ts_, v, _t in rows:
+        arms[_h15(f"{uid}|perm42") % 2].append(cents(v))
+    obs = abs(
+        sum(arms[0]) / len(arms[0]) - sum(arms[1]) / len(arms[1])
+    )
+    n_extreme = 0
+    for b in range(1, 201):
+        g: dict[int, list[int]] = {0: [], 1: []}
+        for eid, uid, _ts_, v, _t in rows:
+            g[_h15(f"{eid}|{b}|perm42") % 2].append(cents(v))
+        if not g[0] or not g[1]:
+            continue  # NULL diff on both engines, never extreme
+        d = abs(sum(g[0]) / len(g[0]) - sum(g[1]) / len(g[1]))
+        if d >= obs:
+            n_extreme += 1
+    [r] = REG["stats_permutation_test"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_a, r.n_b) == (len(arms[0]), len(arms[1]))
+    assert r.obs_diff_milli == math.floor(obs * 1000 + 0.5)
+    assert r.n_extreme == n_extreme
+    assert r.p_ppm == math.floor((n_extreme + 1) / 201 * 1e6 + 0.5)
+
+
+# ---- orders_next_order_affinity -------------------------------------------
+
+
+LI2_SCHEMA = "l_orderkey long, l_partkey long"
+
+
+def test_next_order_affinity_planted(spark, tmp_path):
+    """Two customers with the same two-order sequence {1,2} -> {2,3}:
+    every directional pair fires twice, so all survive the n >= 2
+    floor; confidences follow the prev-occurrence counts."""
+    orders = [
+        (1, 1, _ts(1)), (2, 1, _ts(2)),
+        (3, 2, _ts(1)), (4, 2, _ts(2)),
+    ]
+    li = [
+        (1, 10), (1, 20), (2, 20), (2, 30),
+        (3, 10), (3, 20), (4, 20), (4, 30),
+    ]
+    write_fixture(spark, tmp_path, "orders", orders, ORD_SCHEMA)
+    write_fixture(spark, tmp_path, "lineitem", li, LI2_SCHEMA)
+    got = {
+        (r.part_prev, r.part_next): (r.n_pair, r.n_prev, r.conf_ppm)
+        for r in REG["orders_next_order_affinity"].fn(spark, str(tmp_path)).collect()
+    }
+    # transitions per customer: prev {10,20} -> next {20,30}
+    # pairs each transition: (10,20) (10,30) (20,20) (20,30); 2 customers
+    assert got[(10, 20)] == (2, 2, 1_000_000)
+    assert got[(10, 30)] == (2, 2, 1_000_000)
+    assert got[(20, 20)] == (2, 2, 1_000_000)
+    assert got[(20, 30)] == (2, 2, 1_000_000)
+    assert len(got) == 4
+
+
+# ---- sample_snis_clipped ---------------------------------------------------
+
+
+def test_snis_clipped_planted(spark, tmp_path):
+    """Two sources (1 and 3 docs): w_a = 4/(2*1) = 2.0, w_b = 4/6;
+    the estimate and Kish ESS replayed with the identical left fold."""
+    rows = [
+        (1, "a", "en", "sa", 100),
+        (2, "b", "en", "sb", 200),
+        (3, "c", "en", "sb", 200),
+        (4, "d", "en", "sb", 200),
+    ]
+    write_fixture(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    w_a = min(4.0 / (2.0 * 1.0), 5.0)
+    w_b = min(4.0 / (2.0 * 3.0), 5.0)
+    sum_ws = 0.0
+    sum_wn = 0.0
+    sum_wwn = 0.0
+    for w, chars, n in ((w_a, 100.0, 1.0), (w_b, 600.0, 3.0)):  # sa < sb
+        sum_ws += w * chars
+        sum_wn += w * n
+        sum_wwn += w * w * n
+    [r] = REG["sample_snis_clipped"].fn(spark, str(tmp_path)).collect()
+    assert r.n_docs == 4
+    assert r.snis_mean_chars_milli == math.floor(sum_ws / sum_wn * 1000 + 0.5)
+    assert r.ess_ppm == math.floor(
+        sum_wn * sum_wn / sum_wwn / 4.0 * 1e6 + 0.5
+    )
+
+
 def test_basket_cap_never_binds_at_registry_shape(spark):
     """The documented data-model bound: the synthetic generator is
     looser than strict TPC-H (measured max distinct parts/order: 7 at
@@ -184,3 +479,214 @@ def test_basket_cap_never_binds_at_registry_shape(spark):
         .collect()[0]["mx"]
     )
     assert mx < _BASKET_MAX_PARTS // 4, mx
+
+
+# ---- randomized slow-lane replays (round-12 batch 48) -----------------
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [71, 72])
+def test_kendall_tau_random_replay(spark, tmp_path, seed):
+    import random
+
+    rng = random.Random(seed)
+    rows, eid = [], 0
+    daily: dict[str, dict[int, list[int]]] = {}
+    for t in ("a", "b", "c"):
+        for d in range(1, rng.randint(5, 15)):
+            k = rng.randint(1, 4)
+            for _ in range(k):
+                eid += 1
+                v = rng.choice([1.0, 2.5, 2.5, 7.75])
+                rows.append((eid, 1, _ts(d), v, t))
+                daily.setdefault(t, {}).setdefault(d, []).append(
+                    math.floor(v * 100 + 0.5)
+                )
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+
+    expect = {}
+    for t, days in daily.items():
+        pts = sorted(
+            (d, len(vs), sum(vs)) for d, vs in days.items()
+        )
+        c = d_ = n1 = n2 = n0 = 0
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                n0 += 1
+                sx = pts[i][1] - pts[j][1]
+                sy = pts[i][2] - pts[j][2]
+                if sx * sy > 0:
+                    c += 1
+                elif sx * sy < 0:
+                    d_ += 1
+                if sx == 0:
+                    n1 += 1
+                if sy == 0:
+                    n2 += 1
+        dx, dy = float(n0 - n1), float(n0 - n2)
+        tau = (
+            math.floor((c - d_) / math.sqrt(dx * dy) * 1000 + 0.5)
+            if dx > 0 and dy > 0
+            else None
+        )
+        expect[t] = (len(pts), c, d_, tau)
+    got = {
+        r.event_type: (r.n_days, r.concordant, r.discordant, r.tau_milli)
+        for r in REG["stats_kendall_tau"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [73, 74])
+def test_permutation_test_random_replay(spark, tmp_path, seed):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for eid in range(1, rng.randint(30, 80)):
+        rows.append(
+            (eid, rng.randint(1, 9), _ts(rng.randint(1, 10)),
+             round(rng.uniform(0, 20), 2), "a")
+        )
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+
+    def cents(v):
+        return math.floor(v * 100 + 0.5)
+
+    arms: dict[int, list[int]] = {0: [], 1: []}
+    for eid, uid, _t_, v, _e in rows:
+        arms[_h15(f"{uid}|perm42") % 2].append(cents(v))
+    obs = abs(sum(arms[0]) / len(arms[0]) - sum(arms[1]) / len(arms[1]))
+    n_extreme = 0
+    for b in range(1, 201):
+        g: dict[int, list[int]] = {0: [], 1: []}
+        for eid, uid, _t_, v, _e in rows:
+            g[_h15(f"{eid}|{b}|perm42") % 2].append(cents(v))
+        if not g[0] or not g[1]:
+            continue
+        if abs(sum(g[0]) / len(g[0]) - sum(g[1]) / len(g[1])) >= obs:
+            n_extreme += 1
+    [r] = REG["stats_permutation_test"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_a, r.n_b, r.n_extreme) == (
+        len(arms[0]), len(arms[1]), n_extreme
+    )
+    assert r.p_ppm == math.floor((n_extreme + 1) / 201 * 1e6 + 0.5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [75, 76])
+def test_next_order_affinity_random_replay(spark, tmp_path, seed):
+    import random
+
+    rng = random.Random(seed)
+    orders, li = [], []
+    cust_orders: dict[int, list] = {}
+    ok = 0
+    for cust in range(1, rng.randint(4, 9)):
+        for _ in range(rng.randint(1, 5)):
+            ok += 1
+            day = rng.randint(1, 28)
+            parts = sorted(rng.sample(range(10, 25), rng.randint(1, 5)))
+            orders.append((ok, cust, _ts(day)))
+            for p in parts:
+                li.append((ok, p))
+            cust_orders.setdefault(cust, []).append((day, ok, parts))
+    write_fixture(spark, tmp_path, "orders", orders, ORD_SCHEMA)
+    write_fixture(spark, tmp_path, "lineitem", li, LI2_SCHEMA)
+
+    n_prev: dict[int, int] = {}
+    pair_n: dict[tuple[int, int], int] = {}
+    for seq in cust_orders.values():
+        seq.sort()
+        for (d1, k1, prev), (d2, k2, nxt) in zip(seq, seq[1:]):
+            for pa in prev:
+                n_prev[pa] = n_prev.get(pa, 0) + 1
+                for pb in nxt:
+                    pair_n[(pa, pb)] = pair_n.get((pa, pb), 0) + 1
+    expect = {
+        (pa, pb): (n, n_prev[pa], n * 1_000_000 // n_prev[pa])
+        for (pa, pb), n in pair_n.items()
+        if n >= 2
+    }
+    got = {
+        (r.part_prev, r.part_next): (r.n_pair, r.n_prev, r.conf_ppm)
+        for r in REG["orders_next_order_affinity"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == expect
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [77, 78])
+def test_garbage_score_random_replay(spark, tmp_path, seed):
+    import random
+    import re
+
+    rng = random.Random(seed)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 #$%!@"
+    rows = []
+    for did in range(1, rng.randint(20, 50)):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        rows.append((did, s, "en", "s", len(s)))
+    write_fixture(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+
+    expect = {}
+    for did, s, _l, _src, _n in rows:
+        lo = s.lower()
+        n = len(lo)
+        sym = n - len(re.sub(r"[^a-z0-9 ]", "", lo))
+        dig = n - len(re.sub(r"[0-9]", "", lo))
+        runs = [len(m) for m in re.findall(r"[bcdfghjklmnpqrstvwxyz]+", lo)]
+        mr = max(runs) if runs else 0
+        if n > 0:
+            sp = sym * 1_000_000 // n
+            dp = dig * 1_000_000 // n
+            garb = sp > 200_000 or mr > 7
+        else:
+            sp = dp = garb = None
+            garb = None if mr <= 7 else True
+        expect[did] = (n, sp, dp, mr, garb)
+    got = {
+        r.doc_id: (
+            r.n_chars_raw, r.symbol_ppm, r.digit_ppm,
+            r.max_consonant_run, r.is_garbage,
+        )
+        for r in REG["text_garbage_score"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [79, 80])
+def test_snis_clipped_random_replay(spark, tmp_path, seed):
+    import random
+
+    rng = random.Random(seed)
+    rows, did = [], 0
+    per: dict[str, list[int]] = {}
+    for s in range(rng.randint(2, 7)):
+        src = f"s{s:02d}"
+        for _ in range(rng.randint(1, 30)):
+            did += 1
+            nch = rng.randint(10, 999)
+            rows.append((did, "t", "en", src, nch))
+            per.setdefault(src, []).append(nch)
+    write_fixture(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+
+    N = float(did)
+    k = float(len(per))
+    sum_ws = sum_wn = sum_wwn = 0.0
+    for src in sorted(per):  # the left fold is source-sorted
+        n_s = float(len(per[src]))
+        w = min(N / (k * n_s), 5.0)
+        sum_ws += w * float(sum(per[src]))
+        sum_wn += w * n_s
+        sum_wwn += w * w * n_s
+    [r] = REG["sample_snis_clipped"].fn(spark, str(tmp_path)).collect()
+    assert r.n_docs == did
+    assert r.snis_mean_chars_milli == math.floor(
+        sum_ws / sum_wn * 1000 + 0.5
+    )
+    assert r.ess_ppm == math.floor(sum_wn * sum_wn / sum_wwn / N * 1e6 + 0.5)
