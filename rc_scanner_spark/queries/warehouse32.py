@@ -199,10 +199,19 @@ def q_stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("yb"),
     )
     pairs = a.join(b, "event_type").filter(F.col("da") < F.col("db"))
-    sgn = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    # sign COMPARISONS, not the raw (xa-xb)*(ya-yb) product: y values
+    # are unbounded cent sums, so the product can overflow BIGINT at
+    # extreme daily gaps even though only its sign is needed (review
+    # r12); the boolean forms are overflow-free and engine-identical
+    conc = ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb"))) | (
+        (F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb"))
+    )
+    disc = ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb"))) | (
+        (F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb"))
+    )
     agg = pairs.groupBy("event_type").agg(
-        F.sum(F.when(sgn > 0, 1).otherwise(0)).alias("c"),
-        F.sum(F.when(sgn < 0, 1).otherwise(0)).alias("d"),
+        F.sum(F.when(conc, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(disc, 1).otherwise(0)).alias("d"),
         F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0)).alias("n1"),
         F.sum(F.when(F.col("ya") == F.col("yb"), 1).otherwise(0)).alias("n2"),
         F.count(F.lit(1)).alias("n0"),
@@ -237,8 +246,10 @@ WITH daily AS (
 ),
 pairs AS (
   SELECT a.event_type,
-         sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END) AS c,
-         sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END) AS d,
+         sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                    OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                    OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS d,
          sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS n1,
          sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS n2,
          count(*) AS n0
@@ -445,18 +456,22 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = pairs.select(th, "id_a", "id_b", "jac_tenk").filter(
         F.col("jac_tenk") >= F.col("threshold_milli") * 10
     )
-    per = surv.groupBy("threshold_milli").agg(
-        F.count(F.lit(1)).alias("n_pairs")
+    # ONE aggregation over ONE explode: each id_a < id_b pair
+    # contributes exactly 2 doc rows, so n_pairs = count/2 and the
+    # distinct-doc count share the same subtree — the two-branch
+    # shape re-ran the whole un-persisted pair pipeline twice
+    # (review r12)
+    ends = surv.select(
+        "threshold_milli", F.explode(F.array("id_a", "id_b")).alias("d")
     )
-    # countDistinct over BOTH pair ends needs the explode first
-    docs = (
-        surv.select(
-            "threshold_milli", F.explode(F.array("id_a", "id_b")).alias("d")
+    return (
+        ends.groupBy("threshold_milli")
+        .agg(
+            F.expr("count(1) DIV 2").cast("long").alias("n_pairs"),
+            F.count_distinct("d").alias("n_docs"),
         )
-        .groupBy("threshold_milli")
-        .agg(F.count_distinct("d").alias("n_docs"))
+        .orderBy("threshold_milli")
     )
-    return per.join(docs, "threshold_milli").orderBy("threshold_milli")
 
 
 def _sweep_sql() -> str:
@@ -486,16 +501,12 @@ surv AS (
                AS threshold_milli) t
   JOIN jac j ON j.jac_tenk >= t.threshold_milli * 10 AND j.jac_tenk >= 1
 ),
-np AS (SELECT threshold_milli, count(*) AS n_pairs FROM surv GROUP BY 1),
-nd AS (
-  SELECT threshold_milli, count(DISTINCT d) AS n_docs
-  FROM (SELECT threshold_milli, unnest([id_a, id_b]) AS d FROM surv)
-  GROUP BY 1
-)
-SELECT CAST(np.threshold_milli AS BIGINT) AS threshold_milli,
-       CAST(n_pairs AS BIGINT) AS n_pairs,
-       CAST(n_docs AS BIGINT) AS n_docs
-FROM np JOIN nd USING (threshold_milli)
+ends AS (SELECT threshold_milli, unnest([id_a, id_b]) AS d FROM surv)
+SELECT CAST(threshold_milli AS BIGINT) AS threshold_milli,
+       CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+FROM ends
+GROUP BY threshold_milli
 ORDER BY threshold_milli
 """
 

@@ -271,7 +271,6 @@ def test_cume_dist_planted(spark, tmp_path):
         r.day: r.cume_ppm
         for r in REG["window_cume_dist"].fn(spark, str(tmp_path)).collect()
     }
-    d1 = list(got)[0]
     days = sorted(got)
     assert got[days[0]] == got[days[1]] == math.floor(2 / 3 * 1e6 + 0.5)
     assert got[days[2]] == 1_000_000
@@ -645,8 +644,9 @@ def test_garbage_score_random_replay(spark, tmp_path, seed):
             dp = dig * 1_000_000 // n
             garb = sp > 200_000 or mr > 7
         else:
+            # empty doc: NULL shares; NULL OR false stays NULL (and
+            # mr is always 0 here, so the run clause never fires)
             sp = dp = garb = None
-            garb = None if mr <= 7 else True
         expect[did] = (n, sp, dp, mr, garb)
     got = {
         r.doc_id: (

@@ -758,9 +758,13 @@ def test_sse_idless_stream_persists_offset(tmp_path):
     try:
         r = ChangeStreamReader(SCHEMA, {"url": srv.url(), "idfile": idfile})
         feed = r._feed
-        assert _wait_for(lambda: feed.size() == 6)
+        # >= not ==: with no Last-Event-ID to present, every ~1 s
+        # reconnect replays all 6 events and the buffer keeps growing
+        # — an exact-size assert is a <1 s race (review r12).  The
+        # committed offset below is invariant to the growth.
+        assert _wait_for(lambda: feed.size() >= 6)
         r.commit({"line": 4})
-        assert feed.size() == 6  # global offset unchanged by trim
+        assert feed.size() >= 6  # trim drops only the committed prefix
         with open(idfile) as f:
             # no event id to persist -> empty first line, but the
             # committed global offset is still written
