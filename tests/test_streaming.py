@@ -826,13 +826,20 @@ def test_sse_loopback_live_structured_streaming(spark, tmp_path):
             .start()
         )
         # generous bound: only the FAILURE path pays it; a loaded host
-        # starves microbatch scheduling well past a minute
-        assert _wait_for(lambda: len(out_titles()) == 6, timeout=180.0)
+        # starves microbatch scheduling well past a minute.  >= not ==
+        # so an overshoot (duplicates) fails FAST at the equality
+        # assert below with the actual titles, instead of spinning the
+        # full timeout (intermittent full-suite flake, round 12 — the
+        # messages exist to identify the failing condition next time).
+        assert _wait_for(
+            lambda: len(out_titles()) >= 6, timeout=180.0
+        ), f"phase1 timeout: titles={out_titles()}"
         q.processAllAvailable()
         q.stop()
     finally:
         srv.close()
-    assert out_titles() == [f"Live{i}" for i in range(6)]  # exactly once
+    got1 = out_titles()
+    assert got1 == [f"Live{i}" for i in range(6)], f"phase1: {got1}"
 
     # phase 2: driver restart -- fresh server with 2 extra events; the
     # restarted query resumes from the checkpointed offset and the
@@ -851,9 +858,15 @@ def test_sse_loopback_live_structured_streaming(spark, tmp_path):
             .option("checkpointLocation", ckpt)
             .start()
         )
-        assert _wait_for(lambda: len(out_titles()) == 8, timeout=180.0)
+        assert _wait_for(
+            lambda: len(out_titles()) >= 8, timeout=180.0
+        ), f"phase2 timeout: titles={out_titles()}, seen={srv2.seen_last_ids}"
         q2.processAllAvailable()
         q2.stop()
     finally:
         srv2.close()
-    assert out_titles() == [f"Live{i}" for i in range(8)]  # no dupes, no gaps
+    got2 = out_titles()
+    # no dupes, no gaps
+    assert got2 == [f"Live{i}" for i in range(8)], (
+        f"phase2: {got2}, seen={srv2.seen_last_ids}"
+    )
