@@ -52,17 +52,18 @@ def load_tuned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #       slots 21-32, then 18 r3-era drains -- CORRECTNESS_r11: 50/50
 #       hash-green, zero overlap with r10.
 #   r12 (THIS ordering, emitted by tools/rotate_prefix.py --slots 50
-#       on the closing tree): the 10 never-sampled round-12 additions
+#       on the closing tree): the 16 never-sampled round-12 additions
 #       (batch 48: the power-iteration PCA twin, Kendall tau-b, the
 #       permutation test, the lateness profile, cume_dist, the dedup
 #       threshold sweep + quality shift, the garbage score, the
-#       next-order affinity, SNIS) in slots 1-10, then the
-#       oldest-driver-row drain -- the 9 remaining r3-era rows
-#       (tpch_q19ish .. tpch_q9ish) and the oldest 31 of the 50
-#       r4-era rows (agg_cohens_kappa .. sample_stratified,
-#       alphabetical within the r4 cohort) to fill slot 50.
-#       embed_pca_variance (rows-only by design) stays at spill
-#       position 51; the 19 r4-era rows after it (sample_weighted_mix
+#       next-order affinity, SNIS; batch 49: KMV set ops, Cochran's
+#       Q, the trimmed mean, LSH band tuning, cluster purity, Page's
+#       trend) in slots 1-16, then the oldest-driver-row drain -- the
+#       9 remaining r3-era rows (tpch_q19ish .. tpch_q9ish) and the
+#       oldest 25 of the 50 r4-era rows (agg_cohens_kappa ..
+#       join_salted_skew, alphabetical within the r4 cohort) to fill
+#       slot 50.  embed_pca_variance (rows-only by design) stays at
+#       spill position 51; the 25 r4-era rows after it (merge_upsert
 #       .. window_lag_lead) head the r13 drain, which finishes the
 #       staleness tail.  Registry additions stay capped at ~20/round
 #       so the 50-row window keeps converging.  Enforced by
@@ -81,6 +82,12 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "stats_permutation_test",  # never
     "orders_next_order_affinity",  # never
     "sample_snis_clipped",  # never
+    "sketch_kmv_set_ops",  # never
+    "stats_cochran_q",  # never
+    "agg_trimmed_mean",  # never
+    "dedup_lsh_band_tuning",  # never
+    "dedup_cluster_purity",  # never
+    "stats_page_trend",  # never
     "tpch_q19ish",  # green r3
     "tpch_q22ish",  # green r3
     "tpch_q3ish",  # green r3
@@ -115,14 +122,14 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "join_full_outer",  # green r4
     "join_right_outer",  # green r4
     "join_salted_skew",  # green r4
+    # ---- entries below are outside the 50-slot prefix ----
+    "embed_pca_variance",  # never
     "merge_upsert",  # green r4
     "pack_sequences",  # green r4
     "profile_columns",  # green r4
     "sample_interleave_shards",  # green r4
     "sample_negatives",  # green r4
     "sample_stratified",  # green r4
-    # ---- entries below are outside the 50-slot prefix ----
-    "embed_pca_variance",  # never
     "sample_weighted_mix",  # green r4
     "scd2_user_state",  # green r4
     "session_windows",  # green r4
@@ -495,6 +502,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse30,
         warehouse31,
         warehouse32,
+        warehouse33,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -545,6 +553,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse30,
         warehouse31,
         warehouse32,
+        warehouse33,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

@@ -1487,8 +1487,10 @@ def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_CC_CLUSTERS = """
-WITH RECURSIVE w AS (
+# The CC pipeline CTEs through `labeled` (doc_id -> component), shared
+# with the purity readout (warehouse33) — one definition of the edge
+# construction + reachability closure.
+SQL_CC_LABELED_CTES = """w AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
   FROM documents
 ),
@@ -1528,7 +1530,10 @@ comp AS (
 labeled AS (
   SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
   FROM documents d LEFT JOIN comp c USING (doc_id)
-),
+)"""
+
+SQL_DEDUP_CC_CLUSTERS = f"""
+WITH RECURSIVE {SQL_CC_LABELED_CTES},
 sizes AS (
   SELECT component, count(*) AS cluster_size FROM labeled GROUP BY 1
 )

@@ -261,6 +261,17 @@ ALLOWED_CARTESIANS = {
     # 1-row (n_total, k) corpus scalar broadcast over the per-source
     # weight terms
     "sample_snis_clipped": 1,
+    # 1-row epoch-midpoint scalar broadcast over events, then the
+    # 1-row wide-estimates x 1-row exact x 1-row exact-union readout
+    # crosses; the halved frame embedding the midpoint feeds four
+    # lazy consumers (a/b/union sketch sides + exact counts) in the
+    # lazy plan shape
+    "sketch_kmv_set_ops": 6,
+    # 1-row row-sums x 1-row col-sums x k-row type-count readout
+    "stats_cochran_q": 2,
+    # bounded day-spine cross (days x the 4-bucket literal frame) +
+    # the 1-row block-count scalar on the readout
+    "stats_page_trend": 2,
 }
 
 

@@ -690,3 +690,258 @@ def test_snis_clipped_random_replay(spark, tmp_path, seed):
         sum_ws / sum_wn * 1000 + 0.5
     )
     assert r.ess_ppm == math.floor(sum_wn * sum_wn / sum_wwn / N * 1e6 + 0.5)
+
+
+# ---- batch 49: planted tests -------------------------------------------
+
+
+def test_kmv_set_ops_planted_exact_regime(spark, tmp_path):
+    """Fewer than k=64 distinct users per side: every estimate
+    collapses to the exact count (n_kept < k path), so union /
+    intersection / Jaccard are verifiable by hand.  Users 1-10 in the
+    first half, 6-15 in the second -> intersect 5, union 15."""
+    rows, eid = [], 0
+    for uid in range(1, 11):
+        eid += 1
+        rows.append((eid, uid, _ts(1), 1.0, "a"))
+    for uid in range(6, 16):
+        eid += 1
+        rows.append((eid, uid, _ts(28), 1.0, "a"))
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["sketch_kmv_set_ops"].fn(spark, str(tmp_path)).collect()
+    assert (r.exact_a, r.exact_b, r.exact_union, r.exact_intersect) == (
+        10, 10, 15, 5
+    )
+    assert (r.est_union, r.est_intersect) == (15, 5)
+    assert r.est_jaccard_ppm == math.floor(5.0 / 15.0 * 1e6 + 0.5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [81, 82])
+def test_kmv_set_ops_random_replay(spark, tmp_path, seed):
+    """> 64 users per side so the (k-1)*M/h_k estimator actually
+    fires; the pure-Python mirror replays hashes and estimates."""
+    import random
+
+    rng = random.Random(seed)
+    rows, eid = [], 0
+    a_users = set(rng.sample(range(1, 500), rng.randint(80, 200)))
+    b_users = set(rng.sample(range(1, 500), rng.randint(80, 200)))
+    for uid in sorted(a_users):
+        eid += 1
+        rows.append((eid, uid, _ts(1), 1.0, "a"))
+    for uid in sorted(b_users):
+        eid += 1
+        rows.append((eid, uid, _ts(28), 1.0, "a"))
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+
+    K, M = 64, float(16**15)
+
+    def est(users):
+        hs = sorted(_h15(f"{u}|kmvset") for u in users)
+        if len(hs) < K:
+            return float(len(hs))
+        return (K - 1) * (M / hs[K - 1])
+
+    ea, eb = est(a_users), est(b_users)
+    eu = est(a_users | b_users)
+    ei = max(ea + eb - eu, 0.0)
+    [r] = REG["sketch_kmv_set_ops"].fn(spark, str(tmp_path)).collect()
+    assert (r.exact_a, r.exact_b) == (len(a_users), len(b_users))
+    assert r.exact_union == len(a_users | b_users)
+    assert r.est_union == math.floor(eu)
+    assert r.est_intersect == math.floor(ei)
+    assert r.est_jaccard_ppm == math.floor(ei / eu * 1e6 + 0.5)
+
+
+def test_cochran_q_planted(spark, tmp_path):
+    """3 users x 3 types, hand-computed: x = [[1,1,0],[1,0,0],[1,1,1]]
+    -> C = (3,2,1), T = 6, Ri = (2,1,3), sum Cj^2 = 14, sum Ri^2 = 14;
+    Q = 2*(3*14 - 36) / (3*6 - 14) = 12/4 = 3.0."""
+    rows, eid = [], 0
+    panel = {1: ("a", "b"), 2: ("a",), 3: ("a", "b", "c")}
+    for uid, types in panel.items():
+        for t in types:
+            eid += 1
+            rows.append((eid, uid, _ts(eid), 1.0, t))
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["stats_cochran_q"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_users, r.k_types, r.df, r.q_milli) == (3, 3, 2, 3000)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [83, 84])
+def test_cochran_q_random_replay(spark, tmp_path, seed):
+    import random
+
+    rng = random.Random(seed)
+    types = ["a", "b", "c", "d"][: rng.randint(2, 4)]
+    rows, eid = [], 0
+    panel: dict[int, set[str]] = {}
+    for uid in range(1, rng.randint(5, 25)):
+        mine = {t for t in types if rng.random() < 0.5}
+        if not mine:
+            mine = {rng.choice(types)}
+        panel[uid] = mine
+        for t in mine:
+            eid += 1
+            rows.append((eid, uid, _ts(1 + eid % 27), 1.0, t))
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+
+    seen_types = sorted({t for s in panel.values() for t in s})
+    k = len(seen_types)
+    ri = {u: len(s) for u, s in panel.items()}
+    cj = {t: sum(1 for s in panel.values() if t in s) for t in seen_types}
+    T = sum(ri.values())
+    num = (k - 1) * (k * sum(c * c for c in cj.values()) - T * T)
+    den = k * T - sum(r * r for r in ri.values())
+    q = math.floor(num / den * 1000 + 0.5) if den > 0 else None
+    [r] = REG["stats_cochran_q"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_users, r.k_types, r.df, r.q_milli) == (
+        len(panel), k, k - 1, q
+    )
+
+
+LI3_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_linenumber long, "
+    "l_returnflag string, l_quantity double"
+)
+
+
+def test_trimmed_mean_planted(spark, tmp_path):
+    """10 values 1..10 (cents 100..1000): lo = 1, keep ranks 2..9 ->
+    mean of 200..900 cents = 550 cents -> 550000 milli."""
+    rows = [
+        (i, 1, i, "N", float(i)) for i in range(1, 11)
+    ]
+    write_fixture(spark, tmp_path, "lineitem", rows, LI3_SCHEMA)
+    [r] = REG["agg_trimmed_mean"].fn(spark, str(tmp_path)).collect()
+    assert (r.l_returnflag, r.n_all, r.n_kept) == ("N", 10, 8)
+    assert r.trimmed_mean_cents_milli == 550000
+
+
+def test_lsh_band_tuning_planted(spark, tmp_path):
+    """Reuses the sweep fixture: one exact pair (s = 1.0, p = 1 for
+    every config) and two partial pairs (s = 0.3333); expected ppm
+    sums replayed with the identical square-multiply chains."""
+    t1 = "alpha beta gamma delta epsilon zeta"
+    t2 = "alpha beta gamma delta theta iota"
+    rows = [
+        (1, t1, "en", "s", len(t1)),
+        (2, t1, "en", "s", len(t1)),
+        (3, t2, "en", "s", len(t2)),
+    ]
+    write_fixture(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+
+    def p_of(s, r, b):
+        sr = s * s
+        if r >= 4:
+            sr = sr * sr
+        if r == 8:
+            sr = sr * sr
+        x = 1.0 - sr
+        xb = x * x
+        if b >= 4:
+            xb = xb * xb
+        if b == 8:
+            xb = xb * xb
+        return 1.0 - xb
+
+    svals = [1.0, 0.3333, 0.3333]
+    got = {
+        (r.bands, r.rows): (
+            r.n_pairs, r.exp_detected_milli, r.exp_detected_neardup_milli
+        )
+        for r in REG["dedup_lsh_band_tuning"].fn(spark, str(tmp_path)).collect()
+    }
+    for b, rr in ((2, 8), (4, 4), (8, 2)):
+        tot = sum(math.floor(p_of(s, rr, b) * 1e6 + 0.5) for s in svals)
+        near = sum(
+            math.floor(p_of(s, rr, b) * 1e6 + 0.5) for s in svals if s >= 0.5
+        )
+        assert got[(b, rr)] == (3, tot // 1000, near // 1000)
+
+
+def test_cluster_purity_planted(spark, tmp_path):
+    """One 2-doc cluster split across sources (purity 500000) and one
+    3-doc cluster with a 2/1 source split (purity 666666); singleton
+    docs are excluded."""
+    pre = "shared four word prefix"
+    pre2 = "another common head run"
+    rows = [
+        (1, pre + " tail one", "en", "sa", 20),
+        (2, pre + " tail two", "en", "sb", 20),
+        (3, pre2 + " xx", "en", "sa", 20),
+        (4, pre2 + " yy", "en", "sa", 20),
+        (5, pre2 + " zz", "en", "sb", 20),
+        (6, "completely unrelated solitary document", "en", "sa", 30),
+    ]
+    write_fixture(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    got = {
+        r.cluster_size: (r.n_clusters, r.mean_purity_ppm)
+        for r in REG["dedup_cluster_purity"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {2: (1, 500000), 3: (1, 666666)}
+
+
+def test_page_trend_planted(spark, tmp_path):
+    """3 days with event counts strictly rising across the four
+    6-hour buckets: doubled ranks (2,4,6,8) per day, L2 = 3*60 = 180,
+    E[L2] = 150, Var = 3*1200/36 -> z = 30/sqrt(100) = 3.0."""
+    rows, eid = [], 0
+    for d in (1, 2, 3):
+        for bucket in range(4):
+            for _ in range(bucket + 1):  # counts 1,2,3,4
+                eid += 1
+                rows.append((eid, 1, _ts(d, bucket * 6), 1.0, "a"))
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["stats_page_trend"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_days, r.k_buckets, r.l2, r.e_l2, r.z_milli) == (
+        3, 4, 180, 150, 3000
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [85, 86])
+def test_page_trend_random_replay(spark, tmp_path, seed):
+    import random
+
+    rng = random.Random(seed)
+    rows, eid = [], 0
+    counts: dict[tuple[int, int], int] = {}
+    for d in range(1, rng.randint(4, 10)):
+        for bucket in range(4):
+            k = rng.randint(0, 4)
+            counts[(d, bucket)] = k
+            for _ in range(k):
+                eid += 1
+                rows.append(
+                    (eid, 1, _ts(d, bucket * 6, eid % 60), 1.0, "a")
+                )
+    if not rows:
+        rows.append((1, 1, _ts(1, 0), 1.0, "a"))
+        counts[(1, 0)] = 1
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+
+    days = sorted({d for (d, _b), n in counts.items() if n > 0} | {
+        d for (d, _b), n in counts.items()
+    })
+    # mirror zero-fills only days that HAVE at least one event (the
+    # day spine comes from observed events)
+    days = sorted({d for (d, b), n in counts.items() if n > 0})
+    l2 = 0
+    for j in range(4):
+        rsum = 0
+        for d in days:
+            vals = sorted(counts.get((d, b), 0) for b in range(4))
+            v = counts.get((d, j), 0)
+            lo = vals.index(v) + 1          # min rank (1-based)
+            ties = vals.count(v)
+            rsum += 2 * lo + ties - 1
+        l2 += (j + 1) * rsum
+    b = len(days)
+    e_l2 = b * 4 * 25 // 2
+    var = b * 16.0 * 5.0 * 15.0 / 36.0
+    z = math.floor((l2 - e_l2) / math.sqrt(var) * 1000 + 0.5) if b else None
+    [r] = REG["stats_page_trend"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_days, r.l2, r.e_l2, r.z_milli) == (b, l2, e_l2, z)
