@@ -1443,18 +1443,16 @@ FROM b WHERE bucket < rate_permille
 """
 
 
-def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup *clusters* from multi-key edges via distributed
-    connected components: docs sharing a first-4-words or last-4-words
-    fingerprint are edged (star construction — linear per key group,
-    df-capped at 100), then min-label propagation assigns each doc the
-    smallest reachable id.  Chains (A~B on the prefix key, B~C on the
-    suffix key) collapse into one cluster, which pairwise dedup alone
-    cannot do.  Per round: one shuffle of 16-byte (id, label) state.
-    Oracle: recursive-CTE reachability closure over identical edges."""
+def cc_labeled(d: DataFrame) -> DataFrame:
+    """The shared near-dup CC label frame: (doc_id, component) — docs
+    sharing a first-4-words or last-4-words fingerprint are edged
+    (star construction, df-capped at 100), min-label propagation
+    assigns each doc the smallest reachable id, unlabeled docs are
+    their own component.  ONE Python definition, mirroring the shared
+    SQL_CC_LABELED_CTES twin string — consumed by q_dedup_cc_clusters
+    and the purity readout (warehouse33; review r12)."""
     from ..operators.graph import connected_components, star_edges_for_key
 
-    d = _t(spark, sf_dir, "documents")
     ws = words(F.col("text"))
     k1 = F.md5(F.concat_ws(" ", F.slice(ws, 1, 4)))
     k2 = F.md5(
@@ -1468,7 +1466,7 @@ def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     edges = star_edges_for_key(keyed, "doc_id", "key", max_group=100)
     comp = connected_components(edges)
-    labeled = (
+    return (
         d.select("doc_id")
         .join(comp, d["doc_id"] == comp["id"], "left")
         .select(
@@ -1476,6 +1474,19 @@ def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
         )
     )
+
+
+def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters* from multi-key edges via distributed
+    connected components: docs sharing a first-4-words or last-4-words
+    fingerprint are edged (star construction — linear per key group,
+    df-capped at 100), then min-label propagation assigns each doc the
+    smallest reachable id.  Chains (A~B on the prefix key, B~C on the
+    suffix key) collapse into one cluster, which pairwise dedup alone
+    cannot do.  Per round: one shuffle of 16-byte (id, label) state.
+    Oracle: recursive-CTE reachability closure over identical edges."""
+    d = _t(spark, sf_dir, "documents")
+    labeled = cc_labeled(d)
     sizes = labeled.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

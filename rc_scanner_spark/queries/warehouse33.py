@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import QuerySpec, load_tuned
-from .warehouse25 import epoch_mid
+from .warehouse25 import SQL_EPOCH_MID_CTE, epoch_mid
 
 _t = load_tuned
 
@@ -129,7 +129,7 @@ def q_sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SKETCH_KMV_SET_OPS = f"""
 WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev),
+{SQL_EPOCH_MID_CTE},
 halved AS (
   SELECT CASE WHEN us <= mid.mid_us THEN 'a' ELSE 'b' END AS side,
          CAST(concat('0x', substr(md5(user_id || '|kmvset'), 1, 15))
@@ -376,25 +376,42 @@ def q_dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out * out
         return out
 
-    rows_ = []
+    # ONE aggregation computing all six sums as columns, then the
+    # single row is stacked into the 3 config rows map-side — a
+    # 3-branch union re-ran the whole un-persisted pair pipeline once
+    # per config (the q_dedup_threshold_sweep lesson, review r12)
+    aggs = [F.count(F.lit(1)).alias("n_pairs")]
     for b, r in _LSH_CONFIGS:
         p = F.lit(1.0) - pow_chain(F.lit(1.0) - pow_chain(F.col("s"), r), b)
         p_ppm = F.floor(p * 1e6 + 0.5)
-        rows_.append(
-            pairs.agg(
-                F.lit(b).alias("bands"),
-                F.lit(r).alias("rows"),
-                F.count(F.lit(1)).alias("n_pairs"),
-                (F.sum(p_ppm) / 1000).cast("long").alias("exp_detected_milli"),
-                (
-                    F.sum(F.when(F.col("s") >= 0.5, p_ppm).otherwise(0)) / 1000
-                ).cast("long").alias("exp_detected_neardup_milli"),
+        aggs.append(F.sum(p_ppm).alias(f"d_{b}_{r}"))
+        aggs.append(
+            F.sum(F.when(F.col("s") >= 0.5, p_ppm).otherwise(0)).alias(
+                f"nd_{b}_{r}"
             )
         )
-    out = rows_[0]
-    for fr in rows_[1:]:
-        out = out.unionByName(fr)
-    return out.orderBy("bands")
+    one = pairs.agg(*aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bands"),
+                        F.lit(r).alias("rows"),
+                        F.col("n_pairs"),
+                        (F.col(f"d_{b}_{r}") / 1000)
+                        .cast("long")
+                        .alias("exp_detected_milli"),
+                        (F.col(f"nd_{b}_{r}") / 1000)
+                        .cast("long")
+                        .alias("exp_detected_neardup_milli"),
+                    )
+                    for b, r in _LSH_CONFIGS
+                ]
+            )
+        ).alias("c")
+    ).select("c.*")
+    return stacked.orderBy("bands")
 
 
 def _lsh_sql() -> str:
@@ -408,23 +425,31 @@ def _lsh_sql() -> str:
             out = f"({out}*{out})"
         return out
 
+    # mirror of the Spark shape: ONE aggregation (6 sum columns), then
+    # a 3-arm readout over the MATERIALIZED one-row CTE (DuckDB
+    # inlines plain CTEs per reference, which would re-run the pair
+    # pipeline once per arm — the exact cost the Spark side avoids).
+    # The ppm summand is CAST to BIGINT BEFORE sum: DuckDB's // on a
+    # DOUBLE sum is plain division (964.896, not 964) and CAST(double
+    # AS BIGINT) ROUNDS where Spark truncates — an integer-typed sum
+    # makes // true floor division (found by a 1-milli oracle
+    # mismatch, round 12)
+    sums = ["count(*) AS n_pairs"]
     arms = []
     for b, r in _LSH_CONFIGS:
         p = f"(1.0 - {pow_sql('(1.0 - ' + pow_sql('s', r) + ')', b)})"
-        # the ppm summand is CAST to BIGINT BEFORE sum: DuckDB's //
-        # on a DOUBLE sum is plain division (964.896, not 964) and
-        # CAST(double AS BIGINT) ROUNDS where Spark truncates — an
-        # integer-typed sum makes // true floor division (found by a
-        # 1-milli oracle mismatch, round 12)
+        sums.append(
+            f"sum(CAST(floor({p} * 1e6 + 0.5) AS BIGINT)) AS d_{b}_{r}"
+        )
+        sums.append(
+            f"sum(CASE WHEN s >= 0.5 THEN CAST(floor({p} * 1e6 + 0.5)"
+            f" AS BIGINT) ELSE 0 END) AS nd_{b}_{r}"
+        )
         arms.append(f"""
-SELECT {b} AS bands, {r} AS "rows", count(*) AS n_pairs,
-       CAST(sum(CAST(floor({p} * 1e6 + 0.5) AS BIGINT)) // 1000 AS BIGINT)
-           AS exp_detected_milli,
-       CAST(sum(CASE WHEN s >= 0.5
-                     THEN CAST(floor({p} * 1e6 + 0.5) AS BIGINT)
-                     ELSE 0 END) // 1000
-            AS BIGINT) AS exp_detected_neardup_milli
-FROM jac""")
+SELECT {b} AS bands, {r} AS "rows", n_pairs,
+       CAST(d_{b}_{r} // 1000 AS BIGINT) AS exp_detected_milli,
+       CAST(nd_{b}_{r} // 1000 AS BIGINT) AS exp_detected_neardup_milli
+FROM one""")
     body = "\nUNION ALL\n".join(arms)
     return f"""
 WITH {SQL_BLOCKED_SHINGLES_CTES},
@@ -438,6 +463,9 @@ jac AS (
   JOIN counts cb ON cb.doc_id = id_b
   WHERE floor(round(n_common * 1.0 /
                     (ca.n_sh + cb.n_sh - n_common), 4) * 10000 + 0.5) >= 1
+),
+one AS MATERIALIZED (
+  SELECT {', '.join(sums)} FROM jac
 )
 SELECT CAST(bands AS INT) AS bands, CAST("rows" AS INT) AS "rows",
        CAST(n_pairs AS BIGINT) AS n_pairs,
@@ -462,31 +490,10 @@ def q_dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the CC label frame (one 16-byte state shuffle per round,
     operators/graph.py) + two rollups."""
-    from ..operators.graph import connected_components, star_edges_for_key
-    from ..operators.text import words
+    from .llm import cc_labeled
 
     d = _t(spark, sf_dir, "documents")
-    ws = words(F.col("text"))
-    k1 = F.md5(F.concat_ws(" ", F.slice(ws, 1, 4)))
-    k2 = F.md5(
-        F.concat_ws(
-            " ",
-            F.when(F.size(ws) >= 4, F.slice(ws, -4, 4)).otherwise(ws),
-        )
-    )
-    keyed = d.select(
-        "doc_id", F.explode(F.array(k1, k2)).alias("key")
-    ).distinct()
-    edges = star_edges_for_key(keyed, "doc_id", "key", max_group=100)
-    comp = connected_components(edges)
-    labeled = (
-        d.select("doc_id", "source")
-        .join(comp, d["doc_id"] == comp["id"], "left")
-        .select(
-            "source",
-            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
-        )
-    )
+    labeled = cc_labeled(d).join(d.select("doc_id", "source"), "doc_id")
     per_src = labeled.groupBy("component", "source").agg(
         F.count(F.lit(1)).alias("n_src")
     )
@@ -586,8 +593,7 @@ def q_stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = filled.select("day", "bucket", r2.alias("r2"))
     per_bucket = ranked.groupBy("bucket").agg(F.sum("r2").alias("rsum"))
     agg = per_bucket.agg(
-        F.sum((F.col("bucket") + 1) * F.col("rsum")).alias("l2"),
-        F.count(F.lit(1)).alias("k_chk"),
+        F.sum((F.col("bucket") + 1) * F.col("rsum")).alias("l2")
     )
     b_days = days.agg(F.count(F.lit(1)).alias("b"))
     k = _PAGE_K

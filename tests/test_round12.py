@@ -923,12 +923,9 @@ def test_page_trend_random_replay(spark, tmp_path, seed):
         counts[(1, 0)] = 1
     write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
 
-    days = sorted({d for (d, _b), n in counts.items() if n > 0} | {
-        d for (d, _b), n in counts.items()
-    })
     # mirror zero-fills only days that HAVE at least one event (the
     # day spine comes from observed events)
-    days = sorted({d for (d, b), n in counts.items() if n > 0})
+    days = sorted({d for (d, _b), n in counts.items() if n > 0})
     l2 = 0
     for j in range(4):
         rsum = 0
