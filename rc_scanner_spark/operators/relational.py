@@ -40,6 +40,9 @@ def asof_join(
     the same key under ``direction``:
 
     * ``backward`` (default) — the latest right_ts <= left_ts;
+    * ``forward`` — the earliest right_ts >= left_ts (tie: smallest
+      right id) — "next event after", the lookahead mirror of
+      backward;
     * ``nearest`` — the smallest |right_ts - left_ts| within
       ``tolerance`` (REQUIRED for nearest: an unbounded nearest match
       would force unbounded join fan-out); an equidistant
@@ -59,7 +62,7 @@ def asof_join(
     ``asof_matched_ts`` (NULL when no match); internal helper columns
     are dropped.
     """
-    if direction not in ("backward", "nearest"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unsupported asof direction {direction!r}")
     if direction == "nearest" and tolerance is None:
         raise ValueError("nearest as-of requires a tolerance bound")
@@ -78,6 +81,14 @@ def asof_join(
         order = [
             F.col("__rts").desc_nulls_last(),
             *[F.col(c).desc_nulls_last() for c in right_cols[:1]],
+        ]
+    elif direction == "forward":
+        cond = cond & (F.col("__rts") >= F.col(left_ts))
+        if tolerance is not None:
+            cond = cond & (F.col("__rts") <= F.col(left_ts) + tolerance)
+        order = [
+            F.col("__rts").asc_nulls_last(),
+            *[F.col(c).asc_nulls_last() for c in right_cols[:1]],
         ]
     else:
         cond = (

@@ -52,20 +52,21 @@ def load_tuned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #       slots 21-32, then 18 r3-era drains -- CORRECTNESS_r11: 50/50
 #       hash-green, zero overlap with r10.
 #   r12 (THIS ordering, emitted by tools/rotate_prefix.py --slots 50
-#       on the closing tree): the 16 never-sampled round-12 additions
+#       on the closing tree): the 20 never-sampled round-12 additions
 #       (batch 48: the power-iteration PCA twin, Kendall tau-b, the
 #       permutation test, the lateness profile, cume_dist, the dedup
 #       threshold sweep + quality shift, the garbage score, the
 #       next-order affinity, SNIS; batch 49: KMV set ops, Cochran's
 #       Q, the trimmed mean, LSH band tuning, cluster purity, Page's
-#       trend) in slots 1-16, then the oldest-driver-row drain -- the
-#       9 remaining r3-era rows (tpch_q19ish .. tpch_q9ish) and the
-#       oldest 25 of the 50 r4-era rows (agg_cohens_kappa ..
-#       join_salted_skew, alphabetical within the r4 cohort) to fill
-#       slot 50.  embed_pca_variance (rows-only by design) stays at
-#       spill position 51; the 25 r4-era rows after it (merge_upsert
-#       .. window_lag_lead) head the r13 drain, which finishes the
-#       staleness tail.  Registry additions stay capped at ~20/round
+#       trend; batch 50: the forward as-of, IGNORE-NULLS forward
+#       fill, systematic sampling, absence streaks) in slots 1-20,
+#       then the oldest-driver-row drain -- the 9 remaining r3-era
+#       rows (tpch_q19ish .. tpch_q9ish) and the oldest 21 of the 50
+#       r4-era rows (agg_cohens_kappa .. graph_pagerank, alphabetical
+#       within the r4 cohort) to fill slot 50.  embed_pca_variance
+#       (rows-only by design) stays at spill position 51; the 29
+#       r4-era rows after it (join_asof .. window_lag_lead) head the
+#       r13 drain, which finishes the staleness tail.  Registry additions stay capped at ~20/round
 #       so the 50-row window keeps converging.  Enforced by
 #       tests/test_rotation_ledger.py against the newest committed
 #       CORRECTNESS_r*.json; tools/rotate_prefix.py re-emits the
@@ -88,6 +89,10 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "dedup_lsh_band_tuning",  # never
     "dedup_cluster_purity",  # never
     "stats_page_trend",  # never
+    "join_asof_forward",  # never
+    "window_fill_forward",  # never
+    "sample_systematic",  # never
+    "events_absence_streaks",  # never
     "tpch_q19ish",  # green r3
     "tpch_q22ish",  # green r3
     "tpch_q3ish",  # green r3
@@ -118,12 +123,12 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "event_funnel",  # green r4
     "graph_degree_stats",  # green r4
     "graph_pagerank",  # green r4
+    # ---- entries below are outside the 50-slot prefix ----
+    "embed_pca_variance",  # never
     "join_asof",  # green r4
     "join_full_outer",  # green r4
     "join_right_outer",  # green r4
     "join_salted_skew",  # green r4
-    # ---- entries below are outside the 50-slot prefix ----
-    "embed_pca_variance",  # never
     "merge_upsert",  # green r4
     "pack_sequences",  # green r4
     "profile_columns",  # green r4
@@ -503,6 +508,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse31,
         warehouse32,
         warehouse33,
+        warehouse34,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -554,6 +560,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse31,
         warehouse32,
         warehouse33,
+        warehouse34,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

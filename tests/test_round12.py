@@ -942,3 +942,102 @@ def test_page_trend_random_replay(spark, tmp_path, seed):
     z = math.floor((l2 - e_l2) / math.sqrt(var) * 1000 + 0.5) if b else None
     [r] = REG["stats_page_trend"].fn(spark, str(tmp_path)).collect()
     assert (r.n_days, r.l2, r.e_l2, r.z_milli) == (b, l2, e_l2, z)
+
+
+# ---- batch 50: planted tests -------------------------------------------
+
+
+def test_asof_forward_planted(spark, tmp_path):
+    """Purchase at day 5: clicks at days 3 (before, must NOT match)
+    and 7/9 (after) -> matches day 7 (earliest after).  A purchase
+    with no later click gets a NULL match."""
+    rows = [
+        (1, 1, _ts(3), 1.0, "click"),
+        (2, 1, _ts(5), 1.0, "purchase"),
+        (3, 1, _ts(7), 1.0, "click"),
+        (4, 1, _ts(9), 1.0, "click"),
+        (5, 2, _ts(5), 1.0, "purchase"),
+        (6, 2, _ts(4), 1.0, "click"),
+    ]
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r.event_id: (r.click_event_id, r.gap_us)
+        for r in REG["join_asof_forward"].fn(spark, str(tmp_path)).collect()
+    }
+    two_days = 2 * 86_400_000_000
+    assert got[2] == (3, two_days)
+    assert got[5] == (None, None)
+
+
+def test_asof_forward_tie_breaks_on_smallest_id(spark, tmp_path):
+    """Two clicks at the SAME instant after the purchase: the
+    operator contract picks the smallest right id."""
+    rows = [
+        (1, 1, _ts(5), 1.0, "purchase"),
+        (3, 1, _ts(6), 1.0, "click"),
+        (2, 1, _ts(6), 1.0, "click"),
+    ]
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["join_asof_forward"].fn(spark, str(tmp_path)).collect()
+    assert r.click_event_id == 2
+
+
+def test_fill_forward_planted(spark, tmp_path):
+    """Views are dropout: [view, purchase(3.0), view, click(5.0),
+    view] fills to [NULL, 300, 300, 500, 500]; a leading view stays
+    NULL on both engines."""
+    rows = [
+        (1, 1, _ts(1), 9.0, "view"),      # value ignored for views
+        (2, 1, _ts(2), 3.0, "purchase"),
+        (3, 1, _ts(3), 9.0, "view"),
+        (4, 1, _ts(4), 5.0, "click"),
+        (5, 1, _ts(5), 9.0, "view"),
+    ]
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = [
+        (r.obs_cents, r.filled_cents)
+        for r in REG["window_fill_forward"].fn(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (None, None), (300, 300), (None, 300), (500, 500), (None, 500)
+    ]
+
+
+def test_sample_systematic_planted_replay(spark, tmp_path):
+    """Pure-Python md5 mirror of the per-source hash order: the
+    sampled set is ranks 1, 11, 21... of each source."""
+    rows = [
+        (i, f"t{i}", "en", f"s{i % 2}", 10) for i in range(1, 31)
+    ]
+    write_fixture(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    expect = set()
+    for src in ("s0", "s1"):
+        ids = [i for i in range(1, 31) if f"s{i % 2}" == src]
+        order = sorted(
+            ids, key=lambda i: (hashlib.md5(f"{i}|sys42".encode()).hexdigest(), i)
+        )
+        for rk, did in enumerate(order, start=1):
+            if rk % 10 == 1:
+                expect.add((did, src, rk))
+    got = {
+        (r.doc_id, r.source, r.rk)
+        for r in REG["sample_systematic"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+    assert len(got) == 4  # ceil(15/10) per source
+
+
+def test_absence_streaks_planted(spark, tmp_path):
+    """User 1 active on days {1,3,7} -> max gap 4; user 2 active one
+    day -> gap 0; user 3 consecutive days -> gap 1."""
+    rows, eid = [], 0
+    for uid, days in ((1, (1, 3, 7)), (2, (5,)), (3, (2, 3, 4))):
+        for d in days:
+            eid += 1
+            rows.append((eid, uid, _ts(d), 1.0, "a"))
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r.max_gap_days: r.n_users
+        for r in REG["events_absence_streaks"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: 1, 1: 1, 4: 1}
