@@ -54,9 +54,10 @@ def asof_join(
     when the per-key match fan-out is huge, pre-aggregate the right
     side into time buckets first (the sort-merge-join + filter still
     beats a cross join).  Deterministic tie-break: backward — latest
-    right_ts then largest right id; nearest — smallest |gap|, earlier
-    right_ts (the backward one), then smallest right id — callers
-    should pass a unique column first in ``right_cols``.
+    right_ts then largest right id; forward — earliest right_ts then
+    smallest right id; nearest — smallest |gap|, earlier right_ts
+    (the backward one), then smallest right id — callers should pass
+    a unique column first in ``right_cols``.
 
     The matched right timestamp is returned as the documented column
     ``asof_matched_ts`` (NULL when no match); internal helper columns

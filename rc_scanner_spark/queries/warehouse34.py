@@ -30,10 +30,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import QuerySpec, load_tuned
+from .warehouse28 import _US_PER_DAY
 
 _t = load_tuned
-
-_US_PER_DAY = 86_400_000_000
 
 
 # --------------------------------------------------------------------
@@ -195,9 +194,11 @@ ORDER BY source, rk
 
 def q_events_absence_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest inactivity gap per user — the churn-risk mirror of
-    events_streaks' presence runs: per user, the maximum day gap
-    between consecutive ACTIVE days (single-active-day users report
-    gap 0), rolled into a histogram (max_gap_days -> n_users).
+    events_streaks' presence runs: per user, the maximum count of
+    fully ABSENT days between consecutive active days (consecutive
+    active days contribute 0, matching single-active-day users — a
+    consistent zero-absence baseline, review r12), rolled into a
+    histogram (max_gap_days -> n_users).
 
     Scale: per-user distinct-day rollup, one per-user lag window over
     bounded partitions, one small groupBy."""
@@ -209,7 +210,7 @@ def q_events_absence_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("day")
     gaps = days.select(
         "user_id",
-        (F.col("day") - F.lag("day").over(w)).alias("gap"),
+        (F.col("day") - F.lag("day").over(w) - 1).alias("gap"),
     )
     per_user = gaps.groupBy("user_id").agg(
         F.coalesce(F.max("gap"), F.lit(0)).alias("max_gap_days")
@@ -227,7 +228,7 @@ WITH days AS (
 ),
 gaps AS (
   SELECT user_id,
-         day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS gap
+         day - lag(day) OVER (PARTITION BY user_id ORDER BY day) - 1 AS gap
   FROM days
 ),
 per_user AS (

@@ -1028,8 +1028,9 @@ def test_sample_systematic_planted_replay(spark, tmp_path):
 
 
 def test_absence_streaks_planted(spark, tmp_path):
-    """User 1 active on days {1,3,7} -> max gap 4; user 2 active one
-    day -> gap 0; user 3 consecutive days -> gap 1."""
+    """User 1 active on days {1,3,7} -> 3 fully absent days (4,5,6);
+    user 2 active one day and user 3 active on consecutive days both
+    report 0 absent days (consistent zero-absence baseline)."""
     rows, eid = [], 0
     for uid, days in ((1, (1, 3, 7)), (2, (5,)), (3, (2, 3, 4))):
         for d in days:
@@ -1040,4 +1041,4 @@ def test_absence_streaks_planted(spark, tmp_path):
         r.max_gap_days: r.n_users
         for r in REG["events_absence_streaks"].fn(spark, str(tmp_path)).collect()
     }
-    assert got == {0: 1, 1: 1, 4: 1}
+    assert got == {0: 2, 3: 1}
