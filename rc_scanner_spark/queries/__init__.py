@@ -51,79 +51,31 @@ def load_tuned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #       slots 1-20, the 12 round-11 additions (batches 45-47) in
 #       slots 21-32, then 18 r3-era drains -- CORRECTNESS_r11: 50/50
 #       hash-green, zero overlap with r10.
-#   r12 (THIS ordering, emitted by tools/rotate_prefix.py --slots 50
-#       on the closing tree): the 20 never-sampled round-12 additions
-#       (batch 48: the power-iteration PCA twin, Kendall tau-b, the
-#       permutation test, the lateness profile, cume_dist, the dedup
-#       threshold sweep + quality shift, the garbage score, the
-#       next-order affinity, SNIS; batch 49: KMV set ops, Cochran's
-#       Q, the trimmed mean, LSH band tuning, cluster purity, Page's
-#       trend; batch 50: the forward as-of, IGNORE-NULLS forward
-#       fill, systematic sampling, absence streaks) in slots 1-20,
-#       then the oldest-driver-row drain -- the 9 remaining r3-era
-#       rows (tpch_q19ish .. tpch_q9ish) and the oldest 21 of the 50
-#       r4-era rows (agg_cohens_kappa .. graph_pagerank, alphabetical
-#       within the r4 cohort) to fill slot 50.  embed_pca_variance
-#       (rows-only by design) stays at spill position 51; the 29
-#       r4-era rows after it (join_asof .. window_lag_lead) head the
-#       r13 drain, which finishes the staleness tail.  Registry additions stay capped at ~20/round
+#   r12: the 20 never-sampled round-12 additions (batches 48-50) in
+#       slots 1-20, then the 9 remaining r3-era rows and the oldest
+#       21 r4-era rows -- CORRECTNESS_r12: 50/50 hash-green, zero
+#       overlap with r11.
+#   r13 (THIS ordering, emitted by tools/rotate_prefix.py --slots 50):
+#       embed_pca_variance FIRST -- the registry's last never-sampled
+#       entry (rows-only by design: a 64x64 eigendecomposition has no
+#       SQL twin; its mechanism chain is hash-green via the
+#       embed_cov_trace/embed_power_iter portable twins).  Policy
+#       change this round (tool + test_rotation_ledger.py): a
+#       never-sampled rows-only entry MAY spend one prefix slot to
+#       earn its weaker rows-only driver row, because the prefix is
+#       all the driver ever checks -- self-limiting, as after one
+#       round it is sampled and barred again.  Then the 29 remaining
+#       r4-era rows (join_asof .. window_lag_lead), finishing the
+#       staleness tail, and the oldest 20 r5-era rows to fill slot
+#       50.  New round-13 additions will head the prefix when the
+#       tool is re-run on the closing tree.
+#       Registry additions stay capped at ~20/round
 #       so the 50-row window keeps converging.  Enforced by
 #       tests/test_rotation_ledger.py against the newest committed
 #       CORRECTNESS_r*.json; tools/rotate_prefix.py re-emits the
 #       ordering mechanically each round.
 
 _VERIFICATION_PRIORITY: tuple[str, ...] = (
-    "embed_power_iter_portable",  # never
-    "stats_kendall_tau",  # never
-    "events_lateness_profile",  # never
-    "window_cume_dist",  # never
-    "dedup_threshold_sweep",  # never
-    "dedup_quality_shift",  # never
-    "text_garbage_score",  # never
-    "stats_permutation_test",  # never
-    "orders_next_order_affinity",  # never
-    "sample_snis_clipped",  # never
-    "sketch_kmv_set_ops",  # never
-    "stats_cochran_q",  # never
-    "agg_trimmed_mean",  # never
-    "dedup_lsh_band_tuning",  # never
-    "dedup_cluster_purity",  # never
-    "stats_page_trend",  # never
-    "join_asof_forward",  # never
-    "window_fill_forward",  # never
-    "sample_systematic",  # never
-    "events_absence_streaks",  # never
-    "tpch_q19ish",  # green r3
-    "tpch_q22ish",  # green r3
-    "tpch_q3ish",  # green r3
-    "tpch_q4ish",  # green r3
-    "tpch_q5ish",  # green r3
-    "tpch_q6",  # green r3
-    "tpch_q7ish",  # green r3
-    "tpch_q8ish",  # green r3
-    "tpch_q9ish",  # green r3
-    "agg_cohens_kappa",  # green r4
-    "agg_corr",  # green r4
-    "agg_histogram",  # green r4
-    "agg_source_entropy",  # green r4
-    "agg_string_collect",  # green r4
-    "ann_filtered_topk",  # green r4
-    "ann_lsh_portable",  # green r4
-    "cluster_kmeans",  # green r4
-    "cluster_zorder",  # green r4
-    "contract_violations",  # green r4
-    "date_arithmetic",  # green r4
-    "decontaminate",  # green r4
-    "dedup_cc_clusters",  # green r4
-    "dedup_minhash_portable",  # green r4
-    "dedup_paragraph",  # green r4
-    "dedup_prefix_jaccard",  # green r4
-    "dedup_semantic",  # green r4
-    "dedup_simhash_portable",  # green r4
-    "event_funnel",  # green r4
-    "graph_degree_stats",  # green r4
-    "graph_pagerank",  # green r4
-    # ---- entries below are outside the 50-slot prefix ----
     "embed_pca_variance",  # never
     "join_asof",  # green r4
     "join_full_outer",  # green r4
@@ -174,6 +126,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "event_transitions",  # green r5
     "events_cumulative_distinct",  # green r5
     "events_ewma_smooth",  # green r5
+    # ---- entries below are outside the 50-slot prefix ----
     "events_gap_fill",  # green r5
     "events_rate_anomaly",  # green r5
     "events_retention_cohorts",  # green r5
@@ -454,6 +407,56 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "tpch_q16ish",  # green r11
     "tpch_q17ish",  # green r11
     "tpch_q18ish",  # green r11
+    "agg_cohens_kappa",  # green r12
+    "agg_corr",  # green r12
+    "agg_histogram",  # green r12
+    "agg_source_entropy",  # green r12
+    "agg_string_collect",  # green r12
+    "agg_trimmed_mean",  # green r12
+    "ann_filtered_topk",  # green r12
+    "ann_lsh_portable",  # green r12
+    "cluster_kmeans",  # green r12
+    "cluster_zorder",  # green r12
+    "contract_violations",  # green r12
+    "date_arithmetic",  # green r12
+    "decontaminate",  # green r12
+    "dedup_cc_clusters",  # green r12
+    "dedup_cluster_purity",  # green r12
+    "dedup_lsh_band_tuning",  # green r12
+    "dedup_minhash_portable",  # green r12
+    "dedup_paragraph",  # green r12
+    "dedup_prefix_jaccard",  # green r12
+    "dedup_quality_shift",  # green r12
+    "dedup_semantic",  # green r12
+    "dedup_simhash_portable",  # green r12
+    "dedup_threshold_sweep",  # green r12
+    "embed_power_iter_portable",  # green r12
+    "event_funnel",  # green r12
+    "events_absence_streaks",  # green r12
+    "events_lateness_profile",  # green r12
+    "graph_degree_stats",  # green r12
+    "graph_pagerank",  # green r12
+    "join_asof_forward",  # green r12
+    "orders_next_order_affinity",  # green r12
+    "sample_snis_clipped",  # green r12
+    "sample_systematic",  # green r12
+    "sketch_kmv_set_ops",  # green r12
+    "stats_cochran_q",  # green r12
+    "stats_kendall_tau",  # green r12
+    "stats_page_trend",  # green r12
+    "stats_permutation_test",  # green r12
+    "text_garbage_score",  # green r12
+    "tpch_q19ish",  # green r12
+    "tpch_q22ish",  # green r12
+    "tpch_q3ish",  # green r12
+    "tpch_q4ish",  # green r12
+    "tpch_q5ish",  # green r12
+    "tpch_q6",  # green r12
+    "tpch_q7ish",  # green r12
+    "tpch_q8ish",  # green r12
+    "tpch_q9ish",  # green r12
+    "window_cume_dist",  # green r12
+    "window_fill_forward",  # green r12
 )
 
 

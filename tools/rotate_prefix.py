@@ -11,9 +11,10 @@ paste the prefix into queries/__init__.py at the top of the round.
 Ordering policy (the r6-verdict rules):
  1. FAILED in the newest file (must re-run after the fix)
  2. oracle-backed, never driver-sampled (newest additions first-come)
- 3. stale oracle-backed, ascending by newest-evidence round
- 4. rows-only never-sampled (weaker rows-only check, after all
-    hash-checkable work)
+ 3. rows-only never-sampled (the prefix is all the driver ever
+    checks, so these must spend one slot once to earn their weaker
+    rows-only row; self-limiting — after one round they are sampled)
+ 4. stale oracle-backed, ascending by newest-evidence round
  5. everything else, ascending by newest-evidence round (freshest last)
 
 Usage: python tools/rotate_prefix.py [--slots 50]
@@ -80,16 +81,12 @@ def main() -> int:
     sampled = [n for n in reg if n in newest_round and n not in failed]
     stale_sorted = sorted(sampled, key=lambda n: (newest_round[n], n))
 
-    order = failed + never_oracle + stale_sorted
-    # Never-sampled rows-only entries deserve their one (weaker)
-    # driver row eventually, but must never sit inside the prefix
-    # (tests/test_rotation_ledger.py: an `err: no_oracle` print burns
-    # a hash-checkable slot) — insert them just past the prefix, or
-    # after all hash-checkable must-runs if those overflow it.
-    insert_at = min(
-        max(slots, len(failed) + len(never_oracle)), len(order)
-    )
-    order = order[:insert_at] + never_rows_only + order[insert_at:]
+    # Never-sampled rows-only entries go right after the hash-checkable
+    # never-sampled block: the prefix is all the driver ever checks, so
+    # the only way they earn their (weaker, rows-only) driver row is by
+    # spending a slot once — self-limiting, since after one round they
+    # are sampled and test_rotation_ledger.py bars them from the prefix.
+    order = failed + never_oracle + never_rows_only + stale_sorted
 
     print(f"# recommended rotation ({len(reg)} queries, {slots}-slot prefix)")
     print(f"# failed (re-run first): {len(failed)}")
@@ -106,9 +103,12 @@ def main() -> int:
         print(f'    "{n}",  # {status}' + (f" r{rnd}" if rnd else ""))
     print(")")
     prefix = order[:slots]
-    bad = [n for n in prefix if reg[n].sql is None]
+    bad = [n for n in prefix if reg[n].sql is None and n in newest_round]
     if bad:
-        print(f"\n# WARNING: rows-only entries inside the prefix: {bad}")
+        print(
+            "\n# WARNING: already-sampled rows-only entries inside the "
+            f"prefix: {bad}"
+        )
     return 0
 
 
