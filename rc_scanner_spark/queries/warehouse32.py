@@ -183,8 +183,13 @@ def q_stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros(F.col("ts")) / _US_PER_DAY).alias("day"),
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
     )
+    # y rides the decimal rail: a day's cent sum is unbounded and a
+    # LONG F.sum wraps silently (non-ANSI) where the DuckDB twin
+    # promotes (ADVICE r12); only y's ORDER is consumed downstream,
+    # and decimal compares exactly at any reachable magnitude
     daily = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).alias("x"), F.sum("cents").alias("y")
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("y"),
     )
     a = daily.select(
         "event_type",
@@ -241,7 +246,7 @@ WITH daily AS (
   SELECT event_type,
          epoch_us(ts) // 86400000000 AS day,
          count(*) AS x,
-         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+         sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS y
   FROM events GROUP BY 1, 2
 ),
 pairs AS (
@@ -692,17 +697,23 @@ _PERM_B = 200  # permutation draws; bounded literal on both engines
 def q_stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Randomization test for the value metric between the md5
     hash-split experiment arms: the observed |mean difference| is
-    compared against 200 deterministic re-randomizations (each
-    event's arm under draw b comes from md5(event_id|b|perm42) % 2 —
-    replayable bit-for-bit on both engines), p = (1 + #extreme) /
-    (B + 1) in ppm.  The distribution-free alternative to the Welch
-    t (agg_ttest_welch) that needs no normality and no variance
-    formula — every per-draw mean folds from exact integer cents.
+    compared against 200 deterministic re-randomizations.  The
+    re-randomization unit matches the ASSIGNMENT unit (r12 advice):
+    the observed split hashes user_id, so each draw b reassigns WHOLE
+    USERS via md5(user_id|b|perm42) % 2 — permuting per event would
+    ignore within-user correlation and make the p-value
+    anti-conservative.  Replayable bit-for-bit on both engines;
+    p = (1 + #extreme) / (B + 1) in ppm.  The distribution-free
+    alternative to the Welch t (agg_ttest_welch) that needs no
+    normality and no variance formula — every per-draw mean folds
+    from exact integer cents.
 
-    Scale: the B-fold expansion is a map-side explode of a literal
-    sequence (no shuffle until the (b, arm) partial agg, which
-    reduces to 2B rows); B is a constant, so the plan is B x one
-    aggregate pass regardless of corpus size."""
+    Scale: because the draw arm is constant per (user, b), events are
+    pre-aggregated to ONE row per user before the B-fold explode —
+    the expansion is |users| x B, not |events| x B, and the (b, arm)
+    partial agg reduces it to 2B rows; B is a constant, so the plan
+    is one events pass + B x one bounded aggregate regardless of
+    corpus size."""
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -744,7 +755,7 @@ def q_stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(
                 F.md5(
                     F.concat(
-                        F.col("event_id").cast("string"),
+                        F.col("user_id").cast("string"),
                         F.lit("|"),
                         F.col("b").cast("string"),
                         F.lit("|perm42"),
@@ -758,15 +769,19 @@ def q_stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 2
     )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_u"), F.sum("cents").alias("s_u")
+    )
     draws = (
-        ev.select(
-            "event_id",
-            "cents",
+        per_user.select(
+            "user_id",
+            "n_u",
+            "s_u",
             F.explode(F.sequence(F.lit(1), F.lit(_PERM_B))).alias("b"),
         )
-        .select("b", perm_arm.alias("g"), "cents")
+        .select("b", perm_arm.alias("g"), "n_u", "s_u")
         .groupBy("b", "g")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .agg(F.sum("n_u").alias("n"), F.sum("s_u").alias("s"))
         .groupBy("b")
         .agg(
             F.max(F.when(F.col("g") == 0, F.col("n"))).alias("n0"),
@@ -830,13 +845,17 @@ obs_d AS (
              - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS obs_diff
   FROM obs
 ),
+per_user AS (
+  SELECT user_id, count(*) AS n_u, sum(cents) AS s_u
+  FROM ev GROUP BY 1
+),
 draws_g AS (
   SELECT b.b,
-         CAST(concat('0x', substr(md5(ev.event_id || '|' || b.b
-                                       || '|perm42'), 1, 15))
+         CAST(concat('0x', substr(md5(u.user_id || '|' || b.b
+                                      || '|perm42'), 1, 15))
               AS BIGINT) % 2 AS g,
-         count(*) AS n, sum(cents) AS s
-  FROM ev, (SELECT unnest(range(1, {_PERM_B + 1})) AS b) b
+         sum(n_u) AS n, sum(s_u) AS s
+  FROM per_user u, (SELECT unnest(range(1, {_PERM_B + 1})) AS b) b
   GROUP BY 1, 2
 ),
 draws AS (

@@ -193,6 +193,12 @@ def q_stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degenerate panels (denominator 0: every user hit all types or
     none) yield NULL on both engines.
 
+    The squared products ride the decimal rail (ADVICE r12): at the
+    target scale t exceeds 3e9, so t*t in Spark LONG arithmetic wraps
+    SILENTLY (non-ANSI) while the DuckDB twin promotes — the numerator
+    is computed in DECIMAL(38,0) on Spark and HUGEINT in the twin,
+    both exact far past any reachable panel size.
+
     Scale: one distinct (user, type) projection, one per-user count,
     one per-type count — three partial-agg rollups, no window, no
     join wider than the k-row type dimension."""
@@ -207,18 +213,21 @@ def q_stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ri").alias("t"),
         F.sum(F.col("ri") * F.col("ri")).alias("sum_ri2"),
     )
+    cj_dec = F.col("cj").cast("decimal(19,0)")
     col_sums = (
         x.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cj"))
-        .agg(F.sum(F.col("cj") * F.col("cj")).alias("sum_cj2"))
+        .agg(F.sum(cj_dec * cj_dec).alias("sum_cj2"))  # cj ~ n_users: > LONG²-safe
     )
     j = row_sums.crossJoin(F.broadcast(col_sums)).crossJoin(
         F.broadcast(k_types)
     )
-    num = (F.col("k") - 1) * (
-        F.col("k") * F.col("sum_cj2") - F.col("t") * F.col("t")
+    t_dec = F.col("t").cast("decimal(38,0)")
+    num = (F.col("k") - 1).cast("decimal(38,0)") * (
+        F.col("k").cast("decimal(38,0)") * F.col("sum_cj2").cast("decimal(38,0)")
+        - t_dec * t_dec
     )
-    den = F.col("k") * F.col("t") - F.col("sum_ri2")
+    den = F.col("k") * F.col("t") - F.col("sum_ri2")  # <= k*t: LONG-safe
     q = F.when(den > 0, num.cast("double") / den.cast("double"))
     return j.select(
         "n_users",
@@ -237,7 +246,7 @@ row_sums AS (
   FROM rows_
 ),
 col_sums AS (
-  SELECT sum(cj * cj) AS sum_cj2
+  SELECT sum(CAST(cj AS HUGEINT) * cj) AS sum_cj2
   FROM (SELECT event_type, count(*) AS cj FROM x GROUP BY 1)
 )
 SELECT CAST(n_users AS BIGINT) AS n_users,
@@ -245,7 +254,8 @@ SELECT CAST(n_users AS BIGINT) AS n_users,
        CAST(k - 1 AS BIGINT) AS df,
        CAST(floor(
          CASE WHEN (k * t - sum_ri2) > 0
-              THEN CAST((k - 1) * (k * sum_cj2 - t * t) AS DOUBLE)
+              THEN CAST((k - 1) * (k * CAST(sum_cj2 AS HUGEINT)
+                                   - CAST(t AS HUGEINT) * t) AS DOUBLE)
                    / CAST(k * t - sum_ri2 AS DOUBLE)
          END * 1000.0 + 0.5) AS BIGINT) AS q_milli
 FROM row_sums, col_sums, kt

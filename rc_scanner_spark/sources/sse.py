@@ -105,6 +105,12 @@ class _LiveFeed:
         self._base = 0
         self._aligned = False
         self._resumed = False
+        # newest non-None id known COMMITTED (trimmed, or restored from
+        # the idfile) — the persistence fallback when the last trimmed
+        # event itself carries no id (ADVICE r12: writing '' there
+        # would overwrite a previously persisted good Last-Event-ID
+        # and forfeit the downtime-gap replay it enabled)
+        self._last_committed_id: str | None = None
         self._idfile = idfile
         if idfile:
             try:
@@ -112,6 +118,7 @@ class _LiveFeed:
                     content = f.read().split("\n")
                 self._last_recv_id = content[0].strip() or None
                 self._resumed = self._last_recv_id is not None
+                self._last_committed_id = self._last_recv_id
                 # Line 2 (newer format) is the committed GLOBAL offset:
                 # restoring it makes the replayed uncommitted tail land
                 # at its original offsets immediately, so a restarted
@@ -195,7 +202,14 @@ class _LiveFeed:
         in memory, and a restart would fall back to the
         clear-and-skip alignment path and drop more than the format
         promises (ADVICE r11).  Nothing is written only when nothing
-        was committed at all (drop == 0 with no prior state)."""
+        was committed at all (drop == 0 with no prior state).
+
+        When the last trimmed event carries no id (id-less head of a
+        mixed stream), the newest KNOWN committed id is persisted
+        instead of '' — overwriting a previously persisted good
+        Last-Event-ID with an empty line would make a later restart
+        unable to replay the downtime gap it previously could
+        (ADVICE r12)."""
         last_id = None
         wrote_any = False
         with self._lock:
@@ -205,6 +219,10 @@ class _LiveFeed:
                 del self._events[:drop]
                 self._base += drop
                 wrote_any = True
+            if last_id is not None:
+                self._last_committed_id = last_id
+            else:
+                last_id = self._last_committed_id
             base = self._base
         if self._idfile and wrote_any:
             tmp = self._idfile + ".tmp"

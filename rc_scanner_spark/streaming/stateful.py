@@ -178,16 +178,54 @@ def user_spend_compat(events: DataFrame) -> DataFrame:
     )
 
 
-def user_spend_any(events: DataFrame) -> DataFrame:
+def user_spend_any(
+    events: DataFrame, checkpoint: str | None = None
+) -> DataFrame:
     """Pick the stateful API by environment: the Spark 4
     ``StatefulProcessor`` path where ``google.protobuf`` is importable
     (its state server speaks protobuf), the
     ``applyInPandasWithState`` twin otherwise.  Both produce the
     SPEND_OUTPUT_SCHEMA rows with identical values, so callers and
-    tests are API-agnostic."""
+    tests are API-agnostic.
+
+    Pass the query's ``checkpointLocation`` as ``checkpoint`` to PIN
+    the choice across restarts (ADVICE r12): the two APIs use
+    incompatible state-store formats, so if the environment changes
+    between restarts (protobuf appears or disappears), silently
+    selecting the other API would run a different stateful operator
+    against the same checkpoint — best case the restart fails deep in
+    the state store.  The first run records the chosen API in
+    ``<checkpoint>/_stateful_api``; a later run whose environment
+    selects a different API raises immediately with the mismatch
+    instead."""
     try:
         import google.protobuf  # noqa: F401
 
-        return user_spend(events)
+        api = "transformWithStateInPandas"
     except ImportError:
-        return user_spend_compat(events)
+        api = "applyInPandasWithState"
+
+    if checkpoint is not None:
+        import os
+
+        marker = os.path.join(checkpoint, "_stateful_api")
+        try:
+            with open(marker, "r", encoding="utf-8") as f:
+                pinned = f.read().strip()
+        except OSError:
+            pinned = None
+        if pinned is None:
+            os.makedirs(checkpoint, exist_ok=True)
+            with open(marker, "w", encoding="utf-8") as f:
+                f.write(api)
+        elif pinned != api:
+            raise RuntimeError(
+                f"checkpoint {checkpoint!r} was created with {pinned}, "
+                f"but this environment selects {api}: the state-store "
+                "formats are incompatible. Restore the original "
+                "environment or start from a fresh checkpoint."
+            )
+
+    if api == "transformWithStateInPandas":
+        return user_spend(events)
+    return user_spend_compat(events)

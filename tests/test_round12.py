@@ -364,8 +364,9 @@ def test_garbage_score_planted(spark, tmp_path):
 
 def test_permutation_test_planted_replay(spark, tmp_path):
     """Deterministic md5 mirror of the full randomization test: arms,
-    the 200 re-draws, the extreme count, and p — all replayed in pure
-    Python and compared exactly."""
+    the 200 re-draws (each reassigning WHOLE USERS — the assignment
+    unit, per the r12 advice), the extreme count, and p — all
+    replayed in pure Python and compared exactly."""
     rows = []
     for eid in range(1, 41):
         rows.append((eid, eid % 7, _ts(1 + eid % 5), float(eid % 9) + 0.25, "a"))
@@ -384,7 +385,7 @@ def test_permutation_test_planted_replay(spark, tmp_path):
     for b in range(1, 201):
         g: dict[int, list[int]] = {0: [], 1: []}
         for eid, uid, _ts_, v, _t in rows:
-            g[_h15(f"{eid}|{b}|perm42") % 2].append(cents(v))
+            g[_h15(f"{uid}|{b}|perm42") % 2].append(cents(v))
         if not g[0] or not g[1]:
             continue  # NULL diff on both engines, never extreme
         d = abs(sum(g[0]) / len(g[0]) - sum(g[1]) / len(g[1]))
@@ -561,7 +562,7 @@ def test_permutation_test_random_replay(spark, tmp_path, seed):
     for b in range(1, 201):
         g: dict[int, list[int]] = {0: [], 1: []}
         for eid, uid, _t_, v, _e in rows:
-            g[_h15(f"{eid}|{b}|perm42") % 2].append(cents(v))
+            g[_h15(f"{uid}|{b}|perm42") % 2].append(cents(v))
         if not g[0] or not g[1]:
             continue
         if abs(sum(g[0]) / len(g[0]) - sum(g[1]) / len(g[1])) >= obs:

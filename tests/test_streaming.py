@@ -545,7 +545,7 @@ def test_stateful_user_spend_evicts_and_restores(spark, tmp_path):
             .parquet(str(src / "*"))
         )
         return (
-            user_spend_any(stream)
+            user_spend_any(stream, checkpoint=str(tmp_path / "ckpt_spend"))
             .writeStream.foreachBatch(sink)
             .outputMode("update")
             .option("checkpointLocation", str(tmp_path / "ckpt_spend"))
@@ -560,6 +560,24 @@ def test_stateful_user_spend_evicts_and_restores(spark, tmp_path):
     q2 = start()
     q2.processAllAvailable()
     q2.stop()
+
+    # the API choice was pinned on first start; a mismatching marker
+    # must fail fast instead of running an incompatible stateful
+    # operator against the same checkpoint (ADVICE r12)
+    marker = tmp_path / "ckpt_spend" / "_stateful_api"
+    recorded = marker.read_text().strip()
+    assert recorded in (
+        "transformWithStateInPandas", "applyInPandasWithState"
+    )
+    marker.write_text("definitely-other-api")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    with pytest.raises(RuntimeError, match="state-store formats"):
+        user_spend_any(stream, checkpoint=str(tmp_path / "ckpt_spend"))
+    marker.write_text(recorded)
 
     last = {}
     for r in results:
@@ -785,6 +803,40 @@ def test_sse_idless_stream_persists_offset(tmp_path):
         assert r2.latestOffset()["line"] >= 4
     finally:
         srv2.close()
+
+
+def test_sse_trim_keeps_last_known_id_for_idless_tail(tmp_path):
+    """Mixed-stream guard (ADVICE r12): when the last COMMITTED event
+    carries no SSE id, trim() must persist the newest KNOWN committed
+    id — here the one restored from the idfile — not overwrite it
+    with an empty line, or a later restart loses the downtime-gap
+    replay the persisted id enabled.  Exercised directly on the feed
+    buffer (the background thread points at a dead port and just
+    retries)."""
+    from rc_scanner_spark.sources.sse import _LiveFeed
+
+    idfile = str(tmp_path / "last_id")
+    with open(idfile, "w", encoding="utf-8") as f:
+        f.write("ev-41\n4")  # prior run: committed id ev-41 at offset 4
+
+    feed = _LiveFeed("http://127.0.0.1:9/dead", timeout=0.2, idfile=idfile)
+    assert feed._base == 4 and feed._last_committed_id == "ev-41"
+    with feed._lock:
+        # two id-less events arriving before any id-carrying one on
+        # this connection; _last_recv_id was restored, but simulate a
+        # buffer whose stored per-event ids are None (id-less head)
+        feed._events.append(({"title": "A"}, None))
+        feed._events.append(({"title": "B"}, None))
+    feed.trim(6)  # commit both id-less events
+    with open(idfile, encoding="utf-8") as f:
+        # offset advances, the good id survives
+        assert f.read() == "ev-41\n6"
+
+    with feed._lock:
+        feed._events.append(({"title": "C"}, "ev-77"))
+    feed.trim(7)  # an id-carrying commit updates the persisted id
+    with open(idfile, encoding="utf-8") as f:
+        assert f.read() == "ev-77\n7"
 
 
 def test_sse_loopback_live_structured_streaming(spark, tmp_path):
