@@ -512,6 +512,8 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse32,
         warehouse33,
         warehouse34,
+        warehouse35,
+        warehouse36,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -564,6 +566,8 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse32,
         warehouse33,
         warehouse34,
+        warehouse35,
+        warehouse36,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:

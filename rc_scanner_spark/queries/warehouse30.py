@@ -609,20 +609,14 @@ def _sql_p_two_sided(az: str) -> str:
     return f"1.0 / {b16}"
 
 
-def q_stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benjamini-Hochberg step-up FDR (alpha=0.1) over the per-type
-    Welch z of value drift across the epoch midpoint: m simultaneous
-    pre/post mean-shift tests, each from exact integer-cent moments
-    (the agg_ttest_welch fold applied per (type, half)), |z| -> p via
-    the A&S polynomial (see module docstring), then reject the
-    hypotheses ranked 1..i* where i* = max{i : p_(i) * m <= alpha * i}
-    — the comparison runs on bit-identical doubles (the twin CASTs
-    alpha to DOUBLE before multiplying: DuckDB's decimal-literal
-    product is one ulp off the double product),
-    and m / i* are full-frame window aggregates over the <= |types|-row
-    valid frame (bounded by construction, pinned in test_plan_audit).
-    Degenerate types (a half with n < 2, or zero pooled variance)
-    yield NULL z and are EXCLUDED from m on both engines."""
+def welch_drift_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multiple-testing input frame shared by ``stats_bh_fdr``
+    and ``stats_holm_bonferroni`` (warehouse35): per event type, the
+    Welch z of value drift across the epoch midpoint (exact
+    integer-cent moments, the agg_ttest_welch fold per (type, half))
+    and its two-sided p via the A&S polynomial.  Degenerate types (a
+    half with n < 2, or zero pooled variance) yield NULL z and are
+    EXCLUDED on both engines.  Twin prefix: ``SQL_WELCH_PS_CTES``."""
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
         F.unix_micros(F.col("ts")).alias("us"),
@@ -685,11 +679,28 @@ def q_stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1x-entry finding).  Filtering on the z attribute keeps the
     # pushed predicate to the staged CASE chain and the polynomial is
     # instantiated exactly once, post-filter.
-    valid = (
+    return (
         staged.select("event_type", z.alias("z"))
         .filter(F.col("z").isNotNull())
         .withColumn("p", _p_two_sided(F.abs(F.col("z"))))
     )
+
+
+def q_stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR (alpha=0.1) over the per-type
+    Welch z of value drift across the epoch midpoint: m simultaneous
+    pre/post mean-shift tests, each from exact integer-cent moments
+    (the agg_ttest_welch fold applied per (type, half)), |z| -> p via
+    the A&S polynomial (see module docstring), then reject the
+    hypotheses ranked 1..i* where i* = max{i : p_(i) * m <= alpha * i}
+    — the comparison runs on bit-identical doubles (the twin CASTs
+    alpha to DOUBLE before multiplying: DuckDB's decimal-literal
+    product is one ulp off the double product),
+    and m / i* are full-frame window aggregates over the <= |types|-row
+    valid frame (bounded by construction, pinned in test_plan_audit).
+    Degenerate types (a half with n < 2, or zero pooled variance)
+    yield NULL z and are EXCLUDED from m on both engines."""
+    valid = welch_drift_ps(spark, sf_dir)
     # The whole BH readout is WINDOWS over the <= |types|-row valid
     # frame (bounded by construction, pinned in test_plan_audit): m as
     # a full-frame count, the step-up threshold i* as a full-frame
@@ -731,8 +742,10 @@ def q_stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_STATS_BH_FDR = f"""
-WITH ev AS (
+# CTE prefix through `ps` (event_type, z, p) — the twin of
+# welch_drift_ps, shared by SQL_STATS_BH_FDR and warehouse35's
+# SQL_STATS_HOLM_BONFERRONI
+SQL_WELCH_PS_CTES = f"""ev AS (
   SELECT event_type, epoch_us(ts) AS us,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
   FROM events
@@ -781,7 +794,11 @@ zs AS (
 ps AS (
   SELECT event_type, z, {_sql_p_two_sided('abs(z)')} AS p
   FROM zs WHERE z IS NOT NULL
-),
+)"""
+
+
+SQL_STATS_BH_FDR = f"""
+WITH {SQL_WELCH_PS_CTES},
 mm AS (SELECT count(*) AS m FROM ps),
 ranked AS (
   SELECT p.event_type, p.z, p.p, mm.m,

@@ -52,6 +52,14 @@ ALLOWED_GLOBAL_WINDOWS = {
     # Kruskal-Wallis reuses the same bucketed rank machinery: the one
     # unpartitioned window is the <=512-row bucket-offset cumsum.
     "stats_kruskal_wallis": 1,
+    # Holm step-down: the rank/count window + the running-max window,
+    # both over the <= |types|-row Welch p frame (the stats_bh_fdr
+    # bounded-readout precedent).
+    "stats_holm_bonferroni": 2,
+    # interpolation join: the backward/forward IGNORE-NULLS bracket
+    # columns share ONE per-day-rollup window node in the executed
+    # plan — calendar-bounded.
+    "join_interpolate_linear": 1,
     # runs test: both lag windows run over the per-DAY revenue
     # aggregate — bounded by calendar length, not order count.
     "stats_runs_test": 2,
@@ -272,6 +280,21 @@ ALLOWED_CARTESIANS = {
     # bounded day-spine cross (days x the 4-bucket literal frame) +
     # the 1-row block-count scalar on the readout
     "stats_page_trend": 2,
+    # 1-row m (test count) scalar broadcast over the <= |types|-row
+    # Holm readout frame
+    "stats_holm_bonferroni": 1,
+    # 1-row capture-totals x 1-row recapture-totals readout cross
+    "stats_capture_recapture": 1,
+    # 1-row min-day scalar broadcast over events; the daily rollup
+    # embedding it chains under all 5 Haar-level union branches x 2
+    # lazy consumers — series is _track_persist'ed, so the corpus
+    # scan materializes ONCE at runtime (lazy-plan shape only,
+    # stats_cuped precedent)
+    "events_haar_energy": 10,
+    # 1-row node-count scalar broadcast over the node list (uniform
+    # mass init); mat/nodes are _track_persist'ed so the 12 power
+    # iterations read cached bounded frames
+    "events_markov_stationary": 1,
 }
 
 
