@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import dedup as _dedup
 from . import QuerySpec, load_tuned
 
 _t = load_tuned
@@ -902,11 +903,10 @@ def q_orders_next_order_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap (warehouse30's rail — never binds at the registry shape), so
     each transition emits <= cap^2 pairs map-side off ONE lag window
     per customer; everything downstream is partial-agg rollups."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # no .distinct() pre-pass: collect_set dedups inside the ONE
+    # basket aggregation, saving a full extra shuffle of the fact
+    # table (the twin's DISTINCT CTE is semantically identical)
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.slice(
             F.array_sort(F.collect_set("l_partkey")), 1, _AFFINITY_MAX_PARTS
@@ -923,16 +923,33 @@ def q_orders_next_order_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("parts").over(w).alias("prev"), F.col("parts").alias("nxt")
     ).filter(F.col("prev").isNotNull())
     # two-step explode (rows, then the carried list) — identical shape
-    # in the twin, so no engine-specific cross-unnest semantics
+    # in the twin, so no engine-specific cross-unnest semantics.  A
+    # sentinel -1 (partkeys are positive) rides along in nxt so ONE
+    # (p, q) rollup yields BOTH outputs: n_pair for real q, and
+    # n_prev(p) = the sentinel's count (= step1 rows holding p).
+    # Before this, n_prev and pair_n were separate aggregations whose
+    # chains differed below the window exchange (different column
+    # pruning), so Spark re-ran the whole basket + lag-window build
+    # per consumer — the r12 16x probe's 6.6x.  The rollup is
+    # persisted: it is the post-aggregation pair frame, orders of
+    # magnitude smaller than the exploded stream.
     step1 = trans.select(F.explode("prev").alias("part_prev"), "nxt")
-    pairs = step1.select("part_prev", F.explode("nxt").alias("part_next"))
-    n_prev = step1.groupBy("part_prev").agg(
-        F.count(F.lit(1)).alias("n_prev")
+    pairs = step1.select(
+        "part_prev",
+        F.explode(
+            F.concat(F.col("nxt"), F.array(F.lit(-1)))
+        ).alias("part_next"),
     )
-    pair_n = (
-        pairs.groupBy("part_prev", "part_next")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
-        .filter(F.col("n_pair") >= 2)
+    pair_full = _dedup._track_persist(
+        pairs.groupBy("part_prev", "part_next").agg(
+            F.count(F.lit(1)).alias("n_pair")
+        )
+    )
+    n_prev = pair_full.filter(F.col("part_next") == -1).select(
+        "part_prev", F.col("n_pair").alias("n_prev")
+    )
+    pair_n = pair_full.filter(
+        (F.col("part_next") != -1) & (F.col("n_pair") >= 2)
     )
     return (
         pair_n.join(n_prev, "part_prev")
