@@ -514,6 +514,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse34,
         warehouse35,
         warehouse36,
+        warehouse37,
     )
 
     flat: dict[str, QuerySpec] = {}
@@ -568,6 +569,7 @@ def build_registry() -> dict[str, QuerySpec]:
         warehouse34,
         warehouse35,
         warehouse36,
+        warehouse37,
     ):
         for name, spec in mod.QUERIES.items():
             if name in flat:
