@@ -55,20 +55,23 @@ def load_tuned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #       slots 1-20, then the 9 remaining r3-era rows and the oldest
 #       21 r4-era rows -- CORRECTNESS_r12: 50/50 hash-green, zero
 #       overlap with r11.
-#   r13 (THIS ordering, emitted by tools/rotate_prefix.py --slots 50):
-#       embed_pca_variance FIRST -- the registry's last never-sampled
-#       entry (rows-only by design: a 64x64 eigendecomposition has no
-#       SQL twin; its mechanism chain is hash-green via the
-#       embed_cov_trace/embed_power_iter portable twins).  Policy
-#       change this round (tool + test_rotation_ledger.py): a
-#       never-sampled rows-only entry MAY spend one prefix slot to
-#       earn its weaker rows-only driver row, because the prefix is
-#       all the driver ever checks -- self-limiting, as after one
-#       round it is sampled and barred again.  Then the 29 remaining
-#       r4-era rows (join_asof .. window_lag_lead), finishing the
-#       staleness tail, and the oldest 20 r5-era rows to fill slot
-#       50.  New round-13 additions will head the prefix when the
-#       tool is re-run on the closing tree.
+#   r13 (THIS ordering, re-emitted by tools/rotate_prefix.py
+#       --slots 50 on the closing tree): the 19 never-sampled
+#       round-13 additions (batches 51-53) in slots 1-19, then
+#       embed_pca_variance at slot 20 -- the registry's last
+#       never-sampled entry (rows-only by design: a 64x64
+#       eigendecomposition has no SQL twin; its mechanism chain is
+#       hash-green via the embed_cov_trace/embed_power_iter portable
+#       twins).  Policy change this round (tool +
+#       test_rotation_ledger.py): a never-sampled rows-only entry MAY
+#       spend one prefix slot to earn its weaker rows-only driver
+#       row, because the prefix is all the driver ever checks --
+#       self-limiting, as after one round it is sampled and barred
+#       again.  Slots 21-50: ALL 29 remaining r4-era rows (join_asof
+#       .. window_lag_lead), finishing the staleness tail, + the
+#       oldest r5 row.  A green CORRECTNESS_r13 prefix makes
+#       cumulative driver coverage 399/399 with nothing older than
+#       r5.
 #       Registry additions stay capped at ~20/round
 #       so the 50-row window keeps converging.  Enforced by
 #       tests/test_rotation_ledger.py against the newest committed
@@ -76,6 +79,25 @@ def load_tuned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #       ordering mechanically each round.
 
 _VERIFICATION_PRIORITY: tuple[str, ...] = (
+    "stats_two_proportion_z",  # never
+    "stats_srm_check",  # never
+    "stats_capture_recapture",  # never
+    "agg_trimmed_mean_bucketed",  # never
+    "stats_delta_method_ratio",  # never
+    "stats_holm_bonferroni",  # never
+    "join_bitemporal_asof",  # never
+    "join_interpolate_linear",  # never
+    "window_rolling_median",  # never
+    "sample_pps_systematic",  # never
+    "events_haar_energy",  # never
+    "events_markov_stationary",  # never
+    "orders_fifo_allocation",  # never
+    "window_hampel_outliers",  # never
+    "events_attribution_credit",  # never
+    "text_lorenz_curve",  # never
+    "text_simpson_diversity",  # never
+    "events_best_split_sse",  # never
+    "events_type_user_jaccard",  # never
     "embed_pca_variance",  # never
     "join_asof",  # green r4
     "join_full_outer",  # green r4
@@ -107,6 +129,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "variant_shred",  # green r4
     "window_lag_lead",  # green r4
     "agg_argmax",  # green r5
+    # ---- entries below are outside the 50-slot prefix ----
     "agg_group_quantiles",  # green r5
     "ann_ivf_topk",  # green r5
     "ann_ivfpq_topk",  # green r5
@@ -126,7 +149,6 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "event_transitions",  # green r5
     "events_cumulative_distinct",  # green r5
     "events_ewma_smooth",  # green r5
-    # ---- entries below are outside the 50-slot prefix ----
     "events_gap_fill",  # green r5
     "events_rate_anomaly",  # green r5
     "events_retention_cohorts",  # green r5
@@ -458,6 +480,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "window_cume_dist",  # green r12
     "window_fill_forward",  # green r12
 )
+
 
 
 
