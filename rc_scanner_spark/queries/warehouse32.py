@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long
 from ..operators import dedup as _dedup
 from . import QuerySpec, load_tuned
 
@@ -310,15 +311,7 @@ def q_events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts")).alias("us"),
     )
     delay = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("event_id").cast("string"), F.lit("|net42"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        md5_long(F.concat(F.col("event_id").cast("string"), F.lit("|net42")))
         % F.lit(_NET_JITTER_US)
     )
     arr = ev.withColumn("arr_us", F.col("us") + delay)
@@ -721,21 +714,19 @@ def q_stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
     )
     arm = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|perm42"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        md5_long(F.concat(F.col("user_id").cast("string"), F.lit("|perm42")))
         % 2
     )
     obs = (
         ev.select(arm.alias("g"), "cents")
         .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal rail: an arm's cent sum is unbounded at corpus
+            # scale (non-ANSI LONG sum would wrap silently while the
+            # twin's HUGEINT promotes — the kendall/cochran class)
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        )
         .agg(
             F.max(F.when(F.col("g") == 0, F.col("n"))).alias("n_a"),
             F.max(F.when(F.col("g") == 0, F.col("s"))).alias("s_a"),
@@ -752,26 +743,12 @@ def q_stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     perm_arm = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("user_id").cast("string"),
-                        F.lit("|"),
-                        F.col("b").cast("string"),
-                        F.lit("|perm42"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        md5_long(F.concat(F.col("user_id").cast("string"), F.lit("|"), F.col("b").cast("string"), F.lit("|perm42")))
         % 2
     )
     per_user = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_u"), F.sum("cents").alias("s_u")
+        F.count(F.lit(1)).alias("n_u"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s_u"),
     )
     draws = (
         per_user.select(

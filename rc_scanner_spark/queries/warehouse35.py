@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long
 from . import QuerySpec, load_tuned
 from .warehouse25 import SQL_EPOCH_MID_CTE, epoch_mid
 from .warehouse30 import SQL_WELCH_PS_CTES, welch_drift_ps
@@ -187,17 +188,7 @@ def q_stats_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("uy"),
     )
     arm = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.col("user_id").cast("string"), F.lit("|dmr42"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        md5_long(F.concat(F.col("user_id").cast("string"), F.lit("|dmr42")))
         % 2
     )
     ux_d = F.col("ux").cast("decimal(28,0)")
@@ -274,26 +265,48 @@ def q_stats_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("se20") + F.col("se21")),
         ).alias("se"),
     )
+    # degenerate rail (the stats_two_proportion_z convention): a NULL
+    # BIGINT crosses the engine boundary as None-vs-NaN and breaks the
+    # driver hash, so an undefined se (an arm with n <= 1, an empty
+    # arm, or a negatively-rounded d) yields 0/false SENTINELS plus an
+    # explicit flag instead of NULL longs.
     z = F.col("delta") / F.col("se")
+    degenerate = F.col("se").isNull()
+    delta_ppm = F.floor(F.col("delta") * 1e6 + 0.5).cast("long")
     return lvl4.select(
-        F.col("n0").cast("long").alias("n_users_a"),
-        F.col("n1").cast("long").alias("n_users_b"),
-        F.floor(F.col("r0") * 1e6 + 0.5).cast("long").alias("ratio_a_ppm"),
-        F.floor(F.col("r1") * 1e6 + 0.5).cast("long").alias("ratio_b_ppm"),
-        F.floor(F.col("delta") * 1e6 + 0.5).cast("long").alias("delta_ppm"),
-        F.floor(F.col("se") * 1e6 + 0.5).cast("long").alias("se_ppm"),
-        F.floor(z * 1000.0 + 0.5).cast("long").alias("z_milli"),
-        F.floor(
-            (F.col("delta") - F.lit(_DMR_Z) * F.col("se")) * 1e6 + 0.5
+        F.coalesce(F.col("n0").cast("long"), F.lit(0)).alias("n_users_a"),
+        F.coalesce(F.col("n1").cast("long"), F.lit(0)).alias("n_users_b"),
+        F.coalesce(
+            F.floor(F.col("r0") * 1e6 + 0.5).cast("long"), F.lit(0)
+        ).alias("ratio_a_ppm"),
+        F.coalesce(
+            F.floor(F.col("r1") * 1e6 + 0.5).cast("long"), F.lit(0)
+        ).alias("ratio_b_ppm"),
+        F.coalesce(delta_ppm, F.lit(0)).alias("delta_ppm"),
+        F.when(degenerate, F.lit(0))
+        .otherwise(F.floor(F.col("se") * 1e6 + 0.5).cast("long"))
+        .alias("se_ppm"),
+        F.when(degenerate, F.lit(0))
+        .otherwise(F.floor(z * 1000.0 + 0.5).cast("long"))
+        .alias("z_milli"),
+        F.when(degenerate, F.coalesce(delta_ppm, F.lit(0)))
+        .otherwise(
+            F.floor(
+                (F.col("delta") - F.lit(_DMR_Z) * F.col("se")) * 1e6 + 0.5
+            ).cast("long")
         )
-        .cast("long")
         .alias("ci_lo_ppm"),
-        F.floor(
-            (F.col("delta") + F.lit(_DMR_Z) * F.col("se")) * 1e6 + 0.5
+        F.when(degenerate, F.coalesce(delta_ppm, F.lit(0)))
+        .otherwise(
+            F.floor(
+                (F.col("delta") + F.lit(_DMR_Z) * F.col("se")) * 1e6 + 0.5
+            ).cast("long")
         )
-        .cast("long")
         .alias("ci_hi_ppm"),
-        (F.abs(z) > F.lit(_DMR_Z)).alias("significant"),
+        F.coalesce(F.abs(z) > F.lit(_DMR_Z), F.lit(False)).alias(
+            "significant"
+        ),
+        degenerate.alias("degenerate"),
     )
 
 
@@ -361,18 +374,25 @@ lvl4 AS (
          CASE WHEN se20 + se21 > 0 THEN sqrt(se20 + se21) END AS se
   FROM lvl3
 )
-SELECT CAST(n0 AS BIGINT) AS n_users_a,
-       CAST(n1 AS BIGINT) AS n_users_b,
-       CAST(floor(r0 * 1e6 + 0.5) AS BIGINT) AS ratio_a_ppm,
-       CAST(floor(r1 * 1e6 + 0.5) AS BIGINT) AS ratio_b_ppm,
-       CAST(floor(delta * 1e6 + 0.5) AS BIGINT) AS delta_ppm,
-       CAST(floor(se * 1e6 + 0.5) AS BIGINT) AS se_ppm,
-       CAST(floor(delta / se * 1000.0 + 0.5) AS BIGINT) AS z_milli,
-       CAST(floor((delta - CAST({_DMR_Z} AS DOUBLE) * se) * 1e6 + 0.5)
-            AS BIGINT) AS ci_lo_ppm,
-       CAST(floor((delta + CAST({_DMR_Z} AS DOUBLE) * se) * 1e6 + 0.5)
-            AS BIGINT) AS ci_hi_ppm,
-       abs(delta / se) > CAST({_DMR_Z} AS DOUBLE) AS significant
+SELECT CAST(coalesce(n0, 0) AS BIGINT) AS n_users_a,
+       CAST(coalesce(n1, 0) AS BIGINT) AS n_users_b,
+       CAST(coalesce(floor(r0 * 1e6 + 0.5), 0) AS BIGINT) AS ratio_a_ppm,
+       CAST(coalesce(floor(r1 * 1e6 + 0.5), 0) AS BIGINT) AS ratio_b_ppm,
+       CAST(coalesce(floor(delta * 1e6 + 0.5), 0) AS BIGINT) AS delta_ppm,
+       CAST(CASE WHEN se IS NULL THEN 0
+                 ELSE floor(se * 1e6 + 0.5) END AS BIGINT) AS se_ppm,
+       CAST(CASE WHEN se IS NULL THEN 0
+                 ELSE floor(delta / se * 1000.0 + 0.5) END AS BIGINT)
+           AS z_milli,
+       CAST(CASE WHEN se IS NULL THEN coalesce(floor(delta * 1e6 + 0.5), 0)
+                 ELSE floor((delta - CAST({_DMR_Z} AS DOUBLE) * se)
+                            * 1e6 + 0.5) END AS BIGINT) AS ci_lo_ppm,
+       CAST(CASE WHEN se IS NULL THEN coalesce(floor(delta * 1e6 + 0.5), 0)
+                 ELSE floor((delta + CAST({_DMR_Z} AS DOUBLE) * se)
+                            * 1e6 + 0.5) END AS BIGINT) AS ci_hi_ppm,
+       coalesce(abs(delta / se) > CAST({_DMR_Z} AS DOUBLE), false)
+           AS significant,
+       se IS NULL AS degenerate
 FROM lvl4
 """
 
@@ -485,17 +505,7 @@ def q_stats_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("conv")
     )
     arm = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.col("user_id").cast("string"), F.lit("|2pz42"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        md5_long(F.concat(F.col("user_id").cast("string"), F.lit("|2pz42")))
         % 2
     )
     arms = (
@@ -625,17 +635,7 @@ def q_stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollups onto the |types|+1-row readout."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
     arm = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.col("user_id").cast("string"), F.lit("|2pz42"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        md5_long(F.concat(F.col("user_id").cast("string"), F.lit("|2pz42")))
         % 2
     )
     ut = ev.distinct().withColumn("g", arm)

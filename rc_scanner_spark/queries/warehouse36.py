@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long
 from ..operators import dedup as _dedup
 from . import QuerySpec, load_tuned
 from .warehouse28 import _US_PER_DAY
@@ -74,20 +75,7 @@ def q_join_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts")).alias("valid_us"),
         (
             F.unix_micros(F.col("ts"))
-            + F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("event_id").cast("string"),
-                            F.lit("|know42"),
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
+            + md5_long(F.concat(F.col("event_id").cast("string"), F.lit("|know42")))
             % _KNOW_DELAY_CAP_US
         ).alias("know_us"),
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("ver_cents"),
@@ -299,10 +287,12 @@ def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros(F.col("ts")) / _US_PER_DAY).alias("day"),
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
     )
+    # rev STAYS on the decimal rail through the window machinery: a
+    # (type, day) cent sum is unbounded at corpus scale, and a LONG
+    # cast would yield NULL on Spark (non-ANSI) while the twin's
+    # HUGEINT raises — divergent behavior (r13 review)
     daily = ev.groupBy("event_type", "day").agg(
-        F.sum(F.col("cents").cast("decimal(38,0)"))
-        .cast("long")
-        .alias("rev")
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("rev")
     )
     w7 = (
         Window.partitionBy("event_type")
@@ -330,8 +320,7 @@ def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_WINDOW_ROLLING_MEDIAN = """
 WITH daily AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-         CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS BIGINT)
-             AS rev
+         sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS rev
   FROM events GROUP BY 1, 2
 ),
 arr AS (

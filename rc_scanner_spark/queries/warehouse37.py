@@ -183,8 +183,12 @@ def q_window_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros(F.col("ts")) / _US_PER_DAY).alias("day"),
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
     )
+    # rev (and every med/mad/dev derived from it) stays on the
+    # decimal rail: a (type, day) cent sum is unbounded at corpus
+    # scale, and the dev*10000 / mad*22239 cross-products are the
+    # kendall-class wrap hazard (r13 review)
     daily = ev.groupBy("event_type", "day").agg(
-        F.sum(F.col("cents").cast("decimal(38,0)")).cast("long").alias("rev")
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("rev")
     )
     w7 = (
         Window.partitionBy("event_type")
@@ -225,7 +229,8 @@ def q_window_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("rev") * 2 - F.col("med_x2"))).alias("dev_x2"),
     )
     flag = (F.col("n_window") >= _HAMPEL_MIN_N) & (
-        F.col("dev_x2") * _HAMPEL_DEN > F.col("mad_x2") * _HAMPEL_NUM
+        F.col("dev_x2").cast("decimal(38,0)") * _HAMPEL_DEN
+        > F.col("mad_x2").cast("decimal(38,0)") * _HAMPEL_NUM
     )
     return staged3.select(
         "event_type",
@@ -241,8 +246,7 @@ def q_window_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_WINDOW_HAMPEL_OUTLIERS = f"""
 WITH daily AS (
   SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS day,
-         CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS BIGINT)
-             AS rev
+         sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS rev
   FROM events GROUP BY 1, 2
 ),
 arr AS (
@@ -277,7 +281,8 @@ SELECT event_type,
        CAST(med_x2 AS BIGINT) AS med_x2,
        CAST(mad_x2 AS BIGINT) AS mad_x2,
        (n_window >= {_HAMPEL_MIN_N}
-        AND dev_x2 * {_HAMPEL_DEN} > mad_x2 * {_HAMPEL_NUM}) AS is_outlier
+        AND CAST(dev_x2 AS HUGEINT) * {_HAMPEL_DEN}
+            > CAST(mad_x2 AS HUGEINT) * {_HAMPEL_NUM}) AS is_outlier
 FROM mad
 ORDER BY event_type, day
 """

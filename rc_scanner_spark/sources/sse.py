@@ -204,12 +204,18 @@ class _LiveFeed:
         promises (ADVICE r11).  Nothing is written only when nothing
         was committed at all (drop == 0 with no prior state).
 
-        When the last trimmed event carries no id (id-less head of a
-        mixed stream), the newest KNOWN committed id is persisted
-        instead of '' — overwriting a previously persisted good
-        Last-Event-ID with an empty line would make a later restart
-        unable to replay the downtime gap it previously could
-        (ADVICE r12)."""
+        When the last trimmed event carries no id, the newest KNOWN
+        committed id is persisted instead of '' — overwriting a
+        previously persisted good Last-Event-ID with an empty line
+        would make a later restart unable to replay the downtime gap
+        it previously could (ADVICE r12).  Through ``_run`` this is a
+        second line of defense only: the buffer already stores the
+        STICKY ``_last_recv_id`` per event, so a stored id of None
+        implies no id was ever seen or restored (and the fallback is
+        then also None).  It matters for buffers populated outside
+        ``_run`` — tests and any future producer that stores raw
+        per-event ids — and keeps the persisted-id invariant local to
+        trim() instead of depending on the producer's stickiness."""
         last_id = None
         wrote_any = False
         with self._lock:

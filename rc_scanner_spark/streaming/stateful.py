@@ -206,18 +206,41 @@ def user_spend_any(
         api = "applyInPandasWithState"
 
     if checkpoint is not None:
-        import os
-
-        marker = os.path.join(checkpoint, "_stateful_api")
+        # Resolve the marker through Hadoop's FileSystem so the pin
+        # lands INSIDE the real checkpoint for any scheme the query
+        # can checkpoint to (file:, hdfs:, s3a:, a bare path under the
+        # cluster default FS) — local open()/makedirs would silently
+        # write a bogus local copy for remote schemes, defeating the
+        # guard in exactly the multi-driver restart it exists for
+        # (r13 review).
+        spark = events.sparkSession
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(checkpoint, "_stateful_api")
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         try:
-            with open(marker, "r", encoding="utf-8") as f:
-                pinned = f.read().strip()
-        except OSError:
-            pinned = None
+            # the marker is a tiny advisory file that external tooling
+            # may rewrite without refreshing the local-FS .crc sidecar
+            fs.setVerifyChecksum(False)
+        except Exception:
+            pass  # not every FileSystem supports the toggle
+        pinned = None
+        if fs.exists(hpath):
+            stream = fs.open(hpath)
+            try:
+                pinned = (
+                    jvm.org.apache.commons.io.IOUtils.toString(
+                        stream, "UTF-8"
+                    ).strip()
+                    or None  # torn/empty marker: re-pin, don't wedge
+                )
+            finally:
+                stream.close()
         if pinned is None:
-            os.makedirs(checkpoint, exist_ok=True)
-            with open(marker, "w", encoding="utf-8") as f:
-                f.write(api)
+            out = fs.create(hpath, True)
+            try:
+                out.write(bytearray(api, "utf-8"))
+            finally:
+                out.close()
         elif pinned != api:
             raise RuntimeError(
                 f"checkpoint {checkpoint!r} was created with {pinned}, "

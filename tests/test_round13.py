@@ -135,6 +135,29 @@ def test_delta_method_ratio_planted(spark, tmp_path):
     assert r.ci_lo_ppm == math.floor((delta - 1.96 * se) * 1e6 + 0.5)
     assert r.ci_hi_ppm == math.floor((delta + 1.96 * se) * 1e6 + 0.5)
     assert r.significant == (abs(z) > 1.96)
+    assert not r.degenerate
+
+
+def test_delta_method_ratio_degenerate_single_users(spark, tmp_path):
+    """One user per arm: n = 1 makes the delta-method variance
+    undefined -> the explicit degenerate flag with 0 sentinels and
+    the CI collapsed onto delta (NULL longs would cross the engine
+    boundary as None-vs-NaN)."""
+    uid0 = next(u for u in range(1, 50) if _h15(f"{u}|dmr42") % 2 == 0)
+    uid1 = next(u for u in range(1, 50) if _h15(f"{u}|dmr42") % 2 == 1)
+    rows = [
+        (1, uid0, _ts(1), 10.0, "a"),
+        (2, uid0, _ts(2), 20.0, "a"),
+        (3, uid1, _ts(3), 40.0, "a"),
+    ]
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+    [r] = REG["stats_delta_method_ratio"].fn(spark, str(tmp_path)).collect()
+    assert r.degenerate
+    assert (r.n_users_a, r.n_users_b) == (1, 1)
+    assert r.ratio_a_ppm == 1500 * 1_000_000  # (1000+2000)/2 cents/event
+    assert r.ratio_b_ppm == 4000 * 1_000_000
+    assert r.se_ppm == 0 and r.z_milli == 0 and r.significant is False
+    assert r.ci_lo_ppm == r.ci_hi_ppm == r.delta_ppm == 2500 * 1_000_000
 
 
 # ---- stats_two_proportion_z ------------------------------------------------

@@ -126,9 +126,15 @@ def test_delta_method_ratio_random_replay(spark, tmp_path, seed):
     if se20 is not None and se21 is not None and se20 + se21 > 0:
         se = math.sqrt(se20 + se21)
         z = (r1 - r0) / se
+        assert not row.degenerate
         assert row.se_ppm == math.floor(se * 1e6 + 0.5)
         assert row.z_milli == math.floor(z * 1000 + 0.5)
         assert row.significant == (abs(z) > 1.96)
+    else:
+        assert row.degenerate
+        assert row.se_ppm == 0 and row.z_milli == 0
+        assert row.significant is False
+        assert row.ci_lo_ppm == row.ci_hi_ppm == row.delta_ppm
 
 
 # ---- stats_two_proportion_z + stats_srm_check ------------------------------
