@@ -278,8 +278,11 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums.
 
     Scale: one per-group rank window (3-value partition key) + one
-    rollup; the 100 TB path swaps the exact rank for approx quantile
-    cuts."""
+    rollup.  The 100 TB path is IMPLEMENTED as
+    ``agg_trimmed_mean_bucketed`` (warehouse35): the value-grid
+    rollup replaces the per-row rank entirely (16x probe 0.5x vs this
+    form's 5.4x) and returns identical results — kept here as the
+    reference form its planted equality test compares against."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("g"),
         F.floor(F.col("l_quantity") * 100 + 0.5).cast("long").alias("xq"),
