@@ -56,9 +56,9 @@ def load_tuned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #       21 r4-era rows -- CORRECTNESS_r12: 50/50 hash-green, zero
 #       overlap with r11.
 #   r13 (THIS ordering, re-emitted by tools/rotate_prefix.py
-#       --slots 50 on the closing tree): the 19 never-sampled
-#       round-13 additions (batches 51-53) in slots 1-19, then
-#       embed_pca_variance at slot 20 -- the registry's last
+#       --slots 50 on the closing tree): the 20 never-sampled
+#       round-13 additions (batches 51-54) in slots 1-20, then
+#       embed_pca_variance at slot 21 -- the registry's last
 #       never-sampled entry (rows-only by design: a 64x64
 #       eigendecomposition has no SQL twin; its mechanism chain is
 #       hash-green via the embed_cov_trace/embed_power_iter portable
@@ -67,11 +67,10 @@ def load_tuned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #       spend one prefix slot to earn its weaker rows-only driver
 #       row, because the prefix is all the driver ever checks --
 #       self-limiting, as after one round it is sampled and barred
-#       again.  Slots 21-50: ALL 29 remaining r4-era rows (join_asof
-#       .. window_lag_lead), finishing the staleness tail, + the
-#       oldest r5 row.  A green CORRECTNESS_r13 prefix makes
-#       cumulative driver coverage 399/399 with nothing older than
-#       r5.
+#       again.  Slots 22-50: ALL 29 remaining r4-era rows (join_asof
+#       .. window_lag_lead), finishing the staleness tail.  A green
+#       CORRECTNESS_r13 prefix makes cumulative driver coverage
+#       400/400 with nothing older than r5.
 #       Registry additions stay capped at ~20/round
 #       so the 50-row window keeps converging.  Enforced by
 #       tests/test_rotation_ledger.py against the newest committed
@@ -98,6 +97,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "text_simpson_diversity",  # never
     "events_best_split_sse",  # never
     "events_type_user_jaccard",  # never
+    "stats_psi_drift",  # never
     "embed_pca_variance",  # never
     "join_asof",  # green r4
     "join_full_outer",  # green r4
@@ -128,8 +128,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "unpivot",  # green r4
     "variant_shred",  # green r4
     "window_lag_lead",  # green r4
-    "agg_argmax",  # green r5
     # ---- entries below are outside the 50-slot prefix ----
+    "agg_argmax",  # green r5
     "agg_group_quantiles",  # green r5
     "ann_ivf_topk",  # green r5
     "ann_ivfpq_topk",  # green r5
@@ -480,6 +480,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "window_cume_dist",  # green r12
     "window_fill_forward",  # green r12
 )
+
 
 
 

@@ -25,6 +25,9 @@ outliers, attribution, and distributional readouts.
 * ``events_type_user_jaccard`` — Jaccard overlap of user bases
   between event-type pairs (audience-overlap matrix, bounded by the
   type-pair grid).
+* ``stats_psi_drift`` (batch 54) — Population Stability Index of the
+  value distribution between the epoch halves per type: the
+  scorecard-industry drift metric joining the KS/CvM family.
 
 Reference scope note: the reference engine (scanner.py:120-175) has
 no analytics surface; extends SURVEY.md §2.B's join/window/aggregation
@@ -779,3 +782,146 @@ QUERIES: dict[str, QuerySpec] = {
         q_events_type_user_jaccard, SQL_EVENTS_TYPE_USER_JACCARD
     ),
 }
+
+
+# --------------------------------------------------------------------
+# PSI drift (batch 54)
+# --------------------------------------------------------------------
+
+_PSI_EPS = 1e-6  # standard zero-bin share floor (scorecard convention)
+
+
+def q_stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution
+    between the epoch halves, per event type — the scorecard-industry
+    drift metric that complements the existing KS (worst CDF gap) and
+    CvM (integrated gap): PSI = sum_i (p_i - q_i) * ln(p_i / q_i)
+    over the shared 0.1-wide value grid (agg_ks_drift's binning),
+    zero-bin shares floored at 1e-6 (the standard convention), with
+    the textbook bands: < 0.10 stable, < 0.25 moderate, else major.
+    The epoch split is the shared epoch_mid rule.  ln follows the
+    agg_source_entropy precedent (both engines' ln agree far inside
+    the round-6 snap); the band is derived from the SNAPPED value so
+    the label can never straddle a boundary differently per engine.
+    Types with an empty half are excluded (PSI needs both samples).
+
+    Scale: one hash aggregate to (type, bin, half) counts — the bin
+    axis is bounded by the VALUE DOMAIN, not row count — then a
+    per-type rollup; the only cartesian is the 1-row epoch-midpoint
+    broadcast (allowlist-pinned, the stats_cohens_d shape)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.floor(F.col("value") * 10).cast("long").alias("bin"),
+    ).filter(F.col("bin").isNotNull())
+    from .warehouse25 import epoch_mid
+
+    halves = ev.crossJoin(F.broadcast(epoch_mid(ev)))
+    # persisted: per_bin (bounded by types x value-domain bins) feeds
+    # BOTH the per-type totals and the term join — without the cache
+    # each consumer re-runs the corpus aggregation
+    from ..operators import dedup as _dedup
+
+    per_bin = _dedup._track_persist(
+        halves.groupBy("event_type", "bin").agg(
+            F.sum(
+                F.when(F.col("us") <= F.col("mid_us"), 1).otherwise(0)
+            ).alias("npre"),
+            F.sum(
+                F.when(F.col("us") > F.col("mid_us"), 1).otherwise(0)
+            ).alias("npost"),
+        )
+    )
+    tot = per_bin.groupBy("event_type").agg(
+        F.sum("npre").alias("tpre"),
+        F.sum("npost").alias("tpost"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    j = per_bin.join(tot, "event_type").filter(
+        (F.col("tpre") > 0) & (F.col("tpost") > 0)
+    )
+    p = F.greatest(
+        F.col("npre").cast("double") / F.col("tpre").cast("double"),
+        F.lit(_PSI_EPS),
+    )
+    q = F.greatest(
+        F.col("npost").cast("double") / F.col("tpost").cast("double"),
+        F.lit(_PSI_EPS),
+    )
+    terms = j.select(
+        "event_type",
+        "tpre",
+        "tpost",
+        "n_bins",
+        ((p - q) * F.log(p / q)).alias("term"),
+    )
+    psi = F.round(F.sum("term"), 6)
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.any_value("tpre").cast("long").alias("n_pre"),
+            F.any_value("tpost").cast("long").alias("n_post"),
+            F.any_value("n_bins").cast("long").alias("n_bins"),
+            psi.alias("psi"),
+        )
+        .select(
+            "event_type",
+            "n_pre",
+            "n_post",
+            "n_bins",
+            "psi",
+            F.when(F.col("psi") < 0.10, F.lit("stable"))
+            .when(F.col("psi") < 0.25, F.lit("moderate"))
+            .otherwise(F.lit("major"))
+            .alias("band"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_STATS_PSI_DRIFT = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CAST(floor(value * 10) AS BIGINT) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev),
+per_bin AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN e.us <= m.mid_us THEN 1 ELSE 0 END) AS npre,
+         sum(CASE WHEN e.us > m.mid_us THEN 1 ELSE 0 END) AS npost
+  FROM ev e CROSS JOIN mid m
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, sum(npre) AS tpre, sum(npost) AS tpost,
+         count(*) AS n_bins
+  FROM per_bin GROUP BY 1
+),
+terms AS (
+  SELECT p.event_type, t.tpre, t.tpost, t.n_bins,
+         (greatest(p.npre * 1.0 / t.tpre, CAST({_PSI_EPS} AS DOUBLE))
+          - greatest(p.npost * 1.0 / t.tpost, CAST({_PSI_EPS} AS DOUBLE)))
+         * ln(greatest(p.npre * 1.0 / t.tpre, CAST({_PSI_EPS} AS DOUBLE))
+              / greatest(p.npost * 1.0 / t.tpost,
+                         CAST({_PSI_EPS} AS DOUBLE))) AS term
+  FROM per_bin p JOIN tot t USING (event_type)
+  WHERE t.tpre > 0 AND t.tpost > 0
+),
+agg AS (
+  SELECT event_type,
+         CAST(any_value(tpre) AS BIGINT) AS n_pre,
+         CAST(any_value(tpost) AS BIGINT) AS n_post,
+         CAST(any_value(n_bins) AS BIGINT) AS n_bins,
+         round(sum(term), 6) AS psi
+  FROM terms GROUP BY 1
+)
+SELECT event_type, n_pre, n_post, n_bins, psi,
+       CASE WHEN psi < 0.10 THEN 'stable'
+            WHEN psi < 0.25 THEN 'moderate'
+            ELSE 'major' END AS band
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["stats_psi_drift"] = QuerySpec(q_stats_psi_drift, SQL_STATS_PSI_DRIFT)

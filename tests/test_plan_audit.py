@@ -295,6 +295,11 @@ ALLOWED_CARTESIANS = {
     # mass init); mat/nodes are _track_persist'ed so the 12 power
     # iterations read cached bounded frames
     "events_markov_stationary": 1,
+    # 1-row epoch-midpoint scalar broadcast over events; per_bin is
+    # _track_persist'ed (bounded by types x value-domain bins) and its
+    # two lazy consumers (totals + term join) each print the subtree
+    # (lazy-plan shape only, stats_cuped precedent)
+    "stats_psi_drift": 2,
 }
 
 

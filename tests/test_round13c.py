@@ -358,3 +358,74 @@ def test_type_user_jaccard_planted(spark, tmp_path):
         for r in REG["events_type_user_jaccard"].fn(spark, str(tmp_path)).collect()
     }
     assert got == {("A", "B"): (2, 3, 3, 2 * _PPM // 4)}
+
+
+# ---- stats_psi_drift ----------------------------------------------------------
+
+
+def _psi_mirror(rows):
+    """rows: EV tuples -> {type: (n_pre, n_post, n_bins, psi, band)}."""
+    ev = [
+        (t, _us(ts), math.floor(v * 10))
+        for _e, _u, ts, v, t in rows
+        if v is not None
+    ]
+    uss = [u for _t, u, _b in ev]
+    mid = (min(uss) + max(uss)) // 2
+    per: dict[str, dict[int, list[int]]] = {}
+    for t, u, b in ev:
+        d = per.setdefault(t, {})
+        pre, post = d.get(b, [0, 0])
+        if u <= mid:
+            pre += 1
+        else:
+            post += 1
+        d[b] = [pre, post]
+    out = {}
+    for t, bins in per.items():
+        tpre = sum(p for p, _q in bins.values())
+        tpost = sum(q for _p, q in bins.values())
+        if tpre == 0 or tpost == 0:
+            continue
+        psi = 0.0
+        for pre, post in bins.values():
+            p = max(pre / tpre, 1e-6)
+            q = max(post / tpost, 1e-6)
+            psi += (p - q) * math.log(p / q)
+        psi = round(psi, 6)
+        band = "stable" if psi < 0.10 else "moderate" if psi < 0.25 else "major"
+        out[t] = (tpre, tpost, len(bins), psi, band)
+    return out
+
+
+def test_psi_drift_planted(spark, tmp_path):
+    """Type 'same' has identical halves (PSI 0, stable); type 'shift'
+    moves all mass to a new bin post-midpoint (floored shares, major);
+    type 'lone' exists only pre-midpoint and is excluded."""
+    rows, eid = [], 0
+    for d in (1, 2, 27, 28):  # two events per half, same value bins
+        for v in (1.0, 2.0):
+            eid += 1
+            rows.append((eid, 1, _ts(d), v, "same"))
+    for d in (1, 2):
+        eid += 1
+        rows.append((eid, 1, _ts(d), 5.0, "shift"))
+    for d in (27, 28):
+        eid += 1
+        rows.append((eid, 1, _ts(d), 50.0, "shift"))
+    eid += 1
+    rows.append((eid, 1, _ts(1), 9.0, "lone"))
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+    expect = _psi_mirror(rows)
+    got = {
+        r.event_type: (r.n_pre, r.n_post, r.n_bins, r.psi, r.band)
+        for r in REG["stats_psi_drift"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(expect) == {"same", "shift"}
+    for t in got:
+        assert got[t][:3] == expect[t][:3]
+        assert abs(got[t][3] - expect[t][3]) <= 2e-6
+        assert got[t][4] == expect[t][4]
+    assert got["same"][3] == 0.0 and got["same"][4] == "stable"
+    # total separation: each bin contributes ~(1 - 1e-6) * ln(1e6)
+    assert got["shift"][4] == "major" and got["shift"][3] > 20.0

@@ -256,3 +256,34 @@ def test_type_jaccard_random_replay(spark, tmp_path, seed):
         for r in REG["events_type_user_jaccard"].fn(spark, str(tmp_path)).collect()
     }
     assert got == expect
+
+
+# ---- stats_psi_drift ----------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [1471, 1472, 1473])
+def test_psi_drift_random_replay(spark, tmp_path, seed):
+    from tests.test_round13c import _psi_mirror
+
+    rng = random.Random(seed)
+    rows, eid = [], 0
+    for t in ("a", "b", "c")[: rng.randint(1, 3)]:
+        drift = rng.random() < 0.5
+        for _ in range(rng.randint(3, 60)):
+            eid += 1
+            d = rng.randint(1, 28)
+            v = rng.uniform(0.5, 8)
+            if drift and d > 14:
+                v += rng.uniform(0, 10)  # post-half shift
+            rows.append((eid, rng.randint(1, 5), _ts(d, rng.randint(0, 23)), v, t))
+    write_fixture(spark, tmp_path, "events", rows, EV_SCHEMA)
+    expect = _psi_mirror(rows)
+    got = {
+        r.event_type: (r.n_pre, r.n_post, r.n_bins, r.psi, r.band)
+        for r in REG["stats_psi_drift"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(expect)
+    for t in got:
+        assert got[t][:3] == expect[t][:3]
+        assert abs(got[t][3] - expect[t][3]) <= 2e-6
+        assert got[t][4] == expect[t][4]
