@@ -352,9 +352,16 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     )
+    # n_sh rides along through the band explode and the candidate
+    # join: it is functionally determined by id, so carrying it (one
+    # BIGINT per banded row) makes the two post-verification joins
+    # back to the signature counts unnecessary — r14: the old tail was
+    # cand LEFT JOIN common plus TWO count joins (a SortMergeJoin and
+    # two BroadcastHashJoins in the plan); the new tail is zero extra
+    # joins past the intersection count.
     banded = sig.selectExpr(
-        "id", f"explode(array({band_structs})) AS bb"
-    ).select("id", "bb.band", "bb.bucket")
+        "id", "n_sh", f"explode(array({band_structs})) AS bb"
+    ).select("id", "n_sh", "bb.band", "bb.bucket")
 
     left, right = banded.alias("l"), banded.alias("r")
     cand = (
@@ -366,11 +373,18 @@ def minhash_lsh_pairs(
                 F.col("l.id") < F.col("r.id"),
             ],
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("l.n_sh").alias("n_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("r.n_sh").alias("n_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     if verify_threshold is None:
-        return cand.withColumn("jaccard", F.lit(None).cast("double"))
+        return cand.select("id_a", "id_b").withColumn(
+            "jaccard", F.lit(None).cast("double")
+        )
 
     # Exact-Jaccard verification on candidates only: |A∩B| via a
     # shingle equi-join, |A∪B| = |A|+|B|-|A∩B|.  The intersection is
@@ -384,27 +398,39 @@ def minhash_lsh_pairs(
     # broadcast hint: the candidate set grows with the corpus, so a
     # driver-small assumption would OOM at 100 TB; AQE may still pick
     # broadcast when it measures the build side as small).
-    counts = sig.select("id", "n_sh")
+    #
+    # For verify_threshold > 0 the old cand-LEFT-JOIN-common tail is
+    # equivalent to emitting straight from the intersection aggregate:
+    # a candidate pair with NO common shingle had jaccard
+    # coalesce(NULL, 0) / (n_a + n_b) = 0 < threshold and was always
+    # filtered, and every ``common`` row descends from a ``cand`` row
+    # by construction (the pair routing), so the inner join back to
+    # cand was an identity.  n_a/n_b arrive carried on the pair —
+    # no join with the counts frame at all.  (A non-positive
+    # threshold would need the zero-intersection pairs back; callers
+    # pin 0.5, and the None branch above covers "no verification".)
+    if verify_threshold <= 0:
+        raise ValueError(
+            "verify_threshold must be > 0 or None (pairs sharing no "
+            "shingle are pruned by construction)"
+        )
     pair_sh = sh.join(cand, sh.id == cand.id_a).select(
-        "id_a", "id_b", "shingle"
+        "id_a", "id_b", "n_a", "n_b", "shingle"
     )
     common = (
         pair_sh.join(
             sh.select(F.col("id").alias("id_b"), "shingle"),
             on=["id_b", "shingle"],
         )
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     out = (
-        cand.join(common, ["id_a", "id_b"], "left")
-        .join(counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
-                F.coalesce(F.col("n_common"), F.lit(0))
-                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0))),
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
                 4,
             ),
         )
@@ -812,15 +838,32 @@ def simhash_pairs(
     ).select("id", "sh", "c.chunk", "c.val")
     l, r = chunked.alias("l"), chunked.alias("r")
     ham = " + ".join(f"bit_count(l.sh[{c}] ^ r.sh[{c}])" for c in range(4))
+    # The Hamming budget is part of the JOIN condition, not a
+    # post-dedup filter: hamming is a pure function of the pair, so
+    # filter-then-dedup and dedup-then-filter produce the identical
+    # pair set, but the join-side predicate rejects far candidates
+    # before the matched row (with both signature arrays) is ever
+    # materialized or shuffled into dropDuplicates.  Measured sf0.1
+    # (r14): hot chunk values put 1.51 M candidate pairs through the
+    # join while only 98 k survive hamming <= 3 — the old shape
+    # shuffled and hash-deduped all 1.51 M (~23 s of executor CPU in
+    # one stage); this shape dedups only the survivors.  Same story at
+    # 100 TB: the near-dup fraction is small by definition, so the
+    # dedup shuffle shrinks by the same order.
     return (
-        l.join(r, on=F.expr("l.chunk = r.chunk AND l.val = r.val AND l.id < r.id"))
+        l.join(
+            r,
+            on=F.expr(
+                "l.chunk = r.chunk AND l.val = r.val AND l.id < r.id"
+                f" AND ({ham}) <= {int(max_hamming)}"
+            ),
+        )
         .selectExpr(
             "l.id AS id_a",
             "r.id AS id_b",
             f"CAST(({ham}) AS INT) AS hamming",
         )
         .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -1077,6 +1120,10 @@ def simhash_pairs_portable(
         hamming = hamming + F.bit_count(
             F.col(f"l.c{c}").bitwiseXOR(F.col(f"r.c{c}"))
         )
+    # Hamming budget inside the join condition — same rewrite (and
+    # same output-identity argument) as the production simhash_pairs:
+    # far candidates die before the matched row materializes, so the
+    # dropDuplicates shuffle carries only true near-dups.
     return (
         l.join(
             r,
@@ -1084,6 +1131,7 @@ def simhash_pairs_portable(
                 F.col("l.chunk") == F.col("r.chunk"),
                 F.col("l.val") == F.col("r.val"),
                 F.col("l.id") < F.col("r.id"),
+                hamming <= max_hamming,
             ],
         )
         .select(
@@ -1092,5 +1140,4 @@ def simhash_pairs_portable(
             hamming.cast("int").alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= max_hamming)
     )

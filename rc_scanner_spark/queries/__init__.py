@@ -30,11 +30,20 @@ class QuerySpec:
 def load_tuned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """tune() + load_table — the shared per-query table loader every
     query module aliases as ``_t`` (one definition of the load/tune
-    contract instead of a copy per module)."""
+    contract instead of a copy per module).
+
+    tune() runs once per SparkSession object (r14): it only sets
+    runtime confs, every one idempotent, but each set is a py4j round
+    trip — a 6-table query paid ~70 wasted calls of pure driver
+    latency per plan construction, and the grading bench rebuilds
+    every plan per sample.  A foreign (driver-supplied) session still
+    gets tuned on its first table load."""
     from ..session import tune
     from ..tables import load_table
 
-    tune(spark)
+    if not getattr(spark, "_rc_scanner_tuned", False):
+        tune(spark)
+        spark._rc_scanner_tuned = True
     return load_table(spark, sf_dir, name)
 
 
@@ -76,59 +85,17 @@ def load_tuned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #       tests/test_rotation_ledger.py against the newest committed
 #       CORRECTNESS_r*.json; tools/rotate_prefix.py re-emits the
 #       ordering mechanically each round.
+#   r14 (THIS ordering, re-emitted by tools/rotate_prefix.py
+#       --slots 50 on the r14 opening tree): an optimization round —
+#       no registry additions, so the prefix is purely the staleness
+#       drain: the 50 oldest sampled rows (all green r5), freshest
+#       evidence last.  embed_pca_variance earned its one rows-only
+#       row in r13 and is now barred from the prefix again (the
+#       test_prefix_is_oracle_backed rule), which is why the r13
+#       ordering failed that test on the r14 opening tree until this
+#       re-emit.
 
 _VERIFICATION_PRIORITY: tuple[str, ...] = (
-    "stats_two_proportion_z",  # never
-    "stats_srm_check",  # never
-    "stats_capture_recapture",  # never
-    "agg_trimmed_mean_bucketed",  # never
-    "stats_delta_method_ratio",  # never
-    "stats_holm_bonferroni",  # never
-    "join_bitemporal_asof",  # never
-    "join_interpolate_linear",  # never
-    "window_rolling_median",  # never
-    "sample_pps_systematic",  # never
-    "events_haar_energy",  # never
-    "events_markov_stationary",  # never
-    "orders_fifo_allocation",  # never
-    "window_hampel_outliers",  # never
-    "events_attribution_credit",  # never
-    "text_lorenz_curve",  # never
-    "text_simpson_diversity",  # never
-    "events_best_split_sse",  # never
-    "events_type_user_jaccard",  # never
-    "stats_psi_drift",  # never
-    "embed_pca_variance",  # never
-    "join_asof",  # green r4
-    "join_full_outer",  # green r4
-    "join_right_outer",  # green r4
-    "join_salted_skew",  # green r4
-    "merge_upsert",  # green r4
-    "pack_sequences",  # green r4
-    "profile_columns",  # green r4
-    "sample_interleave_shards",  # green r4
-    "sample_negatives",  # green r4
-    "sample_stratified",  # green r4
-    "sample_weighted_mix",  # green r4
-    "scd2_user_state",  # green r4
-    "session_windows",  # green r4
-    "sql_api_exists",  # green r4
-    "sql_api_group_by_all",  # green r4
-    "sql_api_lateral",  # green r4
-    "sql_api_recursive_cte",  # green r4
-    "text_bm25_topk",  # green r4
-    "text_chunk_overlap",  # green r4
-    "text_gopher_rules",  # green r4
-    "text_html_strip",  # green r4
-    "text_ngram_novelty",  # green r4
-    "text_pii_scrub",  # green r4
-    "text_readability",  # green r4
-    "text_unigram_logprob",  # green r4
-    "time_window_tumbling",  # green r4
-    "unpivot",  # green r4
-    "variant_shred",  # green r4
-    "window_lag_lead",  # green r4
-    # ---- entries below are outside the 50-slot prefix ----
     "agg_argmax",  # green r5
     "agg_group_quantiles",  # green r5
     "ann_ivf_topk",  # green r5
@@ -179,6 +146,7 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "tpch_q12ish",  # green r5
     "window_first_last",  # green r5
     "window_period_over_period",  # green r5
+    # ---- entries below are outside the 50-slot prefix ----
     "agg_chi2_independence",  # green r6
     "agg_filtered",  # green r6
     "agg_incremental_merge",  # green r6
@@ -479,6 +447,56 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "tpch_q9ish",  # green r12
     "window_cume_dist",  # green r12
     "window_fill_forward",  # green r12
+    "agg_trimmed_mean_bucketed",  # green r13
+    "embed_pca_variance",  # rows_only r13
+    "events_attribution_credit",  # green r13
+    "events_best_split_sse",  # green r13
+    "events_haar_energy",  # green r13
+    "events_markov_stationary",  # green r13
+    "events_type_user_jaccard",  # green r13
+    "join_asof",  # green r13
+    "join_bitemporal_asof",  # green r13
+    "join_full_outer",  # green r13
+    "join_interpolate_linear",  # green r13
+    "join_right_outer",  # green r13
+    "join_salted_skew",  # green r13
+    "merge_upsert",  # green r13
+    "orders_fifo_allocation",  # green r13
+    "pack_sequences",  # green r13
+    "profile_columns",  # green r13
+    "sample_interleave_shards",  # green r13
+    "sample_negatives",  # green r13
+    "sample_pps_systematic",  # green r13
+    "sample_stratified",  # green r13
+    "sample_weighted_mix",  # green r13
+    "scd2_user_state",  # green r13
+    "session_windows",  # green r13
+    "sql_api_exists",  # green r13
+    "sql_api_group_by_all",  # green r13
+    "sql_api_lateral",  # green r13
+    "sql_api_recursive_cte",  # green r13
+    "stats_capture_recapture",  # green r13
+    "stats_delta_method_ratio",  # green r13
+    "stats_holm_bonferroni",  # green r13
+    "stats_psi_drift",  # green r13
+    "stats_srm_check",  # green r13
+    "stats_two_proportion_z",  # green r13
+    "text_bm25_topk",  # green r13
+    "text_chunk_overlap",  # green r13
+    "text_gopher_rules",  # green r13
+    "text_html_strip",  # green r13
+    "text_lorenz_curve",  # green r13
+    "text_ngram_novelty",  # green r13
+    "text_pii_scrub",  # green r13
+    "text_readability",  # green r13
+    "text_simpson_diversity",  # green r13
+    "text_unigram_logprob",  # green r13
+    "time_window_tumbling",  # green r13
+    "unpivot",  # green r13
+    "variant_shred",  # green r13
+    "window_hampel_outliers",  # green r13
+    "window_lag_lead",  # green r13
+    "window_rolling_median",  # green r13
 )
 
 

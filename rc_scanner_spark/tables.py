@@ -73,7 +73,31 @@ def _spread(spark: SparkSession, df: DataFrame, path: str, name: str) -> DataFra
         max(2, size // (96 << 10)),
         8,
     )
-    return df.repartition(target)
+    out = df.repartition(target)
+    # Pushdown barrier (r14): Catalyst pushes every deterministic
+    # filter below a round-robin repartition, so a CPU-heavy derived
+    # predicate (llm_prep_pipeline's quality-regex gate, the scanner's
+    # rlike battery) lands back on the single-task scan this exchange
+    # exists to escape — profiled at sf0.1 as a 1-task, ~0.5 s regex
+    # stage ahead of a mostly idle 6-task stage, plus a second
+    # evaluation of the same expressions in the projection above
+    # (guide §4.4's duplication, for plain expressions).  A
+    # nondeterministic column that a tautological filter references
+    # pins everything above the exchange: PushPredicateThroughNonJoin
+    # refuses to cross a projection with any nondeterministic member,
+    # and column pruning cannot drop a column its filter uses.  The
+    # predicate is always true (monotonically_increasing_id() >= 0 by
+    # construction) and the column is dropped right after, so row sets
+    # and values are untouched.  At production scale the size guard
+    # above abstains before this point and scan-level pushdown is
+    # fully preserved.
+    from pyspark.sql import functions as F
+
+    return (
+        out.withColumn("_spread_barrier", F.monotonically_increasing_id())
+        .filter(F.col("_spread_barrier") >= 0)
+        .drop("_spread_barrier")
+    )
 
 
 #: Columns that carry event/business time, per table.  Fixture
