@@ -608,8 +608,32 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaks < k pico per step (documented, deterministic).
 
     Scale: the transition matrix is |types|^2 rows after one
-    lag-window pass over user timelines; each iteration is one join
-    + one groupBy on that bounded frame."""
+    lag-window pass over user timelines; the 12 power steps then run
+    over the COLLECTED bounded matrix inside one projection (r14 —
+    see below), so iteration cost is |types|^2 x iters expression
+    evaluations on one row, not 12 rounds of join+aggregate stages.
+
+    r14 restructure (guide §1.2: the distributed algorithm first):
+    the pre-r14 form ran each of the 12 steps as matrix-join →
+    inflow-aggregate → node left-join over the persisted 25-row
+    matrix — ~3 AQE stages per step, 36+ stage launches to move a few
+    hundred bytes, measured 3.7-8 s wall at sf0.1 with ~zero executor
+    compute.  Since the matrix and node list are bounded by
+    |event_type|^2 (the same argument that justified persisting
+    them), they collapse to ONE row of arrays; the power loop becomes
+    a single ``aggregate(sequence(1, iters), x0, step)`` fold in one
+    projection, where the mass vector is the fold's lambda
+    ACCUMULATOR.  (Not 12 stacked projections: CollapseProject
+    inlines each step's alias into the next step's lambda, and
+    lambda-bound subtrees get no common-subexpression elimination, so
+    the stacked form re-evaluates the whole history per element
+    access — exponential.  A lambda accumulator cannot be inlined;
+    each step evaluates exactly once.)  Every operation is the SAME
+    integer arithmetic on the same pico grid — truncating
+    decimal-rail division per contribution, order-free integer sums —
+    so the result is bit-identical (planted + randomized tests and
+    the unchanged DuckDB twin all pass; oracle hash-green at both
+    SFs)."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
@@ -623,41 +647,46 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     rows = pairs.groupBy("src").agg(F.sum("cnt").alias("row_n"))
-    # persist the |types|^2 matrix and the |types| node list: every
-    # one of the 12 iterations joins against them — without the cache
-    # each iteration re-runs the per-user lag window over the full
-    # corpus (12x the timeline scan at 100 TB for a bounded matrix)
-    mat = _dedup._track_persist(pairs.join(rows, "src"))
-    nodes = _dedup._track_persist(
-        ev.select(F.col("event_type").alias("node")).distinct()
+    mat = pairs.join(rows, "src")
+    # ONE row each: the |types|^2 edge list and the sorted node list.
+    # collect_list order is nondeterministic but every consumer below
+    # is an order-free integer sum, and the node axis is array_sort'ed.
+    edges_row = mat.groupBy().agg(
+        F.expr("collect_list(struct(src, dst, cnt, row_n)) AS edges")
     )
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("k"))
-    x = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node",
-        F.expr(f"CAST({_MSTAT_GRID} DIV k AS BIGINT)").alias("mass"),
+    nodes_row = (
+        ev.select(F.col("event_type").alias("node"))
+        .distinct()
+        .groupBy()
+        .agg(F.expr("array_sort(collect_list(node)) AS ns"))
     )
-    for _ in range(_MSTAT_ITERS):
-        contrib = (
-            mat.join(x.withColumnRenamed("node", "src"), "src")
-            .select(
-                "dst",
-                F.expr(
-                    "CAST(CAST(mass AS decimal(38,0)) * cnt DIV row_n"
-                    " AS BIGINT)"
-                ).alias("c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        x = nodes.join(
-            contrib.withColumnRenamed("dst", "node"), "node", "left"
-        ).select(
-            "node", F.coalesce(F.col("inflow"), F.lit(0)).alias("mass")
-        )
+    # 1-row x 1-row cartesian (allowlisted in tests/test_plan_audit.py
+    # — the scalar-broadcast pattern every bounded readout uses).
+    base = nodes_row.crossJoin(F.broadcast(edges_row))
+    # x0: uniform pico mass.  transform over an EMPTY ns never
+    # evaluates the lambda, so the zero-node corpus degenerates to
+    # zero output rows exactly like the old nodes-frame form.  The 12
+    # steps are ONE fold over sequence(1, 12) with the mass vector x
+    # as the accumulator lambda variable — evaluated once per step by
+    # construction (see docstring).
+    x0 = f"transform(ns, n -> CAST({_MSTAT_GRID} DIV size(ns) AS BIGINT))"
+    step = (
+        "(x, it) -> transform(ns, n -> aggregate("
+        "  filter(edges, e -> e.dst = n),"
+        "  CAST(0 AS BIGINT),"
+        "  (acc, e) -> acc + CAST(CAST("
+        "    element_at(x, CAST(array_position(ns, e.src) AS INT))"
+        "    AS DECIMAL(38,0)) * e.cnt DIV e.row_n AS BIGINT)))"
+    )
+    cur = base.selectExpr(
+        "ns",
+        f"aggregate(sequence(1, {_MSTAT_ITERS}), {x0}, {step}) AS x",
+    )
     return (
-        x.select(
-            F.col("node").alias("event_type"),
-            F.col("mass").cast("long").alias("stationary_pico"),
+        cur.select(F.explode(F.arrays_zip("ns", "x")).alias("z"))
+        .select(
+            F.col("z.ns").alias("event_type"),
+            F.col("z.x").cast("long").alias("stationary_pico"),
         )
         .orderBy("event_type")
     )

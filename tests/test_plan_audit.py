@@ -291,9 +291,9 @@ ALLOWED_CARTESIANS = {
     # scan materializes ONCE at runtime (lazy-plan shape only,
     # stats_cuped precedent)
     "events_haar_energy": 10,
-    # 1-row node-count scalar broadcast over the node list (uniform
-    # mass init); mat/nodes are _track_persist'ed so the 12 power
-    # iterations read cached bounded frames
+    # 1-row x 1-row readout: the sorted node-list row crossed with the
+    # collected |types|^2 edge-list row; the 12 power iterations run
+    # as one aggregate() fold inside that single projection (r14)
     "events_markov_stationary": 1,
     # 1-row epoch-midpoint scalar broadcast over events; per_bin is
     # _track_persist'ed (bounded by types x value-domain bins) and its

@@ -61,15 +61,24 @@ def main() -> None:
     spark.sql("SELECT lower('MÜller straße 你好 Ω'), upper('ñoño')").collect()
 
     wanted = sys.argv[1:] or HEADLINE
+    # Headline names keep the bench's order + share-group cache
+    # semantics; any other registry name is profiled standalone
+    # (cache cleared before it) after the headline ones.
+    ordered = [n for n in HEADLINE if n in wanted] + [
+        n for n in wanted if n not in HEADLINE
+    ]
     results = {}
     # Two passes; only the second is recorded (Q:: description), so
     # one-time costs (codegen compile, schema inference) are excluded
     # and the numbers match the bench's min/median regime.
     for pass_no in (1, 2):
-        for i, name in enumerate(HEADLINE):
-            if name not in wanted:
-                continue
-            if not (i and _share_group(HEADLINE[i - 1]) == _share_group(name)):
+        for i, name in enumerate(ordered):
+            if not (
+                i
+                and ordered[i - 1] in HEADLINE
+                and name in HEADLINE
+                and _share_group(ordered[i - 1]) == _share_group(name)
+            ):
                 spark.catalog.clearCache()
                 release_caches()
             if pass_no == 2:
