@@ -497,6 +497,12 @@ def ngram_jaccard_pairs(
     # preserves those exact semantics.
     for c in group_cols:
         sh = sh.filter(F.col(c).isNotNull())
+    # (r14 note: persisting this blocked frame too was tried and
+    # REVERTED — the three consumers' re-evaluations of the cheap
+    # blocking join over the already-cached shingle frame run
+    # CONCURRENTLY on idle cores, while a persist serializes them
+    # behind one materialization + per-partition cache locks;
+    # matched A/B measured it ~20% worse.)
     # COUNT first, filter, THEN collect: a single collect_list+count
     # aggregate materializes a hot shingle's complete id array in one
     # aggregation buffer BEFORE the df filter can drop it — a
@@ -896,9 +902,24 @@ def prefix_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("tok"),
+    # The exploded token frame feeds FOUR consumers (df count, the
+    # rank join, and both sides of the verification join); without a
+    # persist each consumer re-runs tokenize+explode over the corpus —
+    # profiled r14 at sf0.1 as four ~6.5 s-CPU stages of the same
+    # subtree.  Same _track_persist discipline as the ngram/minhash
+    # operators (released by release_caches; never crosses a bench
+    # sample).  The width-pinned repartition of the RAW doc rows (a
+    # few MB) runs the tokenize CPU (~7 s at sf0.1) at full session
+    # parallelism instead of the scan's spread width, and sets the
+    # cached frame's width so AQE cannot serialize its consumers.
+    tok = _track_persist(
+        df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, id_col
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("tok"),
+        )
     )
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = tok.join(dfreq, "tok")
@@ -926,6 +947,19 @@ def prefix_jaccard_pairs(
             F.col("l.n_tok").alias("n_a"),
             F.col("r.n_tok").alias("n_b"),
         )
+        # Width-pinned exchange (r14): the verification tail below is
+        # ONE fused stage of broadcast joins streamed from this
+        # candidate list, so ITS partitioning is the tail's
+        # parallelism — AQE byte-coalescing saw a few MB of pairs and
+        # ran the whole pair x token expansion (~5.7 s CPU at sf0.1)
+        # on one task.  A user repartition is exempt from coalescing;
+        # the big expanded stream itself still never crosses a
+        # shuffle (see the revert note below).
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            "id_a",
+            "id_b",
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     # PAIR-restricted verification (the minhash_lsh_pairs shape): the
@@ -937,20 +971,33 @@ def prefix_jaccard_pairs(
     # that were never prefix candidates — the quadratic hot-token term
     # the prefix filter exists to avoid (review r8 round 7).  No
     # broadcast hints: the candidate set grows with the corpus.
-    pair_tok = tok.join(cand.select("id_a", "id_b"), tok.id == F.col("id_a")).select(
-        "id_a", "id_b", "tok"
+    #
+    # r14 (the minhash_lsh_pairs tail rewrite): n_a/n_b ride on the
+    # candidate pair, and the output emits straight from the
+    # intersection aggregate — the old tail's cand INNER JOIN common
+    # was an identity (every common row descends from a cand row by
+    # the pair routing, and a pair with no common token was absent
+    # from common, hence from the inner join, either way).  One join
+    # removed; identical output row set.
+    # (r14 note: a width-pinned repartition of pair_tok was tried
+    # here and REVERTED — it forced materialization of the full
+    # pair x token stream through an exchange, 566 MB at sf0.1,
+    # where the planner's own join placement keeps that stream
+    # fused/broadcast inside one stage and only ~8 MB ever crosses a
+    # shuffle.  Measured 2x worse; the planner wins this one.)
+    pair_tok = tok.join(cand, tok.id == F.col("id_a")).select(
+        "id_a", "id_b", "n_a", "n_b", "tok"
     )
     common = (
         pair_tok.join(
             tok.select(F.col("id").alias("id_b"), "tok"),
             on=["id_b", "tok"],
         )
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        cand.join(common, ["id_a", "id_b"])
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")

@@ -342,6 +342,12 @@ def kmeans_assign(
     )
 
 
+#: Salt fan-out for the within-cell pair join in ``semantic_dedup`` —
+#: parallel units = num_cells x salts, bounded replication of the
+#: a-side only.
+_SEMDEDUP_SALTS = 8
+
+
 def semantic_dedup(
     vectors: DataFrame,
     num_cells: int = 8,
@@ -362,14 +368,66 @@ def semantic_dedup(
     and the self-join is shuffle-free.
 
     Returns (id, cell, dup_of, is_kept) for every input vector.
+
+    r14 restructure (guide §2/§4.2 — measured at sf0.1 as one 9 s
+    single-task stage):
+
+    - ``assigned`` is persisted: it feeds both self-join sides AND the
+      final left join, and un-cached each consumer re-ran the full
+      k-means assignment (8 interpreted cosines per vector per read).
+    - per-row norms are computed ONCE before the join; the pair step
+      divides by the product — the same doubles ``cosine()`` would
+      compute per pair (identical expression on each operand), so
+      results are bit-identical while the per-pair fold work drops
+      from 3 array passes to 1 (the dot).
+    - the self-join is salted: b-side rows get a deterministic
+      xxhash64 salt, the a-side replicates ``_SEMDEDUP_SALTS`` ways,
+      and both sides repartition width-pinned on (cell, salt) —
+      with only ``num_cells`` distinct cells a plain cell join runs
+      at most num_cells tasks (and AQE byte-coalescing collapsed it
+      to ONE; pair cosine CPU is per-row, invisible to byte-based
+      sizing).  Each (lo, hi) pair still joins exactly once (hi's
+      salt is a function of id_hi), so the pair set is unchanged.
     """
+    from ..functions.vectors import dot, norm
+    from .dedup import _track_persist
+
+    nsalts = _SEMDEDUP_SALTS
+    width = vectors.sparkSession.sparkContext.defaultParallelism
     _, assigned = kmeans_refine(vectors, num_cells, iters, id_col, vec_col)
-    a = assigned.select("cell", F.col("id").alias("id_lo"), F.col("v").alias("v_lo"))
-    b = assigned.select("cell", F.col("id").alias("id_hi"), F.col("v").alias("v_hi"))
+    assigned = _track_persist(
+        assigned.withColumn("nv", norm(F.col("v"))).repartition(
+            width, "cell"
+        )
+    )
+    a = assigned.select(
+        "cell",
+        F.col("id").alias("id_lo"),
+        F.col("v").alias("v_lo"),
+        F.col("nv").alias("nv_lo"),
+    ).withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(nsalts - 1)))
+    )
+    b = assigned.select(
+        "cell",
+        F.col("id").alias("id_hi"),
+        F.col("v").alias("v_hi"),
+        F.col("nv").alias("nv_hi"),
+    ).withColumn(
+        "salt", F.pmod(F.xxhash64("id_hi"), F.lit(nsalts)).cast("int")
+    )
+    denom = F.col("nv_lo") * F.col("nv_hi")
     dup_links = (
-        a.join(b, "cell")
+        a.repartition(width, "cell", "salt")
+        .join(b.repartition(width, "cell", "salt"), ["cell", "salt"])
         .filter(F.col("id_lo") < F.col("id_hi"))
-        .withColumn("sim", F.round(cosine(F.col("v_lo"), F.col("v_hi")), 4))
+        .withColumn(
+            "sim",
+            F.round(
+                F.when(denom != 0, dot(F.col("v_lo"), F.col("v_hi")) / denom),
+                4,
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .groupBy("id_hi")
         .agg(F.min("id_lo").alias("dup_of"))

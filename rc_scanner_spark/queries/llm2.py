@@ -707,20 +707,47 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.size(ws) > 0, F.array(F.concat_ws(" ", ws)))
         .otherwise(F.array().cast("array<string>")),
     )
-    s = d.select("doc_id", sh.alias("sh"))
-    e = s.select("doc_id", F.explode("sh").alias("tok"))
+    from ..operators import dedup as _dedup
+
+    # r14: tokenize once, at full width.  ``e`` feeds the df count AND
+    # the df-cap join; un-persisted, both consumers re-ran the shingle
+    # subtree (profiled at sf0.1: two ~11 s-CPU stages of the same
+    # explode).  Repartitioning the RAW doc rows (a few MB) BEFORE the
+    # shingle projection runs the tokenize CPU at session parallelism
+    # instead of the scan's spread width, and sets the cached frame's
+    # width so AQE's cached-plan coalescing cannot serialize the
+    # consumers (token CPU is per-row, not per-byte).
+    s = d.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", sh.alias("sh"))
+    e = _dedup._track_persist(
+        s.select("doc_id", F.explode("sh").alias("tok"))
+    )
     df_ok = e.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _CONT_DF_CAP
     )
-    from ..operators import dedup as _dedup
-
-    eb = _dedup._track_persist(e.join(df_ok.select("tok"), "tok"))
+    # Cache the capped postings hash(tok)-partitioned at pinned
+    # width: the a/b self-join below keys on tok, so both sides read
+    # the SAME co-partitioned cache and the join plans with zero
+    # exchanges (and AQE cannot serialize it).
+    eb = _dedup._track_persist(
+        e.join(df_ok.select("tok"), "tok").repartition(
+            spark.sparkContext.defaultParallelism, "tok"
+        )
+    )
     na_f = eb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
     a = eb.select(F.col("doc_id").alias("id_a"), "tok")
     b = eb.select(F.col("doc_id").alias("id_b"), "tok")
     pairs = (
         a.join(b, "tok")
         .filter(F.col("id_a") != F.col("id_b"))
+        # width-pinned exchange ahead of the pair count: the candidate
+        # stream is ~25 MB at sf0.1 but its per-row agg CPU is what
+        # matters — AQE byte-coalescing ran the whole count+ratio tail
+        # on one task (profiled 2.3 s); a user repartition is exempt.
+        .repartition(
+            spark.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .join(na_f, F.col("id_a") == F.col("doc_id"))

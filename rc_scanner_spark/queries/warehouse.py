@@ -662,9 +662,25 @@ def capped_baskets(spark: SparkSession, sf_dir: str, max_order: int):
     (all distinct (order, part) rows, the subset restricted to
     baskets with <= max_order distinct parts).  One definition of
     the capping rule instead of a copy per query."""
-    li = (
+    from ..operators.dedup import _track_persist
+
+    # r14: ONE width-pinned exchange by order key up front makes the
+    # whole chain exchange-free: hash(l_orderkey) co-locates every
+    # row of an order, which satisfies the clustering required by the
+    # distinct on (order, part), the basket-size groupBy, the cap
+    # join, and the callers' per-order self-join — the planner adds
+    # no further Exchange until the pair aggregate.  The pinned width
+    # also stops AQE byte-coalescing from serializing the quadratic
+    # per-order pair expansion (CPU-dense, byte-light).  Both frames
+    # are persisted: the basket family's queries consume li2 3-4
+    # times (pair sides, marginals, totals), each un-cached read
+    # re-ran the scan+distinct.
+    li = _track_persist(
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        .repartition(
+            spark.sparkContext.defaultParallelism, "l_orderkey"
+        )
         .distinct()
     )
     ok = (
@@ -673,7 +689,7 @@ def capped_baskets(spark: SparkSession, sf_dir: str, max_order: int):
         .filter(F.col("sz") <= max_order)
         .select("l_orderkey")
     )
-    return li, li.join(ok, "l_orderkey")
+    return li, _track_persist(li.join(ok, "l_orderkey"))
 
 
 def basket_cte_sql(max_order: int) -> str:

@@ -413,9 +413,18 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     can release it (operators/dedup.release_caches)."""
     from ..operators import dedup as _dedup
 
+    # r14: one width-pinned exchange by order key up front; hash on
+    # l_orderkey satisfies the clustering needs of the (order, part)
+    # distinct, the size groupBy, the cap join AND the per-order
+    # self-join below, so the planner adds no Exchange until the pair
+    # aggregate — and AQE byte-coalescing cannot serialize the
+    # CPU-dense per-order pair expansion (capped_baskets precedent).
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        .repartition(
+            spark.sparkContext.defaultParallelism, "l_orderkey"
+        )
         .distinct()
     )
     ok = (

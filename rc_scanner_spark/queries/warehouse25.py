@@ -90,20 +90,42 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spearman fundamentally requires per-group global ranks (a sort);
     the 100 TB path replaces exact ranks with quantile-binned
     midranks, trading exactness for a shuffle-free histogram pass.
-    The Pearson step on ranks folds from six integer sums."""
+    The Pearson step on ranks folds from six integer sums.
+
+    r14 (guide §2.4/§2.5): the tie count for value v in group g is
+    the PEER count of the rank ordering — count(*) over (partition g
+    order by xq RANGE CURRENT ROW..CURRENT ROW) — identical value to
+    count(*) over (partition g, xq), but it shares the rank window's
+    exact spec, so Spark plans ONE Window + ONE sort per axis instead
+    of two each (the old plan: 4 sorts of the full group).  The
+    explicit width-pinned repartition replaces the ENSURE_REQUIREMENTS
+    exchange (same hash(g) movement, zero extra shuffle) and stops AQE
+    byte-based coalescing from serializing the sort+window stage onto
+    one task: rank bytes are tiny but rank CPU is per-row (~5 s at
+    sf0.1 on one core), the CPU-dense-stage blind spot of advisory
+    sizing.  Results are bit-identical (integer ranks)."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("g"),
         F.floor(F.col("l_quantity") * 100 + 0.5).cast("long").alias("xq"),
         F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("yq"),
     )
+    li = li.repartition(
+        spark.sparkContext.defaultParallelism, "g"
+    )
+    w_x = Window.partitionBy("g").orderBy("xq")
+    w_y = Window.partitionBy("g").orderBy("yq")
     rx = (
-        2 * F.rank().over(Window.partitionBy("g").orderBy("xq"))
-        + F.count(F.lit(1)).over(Window.partitionBy("g", "xq"))
+        2 * F.rank().over(w_x)
+        + F.count(F.lit(1)).over(
+            w_x.rangeBetween(Window.currentRow, Window.currentRow)
+        )
         - 1
     )
     ry = (
-        2 * F.rank().over(Window.partitionBy("g").orderBy("yq"))
-        + F.count(F.lit(1)).over(Window.partitionBy("g", "yq"))
+        2 * F.rank().over(w_y)
+        + F.count(F.lit(1)).over(
+            w_y.rangeBetween(Window.currentRow, Window.currentRow)
+        )
         - 1
     )
     ranked = li.select("g", rx.alias("rx"), ry.alias("ry"))

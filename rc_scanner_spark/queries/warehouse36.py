@@ -468,8 +468,18 @@ def q_events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal rail: a day-pair difference can square past LONG at the
     target scale).
 
-    Scale: the spine is |types| x 32 rows; each of the 5 levels is
-    one partial-agg groupBy on the halved grid."""
+    Scale: the spine is |types| x 32 rows; ONE groupBy(event_type)
+    collects each type's 32-slot series into an array and all 5
+    levels evaluate as array expressions inside the projection (r14 —
+    the earlier form ran 5 groupBy levels x 2 consumers over a
+    persisted series frame: 10 lazy plan copies, ~15 AQE stage
+    launches for a few KB, 1.8-2.7 s wall at sf0.1).  Pair sums and
+    differences are the same decimal(38,0) arithmetic as the grouped
+    form — decimal adds are exact and order-free, so the result is
+    bit-identical (oracle unchanged and hash-green; planted +
+    randomized tests pass).  Each level's alias is referenced several
+    times by the next, which CollapseProject refuses to inline —
+    every level evaluates once."""
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
         F.floor(F.unix_micros(F.col("ts")) / _US_PER_DAY).alias("day"),
@@ -492,41 +502,44 @@ def q_events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idx"),
         )
     )
-    # persist the |types| x 32 filled series: the 5 level branches of
-    # the union each chain back to it — without the cache every branch
-    # re-scans events (5x the corpus at 100 TB for a 32-day rollup)
-    series = _dedup._track_persist(
-        spine.join(daily, ["event_type", "idx"], "left").select(
-            "event_type",
-            "idx",
-            F.coalesce(F.col("x"), F.lit(0)).cast("decimal(38,0)").alias("x"),
+    series = spine.join(daily, ["event_type", "idx"], "left").select(
+        "event_type",
+        "idx",
+        F.coalesce(F.col("x"), F.lit(0)).cast("decimal(38,0)").alias("x"),
+    )
+    # One row per type: the 32-slot series as an idx-ordered array
+    # (spine guarantees exactly _HAAR_GRID slots).
+    cur = series.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(idx, x))),"
+            " p -> p.x) AS xs0"
         )
     )
-    out = None
-    cur = series
     for level in range(1, 6):
-        paired = cur.groupBy(
-            "event_type", F.expr("idx DIV 2").alias("idx")
-        ).agg(
-            F.sum(
-                F.when(F.col("idx") % 2 == 0, F.col("x")).otherwise(
-                    -F.col("x")
-                )
-            ).alias("d"),
-            F.sum("x").alias("s"),
+        prev, n = f"xs{level - 1}", _HAAR_GRID >> level
+        lo = f"element_at({prev}, 2*i+1)"
+        hi = f"element_at({prev}, 2*i+2)"
+        pair_sum = f"transform(sequence(0, {n - 1}), i -> {lo} + {hi})"
+        d_sq = (
+            f"aggregate(sequence(0, {n - 1}), CAST(0 AS DECIMAL(38,0)),"
+            f" (s, i) -> CAST(s + ({lo} - {hi}) * ({lo} - {hi})"
+            f" AS DECIMAL(38,0)))"
         )
-        energy = paired.groupBy("event_type").agg(
-            F.count(F.lit(1)).cast("long").alias("n_coeffs"),
-            F.sum(F.col("d") * F.col("d")).cast("decimal(38,0)").alias("e"),
-        ).select(
+        cur = cur.selectExpr(
+            "*",
+            f"{pair_sum} AS xs{level}",
+            f"named_struct('level', CAST({level} AS BIGINT),"
+            f" 'n_coeffs', CAST({n} AS BIGINT),"
+            f" 'energy', CAST({d_sq} AS BIGINT)) AS lv{level}",
+        )
+    return (
+        cur.select(
             "event_type",
-            F.lit(level).cast("long").alias("level"),
-            "n_coeffs",
-            F.col("e").cast("long").alias("energy"),
+            F.explode(F.array(*[f"lv{i}" for i in range(1, 6)])).alias("z"),
         )
-        out = energy if out is None else out.unionByName(energy)
-        cur = paired.select("event_type", "idx", F.col("s").alias("x"))
-    return out.orderBy("event_type", "level")
+        .select("event_type", "z.level", "z.n_coeffs", "z.energy")
+        .orderBy("event_type", "level")
+    )
 
 
 def _haar_sql_levels() -> str:

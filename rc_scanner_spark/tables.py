@@ -68,6 +68,13 @@ def _spread(spark: SparkSession, df: DataFrame, path: str, name: str) -> DataFra
         return df
     # Local task overhead (~20-50 ms/stage/task) swamps the gain past
     # ~8 tasks at these file sizes; scale with size, cap below cores.
+    # (r14: a cap raise to the core count was tried and REVERTED — it
+    # made the CPU-dense shingle operators faster but taxed every
+    # cheap consumer of these tables with 4x the task launches per
+    # stage; matched bench showed dedup_exact 2x worse and the whole
+    # near-dup family +20-30%.  The CPU-dense operators now widen
+    # themselves with an explicit repartition at their own entrance
+    # instead — see prefix_jaccard_pairs / dedup_containment.)
     target = min(
         spark.sparkContext.defaultParallelism,
         max(2, size // (96 << 10)),

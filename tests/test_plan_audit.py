@@ -288,9 +288,11 @@ ALLOWED_CARTESIANS = {
     # 1-row min-day scalar broadcast over events; the daily rollup
     # embedding it chains under all 5 Haar-level union branches x 2
     # lazy consumers — series is _track_persist'ed, so the corpus
-    # scan materializes ONCE at runtime (lazy-plan shape only,
-    # stats_cuped precedent)
-    "events_haar_energy": 10,
+    # 1-row min-day scalar broadcast over events, appearing twice in
+    # the lazy plan (daily + the spine's distinct-types branch derived
+    # from it); the 5 Haar levels evaluate as array expressions inside
+    # one projection (r14), so no per-level copies remain (was 10)
+    "events_haar_energy": 2,
     # 1-row x 1-row readout: the sorted node-list row crossed with the
     # collected |types|^2 edge-list row; the 12 power iterations run
     # as one aggregate() fold inside that single projection (r14)
