@@ -1039,10 +1039,34 @@ def minhash_lsh_pairs_portable(
     production — this one exists to put the LSH *mechanism* under the
     external oracle gate.
     """
+    if verify_threshold is not None and verify_threshold <= 0:
+        raise ValueError(
+            "verify_threshold must be > 0 or None (pairs sharing no "
+            "shingle are pruned by construction)"
+        )
     rows_per_band = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    # r14 (the production minhash_lsh_pairs shape, measured on the
+    # same profile): the md5 signature aggregate (16 min-hashes per
+    # shingle) was evaluated TWICE (banding + the n_sh count joins)
+    # and the shingle explode THREE times (signature + both verify
+    # sides) — four ~8-13 s-CPU stages at sf0.1.  The shingle frame
+    # is persisted (one tokenize), n_sh rides through the banding and
+    # candidate join (one signature evaluation), and the verify tail
+    # emits straight from the intersection aggregate: a candidate
+    # with no common shingle had jaccard coalesce(NULL,0) = 0 <
+    # threshold and every common row descends from a cand row by the
+    # pair routing, so the old LEFT join + two count joins were
+    # identities.  The entry repartition runs the hash CPU at session
+    # width instead of the scan's spread width.
+    sh = _track_persist(
+        df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, id_col
+        ).select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), shingle_k)).alias(
+                "shingle"
+            ),
+        )
     )
     sig = sh.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_sh"),
@@ -1055,6 +1079,7 @@ def minhash_lsh_pairs_portable(
     )
     banded = sig.select(
         "id",
+        "n_sh",
         F.explode(
             F.array(
                 *[
@@ -1071,7 +1096,7 @@ def minhash_lsh_pairs_portable(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    ).select("id", "n_sh", "bb.band", "bb.bucket")
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -1082,30 +1107,35 @@ def minhash_lsh_pairs_portable(
                 F.col("l.id") < F.col("r.id"),
             ],
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("l.n_sh").alias("n_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("r.n_sh").alias("n_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
-    counts = sig.select("id", "n_sh")
-    ta = sh.join(
-        cand.select("id_a").distinct().hint("broadcast"), sh.id == F.col("id_a")
-    ).select(F.col("id_a").alias("ca"), "shingle")
-    tb = sh.join(
-        cand.select("id_b").distinct().hint("broadcast"), sh.id == F.col("id_b")
-    ).select(F.col("id_b").alias("cb"), F.col("shingle").alias("shingle_b"))
+    if verify_threshold is None:
+        return cand.select("id_a", "id_b").withColumn(
+            "jaccard", F.lit(None).cast("double")
+        )
+    pair_sh = sh.join(cand, sh.id == F.col("id_a")).select(
+        "id_a", "id_b", "n_a", "n_b", "shingle"
+    )
     common = (
-        ta.join(tb, F.col("shingle") == F.col("shingle_b"))
-        .groupBy("ca", "cb")
+        pair_sh.join(
+            sh.select(F.col("id").alias("id_b"), "shingle"),
+            on=["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        cand.join(common, (cand.id_a == common.ca) & (cand.id_b == common.cb), "left")
-        .join(counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
-                F.coalesce(F.col("n_common"), F.lit(0))
-                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0))),
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
                 4,
             ),
         )

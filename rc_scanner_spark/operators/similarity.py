@@ -239,8 +239,22 @@ def _verify_candidate_pairs(sigs: DataFrame, threshold: float) -> DataFrame:
     """Shared bucket-join / dedup / exact-cosine verify tail for the
     production (xxhash64) and portable (md5) LSH variants — one
     definition so the candidate-pair discipline can never drift
-    between them (review r10)."""
+    between them (review r10).
+
+    r14: the signature frame is persisted — it feeds BOTH self-join
+    sides, and un-cached each side re-ran the full signature
+    computation (the portable variant's integer plane dots are ~7 s
+    of CPU per evaluation at sf0.1).  Per-row norms are precomputed
+    on the cached frame; the pair step divides by the product — the
+    identical doubles ``cosine()`` computes per pair (same expression
+    per operand), so results are unchanged while per-pair fold work
+    drops from 3 array passes to 1."""
+    from ..functions.vectors import dot, norm
+    from .dedup import _track_persist
+
+    sigs = _track_persist(sigs.withColumn("nv", norm(F.col("v"))))
     l, r = sigs.alias("l"), sigs.alias("r")
+    denom = F.col("na") * F.col("nb")
     return (
         l.join(
             r,
@@ -255,9 +269,16 @@ def _verify_candidate_pairs(sigs: DataFrame, threshold: float) -> DataFrame:
             F.col("r.id").alias("id_b"),
             F.col("l.v").alias("va"),
             F.col("r.v").alias("vb"),
+            F.col("l.nv").alias("na"),
+            F.col("r.nv").alias("nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn(
+            "sim",
+            F.round(
+                F.when(denom != 0, dot(F.col("va"), F.col("vb")) / denom), 4
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -275,7 +296,11 @@ def lsh_ann_pairs(
     in each of ``num_tables`` independent tables, verify candidates
     with exact cosine.  Returns (id_a, id_b, sim), id_a < id_b.
     """
-    base = _nonzero_norm_base(vectors, id_col, vec_col)
+    # r14: width-pinned entry repartition — the signature hashing and
+    # the verify tail otherwise run at the scan's spread width.
+    base = _nonzero_norm_base(vectors, id_col, vec_col).repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism, "id"
+    )
     sigs = base.select(
         "id",
         "v",
@@ -480,9 +505,17 @@ def kmeans_refine(
         .limit(num_cells)
         .select((F.row_number().over(w_seed) - 1).alias("cell"), F.col("v").alias("cv"))
     )
+    from .dedup import _track_persist
+
     for _ in range(iters):
         assigned = kmeans_assign(base, centroids)
-        centroids = (
+        # r14: persist each iteration's K x dim centroid frame (tiny
+        # by construction).  Un-cached, every consumer of the FINAL
+        # assignment re-evaluated the whole iters-deep
+        # assign->recompute chain — iters extra passes over the
+        # vector table per consumer; cached, a re-evaluation is one
+        # assignment pass against the materialized centroids.
+        centroids = _track_persist(
             assigned.select("cell", F.posexplode("v").alias("pos", "val"))
             .groupBy("cell", "pos")
             .agg(
@@ -543,7 +576,13 @@ def lsh_ann_pairs_portable(
     # shared degenerate-vector guard; cast_double keeps the cast
     # ahead of the fixed-pointing (ADVICE r10: one guard definition
     # across both LSH variants)
-    base = _nonzero_norm_base(vectors, id_col, vec_col, cast_double=True)
+    # r14: width-pinned entry repartition (same rationale as
+    # lsh_ann_pairs — the integer plane dots are the CPU).
+    base = _nonzero_norm_base(
+        vectors, id_col, vec_col, cast_double=True
+    ).repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism, "id"
+    )
     fixed = base.withColumn(
         "fx",
         F.transform(F.col("v"), lambda x: F.round(x * scale).cast("long")),

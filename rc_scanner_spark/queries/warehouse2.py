@@ -754,6 +754,15 @@ def q_er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dname"),
         )
     )
+    # r14: the clean side broadcasts, so the whole blocked-Levenshtein
+    # pipeline fuses into the dirty side's scan — ONE task (the part
+    # file is a single row group), 4.3 s of edit-distance CPU at
+    # sf0.1.  A width-pinned repartition of the (tiny) dirty name
+    # list spreads the candidate scoring across the session's cores;
+    # AQE cannot coalesce a user repartition.
+    dirty = dirty.repartition(
+        spark.sparkContext.defaultParallelism, "dirty_key"
+    )
     dblocked = dirty.select(
         "dirty_key",
         "dname",

@@ -892,8 +892,16 @@ def q_orders_next_order_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
-    seq = o.join(baskets, o.o_orderkey == baskets.l_orderkey).select(
-        "o_custkey", "o_orderdate", "o_orderkey", "parts"
+    # r14: width-pinned hash(custkey) exchange replacing the window's
+    # ENSURE_REQUIREMENTS one (same rows moved once) — the lag window
+    # feeds the <= cap^2 pair explode + partial aggregate map-side,
+    # CPU-dense per row, and AQE byte-coalescing ran it near-serial.
+    seq = (
+        o.join(baskets, o.o_orderkey == baskets.l_orderkey)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "parts")
+        .repartition(
+            spark.sparkContext.defaultParallelism, "o_custkey"
+        )
     )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     trans = seq.select(

@@ -291,20 +291,26 @@ def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     operation order — then snap to integer micro-units."""
     m = _jl_matrix()
     emb = _t(spark, sf_dir, "embeddings")
-    cols = []
+    # r14: the 8 x 64 multiply-add chains are built as SQL expression
+    # STRINGS (one py4j call each) instead of ~1,500 Column-API calls
+    # — profiled 4.1 s of pure driver plan-construction latency per
+    # build at sf0.1.  The strings are the oracle twin's own chains:
+    # same left-to-right association, same literals (Python's
+    # m/1000000.0 and SQL's constant-folded division are the same
+    # correctly-rounded double), so the result is bit-identical.
+    exprs = []
     for j in range(_JL_OUT_DIM):
-        terms = [
-            F.element_at("embedding", i + 1).cast("double")
-            * F.lit(m[i][j] / 1000000.0)
+        # element_at is 1-based like the DuckDB twin's subscript
+        # (Spark's own [] subscript is 0-based).
+        chain = " + ".join(
+            f"CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+            f" * ({m[i][j]} / 1000000.0)"
             for i in range(_JL_IN_DIM)
-        ]
-        acc = reduce(lambda x, y: x + y, terms)
-        cols.append(
-            F.floor(acc * F.lit(1000000.0) + F.lit(0.5))
-            .cast("bigint")
-            .alias(f"p{j}")
         )
-    return emb.select("vec_id", *cols).orderBy("vec_id")
+        exprs.append(
+            f"CAST(floor(({chain}) * 1000000.0 + 0.5) AS BIGINT) AS p{j}"
+        )
+    return emb.selectExpr("vec_id", *exprs).orderBy("vec_id")
 
 
 def _jl_sql() -> str:
