@@ -1015,9 +1015,18 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_docs")
     )
+    # r14: width-pinned repartitions replace the two windows'
+    # ENSURE_REQUIREMENTS exchanges (same rows moved over the same
+    # keys).  The term-df and per-doc-rank windows are per-row CPU on
+    # a ~1 MB shuffle, so AQE byte-coalescing ran each as ONE task
+    # (the batch-1 "no scale-honest local fix identified" item — the
+    # pinned-width user exchange IS that fix, and at cluster scale it
+    # is the same exchange the planner inserts anyway).
+    width = spark.sparkContext.defaultParallelism
     w_df = Window.partitionBy("term")
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(w_df))
+        tf.repartition(width, "term")
+        .withColumn("df", F.count(F.lit(1)).over(w_df))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -1028,7 +1037,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        scored.repartition(width, "doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
     )
@@ -2742,19 +2752,37 @@ def q_dedup_pair_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same plan shape as the pair generation (string shingles retained
     here because they ARE the output); the explanation adds one
     ``collect_set`` bounded at 3 surviving examples per pair."""
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import _track_persist, word_shingles
 
     d = _t(spark, sf_dir, "documents")
-    e = d.select(
-        "lang",
-        "source",
-        F.col("doc_id").alias("id"),
-        F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
+    # r14: tokenize once at session width — ``e`` feeds the df count
+    # and the df-cap join, and ``kept`` feeds three consumers (counts
+    # + both pair sides); un-persisted, the shingle explode
+    # re-evaluated ~5x (the dedup_containment profile pattern).  The
+    # kept cache is pinned hash(lang, source, shingle) so the pair
+    # self-join reads co-partitioned cache with zero exchanges.
+    e = _track_persist(
+        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "lang",
+            "source",
+            F.col("doc_id").alias("id"),
+            F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
+        )
     )
     dfreq = e.groupBy("lang", "source", "shingle").agg(
         F.count(F.lit(1)).alias("df")
     )
-    kept = e.join(dfreq.filter(F.col("df") <= 50), ["lang", "source", "shingle"])
+    kept = _track_persist(
+        e.join(
+            dfreq.filter(F.col("df") <= 50), ["lang", "source", "shingle"]
+        ).repartition(
+            spark.sparkContext.defaultParallelism,
+            "lang",
+            "source",
+            "shingle",
+        )
+    )
     counts = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = kept.select("lang", "source", "shingle", F.col("id").alias("id_a"))
     b = kept.select("lang", "source", "shingle", F.col("id").alias("id_b"))

@@ -310,7 +310,11 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5-prefix longs — 8-byte join keys), so the self-join fan-out
     per shingle is bounded by #sources-containing-it squared (<= 20^2
     here), never by document count.  Output is #source-pairs rows."""
-    d = _t(spark, sf_dir, "documents")
+    # r14: entry repartition — the 5-gram md5 tokenize otherwise runs
+    # at the scan's spread width (6 tasks for ~13 s of stage CPU).
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     sk = (
         d.select(
             "source",

@@ -1027,18 +1027,30 @@ def q_embed_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_JL_IN_DIM)
         ],
     )
-    v = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "embedding",
-        F.pmod(
-            F.conv(
-                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
-                16, 10,
-            ).cast("bigint"),
-            F.lit(_PDH_BUCKETS),
-        ).alias("bucket"),
-        F.sqrt(dot_self).alias("nrm"),
-    ).filter(F.col("nrm") > 0)
+    from ..operators.dedup import _track_persist
+
+    # r14: persist the bucketed/normed frame (both self-join sides
+    # re-ran the 64-term norm chain) and pin its width on the bucket
+    # key: the join keys on 64 buckets, so both sides read the same
+    # co-partitioned cache (no exchange) and AQE byte-coalescing
+    # cannot serialize the (N/B)^2-pair cosine CPU onto one task.
+    v = _track_persist(
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
+                    16, 10,
+                ).cast("bigint"),
+                F.lit(_PDH_BUCKETS),
+            ).alias("bucket"),
+            F.sqrt(dot_self).alias("nrm"),
+        )
+        .filter(F.col("nrm") > 0)
+        .repartition(spark.sparkContext.defaultParallelism, "bucket")
+    )
     a = v.alias("a")
     b = v.alias("b")
     dot_ab = reduce(
