@@ -38,21 +38,21 @@ RUNTIME_CONF = {
     # shuffle before it happens.  No-op on tiny local data (creation
     # threshold), decisive on fact-fact joins at 100 TB.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-    # Let AQE re-optimize (coalesce/skew-split) the OUTPUT partitioning
-    # of cached plans (default false for compatibility with consumers
-    # that rely on a cached frame's exact partitioning — nothing here
-    # does; every consumer re-shuffles by its own keys).  Without it,
-    # every persisted intermediate (the shared token/shingle frames,
-    # MinHash/SimHash signatures, the ngram df table, the Markov/Haar
-    # bounded frames) materializes at the full
-    # spark.sql.shuffle.partitions width and every downstream stage
-    # pays that many tasks to read a few MB of cache — measured r14:
-    # 32-task stages with ~0 executor run time and 100-350 ms of pure
-    # task-launch/deserialize overhead, several per dedup query.  On a
-    # cluster the same setting right-sizes cached-plan stages to data
-    # volume instead of the static shuffle-partition count (guide §2.2
-    # "fewer, larger partitions").
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning stays
+    # at the Spark DEFAULT (false).  r14 batch 1 set it true to stop
+    # persisted Markov/Haar bounded frames from materializing 32
+    # near-empty cache partitions — but batch 2 collapsed those DAGs
+    # into single array folds, removing the benefit, while the cost
+    # remained: with true, AQE coalesces the cached shingle/signature
+    # frames to 1-few partitions and their CPU-dense consumers
+    # (ngram's blocked join, ann_ivf's assignment re-read) run
+    # serialized.  Matched in-process A/B on the closing tree:
+    # dedup_ngram_jaccard 2.877 -> 2.302 s, ann_ivf_topk 2.618 ->
+    # 2.444 s with the default; haar/markov/minhash/simhash neutral.
+    # Several operators also pin a cached frame's partitioning to get
+    # exchange-free self-joins (dedup_containment's postings,
+    # dedup_pair_explain's kept frame) — the default guarantees the
+    # pinned layout survives into every consumer's plan.
     # The events table stores TIMESTAMP(NANOS) which Spark cannot
     # represent natively; read as long and convert (tables.load_table)
     # with the same floor-to-microsecond truncation DuckDB applies.

@@ -29,6 +29,10 @@ _SPREAD_MIN_BYTES = 256 << 10
 # agg_tpch_q1 0.83 s unspread vs 1.37 s spread).
 _SPREAD_TABLES = {"documents", "embeddings"}
 
+#: Tables whose spread exchange gets the pushdown barrier below —
+#: only where derived predicates are CPU-heavy (text regex).
+_BARRIER_TABLES = {"documents"}
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -98,6 +102,15 @@ def _spread(spark: SparkSession, df: DataFrame, path: str, name: str) -> DataFra
     # and values are untouched.  At production scale the size guard
     # above abstains before this point and scan-level pushdown is
     # fully preserved.
+    #
+    # The barrier applies to _BARRIER_TABLES only: the CPU-heavy
+    # derived predicates all live on documents.text (regex batteries);
+    # embeddings consumers carry CHEAP selective predicates (ann_ivf's
+    # vec_id % 25 query-side gate) whose pushdown below the exchange
+    # shrinks the shuffled frame — matched A/B showed the barrier on
+    # embeddings cost ann_ivf_topk ~0.3-0.7 s while buying nothing.
+    if name not in _BARRIER_TABLES:
+        return out
     from pyspark.sql import functions as F
 
     return (
