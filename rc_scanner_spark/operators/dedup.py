@@ -364,15 +364,29 @@ def minhash_lsh_pairs(
     ).select("id", "n_sh", "bb.band", "bb.bucket")
 
     left, right = banded.alias("l"), banded.alias("r")
+    # r14 batch 6 — the PPJoin LENGTH filter (prefix_jaccard_pairs
+    # precedent), valid here because n_sh rides the banded rows and
+    # the verified output keeps only round(J,4) >= t: J <=
+    # min(n)/max(n), so a pair with min(n) < (t - 1e-4)·max(n) can
+    # never survive the final filter — dropping it at the band join is
+    # results-identical and prunes before the dedup exchange and the
+    # verification expansion.  The size predicate is pair-global (not
+    # band-dependent), so filter-then-dedup == dedup-then-filter.
+    # Only for verified calls: verify_threshold=None returns ALL
+    # banded candidates and must stay unfiltered.
+    cand_on = [
+        F.col("l.band") == F.col("r.band"),
+        F.col("l.bucket") == F.col("r.bucket"),
+        F.col("l.id") < F.col("r.id"),
+    ]
+    if verify_threshold is not None and verify_threshold > 0:
+        size_ok = F.lit(verify_threshold - 1e-4)
+        cand_on += [
+            F.col("l.n_sh") >= size_ok * F.col("r.n_sh"),
+            F.col("r.n_sh") >= size_ok * F.col("l.n_sh"),
+        ]
     cand = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col("l.id") < F.col("r.id"),
-            ],
-        )
+        left.join(right, on=cand_on)
         .select(
             F.col("l.id").alias("id_a"),
             F.col("l.n_sh").alias("n_a"),
@@ -936,10 +950,25 @@ def prefix_jaccard_pairs(
         "id", "n_tok", F.explode(F.slice("toks", 1, plen)).alias("tok")
     )
     l, r = prefix.alias("l"), prefix.alias("r")
+    # r14 batch 6 — PPJoin LENGTH filter (Xiao et al. §3.1), evaluated
+    # inside the join: J(a,b) = c/(n_a+n_b-c) with c <= min(n) and
+    # n_a+n_b-c >= max(n), so J <= min(n)/max(n); the output keeps only
+    # round(J,4) >= t, hence every surviving pair has min(n) >=
+    # (t - 5e-5)·max(n).  The guard uses t - 1e-4 (strictly looser, so
+    # float noise cannot clip a survivor): pairs it drops satisfy
+    # round(J,4) <= J + 5e-5 < t and were discarded by the final
+    # filter anyway — identical output, fewer pairs through the
+    # dedup exchange and the verification expansion.
+    size_ok = F.lit(threshold - 1e-4)
     cand = (
         l.join(
             r,
-            on=[F.col("l.tok") == F.col("r.tok"), F.col("l.id") < F.col("r.id")],
+            on=[
+                F.col("l.tok") == F.col("r.tok"),
+                F.col("l.id") < F.col("r.id"),
+                F.col("l.n_tok") >= size_ok * F.col("r.n_tok"),
+                F.col("r.n_tok") >= size_ok * F.col("l.n_tok"),
+            ],
         )
         .select(
             F.col("l.id").alias("id_a"),
@@ -1098,15 +1127,21 @@ def minhash_lsh_pairs_portable(
         ).alias("bb"),
     ).select("id", "n_sh", "bb.band", "bb.bucket")
     l, r = banded.alias("l"), banded.alias("r")
+    # r14 batch 6: same lossless PPJoin length filter as the
+    # production form (see minhash_lsh_pairs) — verified-path only.
+    cand_on = [
+        F.col("l.band") == F.col("r.band"),
+        F.col("l.bucket") == F.col("r.bucket"),
+        F.col("l.id") < F.col("r.id"),
+    ]
+    if verify_threshold is not None and verify_threshold > 0:
+        size_ok = F.lit(verify_threshold - 1e-4)
+        cand_on += [
+            F.col("l.n_sh") >= size_ok * F.col("r.n_sh"),
+            F.col("r.n_sh") >= size_ok * F.col("l.n_sh"),
+        ]
     cand = (
-        l.join(
-            r,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col("l.id") < F.col("r.id"),
-            ],
-        )
+        l.join(r, on=cand_on)
         .select(
             F.col("l.id").alias("id_a"),
             F.col("l.n_sh").alias("n_a"),

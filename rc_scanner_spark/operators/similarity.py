@@ -155,11 +155,19 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
+    from ..functions.vectors import dot, norm
+
     centroids, assigned = ivf_assign(vectors, num_cells, id_col, vec_col)
+    # r14 batch 6: per-row norms once, not once per candidate pair —
+    # the probe-join scoring below evaluated cosine() per (query,
+    # vector) pair, i.e. three interpreted folds per pair; qn/vn are
+    # the identical norm folds hoisted to one per row (the cosine_topk
+    # r10 precedent — same doubles, results unchanged).
+    assigned = assigned.withColumn("vn", norm(F.col("v")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     # Probe selection without a window: each query scores the K
     # broadcast centroids map-side; the per-query top-``num_probes``
     # cells come from sorting that K-length array in place
@@ -181,6 +189,7 @@ def ivf_topk(
         .groupBy("query_id")
         .agg(
             F.any_value(F.col("qv")).alias("qv"),  # constant per query_id
+            F.any_value(F.col("qn")).alias("qn"),  # constant per query_id
             F.slice(
                 F.array_sort(
                     F.collect_list(
@@ -191,19 +200,24 @@ def ivf_topk(
                 num_probes,
             ).alias("probes"),
         )
-        .select("query_id", "qv", F.explode("probes").alias("probe"))
-        .select("query_id", "qv", F.col("probe.cell").alias("cell"))
+        .select("query_id", "qv", "qn", F.explode("probes").alias("probe"))
+        .select("query_id", "qv", "qn", F.col("probe.cell").alias("cell"))
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id").asc()
     )
+    denom = F.col("qn") * F.col("vn")
     return (
         probes.join(assigned, "cell")
         .select(
             "query_id",
             F.col("id").alias("vec_id"),
             F.coalesce(
-                F.round(cosine(F.col("qv"), F.col("v")), 4), F.lit(-1.0)
+                F.round(
+                    F.when(denom != 0, dot(F.col("qv"), F.col("v")) / denom),
+                    4,
+                ),
+                F.lit(-1.0),
             ).alias("sim"),
         )
         .withColumn("rank", F.row_number().over(w_rank))
@@ -339,24 +353,55 @@ def kmeans_assign(
     projection form shuffles NOTHING: assignment cost is exactly one
     pass over the vectors, which is also the right shape at 100 TB
     (the 8 KB centroid array rides the closure broadcast; the vector
-    table never moves)."""
+    table never moves).
+
+    r14 batch 6: norms are hoisted out of the per-centroid lambda —
+    ``cosine(v, cv)`` re-folds norm(v) AND norm(cv) for every
+    centroid, so one assignment pass was 3K interpreted folds per
+    vector.  norm(v) is now ONE column per row and norm(cv) a struct
+    field computed once per centroid in the broadcast array; the
+    lambda evaluates only the dot.  Same doubles (each norm is the
+    identical fold on the identical operand — the cosine_topk / r10
+    precedent), so csim and the argmax are bit-identical."""
+    from ..functions.vectors import as_double_array, dot, norm
+
     cent_arr = F.broadcast(
-        centroids.groupBy().agg(
+        centroids.groupBy()
+        .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("cell"), F.col("cv")))
             ).alias("cents")
         )
+        .select(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    c["cell"].alias("cell"),
+                    c["cv"].alias("cv"),
+                    norm(as_double_array(c["cv"])).alias("ncv"),
+                ),
+            ).alias("cents")
+        )
     )
+    nv = F.col("_nv")
     scored = F.transform(
         F.col("cents"),
         lambda c: F.struct(
-            F.round(cosine(F.col("v"), c["cv"]), 6).alias("csim"),
+            F.round(
+                F.when(
+                    (nv * c["ncv"]) != 0,
+                    dot(as_double_array(F.col("v")), as_double_array(c["cv"]))
+                    / (nv * c["ncv"]),
+                ),
+                6,
+            ).alias("csim"),
             (-c["cell"]).alias("negcell"),
             c["cell"].alias("cell"),
         ),
     )
     return (
-        base.crossJoin(cent_arr)
+        base.withColumn("_nv", norm(as_double_array(F.col("v"))))
+        .crossJoin(cent_arr)
         .withColumn("best", F.array_max(scored))
         .select(
             "id",

@@ -781,14 +781,21 @@ def q_er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_name", 1, 1).alias("c1"),
         F.floor(F.length("p_name") / _ER_LEN_BUCKET).alias("bucket"),
     )
+    # r14 batch 6: bounded edit distance (Spark 3.5+ threshold form).
+    # levenshtein(a, b, t) runs the banded DP — O(len x t) instead of
+    # O(len^2) per pair, with an |len(a)-len(b)| > t early exit — and
+    # returns the EXACT distance when it is <= t, else -1.  The old
+    # filter kept exactly the dist <= t rows, so `dist >= 0` keeps the
+    # identical row set with identical dist values; pairs the old form
+    # scored only to discard now cost a length check + a narrow band.
     cand = dblocked.join(clean, ["c1", "bucket"]).select(
         "dirty_key",
         "dname",
         "clean_key",
-        F.levenshtein("dname", "cname").alias("dist"),
+        F.levenshtein("dname", "cname", _ER_MAX_DIST).alias("dist"),
     )
     return (
-        cand.filter(F.col("dist") <= _ER_MAX_DIST)
+        cand.filter(F.col("dist") >= 0)
         .groupBy("dirty_key", "dname")
         .agg(
             F.min(F.struct("dist", "clean_key")).alias("best"),
@@ -1592,15 +1599,27 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank).  Output: survivors of round 3 with their final degree.
 
     Scale: reuses the persisted support-pruned edge frame
-    (_copurchase_edges, shared with triangles / link prediction); each
-    round is one degree aggregate + two semi-joins shuffled on node
-    id.  Each round's survivor frame is persisted (tracked — released
-    via operators/dedup.release_caches): round i+1 references round i
-    THREE times (the edge set plus both semi-join sides derive from
-    it), so without the persist the lazy plan triples per round (3^k
-    copies of the base scan — measured 46 s at sf0.1 unpersisted vs
-    ~4 s persisted)."""
-    from ..operators import dedup as _dedup
+    (_copurchase_edges, shared with triangles / link prediction).
+
+    r14 batch 6 restructure (guide §2.4 — remove shuffles/stages
+    outright): a peel round used to be one degree aggregate + TWO
+    left-semi joins, with each round's survivor frame persisted
+    because round i+1 referenced it three times (3^k lazy-plan blowup
+    un-persisted) — ~25 AQE stage launches of orchestration on
+    KB-scale frames.  The undirected frame is SYMMETRIC at every
+    round ((u,v) present iff (v,u) present — the union builds it so,
+    and the keep-filter condition `u kept AND v kept` preserves it),
+    so deg(node x) = count of rows with u = x = count of rows with
+    v = x.  A round is therefore two partitioned count WINDOWS (over
+    u, over v — both counts computed on the same pre-filter frame,
+    exactly the old keep set) + one filter: no joins, no
+    self-reference, ONE linear pipeline end to end with no persists.
+    Window keys alternate per round so consecutive same-key stages
+    reuse the exchange: 3 joins x 3 rounds -> 5 Exchanges total.
+    Bit-identical output: the kept row set per round is the same
+    `deg_cur(u) >= 2 AND deg_cur(v) >= 2` predicate, and the final
+    degree count is unchanged."""
+    from pyspark.sql import Window as W
 
     edges = _copurchase_edges(spark, sf_dir)
     und = edges.select(
@@ -1608,16 +1627,17 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
 
     cur = und
-    for _ in range(3):
-        keep = (
-            cur.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= 2)
-            .select("u")
-        )
-        cur = _dedup._track_persist(
-            cur.join(keep, "u", "left_semi")
-            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+    order = [("u", "v"), ("v", "u"), ("v", "u")]
+    for first, second in order:
+        cur = (
+            cur.withColumn(
+                "d1", F.count(F.lit(1)).over(W.partitionBy(first))
+            )
+            .withColumn(
+                "d2", F.count(F.lit(1)).over(W.partitionBy(second))
+            )
+            .filter((F.col("d1") >= 2) & (F.col("d2") >= 2))
+            .select("u", "v")
         )
     return (
         cur.groupBy("u")

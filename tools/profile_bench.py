@@ -42,6 +42,9 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", EVENT_DIR)
+        # r14 session 2: this sandbox image has neither a zstd binary
+        # nor the zstandard module — write the event log uncompressed.
+        .config("spark.eventLog.compress", "false")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
