@@ -1195,36 +1195,44 @@ def simhash_pairs_portable(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(words(F.col(text_col)))).alias("w"),
     ).withColumn("h", _portable_hash64(F.col("w")))
+    # r14 batch 7: the 60 per-bit vote aggregates, the 4 x 15 chunk
+    # chains and the explode array are SQL expression strings — the
+    # Column-API builds cost ~9.5 s of driver plan construction per
+    # call (tools/build_times.py radar).  Same literals, same
+    # left-associated sums, same CASE shapes: parsed trees and every
+    # signature bit are unchanged (oracle-replayed).
     votes = toks.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{i}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS v{i}"
+            )
             for i in range(60)
         ]
     )
-    chunks = []
-    for c in range(4):
-        val: Column = F.lit(0)
-        for i in range(15):
-            val = val + F.when(F.col(f"v{c * 15 + i}") > 0, F.lit(1 << i)).otherwise(
-                F.lit(0)
-            )
-        chunks.append(val.cast("long").alias(f"c{c}"))
-    sig = votes.select("id", *chunks)
-    exploded = sig.select(
+    sig = votes.selectExpr(
         "id",
-        *[F.col(f"c{c}") for c in range(4)],
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("val"))
-                    for c in range(4)
-                ]
+        *[
+            "CAST((0 + "
+            + " + ".join(
+                f"CASE WHEN v{c * 15 + i} > 0 THEN {1 << i} ELSE 0 END"
+                for i in range(15)
             )
-        ).alias("cc"),
+            + f") AS BIGINT) AS c{c}"
+            for c in range(4)
+        ],
+    )
+    exploded = sig.selectExpr(
+        "id",
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+        "explode(array("
+        + ", ".join(
+            f"named_struct('chunk', {c}, 'val', c{c})" for c in range(4)
+        )
+        + ")) AS cc",
     ).select("id", "c0", "c1", "c2", "c3", "cc.chunk", "cc.val")
     l, r = exploded.alias("l"), exploded.alias("r")
     hamming: Column = F.lit(0)

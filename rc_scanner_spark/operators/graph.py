@@ -89,10 +89,19 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # r14 batch 7: the convergence probe used to be a second
+        # driver job per round — new_labels JOIN old labels, filter,
+        # limit, count.  The old component now rides the checkpointed
+        # frame instead, so the probe is a filter+limit over the
+        # already-materialized localCheckpoint: one job per round, no
+        # join, identical per-id comparison.  (The extra long per
+        # node exists only inside the round; the next round's
+        # ``labels`` projects it away.)
         new_labels = (
             labels.join(nbr_best, labels["id"] == nbr_best["src"], "left")
             .select(
                 "id",
+                F.col("component").alias("old_component"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
@@ -101,13 +110,13 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_labels.filter(
+                F.col("component") != F.col("old_component")
+            )
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     else:

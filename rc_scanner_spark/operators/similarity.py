@@ -312,23 +312,41 @@ def lsh_ann_pairs(
     """
     # r14: width-pinned entry repartition — the signature hashing and
     # the verify tail otherwise run at the scan's spread width.
+    # r14 batch 7: the num_tables x num_planes plane-dot expressions
+    # are built as ONE selectExpr string instead of Column-API lambdas
+    # (48 zip_with/aggregate builds = hundreds of py4j round-trips of
+    # driver plan-construction per call; the kmeans_assign/embed_
+    # random_projection precedent).  Identical expression trees —
+    # int literals stay INT so every xxhash64 input type (and thus
+    # every signature bit) is unchanged; same 0.0D fold seed.
     base = _nonzero_norm_base(vectors, id_col, vec_col).repartition(
         vectors.sparkSession.sparkContext.defaultParallelism, "id"
     )
-    sigs = base.select(
-        "id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        hyperplane_signature(F.col("v"), num_planes, t).alias("sig"),
-                    )
-                    for t in range(num_tables)
+
+    def plane_dot_sql(t: int, p: int) -> str:
+        return (
+            "aggregate(zip_with(CAST(v AS ARRAY<DOUBLE>),"
+            " sequence(0, size(CAST(v AS ARRAY<DOUBLE>)) - 1),"
+            f" (x, d) -> CASE WHEN (xxhash64({t}, {p}, d) & 1) = 1"
+            " THEN x ELSE -x END), 0.0D, (acc, x) -> acc + x)"
+        )
+
+    structs = ", ".join(
+        "named_struct('tbl', {t}, 'sig', {sig})".format(
+            t=t,
+            sig=" + ".join(
+                ["0"]
+                + [
+                    f"CASE WHEN {plane_dot_sql(t, p)} > 0.0D"
+                    f" THEN {1 << p} ELSE 0 END"
+                    for p in range(num_planes)
                 ]
-            )
-        ).alias("s"),
+            ),
+        )
+        for t in range(num_tables)
+    )
+    sigs = base.selectExpr(
+        "id", "v", f"explode(array({structs})) AS s"
     ).select("id", "v", "s.tbl", "s.sig")
     return _verify_candidate_pairs(sigs, threshold)
 
@@ -362,47 +380,53 @@ def kmeans_assign(
     field computed once per centroid in the broadcast array; the
     lambda evaluates only the dot.  Same doubles (each norm is the
     identical fold on the identical operand — the cosine_topk / r10
-    precedent), so csim and the argmax are bit-identical."""
-    from ..functions.vectors import as_double_array, dot, norm
+    precedent), so csim and the argmax are bit-identical.
 
+    r14 batch 7: the whole assignment projection is built as SQL
+    expression STRINGS (the embed_random_projection precedent) — the
+    Column-API lambdas (transform/zip_with/aggregate) cost hundreds
+    of py4j round-trips per ``kmeans_assign`` call and the refine
+    loop calls it iters+1 times; profiled as ~2.2 s of DRIVER plan
+    construction for cluster_kmeans.  The strings parse to the same
+    expression trees (double literals spelled ``0.0D``-style, same
+    fold seeds, same CASE/round/named_struct shapes), so plans and
+    values are unchanged."""
+    norm_sql = (
+        "sqrt(aggregate(CAST({a} AS ARRAY<DOUBLE>), 0.0D,"
+        " (acc, x) -> acc + x * x))"
+    )
     cent_arr = F.broadcast(
         centroids.groupBy()
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("cell"), F.col("cv")))
-            ).alias("cents")
+            F.expr(
+                "array_sort(collect_list(struct(cell, cv))) AS cents0"
+            )
         )
-        .select(
-            F.transform(
-                F.col("cents"),
-                lambda c: F.struct(
-                    c["cell"].alias("cell"),
-                    c["cv"].alias("cv"),
-                    norm(as_double_array(c["cv"])).alias("ncv"),
-                ),
-            ).alias("cents")
+        .selectExpr(
+            "transform(cents0, c -> named_struct("
+            "'cell', c.cell, 'cv', c.cv, "
+            f"'ncv', {norm_sql.format(a='c.cv')}"
+            ")) AS cents"
         )
     )
-    nv = F.col("_nv")
-    scored = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            F.round(
-                F.when(
-                    (nv * c["ncv"]) != 0,
-                    dot(as_double_array(F.col("v")), as_double_array(c["cv"]))
-                    / (nv * c["ncv"]),
-                ),
-                6,
-            ).alias("csim"),
-            (-c["cell"]).alias("negcell"),
-            c["cell"].alias("cell"),
-        ),
+    dot_sql = (
+        "aggregate(zip_with(CAST(v AS ARRAY<DOUBLE>),"
+        " CAST(c.cv AS ARRAY<DOUBLE>), (x, y) -> x * y), 0.0D,"
+        " (acc, x) -> acc + x)"
+    )
+    scored_sql = (
+        "transform(cents, c -> named_struct("
+        "'csim', round(CASE WHEN (_nv * c.ncv) != 0.0D"
+        f" THEN {dot_sql} / (_nv * c.ncv) END, 6), "
+        "'negcell', -c.cell, "
+        "'cell', c.cell))"
     )
     return (
-        base.withColumn("_nv", norm(as_double_array(F.col("v"))))
+        base.selectExpr(
+            "*", f"{norm_sql.format(a='v')} AS _nv"
+        )
         .crossJoin(cent_arr)
-        .withColumn("best", F.array_max(scored))
+        .selectExpr("id", "v", f"array_max({scored_sql}) AS best")
         .select(
             "id",
             "v",
@@ -560,27 +584,26 @@ def kmeans_refine(
         # assign->recompute chain — iters extra passes over the
         # vector table per consumer; cached, a re-evaluation is one
         # assignment pass against the materialized centroids.
+        # r14 batch 7: the micro-grid mean and the re-assembly are
+        # SQL strings (same literals/casts/shapes as the old Column
+        # chain — 1e6 spelled as the DOUBLE literal the Column form
+        # produced) to cut per-iteration py4j plan-construction cost.
         centroids = _track_persist(
-            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            assigned.selectExpr("cell", "posexplode(v) AS (pos, val)")
             .groupBy("cell", "pos")
             .agg(
-                (
-                    F.floor(
-                        F.sum(
-                            F.floor(F.col("val") * 1e6 + 0.5).cast("long")
-                        ).cast("double")
-                        / F.count(F.lit(1))
-                        + 0.5
-                    )
-                    / F.lit(1e6)
-                ).alias("val")
+                F.expr(
+                    "floor(CAST(sum(CAST(floor(val * 1000000.0D + 0.5D)"
+                    " AS BIGINT)) AS DOUBLE) / count(1) + 0.5D)"
+                    " / 1000000.0D AS val"
+                )
             )
             .groupBy("cell")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                    lambda x: x["val"],
-                ).alias("cv")
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, val))),"
+                    " x -> x.val) AS cv"
+                )
             )
         )
     return centroids, kmeans_assign(base, centroids)
@@ -632,39 +655,40 @@ def lsh_ann_pairs_portable(
         "fx",
         F.transform(F.col("v"), lambda x: F.round(x * scale).cast("long")),
     )
-    dims = F.size(F.col("fx"))
 
-    def plane_dot(table: int, p: int) -> Column:
-        prods = F.zip_with(
-            F.col("fx"),
-            F.sequence(F.lit(0), dims - 1),
-            lambda x, d: F.when(_portable_sign_bit(table, p, d) == 1, x).otherwise(
-                -x
+    # r14 batch 7: the num_tables x num_planes integer plane dots are
+    # ONE selectExpr string (same py4j-latency fix as lsh_ann_pairs;
+    # the md5 sign-bit chain, the CAST(0 AS BIGINT) fold seed and the
+    # string literals are spelled exactly as the Column forms parsed,
+    # so every signature long — and hence the oracle-replayed bucket
+    # set — is unchanged).
+    def plane_dot_sql(t: int, p: int) -> str:
+        sign_bit = (
+            "CAST(conv(substring(md5(concat_ws("
+            f"':', '{t}', '{p}', CAST(d AS STRING))), 1, 15), 16, 10)"
+            " AS BIGINT) & 1"
+        )
+        return (
+            "aggregate(zip_with(fx, sequence(0, size(fx) - 1),"
+            f" (x, d) -> CASE WHEN ({sign_bit}) = 1 THEN x ELSE -x END),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        )
+
+    structs = ", ".join(
+        "named_struct('tbl', {t}, 'sig', CAST({sig} AS BIGINT))".format(
+            t=t,
+            sig=" + ".join(
+                ["0"]
+                + [
+                    f"CASE WHEN {plane_dot_sql(t, p)} > 0"
+                    f" THEN {1 << p} ELSE 0 END"
+                    for p in range(num_planes)
+                ]
             ),
         )
-        return F.aggregate(prods, F.lit(0).cast("long"), lambda a, x: a + x)
-
-    sigs = fixed.select(
-        "id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        sum(
-                            [
-                                F.when(plane_dot(t, p) > 0, F.lit(1 << p)).otherwise(
-                                    F.lit(0)
-                                )
-                                for p in range(num_planes)
-                            ],
-                            F.lit(0),
-                        ).cast("long").alias("sig"),
-                    )
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("s"),
+        for t in range(num_tables)
+    )
+    sigs = fixed.selectExpr(
+        "id", "v", f"explode(array({structs})) AS s"
     ).select("id", "v", "s.tbl", "s.sig")
     return _verify_candidate_pairs(sigs, threshold)

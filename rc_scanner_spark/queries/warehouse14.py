@@ -80,23 +80,31 @@ def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             _portable_hash64(F.col("doc_id").cast("string")) % _MA_BUCKETS,
         )
     )
+    # r14 batch 7: the 16 md5-min aggregates and the 16-term match
+    # sum are SQL expression strings (same md5/conv/concat_ws chains
+    # the Column forms parsed — the _portable_hash64 definition —
+    # so every signature long is unchanged); cuts ~300 py4j calls of
+    # driver plan construction per build.
     sig = _track_persist(
         sh.groupBy("doc_id", "bucket").agg(
             F.count(F.lit(1)).alias("n_sh"),
             *[
-                F.min(
-                    _portable_hash64(
-                        F.concat(F.lit(f"{s}:"), F.col("shingle"))
-                    )
-                ).alias(f"h{s}")
+                F.expr(
+                    "min(CAST(conv(substring(md5(concat_ws(':',"
+                    f" concat('{s}:', shingle))), 1, 15), 16, 10)"
+                    f" AS BIGINT)) AS h{s}"
+                )
                 for s in range(_MA_PERMS)
             ],
         )
     )
     a, b = sig.alias("a"), sig.alias("b")
-    matches = sum(
-        F.when(F.col(f"a.h{s}") == F.col(f"b.h{s}"), 1).otherwise(0)
-        for s in range(_MA_PERMS)
+    matches = F.expr(
+        "0 + "
+        + " + ".join(
+            f"CASE WHEN a.h{s} = b.h{s} THEN 1 ELSE 0 END"
+            for s in range(_MA_PERMS)
+        )
     )
     pairs = a.join(
         b,

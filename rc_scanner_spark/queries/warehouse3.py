@@ -269,34 +269,50 @@ def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_extendedprice", "l_discount"
     )
     # build: one row of m/64 longs, each the bit_or of the masks that
-    # land in that word
-    word_cols = []
-    positions = _bloom_positions(F.col("p_partkey"))
-    for w in range(_BLOOM_WORDS):
-        mask = F.lit(0).cast("long")
-        for pos in positions:
-            shifted = F.call_function(
-                "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
+    # land in that word.  r14 batch 7: the 16-word x 3-hash mask
+    # chains are SQL expression strings — the Column-API loop was
+    # ~500 py4j calls of driver plan construction per build
+    # (tools/build_times.py radar); literals/casts spelled exactly as
+    # the Column forms parsed, so filter state and row sets are
+    # unchanged.
+    m = _BLOOM_WORDS * 64
+
+    def pos_sql(key: str, i: int) -> str:
+        return f"pmod(xxhash64({key}, {i}), {m})"
+
+    def bit_sql(key: str, i: int) -> str:
+        return (
+            "shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(pmod({pos_sql(key, i)}, 64) AS INT))"
+        )
+
+    word_cols = [
+        F.expr(
+            "bit_or(CAST(0 AS BIGINT)"
+            + "".join(
+                f" | CASE WHEN CAST({pos_sql('p_partkey', i)} / 64 AS INT)"
+                f" = {w} THEN {bit_sql('p_partkey', i)}"
+                " ELSE CAST(0 AS BIGINT) END"
+                for i in range(_BLOOM_K)
             )
-            mask = mask.bitwiseOR(
-                F.when((pos / 64).cast("int") == w, shifted).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
-        word_cols.append(F.bit_or(mask).alias(f"w{w}"))
-    bloom = p.agg(*word_cols).select(
-        F.array(*[F.col(f"w{w}") for w in range(_BLOOM_WORDS)]).alias("bloom")
+            + f") AS w{w}"
+        )
+        for w in range(_BLOOM_WORDS)
+    ]
+    bloom = p.agg(*word_cols).selectExpr(
+        "array("
+        + ", ".join(f"w{w}" for w in range(_BLOOM_WORDS))
+        + ") AS bloom"
     )
     # probe: all k bits set -> candidate
-    probe_positions = _bloom_positions(F.col("l_partkey"))
-    cond = F.lit(True)
-    for pos in probe_positions:
-        word = F.element_at(F.col("bloom"), (pos / 64).cast("int") + 1)
-        bit = F.call_function(
-            "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
-        )
-        cond = cond & (word.bitwiseAND(bit) != 0)
-    candidates = li.crossJoin(F.broadcast(bloom)).filter(cond).drop("bloom")
+    cond = "true" + "".join(
+        f" AND ((element_at(bloom, CAST({pos_sql('l_partkey', i)} / 64"
+        f" AS INT) + 1) & {bit_sql('l_partkey', i)}) != 0)"
+        for i in range(_BLOOM_K)
+    )
+    candidates = (
+        li.crossJoin(F.broadcast(bloom)).filter(F.expr(cond)).drop("bloom")
+    )
     joined = candidates.join(p, candidates.l_partkey == p.p_partkey)
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_items"),

@@ -1018,14 +1018,17 @@ def q_embed_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: dot products and norms are the same left-to-right
     64-term IEEE chains on both engines (the JL-projection pattern);
-    the bin edge is floor(cos * 20) on bit-identical doubles."""
-    dot_self = reduce(
-        lambda x, y: x + y,
-        [
-            F.element_at("embedding", i + 1).cast("double")
-            * F.element_at("embedding", i + 1).cast("double")
-            for i in range(_JL_IN_DIM)
-        ],
+    the bin edge is floor(cos * 20) on bit-identical doubles.
+
+    r14 batch 7: both 64-term element_at chains are SQL expression
+    strings (the truncation-fidelity fix — the Column-API reduce was
+    ~500 py4j calls of driver plan construction); identical
+    left-associated chains, casts and literals, so every double is
+    unchanged."""
+    dot_self = " + ".join(
+        f"CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+        f" * CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+        for i in range(_JL_IN_DIM)
     )
     from ..operators.dedup import _track_persist
 
@@ -1036,39 +1039,31 @@ def q_embed_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cannot serialize the (N/B)^2-pair cosine CPU onto one task.
     v = _track_persist(
         _t(spark, sf_dir, "embeddings")
-        .select(
+        .selectExpr(
             "vec_id",
             "embedding",
-            F.pmod(
-                F.conv(
-                    F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
-                    16, 10,
-                ).cast("bigint"),
-                F.lit(_PDH_BUCKETS),
-            ).alias("bucket"),
-            F.sqrt(dot_self).alias("nrm"),
+            "pmod(CAST(conv(substring(md5(CAST(vec_id AS STRING)),"
+            f" 1, 15), 16, 10) AS BIGINT), {_PDH_BUCKETS}) AS bucket",
+            f"sqrt({dot_self}) AS nrm",
         )
         .filter(F.col("nrm") > 0)
         .repartition(spark.sparkContext.defaultParallelism, "bucket")
     )
     a = v.alias("a")
     b = v.alias("b")
-    dot_ab = reduce(
-        lambda x, y: x + y,
-        [
-            F.element_at(F.col("a.embedding"), i + 1).cast("double")
-            * F.element_at(F.col("b.embedding"), i + 1).cast("double")
-            for i in range(_JL_IN_DIM)
-        ],
+    dot_ab = " + ".join(
+        f"CAST(element_at(a.embedding, {i + 1}) AS DOUBLE)"
+        f" * CAST(element_at(b.embedding, {i + 1}) AS DOUBLE)"
+        for i in range(_JL_IN_DIM)
     )
-    cos = dot_ab / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = f"(({dot_ab}) / (a.nrm * b.nrm))"
     pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
-    per = pairs.select(
-        F.floor(cos * F.lit(20.0)).cast("int").alias("bin")
+    per = pairs.selectExpr(
+        f"CAST(floor({cos} * 20.0D) AS INT) AS bin"
     ).groupBy("bin").agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     tot = per.agg(F.sum("n_pairs").alias("n_total"))
     return (

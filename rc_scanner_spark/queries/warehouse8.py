@@ -123,63 +123,54 @@ def q_embed_dim_truncation_fidelity(
     (N/B)^2 pair fan-out per bucket, norms map-side before the join,
     zero-norm prefixes excluded.  Per-pair errors quantize to integer
     milli before the aggregate, so the mean is an exact integer sum
-    in any accumulation order."""
+    in any accumulation order.
 
-    def chain(col: str, dim: int):
-        return reduce(
-            lambda x, y: x + y,
-            [
-                F.element_at(F.col(col), i + 1).cast("double")
-                * F.element_at(F.col(col), i + 1).cast("double")
-                for i in range(dim)
-            ],
+    r14 batch 7: the 64+16-term element_at chains are SQL expression
+    strings (the registry's worst plan-construction outlier: ~800
+    Column-API calls = 12.9 s of DRIVER time per build).  Same
+    left-associated ``+`` chains, same casts and literals — the
+    parsed trees, and therefore every double, are unchanged."""
+
+    def chain(col: str, dim: int) -> str:
+        return " + ".join(
+            f"CAST(element_at({col}, {i + 1}) AS DOUBLE)"
+            f" * CAST(element_at({col}, {i + 1}) AS DOUBLE)"
+            for i in range(dim)
         )
 
     v = (
         _t(spark, sf_dir, "embeddings")
-        .select(
+        .selectExpr(
             "vec_id",
             "embedding",
-            F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(F.col("vec_id").cast("string")), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("bigint"),
-                F.lit(_TF_BUCKETS),
-            ).alias("bucket"),
-            F.sqrt(chain("embedding", _FULL_DIM)).alias("nrm64"),
-            F.sqrt(chain("embedding", _TRUNC_DIM)).alias("nrm16"),
+            "pmod(CAST(conv(substring(md5(CAST(vec_id AS STRING)),"
+            f" 1, 15), 16, 10) AS BIGINT), {_TF_BUCKETS}) AS bucket",
+            f"sqrt({chain('embedding', _FULL_DIM)}) AS nrm64",
+            f"sqrt({chain('embedding', _TRUNC_DIM)}) AS nrm16",
         )
         .filter((F.col("nrm64") > 0) & (F.col("nrm16") > 0))
     )
     a, b = v.alias("a"), v.alias("b")
 
-    def dot(dim: int):
-        return reduce(
-            lambda x, y: x + y,
-            [
-                F.element_at(F.col("a.embedding"), i + 1).cast("double")
-                * F.element_at(F.col("b.embedding"), i + 1).cast("double")
-                for i in range(dim)
-            ],
+    def dot(dim: int) -> str:
+        return " + ".join(
+            f"CAST(element_at(a.embedding, {i + 1}) AS DOUBLE)"
+            f" * CAST(element_at(b.embedding, {i + 1}) AS DOUBLE)"
+            for i in range(dim)
         )
 
-    cos64 = dot(_FULL_DIM) / (F.col("a.nrm64") * F.col("b.nrm64"))
-    cos16 = dot(_TRUNC_DIM) / (F.col("a.nrm16") * F.col("b.nrm16"))
+    cos64 = f"(({dot(_FULL_DIM)}) / (a.nrm64 * b.nrm64))"
+    cos16 = f"(({dot(_TRUNC_DIM)}) / (a.nrm16 * b.nrm16))"
     per = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.floor(cos64 * 10.0).cast("int").alias("band"),
-            F.floor(F.abs(cos64 - cos16) * 1000.0)
-            .cast("bigint")
-            .alias("err_milli"),
+        .selectExpr(
+            f"CAST(floor({cos64} * 10.0D) AS INT) AS band",
+            f"CAST(floor(abs({cos64} - {cos16}) * 1000.0D) AS BIGINT)"
+            " AS err_milli",
         )
     )
     return (
