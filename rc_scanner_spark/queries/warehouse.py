@@ -234,7 +234,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as _dedup
 
     edges = _dedup._track_persist(edges.join(deg, "src").repartition("src"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # r14 batch 8: nodes is consumed by the init ranks AND every
+    # iteration's left join — un-persisted, each round re-ran the
+    # distinct (an exchange per round).  Cached hash(node)-partitioned
+    # at session width so the per-round join side needs no exchange
+    # and no re-evaluation.  Cache/partitioning only — row set
+    # unchanged.
+    nodes = _dedup._track_persist(
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "node")
+    )
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node",

@@ -622,7 +622,14 @@ def _lpa_und_frame(
 ) -> DataFrame:
     """The undirected (u, v) edge-direction frame over the shared
     support-pruned co-purchase edges (pass ``edges`` to reuse an
-    already-built frame instead of re-deriving it)."""
+    already-built frame instead of re-deriving it).
+
+    (r14 batch 8 note: persisting this frame hash(v)-partitioned was
+    tried and REVERTED — the union over the already-cached pruned
+    edges is a cheap map, and the extra cache materialization + the
+    serialized first read cost more than the per-round re-shuffle it
+    saved; matched A/B read label_propagation 1.04-1.14x WORSE with
+    the persist.)"""
     from .warehouse2 import _copurchase_edges
 
     if edges is None:
@@ -641,6 +648,12 @@ def _lpa_labels(
     if und is None:
         und = _lpa_und_frame(spark, sf_dir)
     labels = und.select(F.col("u"), F.col("u").alias("lbl")).distinct()
+    # (r14 batch 8 note: a width-pinned repartition(u) ahead of the
+    # two aggregates was tried and REVERTED — hash(u) satisfies both
+    # clusterings (subset rule), but it shuffles the RAW neighbor
+    # rows where the (u, lbl) count's partial aggregation compresses
+    # them first; matched A/B read 1.03-1.15x WORSE.  The
+    # dedup_containment trade-off went the other way here.)
     for _ in range(3):
         nb = und.join(
             labels.withColumnRenamed("u", "v"), "v"
