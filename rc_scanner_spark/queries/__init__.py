@@ -95,94 +95,97 @@ def load_tuned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #       ordering failed that test on the r14 opening tree until this
 #       re-emit.
 
+#   r15 (THIS ordering, re-emitted by tools/rotate_prefix.py
+#       --slots 50 on the r15 tree): first use of the TOUCHED tier
+#       (r14 verdict item 3): queries whose implementation — any
+#       top-level symbol their query fn transitively references, by
+#       static AST analysis — changed after the commit that landed
+#       their newest driver row outrank the staleness drain, with
+#       last-round (r14) rewrites first.  This puts post-rewrite hash
+#       rows for the r14 optimization work (markov, haar, spearman,
+#       kcore, pagerank, prefix_jaccard, semantic, tfidf_top_terms,
+#       embed_random_projection, ...) into CORRECTNESS_r15.  Policy
+#       extension: already-sampled rows-only (sql=None) entries are
+#       re-admitted to the prefix ONLY when touched — a post-rewrite
+#       rows-only row is the only driver evidence channel they have —
+#       and must be declared in _PREFIX_ROWS_ONLY_REVERIFY below
+#       (audited by test_rotation_ledger.py); untouched rows-only
+#       entries sink to the registry tail instead of drifting into
+#       the prefix with the staleness drain.
 _VERIFICATION_PRIORITY: tuple[str, ...] = (
-    "agg_argmax",  # green r5
-    "agg_group_quantiles",  # green r5
-    "ann_ivf_topk",  # green r5
-    "ann_ivfpq_topk",  # green r5
-    "ann_pq_topk",  # green r5
-    "basket_part_pairs",  # green r5
-    "batch_length_buckets",  # green r5
-    "bootstrap_ci_mean",  # green r5
-    "cdc_snapshot_diff",  # green r5
-    "dedup_containment",  # green r5
-    "dedup_keep_best",  # green r5
-    "dedup_pair_explain",  # green r5
-    "dedup_rate_by_source",  # green r5
-    "dedup_substring_spans",  # green r5
-    "embed_quantize_int8",  # green r5
-    "er_fuzzy_match",  # green r5
-    "event_conversion_latency",  # green r5
-    "event_transitions",  # green r5
-    "events_cumulative_distinct",  # green r5
-    "events_ewma_smooth",  # green r5
-    "events_gap_fill",  # green r5
-    "events_rate_anomaly",  # green r5
-    "events_retention_cohorts",  # green r5
-    "events_rolling_active_users",  # green r5
-    "filter_source_blocklist",  # green r5
-    "graph_link_prediction",  # green r5
-    "graph_triangle_count",  # green r5
-    "llm_prep_pipeline",  # green r5
-    "multimodal_features",  # green r5
-    "profile_key_skew",  # green r5
-    "profile_quality_by_source",  # green r5
-    "retrieval_rrf_fusion",  # green r5
-    "sample_cluster_balanced",  # green r5
-    "sample_poisson_bootstrap",  # green r5
-    "sample_temperature_mix",  # green r5
-    "sample_uniform_k",  # green r5
-    "select_dsir",  # green r5
-    "select_pareto_frontier",  # green r5
-    "select_token_budget",  # green r5
-    "sketch_bloom_membership",  # green r5
-    "sketch_countmin_topk",  # green r5
-    "sketch_quantile_bounded",  # green r5
-    "source_overlap_matrix",  # green r5
-    "text_bigram_logprob",  # green r5
-    "text_lang_mix",  # green r5
-    "text_zipf_fit",  # green r5
-    "time_window_sliding",  # green r5
-    "tpch_q12ish",  # green r5
-    "window_first_last",  # green r5
-    "window_period_over_period",  # green r5
+    "ann_lsh_bucketed",  # rows_only TOUCHED-last-round, row r6
+    "ann_recall_eval",  # green TOUCHED-last-round, row r6
+    "dedup_minhash_lsh",  # rows_only TOUCHED-last-round, row r6
+    "dedup_simhash",  # rows_only TOUCHED-last-round, row r6
+    "embed_random_projection",  # green TOUCHED-last-round, row r6
+    "graph_kcore",  # green TOUCHED-last-round, row r6
+    "join_bloom_pruned",  # green TOUCHED-last-round, row r6
+    "basket_association_rules",  # green TOUCHED-last-round, row r7
+    "dedup_minhash_accuracy",  # green TOUCHED-last-round, row r7
+    "embed_dim_truncation_fidelity",  # green TOUCHED-last-round, row r7
+    "embed_pair_distance_hist",  # green TOUCHED-last-round, row r7
+    "graph_degree_assortativity",  # green TOUCHED-last-round, row r7
+    "graph_hits_bipartite",  # green TOUCHED-last-round, row r7
+    "graph_label_propagation",  # green TOUCHED-last-round, row r7
+    "graph_local_bridges",  # green TOUCHED-last-round, row r7
+    "graph_reach_2hop",  # green TOUCHED-last-round, row r7
+    "graph_clustering_coefficient",  # green TOUCHED-last-round, row r9
+    "stats_spearman",  # green TOUCHED-last-round, row r10
+    "text_novelty_decay",  # green TOUCHED-last-round, row r10
+    "graph_community_modularity",  # green TOUCHED-last-round, row r11
+    "tfidf_top_terms",  # green TOUCHED-last-round, row r11
+    "ann_lsh_portable",  # green TOUCHED-last-round, row r12
+    "cluster_kmeans",  # green TOUCHED-last-round, row r12
+    "dedup_cc_clusters",  # green TOUCHED-last-round, row r12
+    "dedup_cluster_purity",  # green TOUCHED-last-round, row r12
+    "dedup_minhash_portable",  # green TOUCHED-last-round, row r12
+    "dedup_prefix_jaccard",  # green TOUCHED-last-round, row r12
+    "dedup_semantic",  # green TOUCHED-last-round, row r12
+    "dedup_simhash_portable",  # green TOUCHED-last-round, row r12
+    "graph_pagerank",  # green TOUCHED-last-round, row r12
+    "orders_next_order_affinity",  # green TOUCHED-last-round, row r12
+    "events_haar_energy",  # green TOUCHED-last-round, row r13
+    "events_markov_stationary",  # green TOUCHED-last-round, row r13
+    "agg_filtered",  # green TOUCHED since r6
+    "agg_ks_drift",  # green TOUCHED since r6
+    "agg_ttest_welch",  # green TOUCHED since r6
+    "agg_weighted_median",  # green TOUCHED since r6
+    "dedup_tfidf_cosine",  # green TOUCHED since r6
+    "dedup_winnowing",  # green TOUCHED since r6
+    "embed_centroid_outliers",  # green TOUCHED since r6
+    "events_ab_bucketing",  # green TOUCHED since r6
+    "events_mad_anomaly",  # green TOUCHED since r6
+    "join_asof_tolerance",  # green TOUCHED since r6
+    "pack_bins_bfd",  # rows_only TOUCHED since r6
+    "split_leakage_safe",  # green TOUCHED since r6
+    "stats_mann_whitney",  # green TOUCHED since r7
+    "join_asof_nearest",  # green TOUCHED since r9
+    "dedup_ngram_jaccard",  # green TOUCHED since r10
+    "orders_basket_lift",  # green TOUCHED since r11
+    "stats_bh_fdr",  # green TOUCHED since r11
     # ---- entries below are outside the 50-slot prefix ----
+    "agg_trimmed_mean",  # green TOUCHED since r12
+    "events_lateness_profile",  # green TOUCHED since r12
+    "stats_cochran_q",  # green TOUCHED since r12
+    "stats_kendall_tau",  # green TOUCHED since r12
+    "stats_permutation_test",  # green TOUCHED since r12
     "agg_chi2_independence",  # green r6
-    "agg_filtered",  # green r6
     "agg_incremental_merge",  # green r6
-    "agg_ks_drift",  # green r6
     "agg_mode",  # green r6
     "agg_salted_twophase",  # green r6
-    "agg_ttest_welch",  # green r6
-    "agg_weighted_median",  # green r6
-    "ann_lsh_bucketed",  # rows_only r6
-    "ann_recall_eval",  # green r6
     "dedup_cluster_size_hist",  # green r6
-    "dedup_minhash_lsh",  # rows_only r6
-    "dedup_simhash",  # rows_only r6
-    "dedup_tfidf_cosine",  # green r6
-    "dedup_winnowing",  # green r6
-    "embed_centroid_outliers",  # green r6
     "embed_label_separation",  # green r6
-    "embed_random_projection",  # green r6
-    "events_ab_bucketing",  # green r6
     "events_autocorr",  # green r6
     "events_changepoint_cusum",  # green r6
     "events_concurrency",  # green r6
     "events_interval_union",  # green r6
-    "events_mad_anomaly",  # green r6
     "events_theilsen_trend",  # green r6
-    "graph_kcore",  # green r6
-    "join_asof_tolerance",  # green r6
-    "join_bloom_pruned",  # green r6
     "join_interval_overlap",  # green r6
     "join_null_safe",  # green r6
     "multimodal_audio_plan",  # green r6
-    "multimodal_phash_neardup",  # rows_only r6
     "multimodal_tiles_plan",  # green r6
     "orders_cohort_ltv",  # green r6
     "orders_rfm_segments",  # green r6
-    "pack_bins_bfd",  # rows_only r6
     "profile_benford",  # green r6
     "sample_balanced_classes",  # green r6
     "sample_kcenter_coreset",  # green r6
@@ -190,20 +193,14 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "seq_global_row_number",  # green r6
     "sketch_hll_intersect",  # green r6
     "sketch_kmv_distinct",  # green r6
-    "split_leakage_safe",  # green r6
     "split_time_holdout",  # green r6
     "text_bpe_pair_merges",  # green r6
-    "text_compression_ratio",  # rows_only r6
     "text_jsd_sources",  # green r6
     "text_rake_keywords",  # green r6
     "window_time_range_rolling",  # green r6
     "agg_gini",  # green r7
     "agg_winsorized_mean",  # green r7
-    "basket_association_rules",  # green r7
-    "dedup_minhash_accuracy",  # green r7
-    "embed_dim_truncation_fidelity",  # green r7
     "embed_exact_dup_vectors",  # green r7
-    "embed_pair_distance_hist",  # green r7
     "events_dow_hour_heatmap",  # green r7
     "events_dow_seasonality",  # green r7
     "events_forecast_backtest",  # green r7
@@ -214,11 +211,6 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "events_threshold_suggest",  # green r7
     "events_top_paths",  # green r7
     "filter_rejection_funnel",  # green r7
-    "graph_degree_assortativity",  # green r7
-    "graph_hits_bipartite",  # green r7
-    "graph_label_propagation",  # green r7
-    "graph_local_bridges",  # green r7
-    "graph_reach_2hop",  # green r7
     "llm_prep_pipeline_v2",  # green r7
     "multimodal_augmentation_plan",  # green r7
     "multimodal_shard_manifest",  # green r7
@@ -234,7 +226,6 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "scd2_consistency_audit",  # green r7
     "sketch_hll_sliding",  # green r7
     "split_kfold",  # green r7
-    "stats_mann_whitney",  # green r7
     "stats_ols_group",  # green r7
     "stats_wilson_ci",  # green r7
     "text_char_entropy",  # green r7
@@ -268,10 +259,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "filter_membership",  # green r9
     "filter_null_threshold",  # green r9
     "filter_threshold_inclusive",  # green r9
-    "graph_clustering_coefficient",  # green r9
     "in_subquery",  # green r9
     "join_anti",  # green r9
-    "join_asof_nearest",  # green r9
     "join_broadcast_dims",  # green r9
     "join_inner_agg",  # green r9
     "join_left_count",  # green r9
@@ -304,7 +293,6 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",  # green r10
     "dedup_exact",  # green r10
     "dedup_incremental",  # green r10
-    "dedup_ngram_jaccard",  # green r10
     "embed_outlier_mahalanobis",  # green r10
     "events_did_estimator",  # green r10
     "multimodal_binary_meta",  # green r10
@@ -335,8 +323,6 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "stats_mann_kendall",  # green r10
     "stats_mcnemar",  # green r10
     "stats_power_mde",  # green r10
-    "stats_spearman",  # green r10
-    "text_novelty_decay",  # green r10
     "tpch_q11ish",  # green r10
     "tpch_q20ish",  # green r10
     "tpch_q21ish",  # green r10
@@ -359,11 +345,9 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "events_poisson_rate_ratio",  # green r11
     "events_power_user_curve",  # green r11
     "events_streaks",  # green r11
-    "graph_community_modularity",  # green r11
     "llm_preference_pairs",  # green r11
     "multimodal_aspect_bucket_plan",  # green r11
     "multimodal_phash_portable",  # green r11
-    "orders_basket_lift",  # green r11
     "orders_repeat_purchase_latency",  # green r11
     "pack_bins_nextfit_portable",  # green r11
     "part_sales_churn",  # green r11
@@ -374,7 +358,6 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sql_api_top_customers",  # green r11
     "sql_api_window",  # green r11
     "stats_anova_oneway",  # green r11
-    "stats_bh_fdr",  # green r11
     "stats_cvm_drift",  # green r11
     "stats_friedman",  # green r11
     "stats_kruskal_wallis",  # green r11
@@ -389,7 +372,6 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "text_quality",  # green r11
     "text_repetition",  # green r11
     "text_token_count",  # green r11
-    "tfidf_top_terms",  # green r11
     "tpch_q10ish",  # green r11
     "tpch_q13ish",  # green r11
     "tpch_q14ish",  # green r11
@@ -402,39 +384,24 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "agg_histogram",  # green r12
     "agg_source_entropy",  # green r12
     "agg_string_collect",  # green r12
-    "agg_trimmed_mean",  # green r12
     "ann_filtered_topk",  # green r12
-    "ann_lsh_portable",  # green r12
-    "cluster_kmeans",  # green r12
     "cluster_zorder",  # green r12
     "contract_violations",  # green r12
     "date_arithmetic",  # green r12
     "decontaminate",  # green r12
-    "dedup_cc_clusters",  # green r12
-    "dedup_cluster_purity",  # green r12
     "dedup_lsh_band_tuning",  # green r12
-    "dedup_minhash_portable",  # green r12
     "dedup_paragraph",  # green r12
-    "dedup_prefix_jaccard",  # green r12
     "dedup_quality_shift",  # green r12
-    "dedup_semantic",  # green r12
-    "dedup_simhash_portable",  # green r12
     "dedup_threshold_sweep",  # green r12
     "embed_power_iter_portable",  # green r12
     "event_funnel",  # green r12
     "events_absence_streaks",  # green r12
-    "events_lateness_profile",  # green r12
     "graph_degree_stats",  # green r12
-    "graph_pagerank",  # green r12
     "join_asof_forward",  # green r12
-    "orders_next_order_affinity",  # green r12
     "sample_snis_clipped",  # green r12
     "sample_systematic",  # green r12
     "sketch_kmv_set_ops",  # green r12
-    "stats_cochran_q",  # green r12
-    "stats_kendall_tau",  # green r12
     "stats_page_trend",  # green r12
-    "stats_permutation_test",  # green r12
     "text_garbage_score",  # green r12
     "tpch_q19ish",  # green r12
     "tpch_q22ish",  # green r12
@@ -448,11 +415,8 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "window_cume_dist",  # green r12
     "window_fill_forward",  # green r12
     "agg_trimmed_mean_bucketed",  # green r13
-    "embed_pca_variance",  # rows_only r13
     "events_attribution_credit",  # green r13
     "events_best_split_sse",  # green r13
-    "events_haar_energy",  # green r13
-    "events_markov_stationary",  # green r13
     "events_type_user_jaccard",  # green r13
     "join_asof",  # green r13
     "join_bitemporal_asof",  # green r13
@@ -497,8 +461,68 @@ _VERIFICATION_PRIORITY: tuple[str, ...] = (
     "window_hampel_outliers",  # green r13
     "window_lag_lead",  # green r13
     "window_rolling_median",  # green r13
+    "agg_argmax",  # green r14
+    "agg_group_quantiles",  # green r14
+    "ann_ivf_topk",  # green r14
+    "ann_ivfpq_topk",  # green r14
+    "ann_pq_topk",  # green r14
+    "basket_part_pairs",  # green r14
+    "batch_length_buckets",  # green r14
+    "bootstrap_ci_mean",  # green r14
+    "cdc_snapshot_diff",  # green r14
+    "dedup_containment",  # green r14
+    "dedup_keep_best",  # green r14
+    "dedup_pair_explain",  # green r14
+    "dedup_rate_by_source",  # green r14
+    "dedup_substring_spans",  # green r14
+    "embed_quantize_int8",  # green r14
+    "er_fuzzy_match",  # green r14
+    "event_conversion_latency",  # green r14
+    "event_transitions",  # green r14
+    "events_cumulative_distinct",  # green r14
+    "events_ewma_smooth",  # green r14
+    "events_gap_fill",  # green r14
+    "events_rate_anomaly",  # green r14
+    "events_retention_cohorts",  # green r14
+    "events_rolling_active_users",  # green r14
+    "filter_source_blocklist",  # green r14
+    "graph_link_prediction",  # green r14
+    "graph_triangle_count",  # green r14
+    "llm_prep_pipeline",  # green r14
+    "multimodal_features",  # green r14
+    "profile_key_skew",  # green r14
+    "profile_quality_by_source",  # green r14
+    "retrieval_rrf_fusion",  # green r14
+    "sample_cluster_balanced",  # green r14
+    "sample_poisson_bootstrap",  # green r14
+    "sample_temperature_mix",  # green r14
+    "sample_uniform_k",  # green r14
+    "select_dsir",  # green r14
+    "select_pareto_frontier",  # green r14
+    "select_token_budget",  # green r14
+    "sketch_bloom_membership",  # green r14
+    "sketch_countmin_topk",  # green r14
+    "sketch_quantile_bounded",  # green r14
+    "source_overlap_matrix",  # green r14
+    "text_bigram_logprob",  # green r14
+    "text_lang_mix",  # green r14
+    "text_zipf_fit",  # green r14
+    "time_window_sliding",  # green r14
+    "tpch_q12ish",  # green r14
+    "window_first_last",  # green r14
+    "window_period_over_period",  # green r14
+    "multimodal_phash_neardup",  # rows_only r6
+    "text_compression_ratio",  # rows_only r6
+    "embed_pca_variance",  # rows_only r13
 )
 
+
+_PREFIX_ROWS_ONLY_REVERIFY: tuple[str, ...] = (
+    "ann_lsh_bucketed",  # touched since rows-only row r6
+    "dedup_minhash_lsh",  # touched since rows-only row r6
+    "dedup_simhash",  # touched since rows-only row r6
+    "pack_bins_bfd",  # touched since rows-only row r6
+)
 
 
 

@@ -102,6 +102,20 @@ class _LiveFeed:
         self._events: list[tuple[dict, str | None]] = []
         self._lock = threading.Lock()
         self._last_recv_id: str | None = None  # reconnect header
+        # Idempotent delivery across reconnect replays (r14 verdict
+        # item 1): the reconnect loop presents Last-Event-ID, but a
+        # server may replay an overlap window (or a connection race may
+        # present a stale id), re-sending events this feed already
+        # buffered or committed.  Appending them again shifts every
+        # later event's global offset and the duplicates land PAST the
+        # Structured Streaming checkpoint — delivered twice (the
+        # VERIFY_r14 test_sse_loopback_live_structured_streaming
+        # failure: seen=['3','3'], Live4/Live5 emitted twice).  Events
+        # whose SSE id was already received this driver lifetime are
+        # dropped before they reach the buffer.  Bounded: replays only
+        # resend a recent suffix, so a 64k-id window is orders of
+        # magnitude beyond any real reconnect overlap.
+        self._seen_ids: dict[str, None] = {}  # insertion-ordered, capped
         self._base = 0
         self._aligned = False
         self._resumed = False
@@ -153,7 +167,17 @@ class _LiveFeed:
                     except (ValueError, TypeError):
                         continue  # C1: skip malformed, never die
                     with self._lock:
-                        self._last_recv_id = ev["id"] or self._last_recv_id
+                        eid = ev["id"]
+                        if eid is not None:
+                            if eid in self._seen_ids:
+                                # replayed duplicate: advance the
+                                # reconnect cursor, never re-deliver
+                                self._last_recv_id = eid
+                                continue
+                            self._seen_ids[eid] = None
+                            while len(self._seen_ids) > 65536:
+                                del self._seen_ids[next(iter(self._seen_ids))]
+                        self._last_recv_id = eid or self._last_recv_id
                         self._events.append((obj, self._last_recv_id))
             except Exception:
                 pass  # reconnect (C2 without the interactive prompt)

@@ -31,7 +31,11 @@ import re
 import subprocess
 from pathlib import Path
 
-from rc_scanner_spark.queries import _VERIFICATION_PRIORITY, build_registry
+from rc_scanner_spark.queries import (
+    _PREFIX_ROWS_ONLY_REVERIFY,
+    _VERIFICATION_PRIORITY,
+    build_registry,
+)
 
 REPO = Path(__file__).resolve().parent.parent
 PREFIX_SLOTS = 50
@@ -82,11 +86,23 @@ def test_prefix_is_oracle_backed():
     rows_only = [
         n
         for n in _VERIFICATION_PRIORITY[:PREFIX_SLOTS]
-        if reg[n].sql is None and n in ever_sampled
+        if reg[n].sql is None
+        and n in ever_sampled
+        and n not in _PREFIX_ROWS_ONLY_REVERIFY
     ]
     assert not rows_only, (
         f"already-sampled rows-only entries in the driver prefix burn "
         f"hash-checked slots: {rows_only}"
+    )
+    # the re-admission escape hatch is itself audited: every declared
+    # entry must be rows-only (sql=None) — a hash-checkable query never
+    # needs it — and the declaration is tool-emitted per round for
+    # entries whose implementation changed since their newest driver
+    # row (see tools/rotate_prefix.py), so a stale copy that names a
+    # now-hash-checkable query fails here.
+    not_rows_only = [n for n in _PREFIX_ROWS_ONLY_REVERIFY if reg[n].sql is not None]
+    assert not not_rows_only, (
+        f"_PREFIX_ROWS_ONLY_REVERIFY entries must be sql=None: {not_rows_only}"
     )
 
 

@@ -710,6 +710,65 @@ def test_sse_loopback_reconnect_and_resume(tmp_path):
         srv.close()
 
 
+def test_sse_double_replay_is_deduped(tmp_path):
+    """Deterministic double-replay (r14 verdict item 1): a server that
+    replays an overlap window on every reconnect (it rewinds 2 events
+    behind the presented Last-Event-ID) must not cause duplicate
+    delivery.  Without id-dedup in _LiveFeed the overlap is appended
+    again, shifting every later global offset so the duplicates land
+    PAST the Structured Streaming checkpoint — the VERIFY_r14
+    test_sse_loopback_live_structured_streaming failure (seen=['3','3'],
+    Live4/Live5 emitted twice)."""
+    import http.server
+    import threading
+
+    from rc_scanner_spark.sources.sse import _LiveFeed
+
+    n_events, overlap, drop_after = 8, 2, 4
+    seen_last_ids: list[str | None] = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            last = self.headers.get("Last-Event-ID")
+            seen_last_ids.append(last)
+            # rewind `overlap` events behind the acknowledged id: the
+            # broker-side replay window every reconnect re-serves
+            start = max(int(last) + 1 - overlap, 0) if last is not None else 0
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.end_headers()
+            for i in range(start, min(start + drop_after, n_events)):
+                ev = make_change(i, f"Live{i}")
+                try:
+                    self.wfile.write(f"id: {i}\ndata: {json.dumps(ev)}\n\n".encode())
+                    self.wfile.flush()
+                except BrokenPipeError:
+                    return
+            # close: client must reconnect (and gets the overlap again)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        feed = _LiveFeed(f"http://127.0.0.1:{httpd.server_address[1]}/sse", timeout=5.0)
+        assert _wait_for(lambda: feed.size() >= n_events), (
+            f"size={feed.size()}, seen={seen_last_ids}"
+        )
+        # exactly once, in order, despite every reconnect replaying an
+        # overlap (connection 2 presents id 2 and is served 1..: events
+        # 1-2 arrive again and must be dropped before the buffer)
+        titles = [r["title"] for r in feed.slice(0, feed.size())]
+        assert titles == [f"Live{i}" for i in range(n_events)], (
+            f"{titles}, seen={seen_last_ids}"
+        )
+        # the server really did replay an overlap (test is armed)
+        assert any(last is not None for last in seen_last_ids)
+    finally:
+        httpd.shutdown()
+
+
 def test_sse_loopback_commit_trims_and_persists_id(tmp_path):
     """commit() bounds the driver buffer to the uncommitted window and
     persists the resumption id; a NEW feed (driver restart) presents
