@@ -390,7 +390,25 @@ def kmeans_assign(
     construction for cluster_kmeans.  The strings parse to the same
     expression trees (double literals spelled ``0.0D``-style, same
     fold seeds, same CASE/round/named_struct shapes), so plans and
-    values are unchanged."""
+    values are unchanged.
+
+    r15: the r14-deferred "flat-K argmax" rewrite was BUILT AND
+    REVERTED after measurement killed its premise.  Three variants
+    (K explicit ``get(cents, k)`` entries; K centroids pre-flattened
+    to 3K named columns; each with functions.vectors.dot_sql's
+    guarded unrolled dot) all measured 2-3x SLOWER in-query at sf0.1
+    (flat-K: warm exec 1.9-2.5 s vs 0.79-0.81 s for this transform
+    form; whole-query ann_ivf_topk min 1.9 -> 4.0 s), under both
+    hugeMethodLimit=65535 and =8000.  Root cause of the premise
+    failure, isolated on 2M persisted 64-dim pairs in one session:
+    the ``aggregate(zip_with(...))`` fold is NOT interpreted-slow on
+    this engine build — fold 0.54-0.67 s warm vs guarded-unroll
+    0.57 s, i.e. parity — so unrolling buys nothing while the
+    K x 64-term expression trees add janino-compile time per
+    assignment plan (cluster_kmeans builds iters+1 distinct plans)
+    and driver build latency.  The transform/array_max projection
+    below is the measured-fastest shape; it is also the right shape
+    at 100 TB (map-side only, vectors never shuffle)."""
     norm_sql = (
         "sqrt(aggregate(CAST({a} AS ARRAY<DOUBLE>), 0.0D,"
         " (acc, x) -> acc + x * x))"

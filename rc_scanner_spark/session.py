@@ -57,6 +57,14 @@ RUNTIME_CONF = {
     # represent natively; read as long and convert (tables.load_table)
     # with the same floor-to-microsecond truncation DuckDB applies.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # spark.sql.codegen.hugeMethodLimit stays at the Spark default
+    # (65535).  r15 trialled 8000 (the HotSpot JIT ceiling the Spark
+    # docs suggest) while rebuilding the flat-K kmeans scoring; the
+    # flat-K rewrite itself measured slower under BOTH values (see
+    # kmeans_assign's r15 note) and with the unrolled projections gone
+    # nothing in this tree generates a >8000-bytecode method, so the
+    # knob is left untouched rather than shipped as an unexercised
+    # config twiddle.
     # ObjectHashAggregate (collect_list/collect_set) falls back to
     # sort-based aggregation after 128 distinct groups PER PARTITION —
     # an entry COUNT, not a byte budget, and absurdly conservative for
