@@ -84,28 +84,33 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
-        nbr_best = (
-            sym.join(labels, sym["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
+        # One join + one aggregation per round (r15; was two joins).
+        # The old shape aggregated neighbor labels per node and LEFT
+        # JOINED the result back onto ``labels`` to take
+        # least(own, best neighbor) — under AQE that second join cost
+        # its own exchange materializations and driver re-plans every
+        # round (dedup_keep_best: 42 driver jobs, ~2.5 s of driver
+        # orchestration for 0.3 s of executor work).  min(own ∪
+        # neighbor labels) is the same value computed in ONE
+        # aggregation when the node's own label rides the union as an
+        # extra row; the self row also carries the old component so
+        # the r14 probe (filter+limit over the materialized
+        # checkpoint, no extra join) is unchanged: per id, max(old)
+        # sees exactly the one non-null self value.
+        contrib = sym.join(labels, sym["dst"] == labels["id"]).select(
+            sym["src"].alias("id"),
+            "component",
+            F.lit(None).cast("long").alias("old_component"),
         )
-        # r14 batch 7: the convergence probe used to be a second
-        # driver job per round — new_labels JOIN old labels, filter,
-        # limit, count.  The old component now rides the checkpointed
-        # frame instead, so the probe is a filter+limit over the
-        # already-materialized localCheckpoint: one job per round, no
-        # join, identical per-id comparison.  (The extra long per
-        # node exists only inside the round; the next round's
-        # ``labels`` projects it away.)
+        own = labels.select(
+            "id", "component", F.col("component").alias("old_component")
+        )
         new_labels = (
-            labels.join(nbr_best, labels["id"] == nbr_best["src"], "left")
-            .select(
-                "id",
-                F.col("component").alias("old_component"),
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+            contrib.union(own)
+            .groupBy("id")
+            .agg(
+                F.min("component").alias("component"),
+                F.max("old_component").alias("old_component"),
             )
             .localCheckpoint(eager=True)
         )
