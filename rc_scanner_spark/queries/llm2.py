@@ -18,6 +18,8 @@ Design notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -738,17 +740,37 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     na_f = eb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
     a = eb.select(F.col("doc_id").alias("id_a"), "tok")
     b = eb.select(F.col("doc_id").alias("id_b"), "tok")
-    pairs = (
-        a.join(b, "tok")
-        .filter(F.col("id_a") != F.col("id_b"))
-        # width-pinned exchange ahead of the pair count: the candidate
-        # stream is ~25 MB at sf0.1 but its per-row agg CPU is what
-        # matters — AQE byte-coalescing ran the whole count+ratio tail
-        # on one task (profiled 2.3 s); a user repartition is exempt.
-        .repartition(
+    cand = a.join(b, "tok").filter(F.col("id_a") != F.col("id_b"))
+    # Width-pinned exchange ahead of the pair count, PROFILE-GUARDED
+    # (r15, closing the r14 verdict watch item 8a).  At local/test
+    # scale the candidate stream is ~25 MB but its per-row agg CPU is
+    # what matters — AQE byte-coalescing ran the whole count+ratio
+    # tail on one task (profiled 2.3 s at sf0.1); the pin fixes that
+    # (exec 7.2 -> 3.4 s) and costs nothing extra in bytes, because
+    # map-side partial aggregation compresses NOTHING here (a pair's
+    # duplicate contributions live in different tok-partitions:
+    # measured partial-agg exchange 25.5 MB vs raw 23.2 MB).  At
+    # volume the trade inverts: on a 16x-replicated corpus the final
+    # agg parallelizes fine without the pin and the extra raw-pair
+    # exchange is pure cost (measured 16x: pinned 162-210 s vs
+    # unpinned 115 s).  So the pin applies only while the corpus
+    # scans below one split — the same size guard tables._spread
+    # uses to abstain at production scale.
+    from ..tables import table_path, _parse_bytes
+
+    try:
+        corpus_bytes = os.path.getsize(table_path(sf_dir, "documents"))
+    except OSError:
+        corpus_bytes = 1 << 62
+    max_part = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    if corpus_bytes < max_part:
+        cand = cand.repartition(
             spark.sparkContext.defaultParallelism, "id_a", "id_b"
         )
-        .groupBy("id_a", "id_b")
+    pairs = (
+        cand.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .join(na_f, F.col("id_a") == F.col("doc_id"))
         .withColumn(
