@@ -298,6 +298,31 @@ def _verify_candidate_pairs(sigs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def _plane_dot_sql(t: int, p: int) -> str:
+    """SQL-string twin of ``hyperplane_signature``'s per-plane dot —
+    the float/xxhash64 form over a ``v`` column (r14 batch 7).  Kept
+    at module level so tests/test_lsh_signature_equivalence.py can
+    pin the EXACT production string against the Column canon."""
+    return (
+        "aggregate(zip_with(CAST(v AS ARRAY<DOUBLE>),"
+        " sequence(0, size(CAST(v AS ARRAY<DOUBLE>)) - 1),"
+        f" (x, d) -> CASE WHEN (xxhash64({t}, {p}, d) & 1) = 1"
+        " THEN x ELSE -x END), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _sig_sql(t: int, num_planes: int) -> str:
+    """SQL-string twin of ``hyperplane_signature`` (full bitmask)."""
+    return " + ".join(
+        ["0"]
+        + [
+            f"CASE WHEN {_plane_dot_sql(t, p)} > 0.0D"
+            f" THEN {1 << p} ELSE 0 END"
+            for p in range(num_planes)
+        ]
+    )
+
+
 def lsh_ann_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -323,26 +348,8 @@ def lsh_ann_pairs(
         vectors.sparkSession.sparkContext.defaultParallelism, "id"
     )
 
-    def plane_dot_sql(t: int, p: int) -> str:
-        return (
-            "aggregate(zip_with(CAST(v AS ARRAY<DOUBLE>),"
-            " sequence(0, size(CAST(v AS ARRAY<DOUBLE>)) - 1),"
-            f" (x, d) -> CASE WHEN (xxhash64({t}, {p}, d) & 1) = 1"
-            " THEN x ELSE -x END), 0.0D, (acc, x) -> acc + x)"
-        )
-
     structs = ", ".join(
-        "named_struct('tbl', {t}, 'sig', {sig})".format(
-            t=t,
-            sig=" + ".join(
-                ["0"]
-                + [
-                    f"CASE WHEN {plane_dot_sql(t, p)} > 0.0D"
-                    f" THEN {1 << p} ELSE 0 END"
-                    for p in range(num_planes)
-                ]
-            ),
-        )
+        f"named_struct('tbl', {t}, 'sig', {_sig_sql(t, num_planes)})"
         for t in range(num_tables)
     )
     sigs = base.selectExpr(
@@ -640,6 +647,34 @@ def _portable_sign_bit(table: int, plane: int, dim: Column) -> Column:
     ).bitwiseAND(F.lit(1))
 
 
+def _portable_plane_dot_sql(t: int, p: int) -> str:
+    """SQL-string twin of the ``_portable_sign_bit`` integer plane dot
+    over an ``fx`` fixed-point column.  Module level for the
+    equivalence pin (tests/test_lsh_signature_equivalence.py)."""
+    sign_bit = (
+        "CAST(conv(substring(md5(concat_ws("
+        f"':', '{t}', '{p}', CAST(d AS STRING))), 1, 15), 16, 10)"
+        " AS BIGINT) & 1"
+    )
+    return (
+        "aggregate(zip_with(fx, sequence(0, size(fx) - 1),"
+        f" (x, d) -> CASE WHEN ({sign_bit}) = 1 THEN x ELSE -x END),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+
+
+def _portable_sig_sql(t: int, num_planes: int) -> str:
+    """SQL-string twin of the portable signature bitmask."""
+    return " + ".join(
+        ["0"]
+        + [
+            f"CASE WHEN {_portable_plane_dot_sql(t, p)} > 0"
+            f" THEN {1 << p} ELSE 0 END"
+            for p in range(num_planes)
+        ]
+    )
+
+
 def lsh_ann_pairs_portable(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -657,8 +692,6 @@ def lsh_ann_pairs_portable(
     the exact buckets.  Verification cosine stays float (rounded 4,
     like every other similarity oracle).  The xxhash64/float
     ``lsh_ann_pairs`` remains the production form."""
-    from ..functions.vectors import norm
-
     # shared degenerate-vector guard; cast_double keeps the cast
     # ahead of the fixed-pointing (ADVICE r10: one guard definition
     # across both LSH variants)
@@ -680,30 +713,9 @@ def lsh_ann_pairs_portable(
     # string literals are spelled exactly as the Column forms parsed,
     # so every signature long — and hence the oracle-replayed bucket
     # set — is unchanged).
-    def plane_dot_sql(t: int, p: int) -> str:
-        sign_bit = (
-            "CAST(conv(substring(md5(concat_ws("
-            f"':', '{t}', '{p}', CAST(d AS STRING))), 1, 15), 16, 10)"
-            " AS BIGINT) & 1"
-        )
-        return (
-            "aggregate(zip_with(fx, sequence(0, size(fx) - 1),"
-            f" (x, d) -> CASE WHEN ({sign_bit}) = 1 THEN x ELSE -x END),"
-            " CAST(0 AS BIGINT), (a, x) -> a + x)"
-        )
-
     structs = ", ".join(
-        "named_struct('tbl', {t}, 'sig', CAST({sig} AS BIGINT))".format(
-            t=t,
-            sig=" + ".join(
-                ["0"]
-                + [
-                    f"CASE WHEN {plane_dot_sql(t, p)} > 0"
-                    f" THEN {1 << p} ELSE 0 END"
-                    for p in range(num_planes)
-                ]
-            ),
-        )
+        f"named_struct('tbl', {t},"
+        f" 'sig', CAST({_portable_sig_sql(t, num_planes)} AS BIGINT))"
         for t in range(num_tables)
     )
     sigs = fixed.selectExpr(
