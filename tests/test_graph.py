@@ -91,3 +91,24 @@ def test_cc_no_cached_plans_left(spark):
     # localCheckpoint RDDs are session-managed; the operator itself
     # must not register anything in the dedup cache registry.
     assert _CACHED == []
+
+
+def test_cc_restores_session_confs(spark):
+    """The r15 AQE-off loop scope must restore the shared session's
+    confs — on success AND on failure (the driver's session outlives
+    every query; a leaked conf would silently deoptimize everything
+    after the first CC query)."""
+    import pytest
+
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "23")
+    _cc_map(spark, [(1, 2), (2, 3)])
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "23"
+    # failure path: non-convergence raises INSIDE the scope
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc_map(spark, [(1, 2), (2, 3), (3, 4)], max_iters=1)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "23"
+    spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
