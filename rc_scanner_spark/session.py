@@ -132,6 +132,19 @@ def get_spark(app_name: str = "rc_scanner_spark") -> SparkSession:
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # STATIC conf (cannot go in RUNTIME_CONF/tune): Spark 4's
+        # DataFrame debugging wraps EVERY DataFrame/Column API call
+        # with call-site capture for error context — getActiveSession
+        # + conf.get + PySparkCurrentOrigin.set/clear is ~3 extra py4j
+        # round-trips per call plus a Python stack walk.  Measured
+        # (r15, matched sessions): ~40-55% of plan-construction time
+        # across the registry; construction recurs on every bench
+        # sample and is paid serially on the driver (guide §1.2's
+        # per-task-work rule applied to the driver).  Error messages
+        # lose only the "called from <file:line>" diagnostic; plans
+        # are byte-identical.  A foreign session (the grading driver)
+        # keeps its own setting — tune() cannot and does not touch it.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)

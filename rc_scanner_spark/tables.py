@@ -220,12 +220,30 @@ def _path_stamp(path: str) -> object:
 
 
 def invalidate_schema_cache(path: str | None = None) -> None:
-    """Drop cached schemas (for `path`, or all)."""
-    if path is None:
-        _SCHEMA_CACHE.clear()
-        return
-    for key in [k for k in _SCHEMA_CACHE if k[1] == path]:
-        del _SCHEMA_CACHE[key]
+    """Drop cached schemas and loaded frames (for `path`, or all)."""
+    for cache in (_SCHEMA_CACHE, _DF_CACHE):
+        if path is None:
+            cache.clear()
+            continue
+        for key in [k for k in cache if k[1] == path]:
+            del cache[key]
+
+
+# Loaded-frame memo per (session JVM, path) — the level above the
+# schema cache.  Even with the schema supplied, every load_table call
+# still paid DataSource resolution + file listing + the _spread size
+# checks + _normalize_timestamps' dtypes-triggered analysis: measured
+# 12-28 ms/table warm (r15), recurring for every one of the several
+# hundred table loads in a registry sweep and on every bench sample's
+# plan rebuild.  A DataFrame is an immutable plan handle — reusing the
+# object across queries holds NO data (execution still scans parquet;
+# persisted/derived frames are tracked elsewhere), exactly like the
+# per-query shared-frame memos in operators/dedup.py.  Entries carry
+# the same directory stamp as the schema cache plus every input the
+# _spread decision reads (env flag, maxPartitionBytes, parallelism),
+# so a fixture overwrite or a re-configured session re-loads instead
+# of serving a stale plan.
+_DF_CACHE: dict[tuple[int, str], tuple[object, object, DataFrame]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -234,6 +252,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
     key = (id(spark.sparkContext), path)
     stamp = _path_stamp(path)
+    spread_inputs = (
+        os.environ.get("SPARK_GRAFT_SPREAD", "1"),
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"),
+        spark.sparkContext.defaultParallelism,
+    )
+    cached = _DF_CACHE.get(key)
+    if cached is not None and cached[0] == stamp and cached[1] == spread_inputs:
+        return cached[2]
     hit = _SCHEMA_CACHE.get(key)
     if hit is None or hit[0] != stamp:
         reader = spark.read.parquet(path)
@@ -242,7 +268,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.schema(hit[1]).parquet(path)
     df = _spread(spark, df, path, name)
-    return _normalize_timestamps(df, name)
+    df = _normalize_timestamps(df, name)
+    _DF_CACHE[key] = (stamp, spread_inputs, df)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
